@@ -1,0 +1,163 @@
+"""Quality-filter, text-builder and versioning contracts
+(reference parity: app/do_embeddings.py:35-145, app/ontology_manager.py:109-144,
+app/ontology_version_manager.py:31-183)."""
+
+import json
+
+import pyarrow as pa
+
+from biocurator_mapper_ray.config import DEFAULT_EMBEDDINGS_CONFIG
+from biocurator_mapper_ray.ontology import (
+    build_searchable_text,
+    compose_weighted_text,
+    compute_version_hash,
+    extract_version_info,
+    filter_terms_batch,
+    meets_quality_filters,
+    needs_update,
+    parse_nodes_batch,
+    parse_ontology_json,
+)
+from biocurator_mapper_ray.ontology.fixtures import (
+    make_document,
+    make_edge_case_nodes,
+    make_performance_nodes,
+)
+from biocurator_mapper_ray.ontology.versioning import snapshot_hash
+
+CFG = DEFAULT_EMBEDDINGS_CONFIG
+
+
+def term(**kw):
+    base = {
+        "term_id": "DOID:1",
+        "name": "test disease",
+        "definition": "A long enough definition for the filter.",
+        "exact_synonyms": [],
+        "narrow_synonyms": [],
+        "broad_synonyms": [],
+        "related_synonyms": [],
+        "all_synonyms": [],
+        "cross_references": [],
+        "namespace": "",
+        "searchable_text": "",
+        "is_obsolete": False,
+    }
+    base.update(kw)
+    return base
+
+
+class TestQualityFilters:
+    def test_short_definition_rejected(self):
+        assert not meets_quality_filters(term(definition="short"), CFG)
+
+    def test_min_length_boundary(self):
+        # min_definition_length=10: len>=10 passes
+        assert meets_quality_filters(term(definition="x" * 10), CFG)
+        assert not meets_quality_filters(term(definition="x" * 9), CFG)
+
+    def test_exclude_pattern_in_name(self):
+        assert not meets_quality_filters(term(name="an OBSOLETE thing"), CFG)
+
+    def test_exclude_pattern_in_definition(self):
+        assert not meets_quality_filters(
+            term(definition="This term is deprecated but long enough."), CFG
+        )
+
+    def test_missing_definition_rejected_when_required(self):
+        assert not meets_quality_filters(term(definition=""), CFG)
+
+    def test_obsolete_excluded(self):
+        assert not meets_quality_filters(term(is_obsolete=True), CFG)
+
+    def test_good_term_passes(self):
+        assert meets_quality_filters(term(), CFG)
+
+    def test_batch_matches_scalar(self):
+        docs = make_document(make_edge_case_nodes())
+        parsed = parse_ontology_json(docs)
+        batch = parse_nodes_batch(
+            pa.table({"node_json": [json.dumps(n) for n in make_edge_case_nodes()]})
+        )
+        kept = filter_terms_batch(batch, CFG)
+        expected_ids = [t["term_id"] for t in parsed if meets_quality_filters(t, CFG)]
+        assert kept.column("term_id").to_pylist() == expected_ids
+
+
+class TestSearchableTextBuilders:
+    def test_manager_path_pipe_join_excludes_related(self):
+        t = term(
+            name="N",
+            definition="D" * 20,
+            exact_synonyms=["E"],
+            narrow_synonyms=["Na"],
+            broad_synonyms=["B"],
+            related_synonyms=["R"],
+        )
+        text = build_searchable_text(t, CFG)
+        assert text == "N | " + "D" * 20 + " | E | Na | B"
+        assert "R" not in text.split(" | ")
+
+    def test_manager_path_lowercase_and_punct(self):
+        cfg = json.loads(json.dumps(CFG))
+        cfg["preprocessing"]["lowercase"] = True
+        cfg["preprocessing"]["remove_punctuation"] = True
+        t = term(name="Hello, World!", definition="Def. One")
+        assert build_searchable_text(t, cfg) == "hello world | def one"
+
+    def test_weighted_composition_sections(self):
+        t = term(
+            name="angio thing",
+            definition="A vascular condition definition.",
+            exact_synonyms=["vessel thing"],
+            related_synonyms=["rel thing"],
+            cross_references=["MESH:D1", "NOPE:2", "OMIM:3"],
+        )
+        cfg = json.loads(json.dumps(CFG))
+        cfg["do_specific"]["text_composition"]["context_fields"] = [
+            "definition", "synonyms", "xrefs",
+        ]
+        text = compose_weighted_text(t, cfg)
+        assert text.startswith("Name: angio thing | Definition: A vascular condition definition.")
+        assert "Synonyms: exact_synonym: vessel thing, related_synonym: rel thing" in text
+        # xrefs filtered to prioritized sources only
+        assert "References: MESH:D1, OMIM:3" in text
+        assert "NOPE:2" not in text
+
+    def test_weighted_composition_truncation(self):
+        t = term(name="n", definition="d" * 10000)
+        text = compose_weighted_text(t, CFG)
+        assert len(text) == 8000
+        assert text.endswith("...")
+
+    def test_zero_weight_gates_field(self):
+        cfg = json.loads(json.dumps(CFG))
+        cfg["vectorize_fields"]["definition"] = 0
+        t = term(name="n", definition="a definitely long definition")
+        assert "Definition:" not in compose_weighted_text(t, cfg)
+
+
+class TestVersioning:
+    def test_extract_version_info(self):
+        doc = make_document(make_performance_nodes(5), version_date="2026-02-02")
+        info = extract_version_info(doc)
+        assert info["version_date"] == "2026-02-02"
+        assert info["format_version"] == "1.2"
+        assert info["nodes_count"] == 5
+        assert info["graph_id"].endswith(".owl")
+
+    def test_hash_16_hex_and_stable(self):
+        doc = make_document(make_performance_nodes(5))
+        h1, h2 = snapshot_hash(doc), snapshot_hash(doc)
+        assert h1 == h2 and len(h1) == 16
+        int(h1, 16)
+
+    def test_hash_changes_with_node_count(self):
+        a = snapshot_hash(make_document(make_performance_nodes(5)))
+        b = snapshot_hash(make_document(make_performance_nodes(6)))
+        assert a != b
+
+    def test_needs_update_semantics(self):
+        assert needs_update(None, "abc")
+        assert needs_update("old", "abc")
+        assert not needs_update("abc", "abc")
