@@ -36,22 +36,47 @@ _CONDITIONS = [
 ]
 _SYNONYM_WORDS = [
     "disorder", "syndrome", "disease", "condition", "anomaly", "defect",
+    "ailment", "affliction", "malady", "complication", "abnormality",
+    "pathology", "illness", "impairment", "degeneration", "malformation",
+    "irregularity", "disturbance",
+]
+_RELATED_WORDS = [
+    "presentation", "manifestation", "involvement", "phenotype", "variant",
+    "subtype", "process", "pattern", "complex", "spectrum", "episode",
+    "occurrence", "progression", "expression", "formation", "development",
+    "reaction", "response",
 ]
 _XREF_SOURCES = ["MESH", "ICD10CM", "SNOMEDCT", "OMIM", "NCI", "UMLS_CUI"]
 
 
-def _term_phrases(rng: random.Random, idx: int) -> tuple[str, list[str]]:
-    """Unique multi-word name + synonym surfaces for term #idx."""
-    adj = _ADJECTIVES[idx % len(_ADJECTIVES)]
-    tissue = _TISSUES[(idx // len(_ADJECTIVES)) % len(_TISSUES)]
-    cond = _CONDITIONS[(idx // (len(_ADJECTIVES) * len(_TISSUES))) % len(_CONDITIONS)]
+def _term_phrases(rng: random.Random, idx: int) -> tuple[str, dict[str, str]]:
+    """Unique multi-word name + synonym surfaces for term #idx.
+
+    Every surface (name and all four synonym classes) is GLOBALLY unique
+    across terms for idx < 18^3 = 5832:
+
+    * name    = adj·tissue·cond         (3-token index of the term)
+    * exact   = tissue·cond·syn[adj_i]  (adj index re-encoded via syn word)
+    * narrow  = adj·cond·"of"·tissue·"tissue"
+    * broad   = name + " disorder"      (longest-first overlap exercise)
+    * related = adj·cond·rel[tissue_i]
+
+    Word classes are pairwise disjoint, so no surface of one class can
+    equal a surface of another, and the transcript synthesizer's planted
+    truth maps surface→term with no disambiguation.
+    """
+    ai = idx % len(_ADJECTIVES)
+    ti = (idx // len(_ADJECTIVES)) % len(_TISSUES)
+    ci = (idx // (len(_ADJECTIVES) * len(_TISSUES))) % len(_CONDITIONS)
+    adj, tissue, cond = _ADJECTIVES[ai], _TISSUES[ti], _CONDITIONS[ci]
     name = f"{adj} {tissue} {cond}"
-    syn_word = _SYNONYM_WORDS[idx % len(_SYNONYM_WORDS)]
-    synonyms = [
-        f"{tissue} {cond} {syn_word}",          # exact
-        f"{adj} {cond} of {tissue} tissue",     # narrow
-    ]
-    return name, synonyms
+    surfaces = {
+        "exact": f"{tissue} {cond} {_SYNONYM_WORDS[ai]}",
+        "narrow": f"{adj} {cond} of {tissue} tissue",
+        "broad": f"{name} disorder",
+        "related": f"{adj} {cond} {_RELATED_WORDS[ti]}",
+    }
+    return name, surfaces
 
 
 def make_performance_nodes(n: int = 100, seed: int = 42, prefix: str = "DOID",
@@ -81,10 +106,10 @@ def make_performance_nodes(n: int = 100, seed: int = 42, prefix: str = "DOID",
                     "xrefs": [f"url:https://example.org/cases/{i:04d}"],
                 },
                 "synonyms": [
-                    {"pred": "hasExactSynonym", "val": syns[0], "xrefs": []},
-                    {"pred": "hasNarrowSynonym", "val": syns[1], "xrefs": []},
-                    {"pred": "hasBroadSynonym", "val": f"{name.split()[1]} disorder", "xrefs": []},
-                    {"pred": "hasRelatedSynonym", "val": f"related {name.split()[2]}", "xrefs": []},
+                    {"pred": "hasExactSynonym", "val": syns["exact"], "xrefs": []},
+                    {"pred": "hasNarrowSynonym", "val": syns["narrow"], "xrefs": []},
+                    {"pred": "hasBroadSynonym", "val": syns["broad"], "xrefs": []},
+                    {"pred": "hasRelatedSynonym", "val": syns["related"], "xrefs": []},
                 ],
                 "xrefs": [
                     {"val": f"{_XREF_SOURCES[i % len(_XREF_SOURCES)]}:{rng.randint(100000, 999999)}"},

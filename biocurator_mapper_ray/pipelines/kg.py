@@ -1,0 +1,143 @@
+"""Flagship pipeline: transcripts → deduplicated (subj, pred, obj) triples.
+
+Ray-Data replay of the reference's per-request resolve flow
+(``app/main.py:68-88``) in bulk, per SURVEY.md §7.1:
+
+    transcripts.parquet
+      → MentionDetector (actor pool; dictionary spotting, broadcast vocab)
+      → LinkStage       (actor pool; embed + top-k + selection contract)
+      → combine_links_batch (stateless partial aggregation — skew guard)
+      → groupby(conv_id).map_groups(canonicalize_group)  [the ONE shuffle]
+      → lineage columns → sort(subj, pred, obj) → triples
+
+Scale notes:
+* The term side is broadcast once (``ray.put``) and replicated per actor —
+  no shuffle join (the reference's Weaviate lookup becomes an in-actor
+  index).
+* The only all-to-all exchange is the canonicalization groupby, and it
+  runs over PRE-COMBINED partial rows (distinct (conv, surface, term)
+  per batch), so a mega-conversation contributes its distinct-pair count,
+  not its turn count, to the shuffle.
+* The final sort is on the (small) triples output, not the input.
+* Lineage: every triple carries ``extractor_version``,
+  ``ontology_snapshot_hash`` and ``input_shard`` (conv-hash bucket) —
+  enough to re-run one shard and get the identical sub-output (A2/A3
+  semantics, ``app/ontology_version_manager.py:67-183``).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from .. import EXTRACTOR_VERSION
+from ..functions.hashing import hash64_column
+from ..stages.canonicalize import canonicalize_group, combine_links_batch
+from ..stages.link import LinkStage
+from ..stages.mention import MentionDetector
+
+N_INPUT_SHARDS = 64
+
+
+def add_lineage(batch: pa.Table, snapshot_hash: str) -> pa.Table:
+    shard = hash64_column(batch.column("conv_id")) % N_INPUT_SHARDS
+    return (
+        batch.append_column("input_shard", pa.array([f"conv_bucket={s:03d}" for s in shard]))
+        .append_column("extractor_version", pa.array([EXTRACTOR_VERSION] * len(batch)))
+        .append_column("ontology_snapshot_hash", pa.array([snapshot_hash] * len(batch)))
+    )
+
+
+def extract_links(
+    transcripts,
+    terms: pa.Table,
+    *,
+    k: int = 5,
+    dim: int = 256,
+    seed: int = 42,
+    confidence_threshold: float = 0.5,
+    concurrency: int = 4,
+    batch_size: int = 4096,
+):
+    """transcripts Dataset → link-decision Dataset (no shuffle)."""
+    terms_ref = ray.put(terms)
+    mentions = transcripts.map_batches(
+        MentionDetector,
+        fn_constructor_args=(terms_ref,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),  # autoscale: never starve task stages
+        num_cpus=1,
+    )
+    links = mentions.map_batches(
+        LinkStage,
+        fn_constructor_args=(terms_ref, k, dim, seed, confidence_threshold),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )
+    return links
+
+
+def extract_triples(
+    transcripts,
+    terms: pa.Table,
+    *,
+    snapshot_hash: str = "",
+    k: int = 5,
+    dim: int = 256,
+    seed: int = 42,
+    confidence_threshold: float = 0.5,
+    concurrency: int = 4,
+    batch_size: int = 4096,
+    sort_output: bool = True,
+):
+    """Full flagship flow; returns the triples Dataset (lazy)."""
+    links = extract_links(
+        transcripts,
+        terms,
+        k=k,
+        dim=dim,
+        seed=seed,
+        confidence_threshold=confidence_threshold,
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+    partials = links.map_batches(combine_links_batch, batch_format="pyarrow")
+    triples = partials.groupby("conv_id").map_groups(
+        canonicalize_group, batch_format="pandas"
+    )
+    triples = triples.map_batches(
+        lambda b: add_lineage(b, snapshot_hash), batch_format="pyarrow"
+    )
+    if sort_output:
+        triples = triples.sort(["subj", "pred", "obj"])
+    return triples
+
+
+def triples_quality(triples_tbl: pa.Table, expected_tbl: pa.Table) -> dict:
+    """Precision/recall of emitted triples vs planted ground truth."""
+    def keyset(tbl: pa.Table) -> set[tuple]:
+        return set(
+            zip(
+                tbl.column("subj").to_pylist(),
+                tbl.column("pred").to_pylist(),
+                tbl.column("obj").to_pylist(),
+            )
+        )
+
+    got, want = keyset(triples_tbl), keyset(expected_tbl)
+    tp = len(got & want)
+    precision = tp / len(got) if got else 0.0
+    recall = tp / len(want) if want else 0.0
+    return {
+        "emitted": len(got),
+        "expected": len(want),
+        "true_positives": tp,
+        "precision": precision,
+        "recall": recall,
+        "f1": (2 * precision * recall / (precision + recall)) if (precision + recall) else 0.0,
+    }

@@ -1,0 +1,165 @@
+"""Per-conversation canonicalization and triple emission.
+
+The reference returns one best match per passage (``app/main.py:79-85``);
+in bulk mode a conversation yields many link rows whose surface forms must
+be merged to canonical CURIEs before triples are emitted (north rule).
+
+Two-phase design so a skewed mega-conversation never ships its raw rows
+through the shuffle:
+
+1. **Partial combine** (:func:`combine_links_batch`, stateless
+   ``map_batches``): accepted link rows → one partial row per
+   ``(conv_id, mention_norm, term_id)`` per batch with summed counts and
+   max confidence.  This bounds groupby input by the conversation's
+   DISTINCT (surface, term) pairs — a 10M-turn conversation with a normal
+   vocabulary reduces by orders of magnitude before the exchange.
+2. **Merge** (:func:`canonicalize_group`, ``groupby("conv_id").
+   map_groups``): union-find over the bipartite surface↔term graph; each
+   component's canonical CURIE is the member term with the highest summed
+   confidence (deterministic tie-break on term_id); one triple
+   ``(conv:<conv_id>, mentions, canonical_curie)`` per component.
+
+Exact triple dedup on (subj, pred, obj) is inherent: one conversation is
+one group, and components partition its terms.  The final cross-dataset
+``sort(["subj","pred","obj"])`` gives a deterministic materialized order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+TRIPLE_COLUMNS = [
+    "subj", "pred", "obj", "conv_id", "turn_idx", "confidence", "n_mentions",
+]
+
+PRED_MENTIONS = "mentions"
+
+
+def combine_links_batch(batch: pa.Table) -> pa.Table:
+    """Stateless pre-aggregation: accepted links → partial rows."""
+    df = batch.select(
+        ["conv_id", "turn_idx", "mention", "term_id", "confidence", "accepted"]
+    ).to_pandas()
+    df = df[df["accepted"]]
+    if df.empty:
+        return pa.Table.from_pydict(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "mention": pa.array([], pa.string()),
+                "term_id": pa.array([], pa.string()),
+                "n_links": pa.array([], pa.int64()),
+                "max_confidence": pa.array([], pa.float32()),
+                "min_turn_idx": pa.array([], pa.int32()),
+            }
+        )
+    grouped = (
+        df.groupby(["conv_id", "mention", "term_id"], sort=False)
+        .agg(
+            n_links=("confidence", "size"),
+            max_confidence=("confidence", "max"),
+            min_turn_idx=("turn_idx", "min"),
+        )
+        .reset_index()
+    )
+    grouped["max_confidence"] = grouped["max_confidence"].astype(np.float32)
+    grouped["min_turn_idx"] = grouped["min_turn_idx"].astype(np.int32)
+    return pa.Table.from_pandas(grouped, preserve_index=False)
+
+
+class _UnionFind:
+    def __init__(self):
+        self.parent: dict[str, str] = {}
+
+    def find(self, x: str) -> str:
+        root = x
+        while self.parent.setdefault(root, root) != root:
+            root = self.parent[root]
+        while self.parent[x] != root:  # path compression
+            self.parent[x], x = root, self.parent[x]
+        return root
+
+    def union(self, a: str, b: str) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[rb] = ra
+
+
+def _canonicalize_rows(
+    conv_id: str,
+    mentions: list[str],
+    term_ids: list[str],
+    n_links: list[int],
+    max_confs: list[float],
+    min_turns: list[int],
+) -> list[tuple]:
+    """Core merge for ONE conversation over plain lists (no pandas —
+    per-group DataFrame machinery dominated the stage wall time)."""
+    # re-merge partials that came from different batches
+    agg: dict[tuple[str, str], list] = {}
+    for m, t, n, c, x in zip(mentions, term_ids, n_links, max_confs, min_turns):
+        r = agg.get((m, t))
+        if r is None:
+            agg[(m, t)] = [int(n), float(c), int(x)]
+        else:
+            r[0] += int(n)
+            if c > r[1]:
+                r[1] = float(c)
+            if x < r[2]:
+                r[2] = int(x)
+
+    uf = _UnionFind()
+    term_weight: dict[str, float] = {}
+    for (m, t), (n, c, _x) in agg.items():
+        uf.union(f"m:{m}", f"t:{t}")
+        term_weight[t] = term_weight.get(t, 0.0) + c * n
+
+    comp_terms: dict[str, list[str]] = {}
+    for t in term_weight:
+        comp_terms.setdefault(uf.find(f"t:{t}"), []).append(t)
+    canonical: dict[str, str] = {}
+    for root, terms in comp_terms.items():
+        terms.sort(key=lambda t: (-term_weight[t], t))
+        canonical[root] = terms[0]
+
+    # one triple per component
+    rows: dict[str, list] = {}
+    for (m, t), (n, c, x) in agg.items():
+        obj = canonical[uf.find(f"t:{t}")]
+        r = rows.get(obj)
+        if r is None:
+            rows[obj] = [x, c, n]
+        else:
+            if x < r[0]:
+                r[0] = x
+            if c > r[1]:
+                r[1] = c
+            r[2] += n
+    subj = f"conv:{conv_id}"
+    return [
+        (subj, PRED_MENTIONS, obj, conv_id, x, c, n)
+        for obj, (x, c, n) in rows.items()
+    ]
+
+
+def _triples_frame(rows: list[tuple]) -> pd.DataFrame:
+    out = pd.DataFrame(rows, columns=TRIPLE_COLUMNS)
+    out["turn_idx"] = out["turn_idx"].astype(np.int32)
+    out["confidence"] = out["confidence"].astype(np.float32)
+    out["n_mentions"] = out["n_mentions"].astype(np.int64)
+    return out
+
+
+def canonicalize_group(group: pd.DataFrame) -> pd.DataFrame:
+    """One conversation's partial rows → deduplicated triples
+    (``groupby("conv_id").map_groups`` callable)."""
+    rows = _canonicalize_rows(
+        group["conv_id"].iloc[0],
+        group["mention"].tolist(),
+        group["term_id"].tolist(),
+        group["n_links"].tolist(),
+        group["max_confidence"].tolist(),
+        group["min_turn_idx"].tolist(),
+    )
+    return _triples_frame(rows)

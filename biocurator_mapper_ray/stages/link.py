@@ -1,0 +1,229 @@
+"""Candidate retrieval + best-match selection stages.
+
+Replays the reference's per-request resolve flow (``app/main.py:68-88``:
+embed passage → Weaviate near_vector top-k → LLM select) as actor-pool
+``map_batches`` stages over mention rows:
+
+* :class:`RetrieverStage` — mirrors ``OntologySearcher.search_ontology``
+  (``app/ontology_searcher.py:29-93``): per mention, embed and take top-k
+  against the in-actor :class:`~..state.index.VectorIndex` replica; emits
+  exploded candidate rows with ``rank`` and the Weaviate-style
+  ``similarity_distance`` / ``similarity_certainty`` metadata.
+* :class:`LinkStage` — the fused fast path used by the flagship pipeline:
+  retrieve + select in one pass (no candidate materialization between
+  stages, no shuffle).  Selection semantics are :class:`RuleScorer`'s
+  (the reference's llm_matcher contract).
+
+Both actors hold all state (terms table, index matrix, embedder, scorer,
+and a per-distinct-mention memo — mention surfaces come from a finite
+vocabulary, so the top-k/selection work per distinct string is done once
+per actor) built in ``__init__`` from broadcast refs: ``ray.put`` the
+terms table once on the driver; every actor reads it zero-copy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.embedder import HashingEmbedder
+from ..state.index import VectorIndex
+from .score import RuleScorer
+
+LINK_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("mention", pa.string()),
+        ("span_start", pa.int32()),
+        ("span_end", pa.int32()),
+        ("term_id", pa.string()),
+        ("name", pa.string()),
+        ("confidence", pa.float32()),
+        ("reason", pa.string()),
+        ("similarity_distance", pa.float32()),
+        ("similarity_certainty", pa.float32()),
+        ("accepted", pa.bool_()),
+        ("error", pa.string()),
+    ]
+)
+
+CANDIDATE_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("mention", pa.string()),
+        ("span_start", pa.int32()),
+        ("span_end", pa.int32()),
+        ("term_id", pa.string()),
+        ("name", pa.string()),
+        ("similarity_distance", pa.float32()),
+        ("similarity_certainty", pa.float32()),
+        ("rank", pa.int32()),
+    ]
+)
+
+
+class _TermSide:
+    """Shared actor state: terms table + index + embedder."""
+
+    def __init__(self, terms_ref, k: int, dim: int, seed: int):
+        import ray
+
+        terms: pa.Table = ray.get(terms_ref) if not isinstance(terms_ref, pa.Table) else terms_ref
+        self.embedder = HashingEmbedder(dim=dim, seed=seed)
+        self.index = VectorIndex.from_terms_table(terms, self.embedder)
+        self.k = k
+        # candidate payload columns, list-indexed like the index rows
+        self.names = terms.column("name").to_pylist()
+        self.definitions = terms.column("definition").to_pylist()
+        self.exact_synonyms = terms.column("exact_synonyms").to_pylist()
+        self.narrow_synonyms = terms.column("narrow_synonyms").to_pylist()
+        self.broad_synonyms = terms.column("broad_synonyms").to_pylist()
+        self.all_synonyms = terms.column("all_synonyms").to_pylist()
+        self.namespaces = terms.column("namespace").to_pylist()
+        # hybrid-retrieval dictionary side: surface → owning term rows.
+        # Pure vector top-k can drop the true owner of a surface shared
+        # bigram-wise with many sibling terms; exact owners are always
+        # candidates (the vector list fills the rest), mirroring
+        # keyword+vector hybrid search.
+        from .mention import normalize_surface
+
+        self._surface_owners: dict[str, list[int]] = {}
+        for i, (name, syns) in enumerate(zip(self.names, self.all_synonyms)):
+            for s in [name] + (syns or []):
+                key = normalize_surface(s)
+                if key:
+                    self._surface_owners.setdefault(key, []).append(i)
+        self._normalize_surface = normalize_surface
+
+    def candidates_for(self, mention: str) -> list[dict]:
+        """Weaviate-candidate-shaped dicts (ontology_searcher.py:74-87),
+        hybrid: exact-surface owners ∪ vector top-k."""
+        q = self.embedder.embed_text(mention)
+        idx, cos = self.index.topk(q[None, :], self.k)
+        owner_rows = self._surface_owners.get(self._normalize_surface(mention), [])
+        ranked: list[tuple[int, float]] = []
+        seen: set[int] = set()
+        for i in owner_rows:
+            ranked.append((i, float(q @ self.index.matrix[i])))
+            seen.add(i)
+        ranked.sort(key=lambda t: (-t[1], t[0]))
+        for rank in range(idx.shape[1]):
+            i = int(idx[0, rank])
+            if i not in seen and len(ranked) < max(self.k, len(owner_rows)):
+                ranked.append((i, float(cos[0, rank])))
+        out = []
+        for i, c in ranked:
+            out.append(
+                {
+                    "id": str(self.index.term_ids[i]),
+                    "name": self.names[i],
+                    "definition": self.definitions[i],
+                    "exact_synonyms": self.exact_synonyms[i],
+                    "narrow_synonyms": self.narrow_synonyms[i],
+                    "broad_synonyms": self.broad_synonyms[i],
+                    "all_synonyms": self.all_synonyms[i],
+                    "namespace": self.namespaces[i],
+                    "similarity_distance": 1.0 - c,
+                    "similarity_certainty": (1.0 + c) / 2.0,
+                }
+            )
+        return out
+
+
+class RetrieverStage:
+    """mentions → exploded candidate rows with rank (ST3 analog)."""
+
+    def __init__(self, terms_ref, k: int = 5, dim: int = 256, seed: int = 42):
+        self.side = _TermSide(terms_ref, k, dim, seed)
+        self._memo: dict[str, list[dict]] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        conv_ids = batch.column("conv_id").to_pylist()
+        turn_idxs = batch.column("turn_idx").to_pylist()
+        mentions = batch.column("mention").to_pylist()
+        starts = batch.column("span_start").to_pylist()
+        ends = batch.column("span_end").to_pylist()
+
+        rows: dict[str, list] = {f.name: [] for f in CANDIDATE_SCHEMA}
+        for cid, tix, mention, s, e in zip(conv_ids, turn_idxs, mentions, starts, ends):
+            cands = self._memo.get(mention)
+            if cands is None:
+                cands = self.side.candidates_for(mention)
+                self._memo[mention] = cands
+            for rank, c in enumerate(cands):
+                rows["conv_id"].append(cid)
+                rows["turn_idx"].append(tix)
+                rows["mention"].append(mention)
+                rows["span_start"].append(s)
+                rows["span_end"].append(e)
+                rows["term_id"].append(c["id"])
+                rows["name"].append(c["name"])
+                rows["similarity_distance"].append(c["similarity_distance"])
+                rows["similarity_certainty"].append(c["similarity_certainty"])
+                rows["rank"].append(rank)
+        return pa.Table.from_pydict(rows, schema=CANDIDATE_SCHEMA)
+
+
+class LinkStage:
+    """mentions → link-decision rows (fused retrieve + select)."""
+
+    def __init__(self, terms_ref, k: int = 5, dim: int = 256, seed: int = 42,
+                 confidence_threshold: float = 0.5):
+        self.side = _TermSide(terms_ref, k, dim, seed)
+        self.scorer = RuleScorer(confidence_threshold)
+        self.confidence_threshold = confidence_threshold
+        self._memo: dict[str, tuple] = {}
+
+    def _link_one(self, mention: str) -> tuple:
+        """(term_id, name, confidence, reason, dist, cert, accepted, error)"""
+        got = self._memo.get(mention)
+        if got is not None:
+            return got
+        candidates = self.side.candidates_for(mention)
+        result = self.scorer.select_best_match(mention, candidates)
+        if "error" in result:
+            out = ("", "", 0.0, "", 1.0, 0.0, False, result["error"])
+        else:
+            conf = float(result["confidence"])
+            cert = float(result.get("similarity_certainty", 0.0))
+            out = (
+                result["id"],
+                result["name"],
+                conf,
+                result["reason"],
+                1.0 - (2.0 * cert - 1.0),
+                cert,
+                conf >= self.confidence_threshold,
+                "",
+            )
+        self._memo[mention] = out
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mentions = batch.column("mention").to_pylist()
+        linked = [self._link_one(m) for m in mentions]
+
+        def col(i, dtype=None):
+            vals = [row[i] for row in linked]
+            return np.asarray(vals, dtype=dtype) if dtype else vals
+
+        return pa.Table.from_pydict(
+            {
+                "conv_id": batch.column("conv_id"),
+                "turn_idx": batch.column("turn_idx"),
+                "mention": batch.column("mention"),
+                "span_start": batch.column("span_start"),
+                "span_end": batch.column("span_end"),
+                "term_id": col(0),
+                "name": col(1),
+                "confidence": col(2, np.float32),
+                "reason": col(3),
+                "similarity_distance": col(4, np.float32),
+                "similarity_certainty": col(5, np.float32),
+                "accepted": col(6, np.bool_),
+                "error": col(7),
+            },
+            schema=LINK_SCHEMA,
+        )

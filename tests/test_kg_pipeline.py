@@ -1,0 +1,135 @@
+"""End-to-end flagship pipeline tests on synthesized transcripts
+(Ray local mode, session-scoped)."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pytest
+
+from biocurator_mapper_ray.ontology.fixtures import make_document, make_performance_nodes
+from biocurator_mapper_ray.ontology.parser import TERM_SCHEMA, parse_ontology_json
+from biocurator_mapper_ray.pipelines.kg import extract_triples, triples_quality
+from biocurator_mapper_ray.pipelines.index_build import build_term_index, load_term_index_table
+from biocurator_mapper_ray.sources.transcripts import ensure_transcripts
+from biocurator_mapper_ray.state.index import VectorIndex
+
+N_TERMS = 120
+N_TURNS = 1500
+
+
+def terms_table():
+    parsed = parse_ontology_json(make_document(make_performance_nodes(N_TERMS)))
+    cols = {f.name: [t[f.name] for t in parsed] for f in TERM_SCHEMA}
+    return pa.Table.from_pydict(cols, schema=TERM_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("bmr"))
+    tdir, edir = ensure_transcripts(N_TURNS, n_terms=N_TERMS, seed=42, cache_root=root)
+    return tdir, edir
+
+
+class TestSynthesizer:
+    def test_shape_and_determinism(self, corpus):
+        tdir, _ = corpus
+        tbl = pads.dataset(tdir, format="parquet").to_table()
+        assert set(tbl.schema.names) == {"conv_id", "turn_idx", "role", "text", "tool", "ts"}
+        assert tbl.schema.field("turn_idx").type == pa.int32()
+        assert tbl.schema.field("ts").type == pa.timestamp("us")
+        assert tbl.num_rows >= N_TURNS
+
+    def test_mega_conversation_skew(self, corpus):
+        tdir, _ = corpus
+        tbl = pads.dataset(tdir, format="parquet").to_table()
+        import collections
+
+        counts = collections.Counter(tbl.column("conv_id").to_pylist())
+        assert counts["conv00000000"] >= tbl.num_rows // 11
+
+    def test_ts_monotone_within_conv(self, corpus):
+        tdir, _ = corpus
+        tbl = pads.dataset(tdir, format="parquet").to_table().sort_by(
+            [("conv_id", "ascending"), ("turn_idx", "ascending")]
+        )
+        df = tbl.to_pandas()
+        for _, g in df.groupby("conv_id"):
+            assert g["ts"].is_monotonic_increasing
+
+    def test_regeneration_is_cached_and_stable(self, corpus, tmp_path):
+        tdir, edir = corpus
+        tdir2, edir2 = ensure_transcripts(
+            N_TURNS, n_terms=N_TERMS, seed=42,
+            cache_root=os.path.dirname(os.path.dirname(tdir)),
+        )
+        assert tdir2 == tdir  # cache hit, no regeneration
+
+
+class TestFlagshipPipeline:
+    def test_precision_recall(self, corpus, ray_session):
+        import ray.data as rd
+
+        tdir, edir = corpus
+        transcripts = rd.read_parquet(tdir)
+        triples = extract_triples(
+            transcripts, terms_table(), snapshot_hash="testsnap", concurrency=1
+        )
+        got = pa.Table.from_pandas(triples.to_pandas())
+        expected = pads.dataset(edir, format="parquet").to_table()
+        q = triples_quality(got, expected)
+        assert q["expected"] > 50
+        assert q["precision"] >= 0.95, q
+        assert q["recall"] >= 0.95, q
+
+    def test_lineage_and_dedup_and_order(self, corpus, ray_session):
+        import ray.data as rd
+
+        tdir, _ = corpus
+        transcripts = rd.read_parquet(tdir)
+        triples = extract_triples(
+            transcripts, terms_table(), snapshot_hash="snap42", concurrency=1
+        ).to_pandas()
+        assert (triples["extractor_version"] == "bmr-0.1.0").all()
+        assert (triples["ontology_snapshot_hash"] == "snap42").all()
+        assert triples["input_shard"].str.startswith("conv_bucket=").all()
+        keys = list(zip(triples["subj"], triples["pred"], triples["obj"]))
+        assert len(keys) == len(set(keys))  # exact dedup
+        assert keys == sorted(keys)  # deterministic output order
+
+
+class TestIndexBuildPipeline:
+    def test_build_skip_and_rebuild(self, ray_session, tmp_path):
+        doc = make_document(make_performance_nodes(40), version_date="2026-03-01")
+        root = str(tmp_path / "index")
+        d1, snap1 = build_term_index(doc, root, dim=64)
+        assert os.path.exists(os.path.join(d1, "_SUCCESS"))
+        tbl = load_term_index_table(d1)
+        assert tbl.num_rows == 40
+        assert set(tbl.column("snapshot_hash").to_pylist()) == {snap1}
+        idx = VectorIndex.from_vectors_table(tbl, snap1)
+        assert idx.dim == 64
+
+        # same snapshot → skip (mtime unchanged)
+        m1 = os.path.getmtime(os.path.join(d1, "_SUCCESS"))
+        d2, snap2 = build_term_index(doc, root, dim=64)
+        assert (d2, snap2) == (d1, snap1)
+        assert os.path.getmtime(os.path.join(d1, "_SUCCESS")) == m1
+
+        # new version → new dir, manifest flipped
+        doc2 = make_document(make_performance_nodes(40), version_date="2026-04-01")
+        d3, snap3 = build_term_index(doc2, root, dim=64)
+        assert snap3 != snap1 and d3 != d1
+        from biocurator_mapper_ray.state.manifest import Manifest
+
+        assert Manifest(root).current_snapshot() == snap3
+        assert len(Manifest(root).read()["history"]) == 2
+
+    def test_quality_filter_applied(self, ray_session, tmp_path):
+        from biocurator_mapper_ray.ontology.fixtures import make_edge_case_nodes
+
+        doc = make_document(make_edge_case_nodes())
+        d, _ = build_term_index(doc, str(tmp_path / "idx2"), dim=32)
+        tbl = load_term_index_table(d)
+        # 8 edge nodes parse -> 3 survive quality
+        assert tbl.num_rows == 3
