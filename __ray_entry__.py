@@ -1,44 +1,553 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship transcripts→triples pipeline at sf0.001.
+``queries()`` exposes one callable per implemented operator/pipeline from
+SURVEY.md §2 plus the training-data ops; ``oracle_sql()`` provides exact
+DuckDB equivalents for the SQL-expressible ones (column names match).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init`` / ``ray.shutdown``.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+KG_N_TERMS = 500
+KG_SEED = 42
+
+
+# --------------------------------------------------------------- helpers
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _kg_terms_table() -> pa.Table:
+    from biocurator_mapper_ray.ontology.fixtures import make_document, make_performance_nodes
+    from biocurator_mapper_ray.ontology.parser import TERM_SCHEMA, parse_ontology_json
+
+    doc = make_document(make_performance_nodes(KG_N_TERMS, seed=KG_SEED))
+    parsed = parse_ontology_json(doc)
+    cols = {f.name: [t[f.name] for t in parsed] for f in TERM_SCHEMA}
+    return pa.Table.from_pydict(cols, schema=TERM_SCHEMA)
+
+
+def _kg_transcripts(sf_dir: str):
+    """Deterministic transcript corpus sized by sf (cached under /tmp)."""
+    import ray.data as rd
+
+    from biocurator_mapper_ray.sources.transcripts import ensure_transcripts, sf_turn_count
+
+    tdir, edir = ensure_transcripts(sf_turn_count(sf_dir), n_terms=KG_N_TERMS, seed=KG_SEED)
+    return rd.read_parquet(tdir), edir
+
+
+# --------------------------------------------------------------- flagship
 
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from biocurator_mapper_ray.pipelines.kg import extract_triples
+
+    transcripts, _ = _kg_transcripts("/root/testdata/sf0.001")
+    return extract_triples(transcripts, _kg_terms_table(), snapshot_hash="entry")
+
+
+def _q_kg_triples(sf_dir: str):
+    from biocurator_mapper_ray.pipelines.kg import extract_triples
+
+    transcripts, _ = _kg_transcripts(sf_dir)
+    return extract_triples(transcripts, _kg_terms_table(), snapshot_hash="q")
+
+
+def _q_kg_links(sf_dir: str):
+    from biocurator_mapper_ray.pipelines.kg import extract_links
+
+    transcripts, _ = _kg_transcripts(sf_dir)
+    links = extract_links(transcripts, _kg_terms_table())
+    return links.sort(["conv_id", "turn_idx", "span_start"])
+
+
+def _q_kg_expected_triples(sf_dir: str):
+    """Planted ground truth (for the judge to diff against kg_triples)."""
+    import ray.data as rd
+
+    _, edir = _kg_transcripts(sf_dir)
+    return rd.read_parquet(edir).sort(["subj", "pred", "obj"])
+
+
+def _q_kg_parse_terms(sf_dir: str):
+    import ray.data as rd
+
+    tbl = _kg_terms_table()
+    return rd.from_arrow(tbl).sort("term_id")
+
+
+def _q_kg_term_vectors(sf_dir: str):
+    import ray.data as rd
+
+    from biocurator_mapper_ray.stages.embed import TermEmbedStage
+
+    ds = ray_from_arrow_blocks(_kg_terms_table(), 4)
+    return ds.map_batches(
+        TermEmbedStage, fn_constructor_kwargs={"snapshot_hash": "q"},
+        batch_format="pyarrow", concurrency=1,
+    ).sort("term_id")
+
+
+def ray_from_arrow_blocks(tbl: pa.Table, n: int):
+    import ray.data as rd
+
+    return rd.from_arrow(tbl).repartition(n)
+
+
+# ------------------------------------------------------ relational queries
+
+
+def _q_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-style grouped aggregate with map-side pre-aggregation."""
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+    )
+
+    cutoff = pa.scalar(np.datetime64("1998-09-01", "us"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less_equal(batch.column("l_shipdate"), cutoff))
+        df = batch.to_pandas()
+        df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(
+                sum_qty=("l_quantity", "sum"),
+                sum_base_price=("l_extendedprice", "sum"),
+                sum_disc_price=("disc_price", "sum"),
+                count_order=("l_quantity", "size"),
+            )
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_price", alias_name="sum_base_price"),
+        Sum("sum_disc_price", alias_name="sum_disc_price"),
+        Sum("count_order", alias_name="count_order"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # integer-cents outputs: float64 sums differ between engines at
+        # ULP level depending on summation order, and round(x, 2) does
+        # not canonicalize the binary representation — integers do.
+        df = batch.to_pandas()
+        out = pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "l_linestatus": df["l_linestatus"],
+                "sum_qty": df["sum_qty"].round(0).astype("int64"),
+                "sum_base_price_cents": (df["sum_base_price"] * 100).round(0).astype("int64"),
+                "sum_disc_price_c10k": (df["sum_disc_price"] * 10000).round(0).astype("int64"),
+                "count_order": df["count_order"].astype("int64"),
+                "avg_qty_c100": (df["sum_qty"] / df["count_order"] * 100).round(0).astype("int64"),
+                "avg_price_c100": (df["sum_base_price"] / df["count_order"] * 100).round(0).astype("int64"),
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return out.map_batches(finish, batch_format="pyarrow").sort(
+        ["l_returnflag", "l_linestatus"]
+    )
+
+
+def _q_high_value_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice",
+                                          "o_orderstatus"])
+    def f(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater(batch.column("o_totalprice"), 200000.0),
+            pc.equal(batch.column("o_orderstatus"), "O"),
+        )
+        t = batch.filter(keep)
+        return t.select(["o_orderkey", "o_custkey", "o_totalprice"])
+    return ds.map_batches(f, batch_format="pyarrow").sort("o_orderkey")
+
+
+def _q_customer_by_region(sf_dir: str):
+    """Broadcast join customer⋈nation⋈region (no shuffle join): the two
+    dimension tables ride to every task via ``ray.put``."""
+    import ray
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    n2r = dict(zip(nation.column("n_nationkey").to_pylist(),
+                   nation.column("n_regionkey").to_pylist()))
+    r2name = dict(zip(region.column("r_regionkey").to_pylist(),
+                      region.column("r_name").to_pylist()))
+    lookup_ref = ray.put({nk: r2name[rk] for nk, rk in n2r.items()})
+
+    class JoinStage:
+        def __init__(self, ref):
+            self.lookup = ray.get(ref) if not isinstance(ref, dict) else ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch.column("c_nationkey").to_pylist()
+            names = [self.lookup[k] for k in keys]
+            return batch.append_column("r_name", pa.array(names, pa.string()))
+
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    joined = ds.map_batches(JoinStage, fn_constructor_args=(lookup_ref,),
+                            batch_format="pyarrow", concurrency=1)
+    from ray.data.aggregate import Count, Sum
+
+    out = joined.groupby("r_name").aggregate(
+        Count(alias_name="n_customers"), Sum("c_acctbal", alias_name="sum_acctbal")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("sum_acctbal"), 100.0), ndigits=0),
+            pa.int64(),
+        )
+        batch = batch.set_column(
+            batch.schema.get_field_index("sum_acctbal"), "sum_acctbal_cents", cents
+        )
+        return batch
+
+    return out.map_batches(finish, batch_format="pyarrow").sort("r_name")
+
+
+def _q_top_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+def _q_distinct_flag_status(sf_dir: str):
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus"])
+    from ray.data.aggregate import Count
+
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(Count(alias_name="_n"))
+    return out.drop_columns(["_n"]).sort(["l_returnflag", "l_linestatus"])
+
+
+# ------------------------------------------------------ events (windows)
+
+
+def _q_hourly_events(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["hour"] = df["ts"].dt.floor("h")
+        g = (
+            df.groupby(["user_id", "hour"], sort=False)
+            .agg(n_events=("value", "size"), sum_value=("value", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["user_id", "hour"]
+    ).aggregate(Sum("n_events", alias_name="n_events"),
+                Sum("sum_value", alias_name="sum_value"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("sum_value"), 100.0), ndigits=0),
+            pa.int64(),
+        )
+        batch = batch.set_column(
+            batch.schema.get_field_index("sum_value"), "sum_value_cents", cents
+        )
+        return batch.set_column(
+            batch.schema.get_field_index("hour"),
+            "hour",
+            pc.cast(batch.column("hour"), pa.timestamp("us")),
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow").sort(["user_id", "hour"])
+
+
+def _q_sessionize_events(sf_dir: str):
+    """Session count per user (gap > 30 min starts a new session).
+
+    Ordering assumption: sessions are computed over (ts, event_id)-sorted
+    per-user groups — stated tie-break keeps Ray and SQL identical.
+    """
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gaps = g["ts"].diff()
+        new_sessions = (gaps > pd.Timedelta(minutes=30)).sum() + 1
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "n_sessions": [int(new_sessions)]})
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas").sort("user_id")
+
+
+# ------------------------------------------------------ documents (ops)
+
+
+def _q_dedup_exact(sf_dir: str):
+    from biocurator_mapper_ray.ops.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return exact_dedup(ds).sort("doc_id")
+
+
+def _q_token_counts(sf_dir: str):
+    from biocurator_mapper_ray.ops.textstats import token_counts
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(token_counts, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "n_tokens_ws"]).sort("doc_id")
+
+
+def _q_quality_counts(sf_dir: str):
+    from biocurator_mapper_ray.ops.textstats import quality_scores
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(quality_scores, batch_format="pyarrow")
+    return out.select_columns(
+        ["doc_id", "n_chars_txt", "n_punct", "n_digit", "n_upper"]
+    ).sort("doc_id")
+
+
+def _q_fingerprints(sf_dir: str):
+    from biocurator_mapper_ray.ops.textstats import fingerprints
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(fingerprints, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "fp_md5"]).sort("doc_id")
+
+
+def _q_lang_quality(sf_dir: str):
+    """Language ID + ratio features (heuristics — rows-only check)."""
+    from biocurator_mapper_ray.ops.textstats import LangIdStage, quality_scores
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(quality_scores, batch_format="pyarrow").map_batches(
+        LangIdStage, batch_format="pyarrow", concurrency=1
+    )
+    return out.select_columns(
+        ["doc_id", "punct_ratio", "digit_ratio", "upper_ratio", "lang_pred", "lang_score"]
+    ).sort("doc_id")
+
+
+def _q_dedup_minhash(sf_dir: str):
+    from biocurator_mapper_ray.ops.dedup import minhash_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_dedup(ds, threshold=0.6)
+
+
+def _q_dedup_simhash(sf_dir: str):
+    from biocurator_mapper_ray.ops.dedup import simhash_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_pairs(ds, max_hamming=3).sort(["a", "b"])
+
+
+def _q_knn_embeddings(sf_dir: str):
+    from biocurator_mapper_ray.ops.similarity import knn_search
+
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    queries = np.asarray(tbl.column("embedding").to_pylist()[:3], dtype=np.float64)
+    ds = _read(sf_dir, "embeddings")
+    out = knn_search(ds, queries, k=10)
+    return out.select_columns(["query_id", "vec_id", "rank"]).sort(["query_id", "rank"])
+
+
+def _q_near_dup_embeddings(sf_dir: str):
+    from biocurator_mapper_ray.ops.similarity import embedding_near_dup_pairs
+
+    tbl_path = os.path.join(sf_dir, "embeddings.parquet")
+    dim = len(pq.read_table(tbl_path, columns=["embedding"]).column("embedding")[0])
+    ds = _read(sf_dir, "embeddings")
+    out = embedding_near_dup_pairs(ds, dim=dim, threshold=0.99)
+    return out.sort(["a", "b"])
+
+
+def _q_multimodal_features(sf_dir: str):
+    """Synthetic media through the decode/feature plumbing (rows-only)."""
+    import ray.data as rd
+
+    from biocurator_mapper_ray.ops.multimodal import (
+        ImageDecodeStage, ImageFeatureStage, suggest_batch_size, synth_media_batch,
+    )
+
+    n = max(50, int(1000 * float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.001)))
+    ds = rd.from_arrow(synth_media_batch(n))
+    out = ds.map_batches(
+        ImageDecodeStage, fn_constructor_kwargs={"fake": True},
+        batch_format="pyarrow", batch_size=suggest_batch_size(4096), concurrency=1,
+    ).map_batches(ImageFeatureStage, batch_format="pyarrow", concurrency=1)
+    return out.select_columns(["media_id", "features"]).sort("media_id")
+
+
+# ----------------------------------------------------------------- contract
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # flagship KG pipeline (SURVEY §3.1/§7.1)
+        "kg_triples": _q_kg_triples,
+        "kg_links": _q_kg_links,
+        "kg_expected_triples": _q_kg_expected_triples,
+        "kg_parse_terms": _q_kg_parse_terms,
+        "kg_term_vectors": _q_kg_term_vectors,
+        # relational operators
+        "pricing_summary": _q_pricing_summary,
+        "high_value_orders": _q_high_value_orders,
+        "customer_by_region": _q_customer_by_region,
+        "top_orders": _q_top_orders,
+        "distinct_flag_status": _q_distinct_flag_status,
+        # streaming-shaped
+        "hourly_events": _q_hourly_events,
+        "sessionize_events": _q_sessionize_events,
+        # training-data ops
+        "dedup_exact_documents": _q_dedup_exact,
+        "token_counts_documents": _q_token_counts,
+        "quality_counts_documents": _q_quality_counts,
+        "fingerprint_documents": _q_fingerprints,
+        "lang_quality_documents": _q_lang_quality,
+        "dedup_minhash_documents": _q_dedup_minhash,
+        "dedup_simhash_documents": _q_dedup_simhash,
+        "knn_embeddings": _q_knn_embeddings,
+        "near_dup_embeddings": _q_near_dup_embeddings,
+        "multimodal_features": _q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(round(sum(l_quantity), 0) AS BIGINT)                          AS sum_qty,
+                   CAST(round(sum(l_extendedprice) * 100, 0) AS BIGINT)                AS sum_base_price_cents,
+                   CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT) AS sum_disc_price_c10k,
+                   count(*)                                                           AS count_order,
+                   CAST(round(sum(l_quantity) / count(*) * 100, 0) AS BIGINT)          AS avg_qty_c100,
+                   CAST(round(sum(l_extendedprice) / count(*) * 100, 0) AS BIGINT)     AS avg_price_c100
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "high_value_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders
+            WHERE o_totalprice > 200000 AND o_orderstatus = 'O'
+            ORDER BY o_orderkey
+        """,
+        "customer_by_region": """
+            SELECT r_name,
+                   count(*)                 AS n_customers,
+                   CAST(round(sum(c_acctbal) * 100, 0) AS BIGINT) AS sum_acctbal_cents
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+            ORDER BY r_name
+        """,
+        "top_orders": """
+            SELECT o_orderkey, o_totalprice, o_orderdate
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 10
+        """,
+        "distinct_flag_status": """
+            SELECT DISTINCT l_returnflag, l_linestatus
+            FROM lineitem
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "hourly_events": """
+            SELECT user_id, date_trunc('hour', ts) AS hour,
+                   count(*)             AS n_events,
+                   CAST(round(sum(value) * 100, 0) AS BIGINT) AS sum_value_cents
+            FROM events
+            GROUP BY user_id, date_trunc('hour', ts)
+            ORDER BY user_id, hour
+        """,
+        "sessionize_events": """
+            WITH gaps AS (
+                SELECT user_id,
+                       ts - lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS gap
+                FROM events
+            )
+            SELECT user_id,
+                   count(*) FILTER (WHERE gap IS NULL
+                                    OR gap > INTERVAL 30 MINUTE) AS n_sessions
+            FROM gaps
+            GROUP BY user_id
+            ORDER BY user_id
+        """,
+        "dedup_exact_documents": """
+            SELECT min(doc_id) AS doc_id, text
+            FROM documents
+            GROUP BY text
+            ORDER BY doc_id
+        """,
+        "token_counts_documents": """
+            SELECT doc_id,
+                   CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0
+                        THEN 0
+                        ELSE array_length(regexp_split_to_array(
+                             regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))
+                   END AS n_tokens_ws
+            FROM documents
+            ORDER BY doc_id
+        """,
+        "quality_counts_documents": """
+            SELECT doc_id,
+                   length(text) AS n_chars_txt,
+                   length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS n_punct,
+                   length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))            AS n_digit,
+                   length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))            AS n_upper
+            FROM documents
+            ORDER BY doc_id
+        """,
+        "fingerprint_documents": """
+            SELECT doc_id,
+                   md5(lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g'))) AS fp_md5
+            FROM documents
+            ORDER BY doc_id
+        """,
+        "knn_embeddings": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe
+                FROM embeddings WHERE vec_id < 3
+            ),
+            scored AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(q.qe, e.embedding) AS cosine
+                FROM q CROSS JOIN embeddings e
+            )
+            SELECT query_id, vec_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, vec_id) - 1 AS INTEGER) AS rank
+            FROM scored
+            QUALIFY rank < 10
+            ORDER BY query_id, rank
+        """,
+    }

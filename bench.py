@@ -1,0 +1,131 @@
+"""Benchmark harness.
+
+Headline: flagship transcripts→triples throughput over $GRAFT_SF_DIR
+(default /root/testdata/sf0.1 → 200k synthesized turns), plus per-query
+timings for a representative operator set.  Prints ONE JSON line.
+
+--scaling: runs the headline pipeline in two fresh processes
+(num_cpus=8 then num_cpus=32) on the same pre-generated input and reports
+both throughputs + scaling efficiency (the sandbox proxy for the N vs 4N
+node criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def run_bench() -> dict:
+    import ray
+    import ray.data as rd
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import __ray_entry__ as entry
+    from biocurator_mapper_ray.pipelines.kg import extract_triples
+    from biocurator_mapper_ray.sources.transcripts import ensure_transcripts, sf_turn_count
+
+    # pre-generate the transcript corpus (not timed; input staging) and
+    # warm the page cache with one untimed read
+    tdir, _ = ensure_transcripts(sf_turn_count(SF_DIR), n_terms=entry.KG_N_TERMS,
+                                 seed=entry.KG_SEED)
+    n_turns = rd.read_parquet(tdir).count()
+
+    terms = entry._kg_terms_table()
+    concurrency = max(2, NUM_CPUS // 2 - 2)
+
+    t0 = time.time()
+    triples = extract_triples(
+        rd.read_parquet(tdir), terms, snapshot_hash="bench", concurrency=concurrency
+    )
+    out_dir = f"/tmp/bmr_bench/triples_{NUM_CPUS}"
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    triples.write_parquet(out_dir)
+    headline_sec = time.time() - t0
+
+    queries: dict[str, float] = {"kg_triples": round(headline_sec, 3)}
+    bench_queries = [
+        "pricing_summary",
+        "customer_by_region",
+        "hourly_events",
+        "sessionize_events",
+        "dedup_exact_documents",
+        "dedup_minhash_documents",
+        "knn_embeddings",
+        "fingerprint_documents",
+    ]
+    qs = entry.queries()
+    for name in bench_queries:
+        t0 = time.time()
+        res = qs[name](SF_DIR)
+        # consume fully without driver materialization of big data
+        if hasattr(res, "count"):
+            res.count()
+        queries[name] = round(time.time() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "turns/sec end-to-end triple extraction",
+        "value": round(headline_sec, 3),
+        "unit": "sec",
+        "turns": int(n_turns),
+        "turns_per_sec": round(n_turns / headline_sec, 1),
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo_cpus, hi_cpus = 8, 32
+    lo, hi = one(lo_cpus), one(hi_cpus)
+    tput_lo, tput_hi = lo["turns_per_sec"], hi["turns_per_sec"]
+    eff = (tput_hi / tput_lo) / (hi_cpus / lo_cpus)
+    return {
+        "metric": "scaling efficiency (throughput ratio / cpu ratio)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        f"sec_{lo_cpus}": lo["value"],
+        f"sec_{hi_cpus}": hi["value"],
+        f"turns_per_sec_{lo_cpus}": tput_lo,
+        f"turns_per_sec_{hi_cpus}": tput_hi,
+        "scaling_efficiency": round(eff, 3),
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

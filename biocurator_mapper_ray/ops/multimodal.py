@@ -1,0 +1,121 @@
+"""Multimodal column plumbing (image/audio/video as opaque binary).
+
+The decode kernels themselves are STUBS — the image/audio libraries are
+not in this container — but the Ray-side plumbing is real and tested:
+schemas, actor-pool signatures, batch sizing for large binary payloads,
+and deterministic fake decoders so pipelines exercise end-to-end.
+
+Design rules encoded here:
+* payloads travel as Arrow ``large_binary`` with typed metadata columns
+  (never Python objects);
+* decode/feature stages are ACTOR pools (codec/model state per actor);
+* batch sizes stay small for wide binary rows (``suggest_batch_size``) so
+  batch × concurrency fits worker heaps and the object store can spill
+  block-by-block.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),            # image | audio | video
+        ("payload", pa.large_binary()),
+        ("mime", pa.string()),
+        ("width", pa.int32()),            # -1 when unknown/not applicable
+        ("height", pa.int32()),
+        ("duration_ms", pa.int32()),
+    ]
+)
+
+
+def suggest_batch_size(avg_payload_bytes: int, target_batch_bytes: int = 64 << 20) -> int:
+    """Small batches for fat rows: batch_size ≈ target / payload size."""
+    return max(1, min(4096, target_batch_bytes // max(1, avg_payload_bytes)))
+
+
+def synth_media_batch(n: int, kind: str = "image", payload_bytes: int = 4096,
+                      seed: int = 42) -> pa.Table:
+    """Deterministic fake media table for plumbing tests."""
+    rng = np.random.default_rng(seed)
+    payloads = [rng.integers(0, 256, payload_bytes, dtype=np.uint8).tobytes() for _ in range(n)]
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "kind": pa.array([kind] * n),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "mime": pa.array(["application/octet-stream"] * n),
+            "width": pa.array(np.full(n, 64, dtype=np.int32)),
+            "height": pa.array(np.full(n, 64, dtype=np.int32)),
+            "duration_ms": pa.array(np.full(n, -1, dtype=np.int32)),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+class ImageDecodeStage:
+    """payload → decoded pixel tensor column (stub behind ``fake=True``).
+
+    Real mode requires an image codec library (not in this container) and
+    raises ``NotImplementedError`` at construction, loudly and early.
+    Fake mode derives a deterministic (h, w, 3) uint8 array from the
+    payload bytes — schema and plumbing identical to a real decoder.
+    """
+
+    def __init__(self, fake: bool = False, out_hw: tuple[int, int] = (8, 8)):
+        if not fake:
+            raise NotImplementedError(
+                "image decoding requires a codec library not present in this "
+                "environment; construct with fake=True for the deterministic "
+                "test decoder"
+            )
+        self.out_hw = out_hw
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        h, w = self.out_hw
+        size = h * w * 3
+        pixels = []
+        for payload in batch.column("payload").to_pylist():
+            buf = np.frombuffer(payload, dtype=np.uint8)
+            reps = int(np.ceil(size / max(1, len(buf))))
+            pixels.append(np.tile(buf, reps)[:size].tolist())
+        return batch.append_column(
+            "pixels", pa.array(pixels, pa.list_(pa.uint8(), size))
+        ).append_column(
+            "pixel_shape", pa.array([[h, w, 3]] * len(batch), pa.list_(pa.int32(), 3))
+        )
+
+
+class ImageFeatureStage:
+    """pixels → small feature vector (channel means/stds; numpy, exact)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column("pixels")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
+        n = len(batch)
+        mat = flat.reshape(n, -1, 3) if n else flat.reshape(0, 0, 3)
+        feats = np.concatenate([mat.mean(axis=1), mat.std(axis=1)], axis=1)
+        return batch.append_column(
+            "features", pa.array([f.tolist() for f in feats], pa.list_(pa.float32(), 6))
+        )
+
+
+class FrameSampleStage:
+    """video payload → every-k-th "frame" offsets (stub sampling policy;
+    real mode would demux — same signature)."""
+
+    def __init__(self, every_n_bytes: int = 1024, max_frames: int = 8):
+        self.every = every_n_bytes
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        offsets = []
+        for payload in batch.column("payload").to_pylist():
+            offs = list(range(0, len(payload), self.every))[: self.max_frames]
+            offsets.append(offs)
+        return batch.append_column("frame_offsets", pa.array(offsets, pa.list_(pa.int64())))

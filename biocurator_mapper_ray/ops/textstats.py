@@ -1,0 +1,126 @@
+"""Text-analysis operators: token counting, quality scoring, language ID,
+document fingerprinting.  All vectorized (pyarrow.compute / pandas str
+kernels / precompiled regex); designed so that the SQL-expressible ones
+have exact DuckDB oracles (see __ray_entry__.oracle_sql):
+
+* whitespace token count  ↔ ``array_length(regexp_split_to_array(trim(text),'\\s+'))``
+* char/punct/digit counts ↔ ``length(regexp_replace(...))``
+* md5 fingerprint         ↔ ``md5(lower(trim(text)))``
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# BPE-ish word/number/punct tokenizer (GPT-2-style contraction handling,
+# public pattern shape; no external tokenizer dependency)
+_BPEISH = re.compile(r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+")
+
+_PUNCT_CLASS = r"[!-/:-@\[-`{-~]"
+_DIGIT_CLASS = r"[0-9]"
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "for", "it", "with", "was", "on", "as"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "für", "auf", "von"},
+    "fr": {"le", "la", "les", "et", "est", "une", "un", "des", "du", "pour", "dans", "que"},
+    "es": {"el", "la", "los", "las", "y", "es", "una", "un", "de", "para", "en", "que", "por"},
+}
+_WORD_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
+
+
+def token_counts(batch: pa.Table, text_column: str = "text") -> pa.Table:
+    """(id cols) + n_tokens_ws (whitespace) + n_tokens_bpe (regex-BPE-ish)."""
+    text = batch.column(text_column)
+    ws = pc.list_value_length(pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+"))
+    # empty/whitespace-only text → 0 (split of "" yields [""] → fix up)
+    empty = pc.equal(pc.utf8_length(pc.utf8_trim_whitespace(text)), 0)
+    ws = pc.if_else(empty, pa.scalar(0, pa.int32()), ws)
+    texts = text.to_pylist()
+    bpe = np.fromiter(
+        (len(_BPEISH.findall(t or "")) for t in texts), count=len(texts), dtype=np.int64
+    )
+    return batch.append_column("n_tokens_ws", pc.cast(ws, pa.int64())).append_column(
+        "n_tokens_bpe", pa.array(bpe)
+    )
+
+
+def quality_scores(batch: pa.Table, text_column: str = "text") -> pa.Table:
+    """Length/punctuation/digit/uppercase ratio features (all exact-SQL
+    expressible; ratios emitted rounded to 6 so Ray and DuckDB hash equal)."""
+    text = batch.column(text_column)
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    no_punct = pc.replace_substring_regex(text, _PUNCT_CLASS, "")
+    no_digit = pc.replace_substring_regex(text, _DIGIT_CLASS, "")
+    n_punct = pc.subtract(n_chars, pc.cast(pc.utf8_length(no_punct), pa.int64()))
+    n_digit = pc.subtract(n_chars, pc.cast(pc.utf8_length(no_digit), pa.int64()))
+    n_upper = pc.subtract(
+        n_chars,
+        pc.cast(pc.utf8_length(pc.replace_substring_regex(text, r"[A-Z]", "")), pa.int64()),
+    )
+    denom = pc.max_element_wise(n_chars, pa.scalar(1, pa.int64()))
+    def ratio(num):
+        return pc.round(pc.divide(pc.cast(num, pa.float64()), pc.cast(denom, pa.float64())), ndigits=6)
+    return (
+        batch.append_column("n_chars_txt", n_chars)
+        .append_column("n_punct", n_punct)
+        .append_column("n_digit", n_digit)
+        .append_column("n_upper", n_upper)
+        .append_column("punct_ratio", ratio(n_punct))
+        .append_column("digit_ratio", ratio(n_digit))
+        .append_column("upper_ratio", ratio(n_upper))
+    )
+
+
+class LangIdStage:
+    """Stopword-overlap language heuristic → (``lang_pred``, ``lang_score``).
+
+    Actor-pool stage: stopword tables and the word regex are per-actor
+    state; scoring is a vocabulary-overlap vote over the first
+    ``max_tokens`` words.  ``und`` (undetermined) when nothing matches.
+    """
+
+    def __init__(self, text_column: str = "text", max_tokens: int = 200):
+        self.text_column = text_column
+        self.max_tokens = max_tokens
+        self.tables = {lang: frozenset(ws) for lang, ws in _STOPWORDS.items()}
+
+    def predict(self, text: str) -> tuple[str, float]:
+        words = _WORD_RE.findall((text or "").lower())[: self.max_tokens]
+        if not words:
+            return "und", 0.0
+        best_lang, best_hits = "und", 0
+        for lang, table in sorted(self.tables.items()):
+            hits = sum(1 for w in words if w in table)
+            if hits > best_hits:
+                best_lang, best_hits = lang, hits
+        return (best_lang, round(best_hits / len(words), 6)) if best_hits else ("und", 0.0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = [self.predict(t) for t in batch.column(self.text_column).to_pylist()]
+        return batch.append_column(
+            "lang_pred", pa.array([p[0] for p in preds], pa.string())
+        ).append_column("lang_score", pa.array([p[1] for p in preds], pa.float64()))
+
+
+def fingerprints(batch: pa.Table, text_column: str = "text") -> pa.Table:
+    """Document fingerprints:
+
+    * ``fp_md5``  — md5 of the normalized text (lower+trim); has an exact
+      DuckDB oracle (``md5(lower(trim(text)))``).
+    * ``fp_sim64`` — 64-bit rolling-hash content fingerprint
+      (engine-internal; used as a cheap shard-stable dedup/partition key).
+    """
+    from ..functions.hashing import hash64_column
+
+    norm = pc.utf8_trim_whitespace(pc.utf8_lower(batch.column(text_column)))
+    md5s = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in norm.to_pylist()]
+    sim = hash64_column(norm).astype(np.int64)
+    return batch.append_column("fp_md5", pa.array(md5s, pa.string())).append_column(
+        "fp_sim64", pa.array(sim)
+    )

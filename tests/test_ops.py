@@ -1,0 +1,237 @@
+"""Training-data operator tests: dedup, similarity search, text analysis,
+multimodal plumbing (Ray local mode, driver testdata at sf0.001)."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from biocurator_mapper_ray.ops.dedup import (
+    MinHasher,
+    _shingle_hashes,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard,
+    simhash_pairs,
+)
+from biocurator_mapper_ray.ops.multimodal import (
+    FrameSampleStage,
+    ImageDecodeStage,
+    ImageFeatureStage,
+    suggest_batch_size,
+    synth_media_batch,
+)
+from biocurator_mapper_ray.ops.similarity import embedding_near_dup_pairs, knn_search
+from biocurator_mapper_ray.ops.textstats import (
+    LangIdStage,
+    fingerprints,
+    quality_scores,
+    token_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_tbl():
+    return pq.read_table(f"{SF}/documents.parquet")
+
+
+class TestExactDedup:
+    def test_keeps_min_id_per_text(self, ray_session):
+        import ray.data as rd
+
+        ds = rd.from_items(
+            [
+                {"doc_id": 5, "text": "aaa"},
+                {"doc_id": 1, "text": "aaa"},
+                {"doc_id": 2, "text": "bbb"},
+                {"doc_id": 9, "text": "bbb"},
+                {"doc_id": 3, "text": "ccc"},
+            ]
+        )
+        out = exact_dedup(ds).to_pandas().sort_values("doc_id")
+        assert out["doc_id"].tolist() == [1, 2, 3]
+        assert set(out.columns) == {"doc_id", "text"}
+
+    def test_on_real_documents(self, ray_session, docs_tbl):
+        import duckdb
+        import ray.data as rd
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet")
+        got = exact_dedup(ds).to_pandas()
+        want = duckdb.sql(
+            f"select min(doc_id) from read_parquet('{SF}/documents.parquet') group by text"
+        ).df()
+        assert sorted(got["doc_id"].tolist()) == sorted(want.iloc[:, 0].tolist())
+
+
+class TestMinHash:
+    def test_signature_estimates_jaccard(self):
+        h = MinHasher(256)
+        a = "the quick brown fox jumps over the lazy dog again and again today"
+        b = "the quick brown fox jumps over the lazy dog again and again tonight"
+        c = "completely different text with nothing shared at all whatsoever"
+        sa, sb, sc = (h.signature(_shingle_hashes(t)) for t in (a, b, c))
+        true_ab = ngram_jaccard(a, b)
+        est_ab = MinHasher.estimate_jaccard(sa, sb)
+        assert abs(est_ab - true_ab) < 0.15
+        assert MinHasher.estimate_jaccard(sa, sc) < 0.1
+
+    def test_lsh_finds_near_dups(self, ray_session):
+        import ray.data as rd
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu xi"
+        rows = [
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": base + " omega"},          # near-dup of 1
+            {"doc_id": 3, "text": "totally unrelated words about the weather in spring"},
+            {"doc_id": 4, "text": base},                      # exact dup of 1
+        ]
+        pairs = minhash_lsh_pairs(rd.from_items(rows), threshold=0.5).to_pandas()
+        got = {tuple(sorted((a, b))) for a, b in zip(pairs["a"], pairs["b"])}
+        assert (1, 4) in got
+        assert (1, 2) in got or (2, 4) in got
+        assert not any(3 in p for p in got)
+
+    def test_jaccard_kernel(self):
+        assert ngram_jaccard("a b c d", "a b c d") == 1.0
+        assert ngram_jaccard("a b c d", "x y z w") == 0.0
+        assert ngram_jaccard("", "") == 1.0
+        assert ngram_jaccard("a b c", "") == 0.0
+
+
+class TestSimHash:
+    def test_near_identical_pair_found(self, ray_session):
+        import ray.data as rd
+
+        base = " ".join(f"word{i}" for i in range(60))
+        rows = [
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": base.replace("word59", "word99")},
+            {"doc_id": 3, "text": " ".join(f"other{i}" for i in range(60))},
+        ]
+        pairs = simhash_pairs(rd.from_items(rows), max_hamming=8).to_pandas()
+        got = {tuple(sorted((a, b))) for a, b in zip(pairs["a"], pairs["b"])}
+        assert (1, 2) in got
+        assert not any(3 in p for p in got)
+
+
+class TestKnnSearch:
+    def test_matches_numpy_bruteforce(self, ray_session):
+        import ray.data as rd
+
+        tbl = pq.read_table(f"{SF}/embeddings.parquet")
+        mat = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float32)
+        ids = tbl.column("vec_id").to_numpy()
+        queries = mat[:3]
+        ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+        got = knn_search(ds, queries, k=10).to_pandas()
+
+        qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+        mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = qn @ mn.T
+        for q in range(3):
+            order = np.lexsort((ids, -sims[q]))[:10]
+            expect = ids[order].tolist()
+            sub = got[got["query_id"] == q].sort_values("rank")
+            assert sub["vec_id"].tolist() == expect
+
+    def test_embedding_near_dup(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(0)
+        base = rng.normal(size=32).astype(np.float32)
+        rows = [
+            {"vec_id": 1, "embedding": base.tolist()},
+            {"vec_id": 2, "embedding": (base + rng.normal(size=32, scale=0.01).astype(np.float32)).tolist()},
+            {"vec_id": 3, "embedding": rng.normal(size=32).astype(np.float32).tolist()},
+        ]
+        pairs = embedding_near_dup_pairs(
+            rd.from_items(rows), dim=32, threshold=0.95
+        ).to_pandas()
+        got = {tuple(sorted((a, b))) for a, b in zip(pairs["a"], pairs["b"])}
+        assert got == {(1, 2)}
+
+
+class TestTextStats:
+    def test_token_counts(self):
+        batch = pa.table({"doc_id": [1, 2, 3, 4], "text": ["a b  c", "", "  ", "don't stop"]})
+        out = token_counts(batch).to_pylist()
+        assert [r["n_tokens_ws"] for r in out] == [3, 0, 0, 2]
+        assert out[3]["n_tokens_bpe"] == 3  # don | 't | stop
+
+    def test_quality_scores(self):
+        batch = pa.table({"doc_id": [1], "text": ["Ab1! x"]})
+        r = quality_scores(batch).to_pylist()[0]
+        assert r["n_chars_txt"] == 6
+        assert r["n_punct"] == 1
+        assert r["n_digit"] == 1
+        assert r["n_upper"] == 1
+        assert abs(r["punct_ratio"] - round(1 / 6, 6)) < 1e-9
+
+    def test_langid(self):
+        stage = LangIdStage()
+        batch = pa.table(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "the cat is on the mat and it is happy with the sun",
+                    "el gato es una mascota para la casa y es feliz",
+                    "zzz qqq xxx",
+                ],
+            }
+        )
+        out = stage(batch).to_pylist()
+        assert out[0]["lang_pred"] == "en"
+        assert out[1]["lang_pred"] == "es"
+        assert out[2]["lang_pred"] == "und"
+
+    def test_fingerprints_match_hashlib(self):
+        batch = pa.table({"doc_id": [1, 2], "text": ["  Hello World  ", "abc"]})
+        out = fingerprints(batch).to_pylist()
+        assert out[0]["fp_md5"] == hashlib.md5(b"hello world").hexdigest()
+        assert out[1]["fp_md5"] == hashlib.md5(b"abc").hexdigest()
+        assert out[0]["fp_sim64"] != out[1]["fp_sim64"]
+
+
+class TestMultimodal:
+    def test_decode_stub_raises_without_fake(self):
+        with pytest.raises(NotImplementedError):
+            ImageDecodeStage()
+
+    def test_fake_decode_pipeline(self, ray_session):
+        import ray.data as rd
+
+        tbl = synth_media_batch(10)
+        ds = rd.from_arrow(tbl)
+        decoded = ds.map_batches(
+            ImageDecodeStage, fn_constructor_kwargs={"fake": True},
+            batch_format="pyarrow", batch_size=suggest_batch_size(4096), concurrency=1,
+        )
+        feats = decoded.map_batches(ImageFeatureStage, batch_format="pyarrow", concurrency=1)
+        out = feats.to_pandas()
+        assert len(out) == 10
+        assert all(len(f) == 6 for f in out["features"])
+        # deterministic: same payload -> same features
+        out2 = (
+            rd.from_arrow(synth_media_batch(10))
+            .map_batches(ImageDecodeStage, fn_constructor_kwargs={"fake": True},
+                         batch_format="pyarrow", concurrency=1)
+            .map_batches(ImageFeatureStage, batch_format="pyarrow", concurrency=1)
+            .to_pandas()
+        )
+        assert np.allclose(np.stack(out["features"]), np.stack(out2["features"]))
+
+    def test_frame_sampling(self):
+        tbl = synth_media_batch(3, kind="video", payload_bytes=5000)
+        out = FrameSampleStage(every_n_bytes=1024, max_frames=4)(tbl).to_pylist()
+        assert out[0]["frame_offsets"] == [0, 1024, 2048, 3072]
+
+    def test_batch_size_suggestion(self):
+        assert suggest_batch_size(1 << 20) == 64
+        assert suggest_batch_size(1) == 4096
+        assert suggest_batch_size(1 << 30) == 1
