@@ -304,6 +304,106 @@ def _q_sessionize_events(sf_dir: str):
     return ds.groupby("user_id").map_groups(per_user, batch_format="pandas").sort("user_id")
 
 
+def _q_revenue_by_priority(sf_dir: str):
+    """Both-sides-large partitioned hash join: lineitem ⋈ orders.
+
+    Revenue summed per order first (bounded second groupby), then per
+    priority with a distinct-order count.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from biocurator_mapper_ray.ops.join import hash_join
+
+    lineitem = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
+        return pa.table({"l_orderkey": batch.column("l_orderkey"), "revenue": rev})
+
+    joined = hash_join(
+        lineitem.map_batches(revenue, batch_format="pyarrow"),
+        orders,
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        buckets=16,
+    )
+    per_order = joined.groupby(["o_orderpriority", "o_orderkey"]).aggregate(
+        Sum("revenue", alias_name="order_revenue")
+    )
+    out = per_order.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_orders"), Sum("order_revenue", alias_name="revenue")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        c10k = pc.cast(pc.round(pc.multiply(batch.column("revenue"), 10000.0), ndigits=0),
+                       pa.int64())
+        batch = batch.set_column(batch.schema.get_field_index("revenue"),
+                                 "revenue_c10k", c10k)
+        return batch
+
+    return out.map_batches(finish, batch_format="pyarrow").sort("o_orderpriority")
+
+
+def _q_asof_purchase_click(sf_dir: str):
+    """As-of join: each purchase event matched to the user's latest prior
+    click ((user_id, ts) is unique in the corpus, so backward-inclusive
+    matching is unambiguous)."""
+    from biocurator_mapper_ray.ops.join import asof_join
+
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    purchases = events.map_batches(
+        lambda t: t.filter(pc.equal(t.column("event_type"), "purchase"))
+                   .select(["event_id", "user_id", "ts"]),
+        batch_format="pyarrow",
+    )
+    clicks = events.map_batches(
+        lambda t: t.filter(pc.equal(t.column("event_type"), "click"))
+                   .select(["user_id", "ts", "event_id"])
+                   .rename_columns(["user_id", "ts", "click_event_id"]),
+        batch_format="pyarrow",
+    )
+    out = asof_join(
+        purchases, clicks, key="user_id", ts="ts",
+        right_value_columns=["click_event_id"],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("ts"), "ts",
+            pc.cast(batch.column("ts"), pa.timestamp("us")),
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow").sort("event_id")
+
+
+def _q_running_user_value(sf_dir: str):
+    """Running per-user cumulative value (cents) in (ts, event_id) order."""
+    from biocurator_mapper_ray.ops.window import running_aggregate
+
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch.column("value"), 100.0), ndigits=0),
+                        pa.int64())
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "ts": batch.column("ts"),
+                "value_cents": cents,
+            }
+        )
+
+    out = running_aggregate(
+        events.map_batches(to_cents, batch_format="pyarrow"),
+        key="user_id", ts="ts", tiebreak="event_id",
+        value="value_cents", out="running_cents",
+    )
+    return out.select_columns(["event_id", "user_id", "running_cents"]).sort("event_id")
+
+
 # ------------------------------------------------------ documents (ops)
 
 
@@ -421,9 +521,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_by_region": _q_customer_by_region,
         "top_orders": _q_top_orders,
         "distinct_flag_status": _q_distinct_flag_status,
-        # streaming-shaped
+        # streaming-shaped / windows
         "hourly_events": _q_hourly_events,
         "sessionize_events": _q_sessionize_events,
+        "running_user_value": _q_running_user_value,
+        "asof_purchase_click": _q_asof_purchase_click,
+        # joins
+        "revenue_by_priority": _q_revenue_by_priority,
         # training-data ops
         "dedup_exact_documents": _q_dedup_exact,
         "token_counts_documents": _q_token_counts,
@@ -487,6 +591,32 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY user_id, date_trunc('hour', ts)
             ORDER BY user_id, hour
+        """,
+        "revenue_by_priority": """
+            SELECT o_orderpriority,
+                   count(DISTINCT o_orderkey) AS n_orders,
+                   CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)
+                       AS revenue_c10k
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "asof_purchase_click": """
+            SELECT p.event_id, p.user_id, p.ts, c.event_id AS click_event_id
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events
+                            WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+            ORDER BY p.event_id
+        """,
+        "running_user_value": """
+            SELECT event_id, user_id,
+                   sum(CAST(round(value * 100, 0) AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS running_cents
+            FROM events
+            ORDER BY event_id
         """,
         "sessionize_events": """
             WITH gaps AS (

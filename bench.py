@@ -23,6 +23,9 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# scaling runs use a larger corpus so compute dominates fixed startup
+# costs (at 200k turns an 8-CPU session already finishes in ~8 s)
+TURNS_OVERRIDE = int(os.environ.get("RAY_GRAFT_TURNS", "0"))
 
 
 def run_bench() -> dict:
@@ -47,12 +50,13 @@ def run_bench() -> dict:
 
     # pre-generate the transcript corpus (not timed; input staging) and
     # warm the page cache with one untimed read
-    tdir, _ = ensure_transcripts(sf_turn_count(SF_DIR), n_terms=entry.KG_N_TERMS,
+    n_target = TURNS_OVERRIDE or sf_turn_count(SF_DIR)
+    tdir, _ = ensure_transcripts(n_target, n_terms=entry.KG_N_TERMS,
                                  seed=entry.KG_SEED)
     n_turns = rd.read_parquet(tdir).count()
 
     terms = entry._kg_terms_table()
-    concurrency = max(2, NUM_CPUS // 2 - 2)
+    concurrency = max(2, int(NUM_CPUS * 0.75))  # fused hot stage gets most CPUs
 
     t0 = time.time()
     triples = extract_triples(
@@ -66,7 +70,7 @@ def run_bench() -> dict:
     headline_sec = time.time() - t0
 
     queries: dict[str, float] = {"kg_triples": round(headline_sec, 3)}
-    bench_queries = [
+    bench_queries = [] if os.environ.get("RAY_GRAFT_HEADLINE_ONLY") else [
         "pricing_summary",
         "customer_by_region",
         "hourly_events",
@@ -100,7 +104,9 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   RAY_GRAFT_TURNS=os.environ.get("RAY_GRAFT_TURNS", "2000000"),
+                   RAY_GRAFT_HEADLINE_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env, capture_output=True, text=True, check=True,

@@ -1,0 +1,151 @@
+"""Join operators.
+
+The reference has no joins at all (its "join" is a Weaviate lookup plus a
+Python dict scan — ``app/llm_matcher.py:117-125``); the engine provides
+the three shapes a data platform needs:
+
+* broadcast lookup join — small side via ``ray.put`` (used by
+  pipelines and __ray_entry__ directly; no code here needed);
+* :func:`hash_join` — both sides large: explicit partitioned hash join.
+  Each side is tagged, unioned, bucketed by ``hash(key) % B`` and merged
+  pairwise inside ``groupby(bucket).map_groups`` with pandas.  B bounds
+  per-task memory (rows/B per side must fit a worker); skewed keys can
+  be salted by raising B.  This is the portable pattern until
+  ``Dataset.join`` semantics stabilize across Ray releases.
+* :func:`asof_join` — per-key ordered as-of (backward) join: bucket by
+  key, ``pd.merge_asof`` inside each group.  Partitioning assumption:
+  one key's rows fit in one group (true for per-user/per-conversation
+  streams; salt by time range for pathological keys).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import hash64_column
+
+
+def _tag_and_bucket(ds, key: str, side: int, buckets: int, all_cols: list[str]):
+    """Add __side/__bucket, pad to the unified column set (nulls)."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        key_col = batch.column(key)
+        if pa.types.is_integer(key_col.type):
+            h = hash64_column(pa.chunked_array([pa.compute.cast(c, pa.string()) for c in key_col.chunks]))
+        else:
+            h = hash64_column(key_col)
+        bucket = (h % np.uint64(buckets)).astype(np.int32)
+        cols = {name: batch.column(name) for name in batch.schema.names}
+        out: dict = {}
+        for name in all_cols:
+            if name in cols:
+                out[name] = cols[name]
+            else:
+                out[name] = pa.nulls(len(batch))
+        out["__side"] = pa.array(np.full(len(batch), side, dtype=np.int8))
+        out["__bucket"] = pa.array(bucket)
+        return pa.table(out)
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def hash_join(
+    left,
+    right,
+    left_on: str,
+    right_on: str,
+    *,
+    buckets: int = 32,
+    how: str = "inner",
+    left_columns: list[str] | None = None,
+    right_columns: list[str] | None = None,
+):
+    """Partitioned hash join of two Datasets on equality of keys."""
+    lcols = left_columns or left.schema().names
+    rcols = right_columns or right.schema().names
+    overlap = (set(lcols) & set(rcols)) - ({left_on} if left_on == right_on else set())
+    if overlap:
+        raise ValueError(f"ambiguous columns in join: {sorted(overlap)}")
+    all_cols = list(dict.fromkeys(lcols + rcols))
+
+    # capture per-side dtypes: the null-padded union erodes them
+    # (a side's absent columns are null-typed, so pandas widens to
+    # float/object); restore before merging
+    def _dtypes(ds, cols):
+        schema = ds.schema()
+        base = getattr(schema, "base_schema", None)
+        if isinstance(base, pa.Schema):
+            fields = [base.field(c) for c in cols]
+            return pa.schema(fields).empty_table().to_pandas().dtypes.to_dict()
+        # PandasBlockSchema (from_pandas datasets): names + pandas dtypes
+        names = getattr(schema, "names", None)
+        types = getattr(base, "types", None) or getattr(schema, "types", None)
+        if names and types is not None:
+            m = dict(zip(names, types))
+            try:
+                return {c: m[c] for c in cols}
+            except KeyError:
+                return None
+        return None
+
+    l_dtypes = _dtypes(left, lcols)
+    r_dtypes = _dtypes(right, rcols)
+
+    tagged_l = _tag_and_bucket(left.select_columns(lcols), left_on, 0, buckets, all_cols)
+    tagged_r = _tag_and_bucket(right.select_columns(rcols), right_on, 1, buckets, all_cols)
+    unioned = tagged_l.union(tagged_r)
+
+    def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        l = group[group["__side"] == 0][lcols]
+        r = group[group["__side"] == 1][rcols]
+        if l_dtypes:
+            l = l.astype(l_dtypes)
+        if r_dtypes:
+            r = r.astype(r_dtypes)
+        out = l.merge(r, left_on=left_on, right_on=right_on, how=how)
+        return out
+
+    return unioned.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
+
+
+def asof_join(
+    left,
+    right,
+    *,
+    key: str,
+    ts: str,
+    direction: str = "backward",
+    right_value_columns: list[str],
+    tolerance: pd.Timedelta | None = None,
+    buckets: int = 16,
+):
+    """As-of join: for each left row, the latest (backward) right row with
+    the same ``key`` and ``right.ts <= left.ts``.
+
+    Implemented as bucket-by-key + ``pd.merge_asof`` per group over
+    (key, ts)-sorted frames.  Partitioning assumption (documented per
+    SURVEY §2 custom-operator rule): all rows of one key land in one
+    group; keys are spread over ``buckets`` hash buckets.
+    """
+    lcols = left.schema().names
+    rcols = [key, ts] + right_value_columns
+    all_cols = list(dict.fromkeys(lcols + rcols))
+
+    tagged_l = _tag_and_bucket(left, key, 0, buckets, all_cols)
+    tagged_r = _tag_and_bucket(right.select_columns(rcols), key, 1, buckets, all_cols)
+    unioned = tagged_l.union(tagged_r)
+
+    def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        l = group[group["__side"] == 0][lcols].sort_values(ts)
+        r = group[group["__side"] == 1][rcols].sort_values(ts)
+        if l.empty:
+            return l
+        out = pd.merge_asof(
+            l, r, on=ts, by=key, direction=direction, tolerance=tolerance,
+            suffixes=("", "_right"),
+        )
+        return out
+
+    return unioned.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")

@@ -4,8 +4,8 @@ Ray-Data replay of the reference's per-request resolve flow
 (``app/main.py:68-88``) in bulk, per SURVEY.md §7.1:
 
     transcripts.parquet
-      → MentionDetector (actor pool; dictionary spotting, broadcast vocab)
-      → LinkStage       (actor pool; embed + top-k + selection contract)
+      → MentionLinkStage (ONE fused actor pool: dictionary spotting +
+        embed + top-k + selection contract, broadcast term side)
       → combine_links_batch (stateless partial aggregation — skew guard)
       → groupby(conv_id).map_groups(canonicalize_group)  [the ONE shuffle]
       → lineage columns → sort(subj, pred, obj) → triples
@@ -35,8 +35,8 @@ import ray
 from .. import EXTRACTOR_VERSION
 from ..functions.hashing import hash64_column
 from ..stages.canonicalize import canonicalize_group, combine_links_batch
-from ..stages.link import LinkStage
-from ..stages.mention import MentionDetector
+from ..stages.link import MentionLinkStage
+
 
 N_INPUT_SHARDS = 64
 
@@ -61,18 +61,14 @@ def extract_links(
     concurrency: int = 4,
     batch_size: int = 4096,
 ):
-    """transcripts Dataset → link-decision Dataset (no shuffle)."""
+    """transcripts Dataset → link-decision Dataset (no shuffle).
+
+    One FUSED actor pool (detect + link share the broadcast term side);
+    autoscaling (1, concurrency) so task stages are never starved.
+    """
     terms_ref = ray.put(terms)
-    mentions = transcripts.map_batches(
-        MentionDetector,
-        fn_constructor_args=(terms_ref,),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=(1, concurrency),  # autoscale: never starve task stages
-        num_cpus=1,
-    )
-    links = mentions.map_batches(
-        LinkStage,
+    links = transcripts.map_batches(
+        MentionLinkStage,
         fn_constructor_args=(terms_ref, k, dim, seed, confidence_threshold),
         batch_format="pyarrow",
         batch_size=batch_size,

@@ -132,6 +132,31 @@ class _TermSide:
         return out
 
 
+class MentionLinkStage:
+    """Fused transcripts → link rows stage (one actor pool).
+
+    Mention detection and linking are both per-row maps over the same
+    broadcast term side; fusing them removes an object-store exchange of
+    the exploded mention rows and halves the actor-pool footprint — at
+    cluster scale the mention stream is ~1 row per mention and never
+    needs to exist outside the actor.
+    """
+
+    def __init__(self, terms_ref, k: int = 5, dim: int = 256, seed: int = 42,
+                 confidence_threshold: float = 0.5):
+        import ray
+
+        from .mention import MentionDetector
+
+        # resolve the broadcast once; both sub-stages share the table
+        terms = ray.get(terms_ref) if not isinstance(terms_ref, pa.Table) else terms_ref
+        self.detector = MentionDetector(terms)
+        self.linker = LinkStage(terms, k, dim, seed, confidence_threshold)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.linker(self.detector(batch))
+
+
 class RetrieverStage:
     """mentions → exploded candidate rows with rank (ST3 analog)."""
 

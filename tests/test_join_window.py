@@ -1,0 +1,122 @@
+"""Partitioned hash join, as-of join, and windowed aggregate tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from biocurator_mapper_ray.ops.join import asof_join, hash_join
+from biocurator_mapper_ray.ops.window import (
+    running_aggregate,
+    session_windows,
+    tumbling_window,
+)
+
+
+def ts(s):
+    return pd.Timestamp(s)
+
+
+class TestHashJoin:
+    def test_inner_join_matches_pandas(self, ray_session):
+        import ray.data as rd
+
+        left = pd.DataFrame({"k": [1, 2, 2, 3, 5], "lv": ["a", "b", "c", "d", "e"]})
+        right = pd.DataFrame({"k": [2, 3, 3, 4], "rv": [10, 20, 30, 40]})
+        got = (
+            hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                      left_on="k", right_on="k", buckets=4)
+            .to_pandas()
+            .sort_values(["k", "lv", "rv"])
+            .reset_index(drop=True)
+        )
+        want = left.merge(right, on="k").sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[want.columns], want)
+
+    def test_different_key_names(self, ray_session):
+        import ray.data as rd
+
+        left = pd.DataFrame({"a_id": [1, 2], "x": [1.0, 2.0]})
+        right = pd.DataFrame({"b_id": [2, 3], "y": [5, 6]})
+        got = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                        left_on="a_id", right_on="b_id").to_pandas()
+        assert len(got) == 1
+        assert got.iloc[0]["a_id"] == 2 and got.iloc[0]["y"] == 5
+
+    def test_ambiguous_columns_rejected(self, ray_session):
+        import ray.data as rd
+
+        left = pd.DataFrame({"k": [1], "v": [1]})
+        right = pd.DataFrame({"k": [1], "v": [2]})
+        with pytest.raises(ValueError, match="ambiguous"):
+            hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                      left_on="k", right_on="k")
+
+
+class TestAsofJoin:
+    def test_backward_match(self, ray_session):
+        import ray.data as rd
+
+        left = pd.DataFrame(
+            {"k": [1, 1, 2], "ts": [ts("2026-01-01 10:00"), ts("2026-01-01 12:00"),
+                                    ts("2026-01-01 10:30")], "lv": [1, 2, 3]}
+        )
+        right = pd.DataFrame(
+            {"k": [1, 1, 2], "ts": [ts("2026-01-01 09:00"), ts("2026-01-01 11:00"),
+                                    ts("2026-01-01 11:00")], "rv": [100, 200, 300]}
+        )
+        got = (
+            asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                      key="k", ts="ts", right_value_columns=["rv"])
+            .to_pandas().sort_values("lv").reset_index(drop=True)
+        )
+        # lv=1 at 10:00 -> rv=100 (09:00); lv=2 at 12:00 -> rv=200 (11:00);
+        # lv=3 (k=2) at 10:30 -> no prior right row -> NaN
+        assert got["rv"].tolist()[:2] == [100, 200]
+        assert np.isnan(got["rv"].iloc[2])
+
+
+class TestWindows:
+    def events(self):
+        return pd.DataFrame(
+            {
+                "user_id": [1, 1, 1, 2, 2],
+                "event_id": [10, 11, 12, 20, 21],
+                "ts": [ts("2026-01-01 10:00"), ts("2026-01-01 10:10"),
+                       ts("2026-01-01 11:30"), ts("2026-01-01 10:05"),
+                       ts("2026-01-01 10:06")],
+                "value": [1.0, 2.0, 3.0, 4.0, 5.0],
+            }
+        )
+
+    def test_session_windows(self, ray_session):
+        import ray.data as rd
+
+        out = (
+            session_windows(rd.from_pandas(self.events()), key="user_id", ts="ts",
+                            tiebreak="event_id", gap=pd.Timedelta(minutes=30))
+            .to_pandas().sort_values("event_id")
+        )
+        assert out["session_id"].tolist() == [0, 0, 1, 0, 0]
+
+    def test_running_aggregate(self, ray_session):
+        import ray.data as rd
+
+        out = (
+            running_aggregate(rd.from_pandas(self.events()), key="user_id", ts="ts",
+                              tiebreak="event_id", value="value")
+            .to_pandas().sort_values("event_id")
+        )
+        assert out["running_sum"].tolist() == [1.0, 3.0, 6.0, 4.0, 9.0]
+
+    def test_tumbling_window_partials(self, ray_session):
+        import ray.data as rd
+
+        out = (
+            tumbling_window(rd.from_pandas(self.events()), key="user_id", ts="ts",
+                            freq="h", agg={"n": ("value", "size"), "s": ("value", "sum")})
+            .to_pandas()
+            .groupby(["user_id", "__w"]).sum().reset_index()  # merge partials
+            .sort_values(["user_id", "__w"])
+        )
+        assert out[out["user_id"] == 1]["n"].tolist() == [2, 1]
+        assert out[out["user_id"] == 2]["s"].tolist() == [9.0]
