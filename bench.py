@@ -60,7 +60,9 @@ def run_bench() -> dict:
 
     t0 = time.time()
     triples = extract_triples(
-        rd.read_parquet(tdir), terms, snapshot_hash="bench", concurrency=concurrency
+        rd.read_parquet(tdir), terms, snapshot_hash="bench",
+        concurrency=(concurrency, concurrency),  # fixed pool: no rampup lag
+        batch_size=16384,
     )
     out_dir = f"/tmp/bmr_bench/triples_{NUM_CPUS}"
     import shutil
@@ -105,7 +107,7 @@ def run_bench() -> dict:
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   RAY_GRAFT_TURNS=os.environ.get("RAY_GRAFT_TURNS", "2000000"),
+                   RAY_GRAFT_TURNS=os.environ.get("RAY_GRAFT_TURNS", "8000000"),
                    RAY_GRAFT_HEADLINE_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],

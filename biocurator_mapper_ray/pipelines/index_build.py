@@ -30,12 +30,9 @@ from ..state.manifest import Manifest
 
 def ontology_nodes_dataset(doc: dict, parallelism: int = 8):
     """Ontology doc (small side) → Dataset of node_json rows."""
-    graphs = doc.get("graphs", []) if isinstance(doc, dict) else []
-    nodes = graphs[0].get("nodes", []) or [] if graphs else []
-    items = [{"node_json": json.dumps(n)} for n in nodes]
-    if not items:
-        items = []
-    return rd.from_items(items, override_num_blocks=max(1, min(parallelism, max(1, len(items) // 64))))
+    from ..sources.ontology_json import nodes_dataset
+
+    return nodes_dataset(doc, parallelism)
 
 
 def build_term_index(

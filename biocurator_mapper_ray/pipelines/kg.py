@@ -7,7 +7,8 @@ Ray-Data replay of the reference's per-request resolve flow
       → MentionLinkStage (ONE fused actor pool: dictionary spotting +
         embed + top-k + selection contract, broadcast term side)
       → combine_links_batch (stateless partial aggregation — skew guard)
-      → groupby(conv_id).map_groups(canonicalize_group)  [the ONE shuffle]
+      → groupby(__bucket = hash(conv_id) % B).map_groups(canonicalize_bucket)
+        [the ONE shuffle; ~B groups, numpy boundary slicing per conv inside]
       → lineage columns → sort(subj, pred, obj) → triples
 
 Scale notes:
@@ -27,6 +28,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -34,7 +36,7 @@ import ray
 
 from .. import EXTRACTOR_VERSION
 from ..functions.hashing import hash64_column
-from ..stages.canonicalize import canonicalize_group, combine_links_batch
+from ..stages.canonicalize import canonicalize_bucket, combine_links_batch
 from ..stages.link import MentionLinkStage
 
 
@@ -67,12 +69,13 @@ def extract_links(
     autoscaling (1, concurrency) so task stages are never starved.
     """
     terms_ref = ray.put(terms)
+    pool = concurrency if isinstance(concurrency, tuple) else (1, concurrency)
     links = transcripts.map_batches(
         MentionLinkStage,
         fn_constructor_args=(terms_ref, k, dim, seed, confidence_threshold),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, concurrency),
+        concurrency=pool,
         num_cpus=1,
     )
     return links
@@ -90,6 +93,7 @@ def extract_triples(
     concurrency: int = 4,
     batch_size: int = 4096,
     sort_output: bool = True,
+    canonicalize_buckets: int = 128,
 ):
     """Full flagship flow; returns the triples Dataset (lazy)."""
     links = extract_links(
@@ -103,8 +107,18 @@ def extract_triples(
         batch_size=batch_size,
     )
     partials = links.map_batches(combine_links_batch, batch_format="pyarrow")
-    triples = partials.groupby("conv_id").map_groups(
-        canonicalize_group, batch_format="pandas"
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        b = (hash64_column(batch.column("conv_id")) % np.uint64(canonicalize_buckets)).astype(np.int32)
+        return batch.append_column("__bucket", pa.array(b))
+
+    triples = (
+        partials.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: canonicalize_bucket(g.drop(columns=["__bucket"])),
+            batch_format="pandas",
+        )
     )
     triples = triples.map_batches(
         lambda b: add_lineage(b, snapshot_hash), batch_format="pyarrow"

@@ -163,3 +163,68 @@ def canonicalize_group(group: pd.DataFrame) -> pd.DataFrame:
         group["min_turn_idx"].tolist(),
     )
     return _triples_frame(rows)
+
+
+def canonicalize_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    """Many conversations' partial rows (one hash bucket) → triples.
+
+    The scale path: ``groupby("conv_id").map_groups`` pays ~ms-level
+    framework overhead PER GROUP (measured 3.5 ms × 10^4-10^5 convs
+    dominating the whole pipeline), so the pipeline buckets conversations
+    (``__bucket = hash(conv_id) % B``) and processes each bucket's convs
+    inside one call.
+
+    Within the bucket, conversations where no surface maps to more than
+    one term (the only way union-find can merge anything) take a fully
+    vectorized pandas path; union-find runs only on the ambiguous
+    remainder (with deterministic linking that remainder is empty — it
+    exists for pluggable nondeterministic scorers).
+    """
+    amb = group.groupby(["conv_id", "mention"], sort=False)["term_id"].nunique()
+    amb_convs = set(amb[amb > 1].index.get_level_values(0))
+
+    fast = group[~group["conv_id"].isin(amb_convs)] if amb_convs else group
+    frames: list[pd.DataFrame] = []
+    if len(fast):
+        agg = (
+            fast.groupby(["conv_id", "term_id"], sort=False)
+            .agg(
+                n_mentions=("n_links", "sum"),
+                confidence=("max_confidence", "max"),
+                turn_idx=("min_turn_idx", "min"),
+            )
+            .reset_index()
+        )
+        out = pd.DataFrame(
+            {
+                "subj": "conv:" + agg["conv_id"],
+                "pred": PRED_MENTIONS,
+                "obj": agg["term_id"],
+                "conv_id": agg["conv_id"],
+                "turn_idx": agg["turn_idx"].astype(np.int32),
+                "confidence": agg["confidence"].astype(np.float32),
+                "n_mentions": agg["n_mentions"].astype(np.int64),
+            },
+            columns=TRIPLE_COLUMNS,
+        )
+        frames.append(out)
+
+    if amb_convs:
+        slow = group[group["conv_id"].isin(amb_convs)]
+        rows: list[tuple] = []
+        for conv_id, g in slow.groupby("conv_id", sort=False):
+            rows.extend(
+                _canonicalize_rows(
+                    conv_id,
+                    g["mention"].tolist(),
+                    g["term_id"].tolist(),
+                    g["n_links"].tolist(),
+                    g["max_confidence"].tolist(),
+                    g["min_turn_idx"].tolist(),
+                )
+            )
+        frames.append(_triples_frame(rows))
+
+    if not frames:
+        return _triples_frame([])
+    return pd.concat(frames, ignore_index=True)

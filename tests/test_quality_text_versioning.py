@@ -161,3 +161,57 @@ class TestVersioning:
         assert needs_update(None, "abc")
         assert needs_update("old", "abc")
         assert not needs_update("abc", "abc")
+
+
+class TestSnapshotStaging:
+    def test_stage_and_history(self, tmp_path):
+        import json as _json
+        import os
+
+        from biocurator_mapper_ray.ontology.fixtures import make_document, make_performance_nodes
+        from biocurator_mapper_ray.sources.ontology_json import (
+            latest_available, load_document, stage_snapshot,
+        )
+
+        src = tmp_path / "doid.json"
+        doc = make_document(make_performance_nodes(5), version_date="2026-05-05")
+        src.write_text(_json.dumps(doc))
+        store = str(tmp_path / "store")
+
+        staged, snap = stage_snapshot(str(src), store)
+        assert os.path.exists(staged) and staged.endswith(f"{snap}.json")
+        assert load_document(staged)["graphs"][0]["nodes"][0]["lbl"]
+
+        # restage is a no-op (same identity)
+        m1 = os.path.getmtime(staged)
+        staged2, snap2 = stage_snapshot(str(src), store)
+        assert (staged2, snap2) == (staged, snap)
+        assert os.path.getmtime(staged) == m1
+
+        latest = latest_available(store)
+        assert latest and latest["snapshot_hash"] == snap
+        assert latest["status"] == "available"
+
+        # new version -> new snapshot staged alongside
+        doc2 = make_document(make_performance_nodes(5), version_date="2026-06-06")
+        src2 = tmp_path / "doid2.json"
+        src2.write_text(_json.dumps(doc2))
+        _, snap3 = stage_snapshot(str(src2), store)
+        assert snap3 != snap
+        assert latest_available(store)["snapshot_hash"] == snap3
+
+    def test_latest_skips_missing_file(self, tmp_path):
+        import json as _json
+        import os
+
+        from biocurator_mapper_ray.ontology.fixtures import make_document, make_performance_nodes
+        from biocurator_mapper_ray.sources.ontology_json import latest_available, stage_snapshot
+
+        store = str(tmp_path / "store")
+        for date in ["2026-01-01", "2026-02-02"]:
+            src = tmp_path / f"o{date}.json"
+            src.write_text(_json.dumps(make_document(make_performance_nodes(3), version_date=date)))
+            staged, snap = stage_snapshot(str(src), store)
+        os.unlink(staged)  # newest file vanishes
+        latest = latest_available(store)
+        assert latest is not None and latest["snapshot_hash"] != snap
