@@ -261,7 +261,11 @@ def minhash_lsh_pairs(
 
     hot_rows = band_rows.map_batches(HotFilter, fn_constructor_args=(hot_ref,),
                                      batch_format="pyarrow", concurrency=1)
-    cand_ids = set(hot_rows.unique("doc_id"))
+    # hot rows are small (LSH assumption) — collect ids without a
+    # unique() shuffle
+    cand_ids = set(
+        hot_rows.select_columns(["doc_id"]).to_pandas()["doc_id"].unique().tolist()
+    )
     cand_ref = ray.put(cand_ids)
 
     class CandSigs:
@@ -343,50 +347,31 @@ def minhash_dedup(
 
     import ray.data as rd
 
-    def edges_batch(t: pa.Table) -> pa.Table:
-        a, b = t.column("a"), t.column("b")
-        return pa.table(
-            {
-                "node": pa.chunked_array(a.chunks + b.chunks),
-                "peer": pa.chunked_array(b.chunks + a.chunks),
-            }
+    # The candidate edge list is small by the LSH assumption (stated in
+    # minhash_lsh_pairs) — collect once and propagate min labels in
+    # memory.  Each propagation round over the edge array is vectorized;
+    # near-dup components are shallow so few rounds converge.
+    edge_pdf = pairs.to_pandas()
+    if edge_pdf.empty:
+        return rd.from_pandas(
+            pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                          "cluster_id": pd.Series(dtype=np.int64)})
         )
-
-    edges = pairs.map_batches(edges_batch, batch_format="pyarrow")
-
-    def min_label(group: pd.DataFrame) -> pd.DataFrame:
-        node = group["node"].iloc[0]
-        label = min(group["label"].min(), group["peer_label"].min())
-        return pd.DataFrame({"node": [node], "label": [label]})
-
-    # label init: own id
-    labels = edges.groupby("node").map_groups(
-        lambda g: pd.DataFrame(
-            {"node": [g["node"].iloc[0]], "label": [min(g["node"].iloc[0], g["peer"].min())]}
-        ),
-        batch_format="pandas",
-    )
-    edge_pdf = edges.to_pandas()
-    lab = labels.to_pandas().set_index("node")["label"].to_dict()
-    # small-edge-set fast path: propagate in memory (edge list after LSH
-    # is tiny vs corpus); the distributed loop kicks in only when the
-    # edge list is itself large
+    a = edge_pdf["a"].to_numpy(dtype=np.int64)
+    b = edge_pdf["b"].to_numpy(dtype=np.int64)
+    nodes = np.unique(np.concatenate([a, b]))
+    index = {int(n): i for i, n in enumerate(nodes)}
+    ia = np.fromiter((index[int(x)] for x in a), count=len(a), dtype=np.int64)
+    ib = np.fromiter((index[int(x)] for x in b), count=len(b), dtype=np.int64)
+    label = nodes.copy()
     for _ in range(max_iters):
-        changed = False
-        for a, b in zip(edge_pdf["node"], edge_pdf["peer"]):
-            la, lb = lab[a], lab[b]
-            m = la if la < lb else lb
-            if la != m:
-                lab[a] = m
-                changed = True
-            if lb != m:
-                lab[b] = m
-                changed = True
-        if not changed:
+        m = np.minimum(label[ia], label[ib])
+        before = label.copy()
+        np.minimum.at(label, ia, m)
+        np.minimum.at(label, ib, m)
+        if np.array_equal(label, before):
             break
-    out = pd.DataFrame(
-        {"doc_id": list(lab.keys()), "cluster_id": list(lab.values())}
-    ).astype(np.int64).sort_values("doc_id")
+    out = pd.DataFrame({"doc_id": nodes, "cluster_id": label}).sort_values("doc_id")
     return rd.from_pandas(out)
 
 
