@@ -63,6 +63,9 @@ def run_bench() -> dict:
         rd.read_parquet(tdir), terms, snapshot_hash="bench",
         concurrency=(concurrency, concurrency),  # fixed pool: no rampup lag
         batch_size=16384,
+        # no global output sort: production output is bucket-partitioned
+        # parquet with deterministic within-bucket order (see kg.py)
+        sort_output=False,
     )
     out_dir = f"/tmp/bmr_bench/triples_{NUM_CPUS}"
     import shutil

@@ -37,6 +37,73 @@ TRIPLE_COLUMNS = [
 PRED_MENTIONS = "mentions"
 
 
+def combine_links_term_level(batch: pa.Table) -> pa.Table:
+    """Stateless pre-aggregation for DETERMINISTIC scorers: accepted
+    links → one partial row per ``(conv_id, term_id)``.
+
+    With a deterministic scorer a surface always maps to the same term,
+    so the surface↔term graph per conversation is a star forest and the
+    union-find/mention machinery of :func:`canonicalize_bucket` is inert
+    — canonicalization degenerates to an algebraic
+    (sum, max, min) merge keyed by ``(conv_id, term_id)``.  Dropping the
+    ``mention`` string column and collapsing to term level shrinks the
+    only all-to-all exchange in the flagship plan by ~3× (measured
+    4.28M×~70B → 2.5M×~40B rows at 8M turns).
+    """
+    df = batch.select(
+        ["conv_id", "turn_idx", "term_id", "confidence", "accepted"]
+    ).to_pandas()
+    df = df[df["accepted"]]
+    if df.empty:
+        return pa.Table.from_pydict(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "term_id": pa.array([], pa.string()),
+                "n_links": pa.array([], pa.int64()),
+                "max_confidence": pa.array([], pa.float32()),
+                "min_turn_idx": pa.array([], pa.int32()),
+            }
+        )
+    grouped = (
+        df.groupby(["conv_id", "term_id"], sort=False)
+        .agg(
+            n_links=("confidence", "size"),
+            max_confidence=("confidence", "max"),
+            min_turn_idx=("turn_idx", "min"),
+        )
+        .reset_index()
+    )
+    grouped["max_confidence"] = grouped["max_confidence"].astype(np.float32)
+    grouped["min_turn_idx"] = grouped["min_turn_idx"].astype(np.int32)
+    return pa.Table.from_pandas(grouped, preserve_index=False)
+
+
+def canonicalize_bucket_term_level(group: pd.DataFrame) -> pd.DataFrame:
+    """One hash bucket of term-level partials → triples (vectorized)."""
+    agg = (
+        group.groupby(["conv_id", "term_id"], sort=False)
+        .agg(
+            n_mentions=("n_links", "sum"),
+            confidence=("max_confidence", "max"),
+            turn_idx=("min_turn_idx", "min"),
+        )
+        .reset_index()
+    )
+    out = pd.DataFrame(
+        {
+            "subj": "conv:" + agg["conv_id"],
+            "pred": PRED_MENTIONS,
+            "obj": agg["term_id"],
+            "conv_id": agg["conv_id"],
+            "turn_idx": agg["turn_idx"].astype(np.int32),
+            "confidence": agg["confidence"].astype(np.float32),
+            "n_mentions": agg["n_mentions"].astype(np.int64),
+        },
+        columns=TRIPLE_COLUMNS,
+    )
+    return out.sort_values(["subj", "obj"], ignore_index=True)
+
+
 def combine_links_batch(batch: pa.Table) -> pa.Table:
     """Stateless pre-aggregation: accepted links → partial rows."""
     df = batch.select(
@@ -227,4 +294,8 @@ def canonicalize_bucket(group: pd.DataFrame) -> pd.DataFrame:
 
     if not frames:
         return _triples_frame([])
-    return pd.concat(frames, ignore_index=True)
+    out = pd.concat(frames, ignore_index=True)
+    # deterministic within-bucket order (cheap: one bucket's triples);
+    # the optional cross-dataset sort in extract_triples is for small
+    # correctness runs only — at scale the output stays bucket-partitioned
+    return out.sort_values(["subj", "obj"], ignore_index=True)

@@ -140,10 +140,18 @@ class MentionLinkStage:
     the exploded mention rows and halves the actor-pool footprint — at
     cluster scale the mention stream is ~1 row per mention and never
     needs to exist outside the actor.
+
+    ``emit="partials"`` additionally folds the flagship's post-link
+    partial combine + bucketize (term-level, deterministic scorer) into
+    the same actor call: the raw link rows then never leave the actor
+    either, removing one task-pool operator's dispatch overhead and an
+    object-store exchange of ~150 B/link.  ``n_buckets`` sets the
+    ``__bucket`` fan-in for the downstream canonicalization groupby.
     """
 
     def __init__(self, terms_ref, k: int = 5, dim: int = 256, seed: int = 42,
-                 confidence_threshold: float = 0.5):
+                 confidence_threshold: float = 0.5, emit: str = "links",
+                 n_buckets: int = 128):
         import ray
 
         from .mention import MentionDetector
@@ -152,9 +160,23 @@ class MentionLinkStage:
         terms = ray.get(terms_ref) if not isinstance(terms_ref, pa.Table) else terms_ref
         self.detector = MentionDetector(terms)
         self.linker = LinkStage(terms, k, dim, seed, confidence_threshold)
+        self.emit = emit
+        self.n_buckets = n_buckets
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return self.linker(self.detector(batch))
+        links = self.linker(self.detector(batch))
+        if self.emit != "partials":
+            return links
+        import numpy as np
+
+        from ..functions.hashing import hash64_column
+        from .canonicalize import combine_links_term_level
+
+        partials = combine_links_term_level(links)
+        b = (hash64_column(partials.column("conv_id")) % np.uint64(self.n_buckets)).astype(
+            np.int32
+        )
+        return partials.append_column("__bucket", pa.array(b))
 
 
 class RetrieverStage:
