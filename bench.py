@@ -43,6 +43,10 @@ def run_bench() -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # 16 MiB blocks: splits the mega-conversation's fat read block (one
+    # conversation holds ~10% of all turns) so no single link task is a
+    # serial tail; normal blocks stay whole
+    ctx.target_max_block_size = 16 * 1024 * 1024
 
     import __ray_entry__ as entry
     from biocurator_mapper_ray.pipelines.kg import extract_triples
@@ -58,9 +62,18 @@ def run_bench() -> dict:
     terms = entry._kg_terms_table()
     concurrency = max(2, int(NUM_CPUS * 0.75))  # fused hot stage gets most CPUs
 
+    # read plan: ~5 MiB of parquet per read task, capped at 3 tasks per
+    # CPU — few enough dispatches to stay off the driver's critical path,
+    # small enough blocks that the pool stays balanced
+    disk_bytes = sum(
+        os.path.getsize(os.path.join(tdir, f)) for f in os.listdir(tdir)
+    )
+    n_blocks = max(NUM_CPUS, min(disk_bytes // (5 << 20), 3 * NUM_CPUS))
+
     t0 = time.time()
     triples = extract_triples(
-        rd.read_parquet(tdir), terms, snapshot_hash="bench",
+        rd.read_parquet(tdir, override_num_blocks=n_blocks), terms,
+        snapshot_hash="bench",
         concurrency=(concurrency, concurrency),  # fixed pool: no rampup lag
         batch_size=16384,
         # no global output sort: production output is bucket-partitioned
@@ -110,7 +123,7 @@ def run_bench() -> dict:
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   RAY_GRAFT_TURNS=os.environ.get("RAY_GRAFT_TURNS", "8000000"),
+                   RAY_GRAFT_TURNS=os.environ.get("RAY_GRAFT_TURNS", "32000000"),
                    RAY_GRAFT_HEADLINE_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],

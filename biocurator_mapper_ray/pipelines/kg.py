@@ -47,12 +47,16 @@ from ..stages.link import MentionLinkStage
 N_INPUT_SHARDS = 64
 
 
+_SHARD_NAMES = pa.array([f"conv_bucket={s:03d}" for s in range(N_INPUT_SHARDS)])
+
+
 def add_lineage(batch: pa.Table, snapshot_hash: str) -> pa.Table:
-    shard = hash64_column(batch.column("conv_id")) % N_INPUT_SHARDS
+    n = len(batch)
+    shard = (hash64_column(batch.column("conv_id")) % N_INPUT_SHARDS).astype(np.int64)
     return (
-        batch.append_column("input_shard", pa.array([f"conv_bucket={s:03d}" for s in shard]))
-        .append_column("extractor_version", pa.array([EXTRACTOR_VERSION] * len(batch)))
-        .append_column("ontology_snapshot_hash", pa.array([snapshot_hash] * len(batch)))
+        batch.append_column("input_shard", _SHARD_NAMES.take(pa.array(shard)))
+        .append_column("extractor_version", pa.nulls(n, pa.string()).fill_null(EXTRACTOR_VERSION))
+        .append_column("ontology_snapshot_hash", pa.nulls(n, pa.string()).fill_null(snapshot_hash))
     )
 
 
@@ -126,7 +130,10 @@ def extract_triples(
             concurrency=pool,
             num_cpus=1,
         )
-        merge_fn = canonicalize_bucket_term_level
+        triples = bucketed.groupby("__bucket").map_groups(
+            lambda g: canonicalize_bucket_term_level(g.drop_columns(["__bucket"])),
+            batch_format="pyarrow",
+        )
     else:
         links = transcripts.map_batches(
             MentionLinkStage,
@@ -143,12 +150,11 @@ def extract_triples(
             return batch.append_column("__bucket", pa.array(b))
 
         bucketed = partials.map_batches(bucketize, batch_format="pyarrow")
-        merge_fn = canonicalize_bucket
+        triples = bucketed.groupby("__bucket").map_groups(
+            lambda g: canonicalize_bucket(g.drop(columns=["__bucket"])),
+            batch_format="pandas",
+        )
 
-    triples = bucketed.groupby("__bucket").map_groups(
-        lambda g: merge_fn(g.drop(columns=["__bucket"])),
-        batch_format="pandas",
-    )
     triples = triples.map_batches(
         lambda b: add_lineage(b, snapshot_hash), batch_format="pyarrow"
     )

@@ -164,15 +164,60 @@ class MentionLinkStage:
         self.n_buckets = n_buckets
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        links = self.linker(self.detector(batch))
         if self.emit != "partials":
-            return links
-        import numpy as np
+            return self.linker(self.detector(batch))
+        return self._partials(batch)
+
+    def _partials(self, batch: pa.Table) -> pa.Table:
+        """Allocation-lean fused path: detect → memoized link → accepted
+        (row, term) pairs → Arrow group_by partial combine.
+
+        Never materializes the 13-column link table, never converts
+        ``conv_id``/``turn_idx`` to Python (mention rows address them by
+        row index + ``take``); memory-bandwidth churn in this stage is
+        what throttles all-core scaling (per-task CPU inflated 64% at 30
+        actors vs 7 on the list-of-lists path).
+        """
+        import pyarrow.compute as pc
 
         from ..functions.hashing import hash64_column
-        from .canonicalize import combine_links_term_level
 
-        partials = combine_links_term_level(links)
+        detect = self.detector.detect
+        link = self.linker._link_one
+        row_idx: list[int] = []
+        term_ids: list[str] = []
+        confs: list[float] = []
+        for i, text in enumerate(batch.column("text").to_pylist()):
+            if not text:
+                continue
+            for mention, _s, _e in detect(text):
+                t = link(mention)
+                if t[6]:  # accepted
+                    row_idx.append(i)
+                    term_ids.append(t[0])
+                    confs.append(t[2])
+
+        idx = pa.array(np.asarray(row_idx, dtype=np.int64))
+        pairs = pa.table(
+            {
+                "conv_id": batch.column("conv_id").take(idx),
+                "term_id": pa.array(term_ids, pa.string()),
+                "confidence": pa.array(np.asarray(confs, dtype=np.float32)),
+                "turn_idx": batch.column("turn_idx").take(idx),
+            }
+        )
+        agg = pairs.group_by(["conv_id", "term_id"], use_threads=False).aggregate(
+            [("confidence", "count"), ("confidence", "max"), ("turn_idx", "min")]
+        )
+        partials = pa.table(
+            {
+                "conv_id": agg.column("conv_id"),
+                "term_id": agg.column("term_id"),
+                "n_links": pc.cast(agg.column("confidence_count"), pa.int64()),
+                "max_confidence": agg.column("confidence_max"),
+                "min_turn_idx": agg.column("turn_idx_min"),
+            }
+        )
         b = (hash64_column(partials.column("conv_id")) % np.uint64(self.n_buckets)).astype(
             np.int32
         )
