@@ -43,10 +43,11 @@ def run_bench() -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
-    # 16 MiB blocks: splits the mega-conversation's fat read block (one
+    # 48 MiB blocks: splits the mega-conversation's fat read block (one
     # conversation holds ~10% of all turns) so no single link task is a
-    # serial tail; normal blocks stay whole
-    ctx.target_max_block_size = 16 * 1024 * 1024
+    # serial tail, while keeping task count low — task dispatch latency,
+    # not CPU, is the binding fixed cost in this sandbox (measured)
+    ctx.target_max_block_size = 48 * 1024 * 1024
 
     import __ray_entry__ as entry
     from biocurator_mapper_ray.pipelines.kg import extract_triples
@@ -60,22 +61,22 @@ def run_bench() -> dict:
     n_turns = rd.read_parquet(tdir).count()
 
     terms = entry._kg_terms_table()
-    concurrency = max(2, int(NUM_CPUS * 0.75))  # fused hot stage gets most CPUs
+    concurrency = max(2, NUM_CPUS - 2)  # fused hot stage gets nearly all CPUs
 
-    # read plan: ~5 MiB of parquet per read task, capped at 3 tasks per
+    # read plan: ~24 MiB of parquet per read task, capped at 3 tasks per
     # CPU — few enough dispatches to stay off the driver's critical path,
     # small enough blocks that the pool stays balanced
     disk_bytes = sum(
         os.path.getsize(os.path.join(tdir, f)) for f in os.listdir(tdir)
     )
-    n_blocks = max(NUM_CPUS, min(disk_bytes // (5 << 20), 3 * NUM_CPUS))
+    n_blocks = max(NUM_CPUS, min(disk_bytes // (24 << 20), 3 * NUM_CPUS))
 
     t0 = time.time()
     triples = extract_triples(
         rd.read_parquet(tdir, override_num_blocks=n_blocks), terms,
         snapshot_hash="bench",
         concurrency=(concurrency, concurrency),  # fixed pool: no rampup lag
-        batch_size=16384,
+        batch_size=65536,
         # no global output sort: production output is bucket-partitioned
         # parquet with deterministic within-bucket order (see kg.py)
         sort_output=False,

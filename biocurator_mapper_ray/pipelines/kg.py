@@ -40,6 +40,7 @@ from ..stages.canonicalize import (
     canonicalize_bucket,
     canonicalize_bucket_term_level,
     combine_links_batch,
+    term_partials_to_triples,
 )
 from ..stages.link import MentionLinkStage
 
@@ -103,6 +104,7 @@ def extract_triples(
     sort_output: bool = True,
     canonicalize_buckets: int = 128,
     deterministic_scorer: bool = True,
+    assume_conv_contiguous: bool = False,
 ):
     """Full flagship flow; returns the triples Dataset (lazy).
 
@@ -112,10 +114,59 @@ def extract_triples(
     plugging in a nondeterministic scorer (e.g. a sampled LLM), which
     needs mention-level partials so union-find can merge a surface that
     resolved to different terms on different turns.
+
+    ``assume_conv_contiguous=True`` declares that each conversation's
+    rows are stored contiguously (per-conversation parquet layout — true
+    of this engine's corpus and the natural layout for transcript
+    stores).  The canonicalization exchange then moves only the convs
+    that straddle a batch boundary (~2 per 64k-row batch, plus the mega
+    conversation) instead of every (conv, term) partial; interior convs
+    short-circuit straight to the sink.  Leave False for arbitrary row
+    order — a conversation scattered across non-adjacent batches would
+    otherwise emit duplicate triples.
     """
     terms_ref = ray.put(terms)
     pool = concurrency if isinstance(concurrency, tuple) else (1, concurrency)
-    if deterministic_scorer:
+    if deterministic_scorer and assume_conv_contiguous:
+        import pyarrow.compute as pc
+
+        combined = transcripts.map_batches(
+            MentionLinkStage,
+            fn_constructor_args=(terms_ref, k, dim, seed, confidence_threshold,
+                                 "split_contiguous", canonicalize_buckets),
+            batch_format="pyarrow",
+            # batch_size=None → one batch per BLOCK.  A block is a
+            # contiguous slice of one file, so positional first/last-conv
+            # classification is correct under any execution order; a
+            # sized batch may concatenate blocks in completion order,
+            # which interleaves conversations and breaks the split.
+            batch_size=None,
+            concurrency=pool,
+            num_cpus=1,
+        ).materialize()  # bounded: one row per distinct (conv, term) pair
+
+        def keep(final: bool):
+            def f(t: pa.Table) -> pa.Table:
+                mask = t.column("final") if final else pc.invert(t.column("final"))
+                return t.filter(mask).drop_columns(["final"])
+            return f
+
+        finals = combined.map_batches(
+            # interior (conv, term) partials are unique by construction —
+            # straight column build, no re-aggregation
+            lambda t: term_partials_to_triples(keep(True)(t).drop_columns(["__bucket"])),
+            batch_format="pyarrow",
+        )
+        merged = (
+            combined.map_batches(keep(False), batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(
+                lambda g: canonicalize_bucket_term_level(g.drop_columns(["__bucket"])),
+                batch_format="pyarrow",
+            )
+        )
+        triples = finals.union(merged)
+    elif deterministic_scorer:
         # fully fused hot stage: detect + link + term-level combine +
         # bucketize in ONE actor call — raw link rows never leave the
         # actor, and the plan has no task-pool operator between the scan
@@ -168,6 +219,59 @@ def extract_triples(
         # sorts each bucket's triples before emit).
         triples = triples.sort(["subj", "pred", "obj"])
     return triples
+
+
+def extract_triples_to_parquet(
+    transcripts,
+    terms: pa.Table,
+    out_dir: str,
+    *,
+    snapshot_hash: str = "",
+    k: int = 5,
+    dim: int = 256,
+    seed: int = 42,
+    confidence_threshold: float = 0.5,
+    concurrency: int = 4,
+    canonicalize_buckets: int = 128,
+) -> int:
+    """Production sink for conv-contiguous input: transcripts → triples
+    parquet under ``out_dir``, returning the triple count.
+
+    The hot actor writes each block's interior conversations' finished
+    triples straight to ``out_dir`` (idempotent shard files) and emits
+    only boundary partials — the lone exchange moves ~2 convs per block
+    (plus the mega conversation) instead of every (conv, term) pair.
+    Same layout contract as ``assume_conv_contiguous=True``: each
+    conversation's rows contiguous within their file.  Requires a
+    deterministic scorer.
+    """
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    terms_ref = ray.put(terms)
+    pool = concurrency if isinstance(concurrency, tuple) else (1, concurrency)
+    boundary = transcripts.map_batches(
+        MentionLinkStage,
+        fn_constructor_args=(terms_ref, k, dim, seed, confidence_threshold,
+                             "write_interior", canonicalize_buckets, out_dir,
+                             snapshot_hash),
+        batch_format="pyarrow",
+        batch_size=None,  # one batch per block — see assume_conv_contiguous
+        concurrency=pool,
+        num_cpus=1,
+    )
+    merged = boundary.groupby("__bucket").map_groups(
+        lambda g: add_lineage(
+            canonicalize_bucket_term_level(g.drop_columns(["__bucket"])),
+            snapshot_hash,
+        ),
+        batch_format="pyarrow",
+    )
+    merged.write_parquet(out_dir)
+    # interior shards were written by the actors; total = read-back count
+    import ray.data as rd
+
+    return rd.read_parquet(out_dir).count()
 
 
 def triples_quality(triples_tbl: pa.Table, expected_tbl: pa.Table) -> dict:

@@ -87,26 +87,38 @@ def canonicalize_bucket_term_level(group: pa.Table) -> pa.Table:
     """
     import pyarrow.compute as pc
 
-    agg = (
-        group.group_by(["conv_id", "term_id"], use_threads=False)
-        .aggregate(
-            [("n_links", "sum"), ("max_confidence", "max"), ("min_turn_idx", "min")]
-        )
-        .sort_by([("conv_id", "ascending"), ("term_id", "ascending")])
+    agg = group.group_by(["conv_id", "term_id"], use_threads=False).aggregate(
+        [("n_links", "sum"), ("max_confidence", "max"), ("min_turn_idx", "min")]
     )
-    n = len(agg)
-    conv = agg.column("conv_id")
+    return term_partials_to_triples(
+        agg, "n_links_sum", "max_confidence_max", "min_turn_idx_min"
+    )
+
+
+def term_partials_to_triples(
+    t: pa.Table,
+    n_links_col: str = "n_links",
+    conf_col: str = "max_confidence",
+    turn_col: str = "min_turn_idx",
+) -> pa.Table:
+    """Unique (conv_id, term_id) partial rows → triple rows (no re-agg);
+    sorted (conv_id, term_id) for deterministic within-block order."""
+    import pyarrow.compute as pc
+
+    t = t.sort_by([("conv_id", "ascending"), ("term_id", "ascending")])
+    n = len(t)
+    conv = t.column("conv_id")
     return pa.table(
         {
             "subj": pc.binary_join_element_wise(
                 pa.nulls(n, pa.string()).fill_null("conv:"), conv, ""
             ),
             "pred": pa.nulls(n, pa.string()).fill_null(PRED_MENTIONS),
-            "obj": agg.column("term_id"),
+            "obj": t.column("term_id"),
             "conv_id": conv,
-            "turn_idx": agg.column("min_turn_idx_min"),
-            "confidence": agg.column("max_confidence_max"),
-            "n_mentions": agg.column("n_links_sum"),
+            "turn_idx": t.column(turn_col),
+            "confidence": t.column(conf_col),
+            "n_mentions": t.column(n_links_col),
         }
     )
 

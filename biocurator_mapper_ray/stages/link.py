@@ -151,7 +151,8 @@ class MentionLinkStage:
 
     def __init__(self, terms_ref, k: int = 5, dim: int = 256, seed: int = 42,
                  confidence_threshold: float = 0.5, emit: str = "links",
-                 n_buckets: int = 128):
+                 n_buckets: int = 128, out_dir: str | None = None,
+                 snapshot_hash: str = ""):
         import ray
 
         from .mention import MentionDetector
@@ -162,13 +163,56 @@ class MentionLinkStage:
         self.linker = LinkStage(terms, k, dim, seed, confidence_threshold)
         self.emit = emit
         self.n_buckets = n_buckets
+        self.out_dir = out_dir
+        self.snapshot_hash = snapshot_hash
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.emit != "partials":
-            return self.linker(self.detector(batch))
-        return self._partials(batch)
+        if self.emit == "partials":
+            return self._partials(batch)
+        if self.emit == "split_contiguous":
+            return self._partials(batch, split_contiguous=True)
+        if self.emit == "write_interior":
+            return self._write_interior(batch)
+        return self.linker(self.detector(batch))
 
-    def _partials(self, batch: pa.Table) -> pa.Table:
+    def _write_interior(self, batch: pa.Table) -> pa.Table:
+        """Sink-fused split path: write interior convs' finished triples
+        to ``out_dir`` here (idempotent, content-addressed shard name —
+        a retried task overwrites the same file), return ONLY the
+        boundary partials.  The downstream exchange then moves ~2 convs
+        per block instead of every (conv, term) pair; Dataset-level
+        stream splitting would need a materialize barrier + two filter
+        passes instead (measured strictly slower)."""
+        import hashlib
+        import os
+
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from ..pipelines.kg import add_lineage
+        from .canonicalize import term_partials_to_triples
+
+        split = self._partials(batch, split_contiguous=True)
+        finals = split.filter(split.column("final")).drop_columns(["final", "__bucket"])
+        boundary = split.filter(pc.invert(split.column("final"))).drop_columns(["final"])
+        if len(finals):
+            triples = add_lineage(term_partials_to_triples(finals), self.snapshot_hash)
+            ident = hashlib.sha1(
+                "|".join(
+                    [
+                        str(finals.column("conv_id")[0]),
+                        str(finals.column("conv_id")[len(finals) - 1]),
+                        str(len(finals)),
+                        str(len(batch)),
+                    ]
+                ).encode()
+            ).hexdigest()[:16]
+            tmp = os.path.join(self.out_dir, f".interior-{ident}.tmp")
+            pq.write_table(triples, tmp)
+            os.replace(tmp, os.path.join(self.out_dir, f"interior-{ident}.parquet"))
+        return boundary
+
+    def _partials(self, batch: pa.Table, split_contiguous: bool = False) -> pa.Table:
         """Allocation-lean fused path: detect → memoized link → accepted
         (row, term) pairs → Arrow group_by partial combine.
 
@@ -221,7 +265,25 @@ class MentionLinkStage:
         b = (hash64_column(partials.column("conv_id")) % np.uint64(self.n_buckets)).astype(
             np.int32
         )
-        return partials.append_column("__bucket", pa.array(b))
+        partials = partials.append_column("__bucket", pa.array(b))
+        if not split_contiguous:
+            return partials
+        # conv-contiguous layout (documented assumption of the caller):
+        # a conversation's rows sit in consecutive batches, so only the
+        # batch's FIRST and LAST conv can continue in a neighboring batch
+        # — every other conv's partials are already its complete,
+        # canonical (conv, term) aggregate.  Mark those final; only the
+        # boundary sliver rides the exchange.
+        n_rows = len(batch)
+        if n_rows == 0 or len(partials) == 0:
+            return partials.append_column(
+                "final", pa.nulls(len(partials), pa.bool_()).fill_null(False)
+            )
+        conv_col = batch.column("conv_id")
+        first_conv, last_conv = conv_col[0], conv_col[n_rows - 1]
+        pconv = partials.column("conv_id")
+        boundary = pc.or_(pc.equal(pconv, first_conv), pc.equal(pconv, last_conv))
+        return partials.append_column("final", pc.invert(boundary))
 
 
 class RetrieverStage:

@@ -9,7 +9,11 @@ import pytest
 
 from biocurator_mapper_ray.ontology.fixtures import make_document, make_performance_nodes
 from biocurator_mapper_ray.ontology.parser import TERM_SCHEMA, parse_ontology_json
-from biocurator_mapper_ray.pipelines.kg import extract_triples, triples_quality
+from biocurator_mapper_ray.pipelines.kg import (
+    extract_triples,
+    extract_triples_to_parquet,
+    triples_quality,
+)
 from biocurator_mapper_ray.pipelines.index_build import build_term_index, load_term_index_table
 from biocurator_mapper_ray.sources.transcripts import ensure_transcripts
 from biocurator_mapper_ray.state.index import VectorIndex
@@ -96,6 +100,81 @@ class TestFlagshipPipeline:
         keys = list(zip(triples["subj"], triples["pred"], triples["obj"]))
         assert len(keys) == len(set(keys))  # exact dedup
         assert keys == sorted(keys)  # deterministic output order
+
+
+class TestContiguousLayoutPaths:
+    """The three canonicalization strategies must agree triple-for-triple:
+    mention-level full shuffle (general), term-level full shuffle
+    (deterministic scorer), and the boundary-split paths that exploit
+    conv-contiguous file layout."""
+
+    CMP = ["subj", "pred", "obj", "turn_idx", "confidence", "n_mentions"]
+
+    def _reference(self, tdir):
+        import ray.data as rd
+
+        return (
+            extract_triples(
+                rd.read_parquet(tdir), terms_table(), deterministic_scorer=False,
+                snapshot_hash="s", concurrency=2,
+            )
+            .to_pandas()[self.CMP]
+            .reset_index(drop=True)
+        )
+
+    def test_boundary_split_equals_general(self, corpus, ray_session):
+        import ray.data as rd
+
+        tdir, _ = corpus
+        want = self._reference(tdir)
+        got = (
+            extract_triples(
+                rd.read_parquet(tdir), terms_table(), assume_conv_contiguous=True,
+                snapshot_hash="s", concurrency=2,
+            )
+            .to_pandas()[self.CMP]
+            .reset_index(drop=True)
+        )
+        assert got.equals(want)
+
+    def test_sink_fused_equals_general(self, corpus, ray_session, tmp_path):
+        import ray.data as rd
+
+        tdir, _ = corpus
+        want = self._reference(tdir).sort_values(self.CMP).reset_index(drop=True)
+        out = str(tmp_path / "sink")
+        n = extract_triples_to_parquet(
+            rd.read_parquet(tdir), terms_table(), out, snapshot_hash="s", concurrency=2
+        )
+        got = (
+            rd.read_parquet(out).to_pandas()[self.CMP]
+            .sort_values(self.CMP)
+            .reset_index(drop=True)
+        )
+        assert n == len(want)
+        assert got.equals(want)
+
+    def test_interior_write_is_idempotent(self, corpus, ray_session, tmp_path):
+        """A retried interior-write task overwrites the SAME shard file
+        (content-addressed name), so task replay cannot duplicate data."""
+        import pyarrow.parquet as pq
+
+        from biocurator_mapper_ray.stages.link import MentionLinkStage
+
+        tdir, _ = corpus
+        out = str(tmp_path / "sink2")
+        os.makedirs(out)
+        batch = pads.dataset(tdir, format="parquet").to_table()
+        stage = MentionLinkStage(
+            terms_table(), emit="write_interior", out_dir=out, snapshot_hash="s"
+        )
+        b1 = stage(batch)
+        files1 = sorted(os.listdir(out))
+        b2 = stage(batch)
+        files2 = sorted(os.listdir(out))
+        assert files1 == files2 and len(files1) == 1
+        assert b1.to_pydict() == b2.to_pydict()
+        assert pq.read_table(os.path.join(out, files1[0])).num_rows > 0
 
 
 class TestIndexBuildPipeline:
