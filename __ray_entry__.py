@@ -322,15 +322,18 @@ def _q_revenue_by_priority(sf_dir: str):
                           pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
         return pa.table({"l_orderkey": batch.column("l_orderkey"), "revenue": rev})
 
-    joined = hash_join(
+    per_order = hash_join(
         lineitem.map_batches(revenue, batch_format="pyarrow"),
         orders,
         left_on="l_orderkey",
         right_on="o_orderkey",
         buckets=16,
-    )
-    per_order = joined.groupby(["o_orderpriority", "o_orderkey"]).aggregate(
-        Sum("revenue", alias_name="order_revenue")
+        # combiner push-down: all rows of an order share its bucket, so
+        # the per-order revenue computed inside the join task is final —
+        # the downstream exchange ships one row per order, not per lineitem
+        bucket_postprocess=lambda df: df.groupby(
+            ["o_orderpriority", "o_orderkey"], sort=False
+        )["revenue"].sum().reset_index(name="order_revenue"),
     )
     out = per_order.groupby("o_orderpriority").aggregate(
         Count(alias_name="n_orders"), Sum("order_revenue", alias_name="revenue")

@@ -46,6 +46,11 @@ def hash64_column(arr: pa.ChunkedArray | pa.Array, seed: int = 0) -> np.ndarray:
     """
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if pa.types.is_integer(arr.type):
+        # integer keys: splitmix-style finalize straight off the values —
+        # never round-trip through strings
+        vals = arr.to_numpy(zero_copy_only=False).astype(np.uint64)
+        return _finalize(vals + np.uint64(seed) * _MIX)
     if pa.types.is_large_string(arr.type):
         arr = pc.cast(arr, pa.string())
 

@@ -31,11 +31,7 @@ def _tag_and_bucket(ds, key: str, side: int, buckets: int, all_cols: list[str]):
     """Add __side/__bucket, pad to the unified column set (nulls)."""
 
     def tag(batch: pa.Table) -> pa.Table:
-        key_col = batch.column(key)
-        if pa.types.is_integer(key_col.type):
-            h = hash64_column(pa.chunked_array([pa.compute.cast(c, pa.string()) for c in key_col.chunks]))
-        else:
-            h = hash64_column(key_col)
+        h = hash64_column(batch.column(key))  # int keys hash natively
         bucket = (h % np.uint64(buckets)).astype(np.int32)
         cols = {name: batch.column(name) for name in batch.schema.names}
         out: dict = {}
@@ -61,8 +57,17 @@ def hash_join(
     how: str = "inner",
     left_columns: list[str] | None = None,
     right_columns: list[str] | None = None,
+    bucket_postprocess=None,
 ):
-    """Partitioned hash join of two Datasets on equality of keys."""
+    """Partitioned hash join of two Datasets on equality of keys.
+
+    ``bucket_postprocess`` (optional ``DataFrame → DataFrame``) runs on
+    each bucket's merged output inside the join task.  Because buckets
+    partition by join key, EVERY row of a given key is in the frame it
+    sees — so per-key aggregates computed here are final (combiner push-
+    down: a follow-up groupby over the join output can pre-reduce here
+    and ship bucket-level partials instead of raw joined rows).
+    """
     lcols = left_columns or left.schema().names
     rcols = right_columns or right.schema().names
     overlap = (set(lcols) & set(rcols)) - ({left_on} if left_on == right_on else set())
@@ -105,6 +110,8 @@ def hash_join(
         if r_dtypes:
             r = r.astype(r_dtypes)
         out = l.merge(r, left_on=left_on, right_on=right_on, how=how)
+        if bucket_postprocess is not None:
+            out = bucket_postprocess(out)
         return out
 
     return unioned.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
