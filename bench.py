@@ -61,7 +61,10 @@ def run_bench() -> dict:
     n_turns = rd.read_parquet(tdir).count()
 
     terms = entry._kg_terms_table()
-    concurrency = max(2, NUM_CPUS - 2)  # fused hot stage gets nearly all CPUs
+    # 3/4 of CPUs for the fused hot stage: NCPU-2 was ~10% faster at 32M
+    # turns but oversubscribes at 64M (30 actors + read/shuffle/write
+    # tasks thrash: 64s vs 44s) — the 0.75 ratio is robust across sizes
+    concurrency = max(2, int(NUM_CPUS * 0.75))
 
     # read plan: ~24 MiB of parquet per read task, capped at 3 tasks per
     # CPU — few enough dispatches to stay off the driver's critical path,
