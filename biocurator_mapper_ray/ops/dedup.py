@@ -9,12 +9,11 @@ the engine adds.  All are Ray-Data-native:
   equality is re-checked inside the group so hash collisions can never
   merge distinct texts.
 * :func:`minhash_lsh_pairs` / :func:`minhash_dedup` — word-shingle
-  MinHash signatures → banded LSH → candidate pairs via
-  ``groupby(band_id, band_hash)`` → signature-estimated Jaccard filter →
-  connected components by min-label propagation (no driver-side
-  union-find).  Signatures ride along in the band rows (bands ×
-  signature bytes per doc — the standard space/shuffle tradeoff; the
-  alternative, re-joining signatures by doc_id, costs an extra shuffle).
+  MinHash signatures → banded LSH → ONE salted exchange of lean
+  (doc_id, band_id, band_hash) rows emitting star-pattern candidate
+  pairs → broadcast-signature estimated-Jaccard verify → connected
+  components by vectorized min-label propagation over the (small)
+  candidate edge list.
 * :func:`simhash_pairs` — 64-bit SimHash, banded by 16-bit chunks,
   verified by exact Hamming distance.
 * :func:`ngram_jaccard` — exact shingle-set Jaccard for a pair of texts
@@ -173,31 +172,6 @@ class MinHashBandStage:
         )
 
 
-def _pairs_from_band_group(group: pd.DataFrame, threshold: float) -> pd.DataFrame:
-    """Candidate pairs within one LSH bucket, filtered by signature-
-    estimated Jaccard.  Buckets are small by construction; cap blowup by
-    pairing each doc with the bucket's min doc (star pattern) — enough
-    for connected-component clustering, avoids O(n²) on pathological
-    buckets."""
-    if len(group) < 2:
-        return pd.DataFrame({"a": [], "b": [], "est_jaccard": []}).astype(
-            {"a": np.int64, "b": np.int64, "est_jaccard": np.float64}
-        )
-    g = group.drop_duplicates(subset=["doc_id"]).sort_values("doc_id")
-    ids = g["doc_id"].to_numpy()
-    sigs = np.stack([np.asarray(s, dtype=np.int64) for s in g["signature"]])
-    anchor_sig = sigs[0]
-    est = (sigs[1:] == anchor_sig[None, :]).mean(axis=1)
-    keep = est >= threshold
-    return pd.DataFrame(
-        {
-            "a": np.full(int(keep.sum()), ids[0], dtype=np.int64),
-            "b": ids[1:][keep],
-            "est_jaccard": est[keep],
-        }
-    )
-
-
 def minhash_lsh_pairs(
     ds,
     text_column: str = "text",
@@ -208,64 +182,69 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.7,
     seed: int = 42,
+    dedup_pairs: bool = True,
 ):
-    """Near-duplicate candidate pairs (a < b, deduplicated across bands).
+    """Near-duplicate candidate pairs (a < b, deduplicated across bands
+    unless ``dedup_pairs=False`` — clustering callers tolerate duplicate
+    edges and skip that exchange).
 
-    Scale design: the full corpus only ever flows through vectorized
-    stages — (doc_id, band_id, band_hash) rows (20 B each, no signature
-    payload) and a NATIVE count aggregate.  Per-group Python runs only on
-    the HOT buckets (count ≥ 2); the hot-bucket key set and the candidate
-    signatures are small sides broadcast via ``ray.put`` (assumption,
-    stated: near-dup candidates ≪ corpus — the standard LSH regime.  A
-    naive ``map_groups`` over every bucket spent ~100 µs/bucket on
-    millions of singleton buckets).
+    Scale design: the full corpus makes exactly ONE pass through the one
+    all-to-all exchange — lean (doc_id, band_id, band_hash) rows (20 B,
+    no signature payload) salted into 64 shards, each shard emitting
+    star-pattern candidate pairs with a duplicated-mask + grouped
+    transform (vectorized; no per-bucket Python — a naive per-bucket
+    ``map_groups`` spent ~100 µs on each of millions of singleton
+    buckets, and the previous count-aggregate + hot-filter design paid
+    two extra exchanges/passes for the same result).  Candidate ids and
+    their recomputed signatures are small sides broadcast via ``ray.put``
+    (assumption, stated: near-dup candidates ≪ corpus — the standard LSH
+    regime); the estimated-Jaccard verify is one vectorized equality per
+    candidate batch.
     """
     import ray
+    import ray.data as rd
 
     stage = MinHashBandStage(text_column, id_column, num_perm, bands, shingle_n, seed)
+    n_salt = 64
 
-    def band_rows_only(batch: pa.Table) -> pa.Table:
-        t = stage(batch)
-        return t.drop_columns(["signature"])
+    def band_rows_salted(batch: pa.Table) -> pa.Table:
+        t = stage(batch).drop_columns(["signature"])
+        salt = (t.column("band_hash").to_numpy().view(np.uint64)
+                % np.uint64(n_salt)).astype(np.int32)
+        return t.append_column("__salt", pa.array(salt))
 
-    # materialize: two consumers (count + hot filter) would otherwise
-    # re-execute the signature computation; these rows are 20 B each
-    band_rows = ds.map_batches(band_rows_only, batch_format="pyarrow").materialize()
+    def cands_in_salt(group: pd.DataFrame) -> pd.DataFrame:
+        """One salt shard → star-pattern candidate pairs, vectorized
+        (no per-bucket Python: duplicated-mask + grouped transform)."""
+        g = group[group.duplicated(["band_id", "band_hash"], keep=False)]
+        if g.empty:
+            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                 "b": pd.Series(dtype=np.int64)})
+        g = g.sort_values(["band_id", "band_hash", "doc_id"]).drop_duplicates(
+            ["band_id", "band_hash", "doc_id"]
+        )
+        anchor = g.groupby(["band_id", "band_hash"], sort=False)["doc_id"].transform("first")
+        mask = g["doc_id"].to_numpy() != anchor.to_numpy()
+        return pd.DataFrame(
+            {"a": anchor.to_numpy()[mask], "b": g["doc_id"].to_numpy()[mask]}
+        ).drop_duplicates()
 
-    # native hash aggregate (no per-group Python) → hot buckets
-    counts = band_rows.groupby(["band_id", "band_hash"]).count()
-    hot = counts.map_batches(
-        lambda t: t.filter(pa.compute.greater(t.column("count()"), 1)),
-        batch_format="pyarrow",
-    ).to_pandas()
-    if hot.empty:
-        import ray.data as rd
-
+    # the ONE full-data exchange: salted groupby (64 shards) emitting
+    # candidate pairs directly — no separate count aggregate, no second
+    # pass over the band rows
+    cands = (
+        ds.map_batches(band_rows_salted, batch_format="pyarrow")
+        .groupby("__salt")
+        .map_groups(cands_in_salt, batch_format="pandas")
+        .materialize()  # tiny (LSH assumption); feeds id-collect + verify
+    )
+    cand_pdf = cands.to_pandas()
+    if cand_pdf.empty:
         return rd.from_arrow(
             pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
                       "est_jaccard": pa.array([], pa.float64())})
         )
-    hot_ref = ray.put(set(zip(hot["band_id"].tolist(), hot["band_hash"].tolist())))
-
-    class HotFilter:
-        def __init__(self, ref):
-            self.hot = ray.get(ref) if not isinstance(ref, set) else ref
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = [
-                (b, h) in self.hot
-                for b, h in zip(batch.column("band_id").to_pylist(),
-                                batch.column("band_hash").to_pylist())
-            ]
-            return batch.filter(pa.array(mask))
-
-    hot_rows = band_rows.map_batches(HotFilter, fn_constructor_args=(hot_ref,),
-                                     batch_format="pyarrow", concurrency=1)
-    # hot rows are small (LSH assumption) — collect ids without a
-    # unique() shuffle
-    cand_ids = set(
-        hot_rows.select_columns(["doc_id"]).to_pandas()["doc_id"].unique().tolist()
-    )
+    cand_ids = set(cand_pdf["a"].tolist()) | set(cand_pdf["b"].tolist())
     cand_ref = ray.put(cand_ids)
 
     class CandSigs:
@@ -295,28 +274,30 @@ def minhash_lsh_pairs(
     }
     sig_map_ref = ray.put(sig_map)
 
-    def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        sigs = ray.get(sig_map_ref)
-        g = group.drop_duplicates(subset=["doc_id"]).sort_values("doc_id")
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "est_jaccard": []}).astype(
-                {"a": np.int64, "b": np.int64, "est_jaccard": np.float64}
-            )
-        ids = g["doc_id"].to_numpy()
-        mat = np.stack([sigs[int(i)] for i in ids])
-        est = (mat[1:] == mat[0][None, :]).mean(axis=1)
+    def verify(batch: pa.Table) -> pa.Table:
+        """Signature-estimated Jaccard over candidate pairs (broadcast
+        sig map, one vectorized equality per batch)."""
+        sigs = ray.get(sig_map_ref) if not isinstance(sig_map_ref, dict) else sig_map_ref
+        a = batch.column("a").to_numpy()
+        b = batch.column("b").to_numpy()
+        if len(a) == 0:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                             "est_jaccard": pa.array([], pa.float64())})
+        mat_a = np.stack([sigs[int(i)] for i in a])
+        mat_b = np.stack([sigs[int(i)] for i in b])
+        est = (mat_a == mat_b).mean(axis=1)
         keep = est >= threshold
-        return pd.DataFrame(
+        return pa.table(
             {
-                "a": np.full(int(keep.sum()), ids[0], dtype=np.int64),
-                "b": ids[1:][keep],
-                "est_jaccard": est[keep],
+                "a": pa.array(a[keep]),
+                "b": pa.array(b[keep]),
+                "est_jaccard": pa.array(est[keep], pa.float64()),
             }
         )
 
-    pairs = hot_rows.groupby(["band_id", "band_hash"]).map_groups(
-        pairs_in_bucket, batch_format="pandas"
-    )
+    pairs = cands.map_batches(verify, batch_format="pyarrow")
+    if not dedup_pairs:
+        return pairs
     # same pair can surface from several bands → keep max estimate
     # (rename via map_batches: Dataset.rename_columns chokes on the
     # pandas-format blocks that groupby aggregations emit)
@@ -343,7 +324,8 @@ def minhash_dedup(
     union-find), converging in O(diameter) rounds; near-dup clusters are
     shallow so a handful of rounds suffices.
     """
-    pairs = minhash_lsh_pairs(ds, text_column, id_column, threshold=threshold, **kwargs)
+    pairs = minhash_lsh_pairs(ds, text_column, id_column, threshold=threshold,
+                              dedup_pairs=False, **kwargs)
 
     import ray.data as rd
 
@@ -351,7 +333,7 @@ def minhash_dedup(
     # minhash_lsh_pairs) — collect once and propagate min labels in
     # memory.  Each propagation round over the edge array is vectorized;
     # near-dup components are shallow so few rounds converge.
-    edge_pdf = pairs.to_pandas()
+    edge_pdf = pairs.to_pandas().drop_duplicates(subset=["a", "b"])
     if edge_pdf.empty:
         return rd.from_pandas(
             pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
