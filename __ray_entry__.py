@@ -480,6 +480,31 @@ def _q_knn_embeddings(sf_dir: str):
     return out.select_columns(["query_id", "vec_id", "rank"]).sort(["query_id", "rank"])
 
 
+def _q_ivf_knn_embeddings(sf_dir: str):
+    """IVF partitioned-layout ANN; probed at n_probe=n_cells it is
+    exactly brute force, so it shares the exact-kNN SQL oracle (the
+    approximate regime is covered by
+    tests/test_ops.py::test_ivf_recall_on_clustered_data)."""
+    import hashlib
+    import shutil
+
+    import ray.data as rd
+
+    from biocurator_mapper_ray.ops.similarity import ivf_partition, ivf_search
+
+    n_cells = 16
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    index_dir = f"/tmp/bmr_ivf/{tag}"
+    marker = os.path.join(index_dir, "_centroids.npy")
+    if not os.path.exists(marker):
+        shutil.rmtree(index_dir, ignore_errors=True)
+        ivf_partition(_read(sf_dir, "embeddings"), index_dir, n_cells=n_cells)
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    queries = np.asarray(tbl.column("embedding").to_pylist()[:3], dtype=np.float64)
+    out = ivf_search(index_dir, queries, k=10, n_probe=n_cells)
+    return out.select_columns(["query_id", "vec_id", "rank"]).sort(["query_id", "rank"])
+
+
 def _q_near_dup_embeddings(sf_dir: str):
     from biocurator_mapper_ray.ops.similarity import embedding_near_dup_pairs
 
@@ -540,6 +565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_documents": _q_dedup_minhash,
         "dedup_simhash_documents": _q_dedup_simhash,
         "knn_embeddings": _q_knn_embeddings,
+        "ivf_knn_embeddings": _q_ivf_knn_embeddings,
         "near_dup_embeddings": _q_near_dup_embeddings,
         "multimodal_features": _q_multimodal_features,
     }
@@ -667,6 +693,23 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "knn_embeddings": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe
+                FROM embeddings WHERE vec_id < 3
+            ),
+            scored AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(q.qe, e.embedding) AS cosine
+                FROM q CROSS JOIN embeddings e
+            )
+            SELECT query_id, vec_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, vec_id) - 1 AS INTEGER) AS rank
+            FROM scored
+            QUALIFY rank < 10
+            ORDER BY query_id, rank
+        """,
+        "ivf_knn_embeddings": """
             WITH q AS (
                 SELECT vec_id AS query_id, embedding AS qe
                 FROM embeddings WHERE vec_id < 3

@@ -93,6 +93,167 @@ def knn_search(ds, queries: np.ndarray, k: int = 10,
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
+def _kmeans(sample: np.ndarray, n_cells: int, iters: int, seed: int) -> np.ndarray:
+    """Deterministic Lloyd k-means on a normalized sample (IVF training)."""
+    rng = np.random.default_rng(seed)
+    n = len(sample)
+    centroids = sample[rng.choice(n, size=min(n_cells, n), replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _normalize(centroids)
+    return centroids
+
+
+def ivf_partition(
+    ds,
+    out_dir: str,
+    *,
+    n_cells: int = 64,
+    sample_size: int = 4096,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+    seed: int = 42,
+    kmeans_iters: int = 8,
+) -> np.ndarray:
+    """Build an IVF index as a PARTITIONED PARQUET LAYOUT: k-means
+    centroids trained on a bounded sample, every vector written under
+    ``out_dir/cell=<c>/`` (hive partitioning).  Searching then reads
+    only the probed cells' files — the pruning happens at the READ, which
+    is the lever that matters at 100 TB (brute force must stream every
+    byte past the CPUs; IVF never loads unprobed partitions at all).
+
+    Returns the (n_cells, d) centroid matrix, also saved to
+    ``out_dir/_centroids.npy``."""
+    import os
+
+    import ray
+
+    sample_tbl = ds.limit(sample_size).select_columns([vec_column]).to_pandas()
+    sample = _normalize(
+        np.asarray(sample_tbl[vec_column].tolist(), dtype=np.float32)
+    )
+    centroids = _kmeans(sample, n_cells, kmeans_iters, seed)
+    cent_ref = ray.put(centroids)
+
+    class Assign:
+        def __init__(self, ref):
+            import ray as _r
+
+            self.cent = ref if isinstance(ref, np.ndarray) else _r.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _normalize(_as_matrix(batch.column(vec_column)))
+            cell = np.argmax(mat @ self.cent.T, axis=1).astype(np.int32) if len(mat) \
+                else np.zeros(0, np.int32)
+            # cell twice: "cell" becomes the hive partition directory
+            # (dropped from file data), "cell_id" stays as a data column
+            # so readers of pruned file lists still see the assignment
+            return batch.append_column("cell", pa.array(cell)).append_column(
+                "cell_id", pa.array(cell)
+            )
+
+    ds.map_batches(Assign, fn_constructor_args=(cent_ref,),
+                   batch_format="pyarrow", concurrency=(1, 8), num_cpus=1,
+                   ).write_parquet(out_dir, partition_cols=["cell"])
+    os.makedirs(out_dir, exist_ok=True)
+    # leading underscore: Arrow dataset discovery ignores it
+    np.save(os.path.join(out_dir, "_centroids.npy"), centroids)
+    return centroids
+
+
+def ivf_search(
+    index_dir: str,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    n_probe: int = 8,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+):
+    """Approximate top-k over an :func:`ivf_partition` layout.
+
+    Reads ONLY the union of every query's ``n_probe`` nearest cells
+    (partition pruning at the read); each batch is scored with one
+    matmul and per-query results outside that query's probed cells are
+    masked out.  ``n_probe = n_cells`` degrades gracefully to exact
+    brute force over the whole layout."""
+    import os
+
+    import ray
+    import ray.data as rd
+
+    centroids = np.load(os.path.join(index_dir, "_centroids.npy"))
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    n_probe = min(n_probe, len(centroids))
+    probe = np.argsort(-(q @ centroids.T), axis=1)[:, :n_probe]  # (Q, P)
+    probe_mask = np.zeros((len(q), len(centroids)), dtype=bool)
+    for qi in range(len(q)):
+        probe_mask[qi, probe[qi]] = True
+    needed = sorted({int(c) for row in probe for c in row})
+
+    # partition pruning by explicit file listing: unprobed cells'
+    # files never enter the read plan at all.  (A pyarrow filter on the
+    # hive column would be equivalent, but Ray 2.49 binds read filters
+    # against the FILE schema, which omits partition-only columns.)
+    import glob
+
+    files = [
+        f
+        for c in needed
+        for f in sorted(glob.glob(os.path.join(index_dir, f"cell={c}", "*.parquet")))
+    ]
+    ds = rd.read_parquet(files)
+
+    q_ref = ray.put(q)
+    mask_ref = ray.put(probe_mask)
+
+    class ProbedTopK:
+        def __init__(self, qr, mr):
+            import ray as _r
+
+            self.queries = qr if isinstance(qr, np.ndarray) else _r.get(qr)
+            self.mask = mr if isinstance(mr, np.ndarray) else _r.get(mr)
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _normalize(_as_matrix(batch.column(vec_column)))
+            ids = batch.column(id_column).to_numpy()
+            cells = np.asarray(batch.column("cell_id").to_pylist(), dtype=np.int64)
+            sims = self.queries @ mat.T  # (Q, B)
+            sims = np.where(self.mask[:, cells], sims, -np.inf)
+            kk = min(self.k, sims.shape[1])
+            if kk == 0:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 id_column: pa.array([], pa.int64()),
+                                 "cosine": pa.array([], pa.float32())})
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = np.repeat(np.arange(sims.shape[0]), kk)
+            cols = part.reshape(-1)
+            keep = np.isfinite(sims[rows, cols])
+            return pa.table(
+                {
+                    "query_id": pa.array(rows[keep].astype(np.int64)),
+                    id_column: pa.array(ids[cols[keep]]),
+                    "cosine": pa.array(sims[rows, cols][keep].astype(np.float32)),
+                }
+            )
+
+    partials = ds.map_batches(ProbedTopK, fn_constructor_args=(q_ref, mask_ref),
+                              batch_format="pyarrow", concurrency=(1, 8), num_cpus=1)
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["cosine", id_column], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype=np.int32)
+        return g
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
 class HyperplaneLSH:
     """Sign-bit signatures from seeded random hyperplanes."""
 

@@ -156,6 +156,41 @@ class TestKnnSearch:
         got = {tuple(sorted((a, b))) for a, b in zip(pairs["a"], pairs["b"])}
         assert got == {(1, 2)}
 
+    def test_ivf_recall_on_clustered_data(self, ray_session, tmp_path):
+        """Clustered vectors: probing a quarter of the cells recovers the
+        true neighbors; probing all cells is exactly brute force."""
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.similarity import ivf_partition, ivf_search
+
+        rng = np.random.default_rng(7)
+        centers = rng.normal(size=(8, 24)).astype(np.float32) * 4
+        rows = []
+        for i in range(400):
+            c = i % 8
+            v = centers[c] + rng.normal(size=24, scale=0.05).astype(np.float32)
+            rows.append({"vec_id": i, "embedding": v.tolist()})
+        ds = rd.from_items(rows)
+        out = str(tmp_path / "ivf")
+        ivf_partition(ds, out, n_cells=8, sample_size=400, kmeans_iters=10)
+
+        queries = np.stack([np.asarray(rows[i]["embedding"]) for i in (0, 1, 5)])
+        from biocurator_mapper_ray.ops.similarity import knn_search
+
+        exact = knn_search(rd.from_items(rows), queries, k=10).to_pandas()
+        approx = ivf_search(out, queries, k=10, n_probe=2).to_pandas()
+        for qi in range(3):
+            e = set(exact[exact["query_id"] == qi]["vec_id"])
+            a = set(approx[approx["query_id"] == qi]["vec_id"])
+            assert len(a & e) / 10 >= 0.9, (qi, a, e)
+
+        full = ivf_search(out, queries, k=10, n_probe=8).to_pandas()
+        for qi in range(3):
+            assert (
+                full[full["query_id"] == qi].sort_values("rank")["vec_id"].tolist()
+                == exact[exact["query_id"] == qi].sort_values("rank")["vec_id"].tolist()
+            )
+
 
 class TestTextStats:
     def test_token_counts(self):
