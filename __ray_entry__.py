@@ -349,6 +349,33 @@ def _q_revenue_by_priority(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow").sort("o_orderpriority")
 
 
+def _q_rolling_user_value(sf_dir: str):
+    """Trailing-1h per-user rolling sum (cents) — sliding event-time
+    window over the keyed stream."""
+    from biocurator_mapper_ray.ops.window import rolling_time_aggregate
+
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch.column("value"), 100.0), ndigits=0),
+                        pa.int64())
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "ts": batch.column("ts"),
+                "value_cents": cents,
+            }
+        )
+
+    out = rolling_time_aggregate(
+        events.map_batches(to_cents, batch_format="pyarrow"),
+        key="user_id", ts="ts", tiebreak="event_id",
+        value="value_cents", window="1h", out="rolling_cents",
+    )
+    return out.select_columns(["event_id", "user_id", "rolling_cents"]).sort("event_id")
+
+
 def _q_asof_purchase_click(sf_dir: str):
     """As-of join: each purchase event matched to the user's latest prior
     click ((user_id, ts) is unique in the corpus, so backward-inclusive
@@ -553,6 +580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_events": _q_hourly_events,
         "sessionize_events": _q_sessionize_events,
         "running_user_value": _q_running_user_value,
+        "rolling_user_value": _q_rolling_user_value,
         "asof_purchase_click": _q_asof_purchase_click,
         # joins
         "revenue_by_priority": _q_revenue_by_priority,
@@ -644,6 +672,15 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(round(value * 100, 0) AS BIGINT))
                        OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS UNBOUNDED PRECEDING) AS running_cents
+            FROM events
+            ORDER BY event_id
+        """,
+        "rolling_user_value": """
+            SELECT event_id, user_id,
+                   sum(CAST(round(value * 100, 0) AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY ts
+                             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                       AND CURRENT ROW) AS rolling_cents
             FROM events
             ORDER BY event_id
         """,

@@ -58,3 +58,23 @@ def running_aggregate(ds, *, key: str, ts: str, tiebreak: str,
         return g
 
     return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
+def rolling_time_aggregate(ds, *, key: str, ts: str, tiebreak: str,
+                           value: str, window: str = "1h",
+                           out: str = "rolling_sum"):
+    """Trailing time-window sum per key: for each row, the sum of
+    ``value`` over this key's rows with ``ts`` in ``[row.ts - window,
+    row.ts]`` (both ends inclusive — SQL ``RANGE BETWEEN <window>
+    PRECEDING AND CURRENT ROW`` semantics; with ts ties the SQL RANGE
+    frame sees all peer rows, so ``ts`` must be unique per key — the
+    stated corpus invariant)."""
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts, tiebreak]).copy()
+        g[out] = (
+            g.rolling(window, on=ts, closed="both")[value].sum().astype(g[value].dtype)
+        )
+        return g
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
