@@ -669,18 +669,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "running_user_value": """
             SELECT event_id, user_id,
-                   sum(CAST(round(value * 100, 0) AS BIGINT))
+                   CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
                        OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS running_cents
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
             FROM events
             ORDER BY event_id
         """,
         "rolling_user_value": """
             SELECT event_id, user_id,
-                   sum(CAST(round(value * 100, 0) AS BIGINT))
+                   CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
                        OVER (PARTITION BY user_id ORDER BY ts
                              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
-                                       AND CURRENT ROW) AS rolling_cents
+                                       AND CURRENT ROW) AS BIGINT) AS rolling_cents
             FROM events
             ORDER BY event_id
         """,

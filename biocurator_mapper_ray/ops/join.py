@@ -47,6 +47,27 @@ def _tag_and_bucket(ds, key: str, side: int, buckets: int, all_cols: list[str]):
     return ds.map_batches(tag, batch_format="pyarrow")
 
 
+def _side_dtypes(ds, cols):
+    """Pandas dtypes of ``cols`` in ``ds``, for restoring them after the
+    null-padded union erodes them (a side's absent columns are null-typed,
+    so pandas widens ints to float/object)."""
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        fields = [base.field(c) for c in cols]
+        return pa.schema(fields).empty_table().to_pandas().dtypes.to_dict()
+    # PandasBlockSchema (from_pandas datasets): names + pandas dtypes
+    names = getattr(schema, "names", None)
+    types = getattr(base, "types", None) or getattr(schema, "types", None)
+    if names and types is not None:
+        m = dict(zip(names, types))
+        try:
+            return {c: m[c] for c in cols}
+        except KeyError:
+            return None
+    return None
+
+
 def hash_join(
     left,
     right,
@@ -75,28 +96,8 @@ def hash_join(
         raise ValueError(f"ambiguous columns in join: {sorted(overlap)}")
     all_cols = list(dict.fromkeys(lcols + rcols))
 
-    # capture per-side dtypes: the null-padded union erodes them
-    # (a side's absent columns are null-typed, so pandas widens to
-    # float/object); restore before merging
-    def _dtypes(ds, cols):
-        schema = ds.schema()
-        base = getattr(schema, "base_schema", None)
-        if isinstance(base, pa.Schema):
-            fields = [base.field(c) for c in cols]
-            return pa.schema(fields).empty_table().to_pandas().dtypes.to_dict()
-        # PandasBlockSchema (from_pandas datasets): names + pandas dtypes
-        names = getattr(schema, "names", None)
-        types = getattr(base, "types", None) or getattr(schema, "types", None)
-        if names and types is not None:
-            m = dict(zip(names, types))
-            try:
-                return {c: m[c] for c in cols}
-            except KeyError:
-                return None
-        return None
-
-    l_dtypes = _dtypes(left, lcols)
-    r_dtypes = _dtypes(right, rcols)
+    l_dtypes = _side_dtypes(left, lcols)
+    r_dtypes = _side_dtypes(right, rcols)
 
     tagged_l = _tag_and_bucket(left.select_columns(lcols), left_on, 0, buckets, all_cols)
     tagged_r = _tag_and_bucket(right.select_columns(rcols), right_on, 1, buckets, all_cols)
@@ -140,13 +141,25 @@ def asof_join(
     rcols = [key, ts] + right_value_columns
     all_cols = list(dict.fromkeys(lcols + rcols))
 
+    # restore per-side dtypes eroded by the null-padded union, exactly as
+    # hash_join does (absent columns are null-typed → pandas widens int64
+    # to float64 after the union; e.g. a non-null left event_id column)
+    l_dtypes = _side_dtypes(left, lcols)
+    r_dtypes = _side_dtypes(right, rcols)
+
     tagged_l = _tag_and_bucket(left, key, 0, buckets, all_cols)
     tagged_r = _tag_and_bucket(right.select_columns(rcols), key, 1, buckets, all_cols)
     unioned = tagged_l.union(tagged_r)
 
     def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        l = group[group["__side"] == 0][lcols].sort_values(ts)
-        r = group[group["__side"] == 1][rcols].sort_values(ts)
+        l = group[group["__side"] == 0][lcols]
+        r = group[group["__side"] == 1][rcols]
+        if l_dtypes:
+            l = l.astype(l_dtypes)
+        if r_dtypes:
+            r = r.astype(r_dtypes)
+        l = l.sort_values(ts)
+        r = r.sort_values(ts)
         if l.empty:
             return l
         out = pd.merge_asof(
