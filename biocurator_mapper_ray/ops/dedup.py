@@ -30,6 +30,74 @@ from ..functions.hashing import hash64_column
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
+# 8-bit popcount lookup (numpy < 2.0 has no bitwise_count kernel)
+_POPCNT8 = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1
+).sum(axis=1).astype(np.int64)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (any shape)."""
+    flat = np.ascontiguousarray(x, dtype=np.uint64)
+    return _POPCNT8[flat.view(np.uint8)].reshape(flat.shape + (8,)).sum(axis=-1)
+
+
+def _allpairs_index(sizes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All (i < j) row-index pairs within contiguous groups of the given
+    sizes — fully vectorized (repeat + cumsum; no per-group Python).
+
+    Given rows sorted so each group is contiguous, returns global row
+    indices (ia, ib) covering every unordered pair inside every group:
+    a group of size s contributes s*(s-1)/2 pairs.
+    """
+    sizes = np.asarray(sizes, dtype=np.int64)
+    total = int(sizes.sum())
+    if total == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    ends = np.cumsum(sizes)
+    # rep[x] = (group end) - 1 - x: how many partners follow row x in its group
+    rep = np.repeat(ends, sizes) - 1 - np.arange(total, dtype=np.int64)
+    n_pairs = int(rep.sum())
+    if n_pairs == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    ia = np.repeat(np.arange(total, dtype=np.int64), rep)
+    run_starts = np.cumsum(rep) - rep
+    ib = (
+        np.arange(n_pairs, dtype=np.int64)
+        - np.repeat(run_starts, rep)
+        + np.repeat(np.arange(1, total + 1, dtype=np.int64), rep)
+    )
+    return ia, ib
+
+
+def _connect_index(sizes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Chain + star row-index pairs within contiguous groups: for a group
+    (r0..r_{s-1}) emits chain (r_i, r_{i+1}) and star (r0, r_j) edges —
+    2s-3 edges instead of s*(s-1)/2.  Linear in bucket size; used by the
+    clustering path where connectivity (not the full pair set) is needed.
+    The redundancy (two edge families) keeps components connected even
+    when a single borderline link later fails the similarity verify."""
+    sizes = np.asarray(sizes, dtype=np.int64)
+    total = int(sizes.sum())
+    if total == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    ends = np.cumsum(sizes)
+    starts = ends - sizes
+    idx = np.arange(total, dtype=np.int64)
+    not_last = idx < np.repeat(ends - 1, sizes)
+    chain_a = idx[not_last]
+    chain_b = chain_a + 1
+    # star edges anchor→member for members ≥ 2 positions past the anchor
+    # (anchor→start+1 is already the first chain edge)
+    group_start = np.repeat(starts, sizes)
+    deep = idx >= group_start + 2
+    star_a = group_start[deep]
+    star_b = idx[deep]
+    return np.concatenate([chain_a, star_a]), np.concatenate([chain_b, star_b])
+
 
 # ---------------------------------------------------------------- exact
 
@@ -37,6 +105,16 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 def add_content_hash(batch: pa.Table, column: str, out: str = "content_hash") -> pa.Table:
     h = hash64_column(batch.column(column))
     return batch.append_column(out, pa.array(h.astype(np.int64)))
+
+
+def _rename_or_empty(t: pa.Table, names: list[str], types: list) -> pa.Table:
+    """Rename a groupby-aggregate block; an all-empty aggregation can
+    emit a zero-column block (the per-shard empty frames lose their
+    schema through the exchange) — substitute a typed empty table so
+    downstream consumers keep a stable schema."""
+    if t.num_columns == len(names):
+        return t.rename_columns(names)
+    return pa.table({n: pa.array([], ty) for n, ty in zip(names, types)})
 
 
 def exact_dedup(ds, column: str = "text", id_column: str = "doc_id"):
@@ -172,6 +250,39 @@ class MinHashBandStage:
         )
 
 
+class MinHashSignatureStage:
+    """docs batch → one (doc_id, sig) row per doc; ``sig`` is the packed
+    little-endian uint64[num_perm] signature as a fixed-length binary
+    value (1 KiB at num_perm=128) — binary packs shuffle/join cleanly
+    where list columns trip Ray's pandas-block schema hashing."""
+
+    def __init__(self, text_column: str = "text", id_column: str = "doc_id",
+                 num_perm: int = 128, shingle_n: int = 3, seed: int = 42):
+        self.band_stage = MinHashBandStage(text_column, id_column, num_perm,
+                                           bands=1, shingle_n=shingle_n, seed=seed)
+        self.text_column = text_column
+        self.id_column = id_column
+        self.num_perm = num_perm
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_column).to_pylist()
+        sigs = self.band_stage.signatures(texts)
+        width = sigs.shape[1] * 8
+        packed = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(width), len(texts),
+            [None, pa.py_buffer(np.ascontiguousarray(sigs).tobytes())],
+        )
+        return pa.table({"doc_id": batch.column(self.id_column), "sig": packed})
+
+
+def _unpack_sigs(col, num_perm: int) -> np.ndarray:
+    """(n, num_perm) uint64 matrix from a packed-binary pandas column."""
+    if len(col) == 0:
+        return np.zeros((0, num_perm), dtype=np.uint64)
+    buf = b"".join(col)
+    return np.frombuffer(buf, dtype=np.uint64).reshape(len(col), num_perm)
+
+
 def minhash_lsh_pairs(
     ds,
     text_column: str = "text",
@@ -183,26 +294,34 @@ def minhash_lsh_pairs(
     threshold: float = 0.7,
     seed: int = 42,
     dedup_pairs: bool = True,
+    emit_mode: str = "all",
+    sig_join_buckets: int = 32,
 ):
-    """Near-duplicate candidate pairs (a < b, deduplicated across bands
-    unless ``dedup_pairs=False`` — clustering callers tolerate duplicate
-    edges and skip that exchange).
+    """Near-duplicate pairs (a < b, deduplicated across bands unless
+    ``dedup_pairs=False`` — clustering callers tolerate duplicate edges
+    and skip that exchange), verified by signature-estimated Jaccard ≥
+    ``threshold``.
 
-    Scale design: the full corpus makes exactly ONE pass through the one
-    all-to-all exchange — lean (doc_id, band_id, band_hash) rows (20 B,
-    no signature payload) salted into 64 shards, each shard emitting
-    star-pattern candidate pairs with a duplicated-mask + grouped
-    transform (vectorized; no per-bucket Python — a naive per-bucket
-    ``map_groups`` spent ~100 µs on each of millions of singleton
-    buckets, and the previous count-aggregate + hot-filter design paid
-    two extra exchanges/passes for the same result).  Candidate ids and
-    their recomputed signatures are small sides broadcast via ``ray.put``
-    (assumption, stated: near-dup candidates ≪ corpus — the standard LSH
-    regime); the estimated-Jaccard verify is one vectorized equality per
-    candidate batch.
+    Scale design — fully distributed, nothing candidate-scale on the
+    driver:
+
+    * the full corpus makes ONE pass through the band exchange — lean
+      (doc_id, band_id, band_hash) rows (20 B, no signature payload)
+      salted into 64 shards, each shard emitting ALL within-bucket
+      candidate pairs with a duplicated-mask + one vectorized all-pairs
+      index (no per-bucket Python; ``emit_mode='connect'`` emits linear
+      chain+star edges instead for clustering callers);
+    * signatures are computed once into a compact packed-binary table
+      (8·num_perm B/doc) and attached to candidate pairs by two bucketed
+      hash joins (:func:`~biocurator_mapper_ray.ops.join.hash_join`);
+      the estimated-Jaccard verify is fused into the second join's
+      bucket task as one vectorized equality.  Non-candidate signatures
+      simply find no partner in their bucket — no driver collection, no
+      broadcast dict, no "candidates fit in driver memory" assumption.
     """
-    import ray
     import ray.data as rd
+
+    from .join import hash_join
 
     stage = MinHashBandStage(text_column, id_column, num_perm, bands, shingle_n, seed)
     n_salt = 64
@@ -213,9 +332,15 @@ def minhash_lsh_pairs(
                 % np.uint64(n_salt)).astype(np.int32)
         return t.append_column("__salt", pa.array(salt))
 
+    pair_index = _allpairs_index if emit_mode == "all" else _connect_index
+
     def cands_in_salt(group: pd.DataFrame) -> pd.DataFrame:
-        """One salt shard → star-pattern candidate pairs, vectorized
-        (no per-bucket Python: duplicated-mask + grouped transform)."""
+        """One salt shard → candidate pairs, vectorized (duplicated-mask
+        to drop singleton buckets, then one all-pairs/connect index over
+        the contiguous sorted buckets — no per-bucket Python).  Emits ALL
+        within-bucket pairs (``emit_mode='all'``), so a qualifying (b, c)
+        pair is produced even when neither doc is the bucket's min-id
+        member — the star-pattern emission this replaces dropped those."""
         g = group[group.duplicated(["band_id", "band_hash"], keep=False)]
         if g.empty:
             return pd.DataFrame({"a": pd.Series(dtype=np.int64),
@@ -223,79 +348,61 @@ def minhash_lsh_pairs(
         g = g.sort_values(["band_id", "band_hash", "doc_id"]).drop_duplicates(
             ["band_id", "band_hash", "doc_id"]
         )
-        anchor = g.groupby(["band_id", "band_hash"], sort=False)["doc_id"].transform("first")
-        mask = g["doc_id"].to_numpy() != anchor.to_numpy()
-        return pd.DataFrame(
-            {"a": anchor.to_numpy()[mask], "b": g["doc_id"].to_numpy()[mask]}
-        ).drop_duplicates()
+        sizes = g.groupby(["band_id", "band_hash"], sort=False).size().to_numpy()
+        ia, ib = pair_index(sizes)
+        docs = g["doc_id"].to_numpy()
+        return pd.DataFrame({"a": docs[ia], "b": docs[ib]}).drop_duplicates()
 
-    # the ONE full-data exchange: salted groupby (64 shards) emitting
-    # candidate pairs directly — no separate count aggregate, no second
-    # pass over the band rows
+    # the ONE full-data band exchange: salted groupby (64 shards)
+    # emitting candidate pairs directly — no separate count aggregate,
+    # no second pass over the band rows
     cands = (
         ds.map_batches(band_rows_salted, batch_format="pyarrow")
         .groupby("__salt")
         .map_groups(cands_in_salt, batch_format="pandas")
-        .materialize()  # tiny (LSH assumption); feeds id-collect + verify
     )
-    cand_pdf = cands.to_pandas()
-    if cand_pdf.empty:
-        return rd.from_arrow(
-            pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                      "est_jaccard": pa.array([], pa.float64())})
-        )
-    cand_ids = set(cand_pdf["a"].tolist()) | set(cand_pdf["b"].tolist())
-    cand_ref = ray.put(cand_ids)
 
-    class CandSigs:
-        def __init__(self, ref):
-            self.cand = ray.get(ref) if not isinstance(ref, set) else ref
+    # signature table, computed once and reused by both join sides;
+    # compact (8·num_perm B/doc) so materializing is ~1000× lighter
+    # than the text corpus and the object store may spill it freely
+    sigs = ds.map_batches(
+        MinHashSignatureStage(text_column, id_column, num_perm, shingle_n, seed),
+        batch_format="pyarrow",
+    ).materialize()
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = pa.array([i in self.cand for i in batch.column(id_column).to_pylist()])
-            sub = batch.filter(mask)
-            sigs = stage.signatures(sub.column(text_column).to_pylist())
-            n = len(sub)
-            return pa.table(
-                {
-                    "doc_id": sub.column(id_column),
-                    "signature": pa.ListArray.from_arrays(
-                        pa.array(np.arange(0, (n + 1) * num_perm, num_perm, dtype=np.int32)),
-                        pa.array(sigs.view(np.int64).reshape(-1)),
-                    ) if n else pa.array([], pa.list_(pa.int64())),
-                }
-            )
-
-    sig_tbl = ds.map_batches(CandSigs, fn_constructor_args=(cand_ref,),
-                             batch_format="pyarrow", concurrency=1).to_pandas()
-    sig_map = {
-        int(d): np.asarray(s, dtype=np.int64)
-        for d, s in zip(sig_tbl["doc_id"], sig_tbl["signature"])
-    }
-    sig_map_ref = ray.put(sig_map)
-
-    def verify(batch: pa.Table) -> pa.Table:
-        """Signature-estimated Jaccard over candidate pairs (broadcast
-        sig map, one vectorized equality per batch)."""
-        sigs = ray.get(sig_map_ref) if not isinstance(sig_map_ref, dict) else sig_map_ref
-        a = batch.column("a").to_numpy()
-        b = batch.column("b").to_numpy()
-        if len(a) == 0:
-            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                             "est_jaccard": pa.array([], pa.float64())})
-        mat_a = np.stack([sigs[int(i)] for i in a])
-        mat_b = np.stack([sigs[int(i)] for i in b])
+    def verify_df(df: pd.DataFrame) -> pd.DataFrame:
+        """Fused into the second join's bucket task: one vectorized
+        signature-equality pass over the bucket's candidate pairs."""
+        if df.empty:
+            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                 "b": pd.Series(dtype=np.int64),
+                                 "est_jaccard": pd.Series(dtype=np.float64)})
+        mat_a = _unpack_sigs(df["sig_a"].to_numpy(), num_perm)
+        mat_b = _unpack_sigs(df["sig"].to_numpy(), num_perm)
         est = (mat_a == mat_b).mean(axis=1)
         keep = est >= threshold
-        return pa.table(
-            {
-                "a": pa.array(a[keep]),
-                "b": pa.array(b[keep]),
-                "est_jaccard": pa.array(est[keep], pa.float64()),
-            }
-        )
+        return pd.DataFrame({"a": df["a"].to_numpy()[keep],
+                             "b": df["b"].to_numpy()[keep],
+                             "est_jaccard": est[keep]})
 
-    pairs = cands.map_batches(verify, batch_format="pyarrow")
+    i64 = np.dtype(np.int64)
+    sig_dt = np.dtype(object)
+    with_sig_a = hash_join(
+        cands, sigs, left_on="a", right_on="doc_id", buckets=sig_join_buckets,
+        left_columns=["a", "b"], right_columns=["doc_id", "sig"],
+        left_dtypes={"a": i64, "b": i64},
+        right_dtypes={"doc_id": i64, "sig": sig_dt},
+    ).map_batches(
+        lambda t: t.select(["a", "b", "sig"]).rename_columns(["a", "b", "sig_a"]),
+        batch_format="pyarrow",
+    )
+    pairs = hash_join(
+        with_sig_a, sigs, left_on="b", right_on="doc_id",
+        buckets=sig_join_buckets, bucket_postprocess=verify_df,
+        left_columns=["a", "b", "sig_a"], right_columns=["doc_id", "sig"],
+        left_dtypes={"a": i64, "b": i64, "sig_a": sig_dt},
+        right_dtypes={"doc_id": i64, "sig": sig_dt},
+    )
     if not dedup_pairs:
         return pairs
     # same pair can surface from several bands → keep max estimate
@@ -303,8 +410,92 @@ def minhash_lsh_pairs(
     # pandas-format blocks that groupby aggregations emit)
     deduped = pairs.groupby(["a", "b"]).max("est_jaccard")
     return deduped.map_batches(
-        lambda t: t.rename_columns(["a", "b", "est_jaccard"]),
+        lambda t: _rename_or_empty(t, ["a", "b", "est_jaccard"],
+                                   [pa.int64(), pa.int64(), pa.float64()]),
         batch_format="pyarrow",
+    )
+
+
+def connected_components(edges, *, max_iters: int = 10, shards: int = 64):
+    """Distributed connected components over an (a, b) edge Dataset:
+    (node, component) rows where component = min doc_id in the component.
+
+    Min-label propagation with the label state carried ON the edge-
+    endpoint rows (a, b, node, label) — two rows per edge — so each
+    round is two salted groupby exchanges and zero joins:
+
+    1. group by edge (a, b): both endpoint rows take the edge's min
+       label (the label crosses the edge);
+    2. group by node: all of a node's rows take the node's min label
+       (the label fans back out over the node's incident edges).
+
+    Each round's transforms are vectorized inside 64 salt shards
+    (pandas ``groupby(...).transform('min')`` — no per-edge/per-node
+    Python).  Labels decrease monotonically, so an unchanged
+    ``sum(label)`` between rounds proves convergence; propagation
+    reaches distance ≥ 1 per round (O(component diameter) rounds —
+    near-dup components are shallow).  Nothing edge-scale ever lands
+    on the driver.
+    """
+    import ray.data as rd
+
+    def to_endpoint_rows(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy().astype(np.int64)
+        b = batch.column("b").to_numpy().astype(np.int64)
+        node = np.concatenate([a, b])
+        ea = np.concatenate([a, a])
+        eb = np.concatenate([b, b])
+        return pa.table({
+            "a": pa.array(ea), "b": pa.array(eb),
+            "node": pa.array(node), "label": pa.array(node.copy()),
+        })
+
+    P = np.uint64(0x9E3779B97F4A7C15)
+
+    def add_edge_shard(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy().astype(np.uint64)
+        b = batch.column("b").to_numpy().astype(np.uint64)
+        s = ((a * P + b) ^ ((a * P + b) >> np.uint64(29))) % np.uint64(shards)
+        return batch.append_column("__shard", pa.array(s.astype(np.int32)))
+
+    def add_node_shard(batch: pa.Table) -> pa.Table:
+        n = batch.column("node").to_numpy().astype(np.uint64)
+        s = ((n * P) ^ ((n * P) >> np.uint64(29))) % np.uint64(shards)
+        return batch.append_column("__shard", pa.array(s.astype(np.int32)))
+
+    def edge_min(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.drop(columns="__shard")
+        group["label"] = group.groupby(["a", "b"], sort=False)["label"].transform("min")
+        return group
+
+    def node_min(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.drop(columns="__shard")
+        group["label"] = group.groupby("node", sort=False)["label"].transform("min")
+        return group
+
+    state = edges.map_batches(to_endpoint_rows, batch_format="pyarrow").materialize()
+    if state.count() == 0:
+        return rd.from_pandas(
+            pd.DataFrame({"node": pd.Series(dtype=np.int64),
+                          "component": pd.Series(dtype=np.int64)})
+        )
+    prev_sum = None
+    for _ in range(max_iters):
+        state = (
+            state.map_batches(add_edge_shard, batch_format="pyarrow")
+            .groupby("__shard").map_groups(edge_min, batch_format="pandas")
+            .map_batches(add_node_shard, batch_format="pyarrow")
+            .groupby("__shard").map_groups(node_min, batch_format="pandas")
+            .materialize()
+        )
+        label_sum = state.sum("label")
+        if prev_sum is not None and label_sum == prev_sum:
+            break
+        prev_sum = label_sum
+
+    comps = state.groupby("node").min("label")
+    return comps.map_batches(
+        lambda t: t.rename_columns(["node", "component"]), batch_format="pyarrow"
     )
 
 
@@ -319,42 +510,19 @@ def minhash_dedup(
 ):
     """Cluster near-duplicates and return (doc_id, cluster_id) rows.
 
-    Connected components via iterative min-label propagation over the
-    candidate-pair edge list — each round is a groupby (no driver-side
-    union-find), converging in O(diameter) rounds; near-dup clusters are
-    shallow so a handful of rounds suffices.
+    Fully distributed: candidate edges stay a Dataset (linear
+    ``emit_mode='connect'`` chain+star edges — the full quadratic pair
+    set is not needed for connectivity), verification is the fused
+    signature join in :func:`minhash_lsh_pairs`, and clustering is
+    :func:`connected_components` min-label propagation — no driver-side
+    edge list, signature dict, or candidate materialization anywhere.
     """
     pairs = minhash_lsh_pairs(ds, text_column, id_column, threshold=threshold,
-                              dedup_pairs=False, **kwargs)
-
-    import ray.data as rd
-
-    # The candidate edge list is small by the LSH assumption (stated in
-    # minhash_lsh_pairs) — collect once and propagate min labels in
-    # memory.  Each propagation round over the edge array is vectorized;
-    # near-dup components are shallow so few rounds converge.
-    edge_pdf = pairs.to_pandas().drop_duplicates(subset=["a", "b"])
-    if edge_pdf.empty:
-        return rd.from_pandas(
-            pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
-                          "cluster_id": pd.Series(dtype=np.int64)})
-        )
-    a = edge_pdf["a"].to_numpy(dtype=np.int64)
-    b = edge_pdf["b"].to_numpy(dtype=np.int64)
-    nodes = np.unique(np.concatenate([a, b]))
-    index = {int(n): i for i, n in enumerate(nodes)}
-    ia = np.fromiter((index[int(x)] for x in a), count=len(a), dtype=np.int64)
-    ib = np.fromiter((index[int(x)] for x in b), count=len(b), dtype=np.int64)
-    label = nodes.copy()
-    for _ in range(max_iters):
-        m = np.minimum(label[ia], label[ib])
-        before = label.copy()
-        np.minimum.at(label, ia, m)
-        np.minimum.at(label, ib, m)
-        if np.array_equal(label, before):
-            break
-    out = pd.DataFrame({"doc_id": nodes, "cluster_id": label}).sort_values("doc_id")
-    return rd.from_pandas(out)
+                              dedup_pairs=False, emit_mode="connect", **kwargs)
+    comps = connected_components(pairs, max_iters=max_iters)
+    return comps.map_batches(
+        lambda t: t.rename_columns(["doc_id", "cluster_id"]), batch_format="pyarrow"
+    )
 
 
 # -------------------------------------------------------------- simhash
@@ -390,14 +558,27 @@ class SimHashStage:
 
 
 def simhash_pairs(ds, text_column: str = "text", id_column: str = "doc_id",
-                  *, max_hamming: int = 3, seed: int = 42):
+                  *, max_hamming: int = 3, seed: int = 42,
+                  simhash_stage=None, pair_block: int = 1024):
     """Near-dup pairs by SimHash: band 64 bits into 4×16-bit chunks
-    (any pair within Hamming ≤ 3 shares ≥ 1 exact chunk), verify exact
-    Hamming distance inside the bucket."""
+    (pigeonhole: any pair within Hamming ≤ 3 shares ≥ 1 exact chunk),
+    verify exact Hamming distance inside the bucket.
+
+    Emits ALL within-bucket pairs via a blocked pairwise-XOR popcount
+    (tiles of ``pair_block``² bound memory on oversized buckets), so the
+    pigeonhole recall guarantee actually holds — the previous anchor-vs-
+    rest comparison dropped any qualifying pair not involving the
+    bucket's min-id doc.  Like minhash, the bucket scan is salted into
+    64 shards with singleton buckets dropped by a vectorized duplicated
+    mask — no per-bucket task overhead.
+    """
+    n_salt = 64
+    stage = simhash_stage or SimHashStage(text_column, id_column, seed)
 
     def explode_chunks(batch: pa.Table) -> pa.Table:
-        sims = batch.column("simhash").to_numpy().astype(np.uint64)
-        ids = batch.column("doc_id").to_numpy()
+        hashed = stage(batch)
+        sims = hashed.column("simhash").to_numpy().astype(np.uint64)
+        ids = hashed.column("doc_id").to_numpy()
         out_id, out_chunk, out_val, out_sim = [], [], [], []
         for chunk in range(4):
             vals = (sims >> np.uint64(16 * chunk)) & np.uint64(0xFFFF)
@@ -405,43 +586,59 @@ def simhash_pairs(ds, text_column: str = "text", id_column: str = "doc_id",
             out_chunk.append(np.full(len(ids), chunk, dtype=np.int32))
             out_val.append(vals.astype(np.int64))
             out_sim.append(sims.astype(np.int64))
+        chunk_col = np.concatenate(out_chunk)
+        val_col = np.concatenate(out_val)
+        salt = ((val_col.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                 + chunk_col.astype(np.uint64)) % np.uint64(n_salt)).astype(np.int32)
         return pa.table(
             {
                 "doc_id": pa.array(np.concatenate(out_id)),
-                "chunk_id": pa.array(np.concatenate(out_chunk)),
-                "chunk_val": pa.array(np.concatenate(out_val)),
+                "chunk_id": pa.array(chunk_col),
+                "chunk_val": pa.array(val_col),
                 "simhash": pa.array(np.concatenate(out_sim)),
+                "__salt": pa.array(salt),
             }
         )
 
-    def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates(subset=["doc_id"]).sort_values("doc_id")
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "hamming": []}).astype(
-                {"a": np.int64, "b": np.int64, "hamming": np.int64}
-            )
-        ids = g["doc_id"].to_numpy()
+    def pairs_in_shard(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                              "b": pd.Series(dtype=np.int64),
+                              "hamming": pd.Series(dtype=np.int64)})
+        g = group[group.duplicated(["chunk_id", "chunk_val"], keep=False)]
+        if g.empty:
+            return empty
+        g = g.sort_values(["chunk_id", "chunk_val", "doc_id"]).drop_duplicates(
+            ["chunk_id", "chunk_val", "doc_id"]
+        )
+        sizes = g.groupby(["chunk_id", "chunk_val"], sort=False).size().to_numpy()
+        docs = g["doc_id"].to_numpy()
         sims = g["simhash"].to_numpy().astype(np.uint64)
-        xor = sims[0] ^ sims[1:]
-        ham = np.array([bin(int(x)).count("1") for x in xor], dtype=np.int64)
-        keep = ham <= max_hamming
-        return pd.DataFrame(
-            {
-                "a": np.full(int(keep.sum()), ids[0], dtype=np.int64),
-                "b": ids[1:][keep],
-                "hamming": ham[keep],
-            }
-        )
+        out = []
+        # blocked all-pairs per bucket: tile the (ia, ib) index stream so
+        # a pathological bucket never allocates an m×m matrix at once
+        ia, ib = _allpairs_index(sizes)
+        for lo in range(0, len(ia), pair_block * pair_block):
+            sl = slice(lo, lo + pair_block * pair_block)
+            ham = _popcount64(sims[ia[sl]] ^ sims[ib[sl]])
+            keep = ham <= max_hamming
+            if keep.any():
+                out.append(pd.DataFrame({"a": docs[ia[sl]][keep],
+                                         "b": docs[ib[sl]][keep],
+                                         "hamming": ham[keep]}))
+        if not out:
+            return empty
+        return pd.concat(out, ignore_index=True)
 
-    hashed = ds.map_batches(SimHashStage(text_column, id_column, seed),
-                            batch_format="pyarrow")
-    chunks = hashed.map_batches(explode_chunks, batch_format="pyarrow")
-    pairs = chunks.groupby(["chunk_id", "chunk_val"]).map_groups(
-        pairs_in_bucket, batch_format="pandas"
+    pairs = (
+        ds.map_batches(explode_chunks, batch_format="pyarrow")
+        .groupby("__salt")
+        .map_groups(pairs_in_shard, batch_format="pandas")
     )
     deduped = pairs.groupby(["a", "b"]).min("hamming")
     return deduped.map_batches(
-        lambda t: t.rename_columns(["a", "b", "hamming"]), batch_format="pyarrow"
+        lambda t: _rename_or_empty(t, ["a", "b", "hamming"],
+                                   [pa.int64(), pa.int64(), pa.int64()]),
+        batch_format="pyarrow",
     )
 
 

@@ -78,6 +78,8 @@ def hash_join(
     how: str = "inner",
     left_columns: list[str] | None = None,
     right_columns: list[str] | None = None,
+    left_dtypes: dict | None = None,
+    right_dtypes: dict | None = None,
     bucket_postprocess=None,
 ):
     """Partitioned hash join of two Datasets on equality of keys.
@@ -96,8 +98,11 @@ def hash_join(
         raise ValueError(f"ambiguous columns in join: {sorted(overlap)}")
     all_cols = list(dict.fromkeys(lcols + rcols))
 
-    l_dtypes = _side_dtypes(left, lcols)
-    r_dtypes = _side_dtypes(right, rcols)
+    # explicit dtype overrides let callers with lazy inputs (map_groups
+    # chains whose schema is unknown until executed) skip the ds.schema()
+    # call, which would otherwise force an extra execution of the plan
+    l_dtypes = left_dtypes if left_dtypes is not None else _side_dtypes(left, lcols)
+    r_dtypes = right_dtypes if right_dtypes is not None else _side_dtypes(right, rcols)
 
     tagged_l = _tag_and_bucket(left.select_columns(lcols), left_on, 0, buckets, all_cols)
     tagged_r = _tag_and_bucket(right.select_columns(rcols), right_on, 1, buckets, all_cols)

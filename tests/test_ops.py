@@ -103,6 +103,54 @@ class TestMinHash:
         assert ngram_jaccard("", "") == 1.0
         assert ngram_jaccard("a b c", "") == 0.0
 
+    def test_three_identical_docs_emit_all_pairs(self, ray_session):
+        """Regression: star-pattern emission dropped the (2, 3) pair —
+        all within-bucket pairs must surface, not just anchor-vs-rest."""
+        import ray.data as rd
+
+        text = "the quick brown fox jumps over the lazy dog again and again today"
+        rows = [{"doc_id": i, "text": text} for i in (1, 2, 3)]
+        pairs = minhash_lsh_pairs(rd.from_items(rows), threshold=0.5).to_pandas()
+        got = {tuple(sorted((a, b))) for a, b in zip(pairs["a"], pairs["b"])}
+        assert got == {(1, 2), (1, 3), (2, 3)}
+
+    def test_distributed_cluster_high_dup_corpus(self, ray_session):
+        """Skew test: a dup-heavy corpus (many large duplicate groups)
+        clusters correctly through the fully-distributed path — no
+        driver-side candidate/signature/edge materialization exists in
+        the implementation to fall back on."""
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.dedup import minhash_dedup
+
+        rows = []
+        for g in range(5):
+            text = " ".join(f"group{g}word{i} filler{i} token{i}" for i in range(12))
+            for j in range(20):  # 20 identical docs per group
+                rows.append({"doc_id": g * 100 + j, "text": text})
+        out = minhash_dedup(rd.from_items(rows), threshold=0.7).to_pandas()
+        assert len(out) == 100
+        by_cluster = out.groupby("cluster_id")["doc_id"].apply(
+            lambda s: sorted(s.tolist())
+        )
+        assert sorted(map(tuple, by_cluster)) == [
+            tuple(range(g * 100, g * 100 + 20)) for g in range(5)
+        ]
+        # cluster id is the component's min doc_id
+        assert sorted(by_cluster.index.tolist()) == [0, 100, 200, 300, 400]
+
+    def test_pair_index_helpers(self):
+        from biocurator_mapper_ray.ops.dedup import _allpairs_index, _connect_index
+
+        ia, ib = _allpairs_index(np.array([3, 1, 2]))
+        assert list(zip(ia.tolist(), ib.tolist())) == [(0, 1), (0, 2), (1, 2), (4, 5)]
+        ia, ib = _allpairs_index(np.array([], dtype=np.int64))
+        assert len(ia) == 0
+        ia, ib = _connect_index(np.array([4, 2]))
+        got = set(zip(ia.tolist(), ib.tolist()))
+        # chain 0-1-2-3 + star 0-2, 0-3; chain 4-5
+        assert got == {(0, 1), (1, 2), (2, 3), (0, 2), (0, 3), (4, 5)}
+
 
 class TestSimHash:
     def test_near_identical_pair_found(self, ray_session):
@@ -118,6 +166,52 @@ class TestSimHash:
         got = {tuple(sorted((a, b))) for a, b in zip(pairs["a"], pairs["b"])}
         assert (1, 2) in got
         assert not any(3 in p for p in got)
+
+    def test_three_identical_docs_emit_all_pairs(self, ray_session):
+        """Regression: anchor-vs-rest comparison dropped (2, 3); the
+        pigeonhole guarantee requires every within-bucket pair."""
+        import ray.data as rd
+
+        text = " ".join(f"word{i}" for i in range(60))
+        rows = [{"doc_id": i, "text": text} for i in (1, 2, 3)]
+        pairs = simhash_pairs(rd.from_items(rows), max_hamming=3).to_pandas()
+        got = {tuple(sorted((a, b))) for a, b in zip(pairs["a"], pairs["b"])}
+        assert got == {(1, 2), (1, 3), (2, 3)}
+        assert (pairs["hamming"] == 0).all()
+
+    def test_matches_bruteforce_hamming(self, ray_session):
+        """LSH-banded pairs == brute-force all-pairs Hamming ≤ 3 (the
+        pigeonhole recall guarantee, end to end on a varied corpus)."""
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.dedup import SimHashStage, _popcount64
+
+        rng = np.random.default_rng(7)
+        vocab = [f"tok{i}" for i in range(50)]
+        rows = []
+        for d in range(30):
+            n = rng.integers(20, 40)
+            rows.append({"doc_id": d, "text": " ".join(rng.choice(vocab, n))})
+        # planted near-dups: single-token edits of doc 0 land within a
+        # few Hamming bits; exact dups land at 0
+        base = rows[0]["text"]
+        rows.append({"doc_id": 30, "text": base})
+        rows.append({"doc_id": 31, "text": base + " tok0"})
+        rows.append({"doc_id": 32, "text": base})
+        got = simhash_pairs(rd.from_items(rows), max_hamming=3).to_pandas()
+        got_pairs = {(a, b) for a, b in zip(got["a"], got["b"])}
+        assert {(0, 30), (0, 32), (30, 32)} <= got_pairs
+
+        stage = SimHashStage()
+        sims = np.array([stage.simhash(r["text"]) for r in rows], dtype=np.uint64)
+        ham = _popcount64(sims[:, None] ^ sims[None, :])
+        want = {
+            (i, j)
+            for i in range(len(rows))
+            for j in range(i + 1, len(rows))
+            if ham[i, j] <= 3
+        }
+        assert got_pairs == want
 
 
 class TestKnnSearch:
