@@ -471,15 +471,23 @@ def _q_fingerprints(sf_dir: str):
 
 
 def _q_lang_quality(sf_dir: str):
-    """Language ID + ratio features (heuristics — rows-only check)."""
-    from biocurator_mapper_ray.ops.textstats import LangIdStage, quality_scores
+    """Language-ID vote with its exact integer evidence (per-language
+    stopword hit counts) — fully SQL-expressible, so the heuristic is
+    driver hash-checked instead of rows-only.  Float ratio features are
+    covered by quality_counts_documents' integer numerators plus unit
+    tests (float rounding modes differ between numpy and DuckDB)."""
+    from biocurator_mapper_ray.ops.textstats import LangIdStage
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    out = ds.map_batches(quality_scores, batch_format="pyarrow").map_batches(
-        LangIdStage, batch_format="pyarrow", concurrency=1
+    out = ds.map_batches(
+        LangIdStage,
+        fn_constructor_kwargs={"details": True},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
     )
     return out.select_columns(
-        ["doc_id", "punct_ratio", "digit_ratio", "upper_ratio", "lang_pred", "lang_score"]
+        ["doc_id", "lang_pred", "lang_hits", "lang_n_words",
+         "de_hits", "en_hits", "es_hits", "fr_hits"]
     ).sort("doc_id")
 
 
@@ -491,10 +499,15 @@ def _q_dedup_minhash(sf_dir: str):
 
 
 def _q_dedup_simhash(sf_dir: str):
-    from biocurator_mapper_ray.ops.dedup import simhash_pairs
+    """SimHash near-dup pairs with the md5 token hash — byte-identical
+    to the DuckDB oracle's CAST('0x'||substr(md5(tok),1,16) AS UBIGINT),
+    so the banded-LSH pigeonhole recall is driver-verified against a
+    brute-force SQL self-join."""
+    from biocurator_mapper_ray.ops.dedup import SimHashStage, simhash_pairs
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return simhash_pairs(ds, max_hamming=3).sort(["a", "b"])
+    stage = SimHashStage(token_hash="md5")
+    return simhash_pairs(ds, max_hamming=3, simhash_stage=stage).sort(["a", "b"])
 
 
 def _q_knn_embeddings(sf_dir: str):
@@ -728,6 +741,72 @@ def oracle_sql() -> dict[str, str]:
                    md5(lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g'))) AS fp_md5
             FROM documents
             ORDER BY doc_id
+        """,
+        "lang_quality_documents": """
+            WITH words AS (
+                SELECT doc_id,
+                       list_slice(regexp_extract_all(lower(text), '[a-z]+'),
+                                  1, 200) AS ws
+                FROM documents
+            ),
+            counts AS (
+                SELECT doc_id,
+                       CAST(len(ws) AS BIGINT) AS lang_n_words,
+                       CAST(len(list_filter(ws, w -> w IN ('der','die','das','und',
+                            'ist','nicht','ein','eine','mit','für','auf','von')))
+                            AS BIGINT) AS de_hits,
+                       CAST(len(list_filter(ws, w -> w IN ('the','and','of','to','a',
+                            'in','is','that','for','it','with','was','on','as')))
+                            AS BIGINT) AS en_hits,
+                       CAST(len(list_filter(ws, w -> w IN ('el','la','los','las','y',
+                            'es','una','un','de','para','en','que','por')))
+                            AS BIGINT) AS es_hits,
+                       CAST(len(list_filter(ws, w -> w IN ('le','la','les','et','est',
+                            'une','un','des','du','pour','dans','que')))
+                            AS BIGINT) AS fr_hits
+                FROM words
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(de_hits, en_hits, es_hits, fr_hits) = 0
+                             THEN 'und'
+                        WHEN de_hits = greatest(de_hits, en_hits, es_hits, fr_hits)
+                             THEN 'de'
+                        WHEN en_hits = greatest(de_hits, en_hits, es_hits, fr_hits)
+                             THEN 'en'
+                        WHEN es_hits = greatest(de_hits, en_hits, es_hits, fr_hits)
+                             THEN 'es'
+                        ELSE 'fr' END AS lang_pred,
+                   greatest(de_hits, en_hits, es_hits, fr_hits) AS lang_hits,
+                   lang_n_words, de_hits, en_hits, es_hits, fr_hits
+            FROM counts
+            ORDER BY doc_id
+        """,
+        "dedup_simhash_documents": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CAST('0x' || substr(md5(t.tok), 1, 16) AS UBIGINT) AS h
+                FROM documents, unnest(string_split(lower(text), ' ')) AS t(tok)
+                WHERE t.tok <> ''
+            ),
+            bits AS (
+                SELECT doc_id, b.j,
+                       sum(CASE WHEN (h >> b.j) & 1 = 1 THEN 1 ELSE -1 END) AS score
+                FROM toks, (SELECT unnest(range(64)) AS j) b
+                GROUP BY doc_id, b.j
+            ),
+            sims AS (
+                SELECT d.doc_id,
+                       CAST(coalesce(sum(CASE WHEN s.score > 0
+                                              THEN CAST(1 AS UBIGINT) << s.j
+                                              ELSE 0 END), 0) AS UBIGINT) AS sh
+                FROM documents d LEFT JOIN bits s ON d.doc_id = s.doc_id
+                GROUP BY d.doc_id
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+            FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sh, b.sh)) <= 3
+            ORDER BY a, b
         """,
         "knn_embeddings": """
             WITH q AS (

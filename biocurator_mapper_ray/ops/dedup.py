@@ -529,26 +529,68 @@ def minhash_dedup(
 
 
 class SimHashStage:
-    """docs batch → (doc_id, simhash) rows (64-bit)."""
+    """docs batch → (doc_id, simhash) rows (64-bit).
+
+    ``token_hash='fast'`` (default) hashes tokens with the engine's
+    xx-style 64-bit hash; ``token_hash='md5'`` uses the first 16 hex
+    chars of md5 — byte-identical to DuckDB's
+    ``CAST('0x' || substr(md5(tok), 1, 16) AS UBIGINT)``, which gives
+    the op an exact SQL oracle (md5 values are cached per actor; the
+    token vocabulary is tiny relative to the token stream).
+    """
 
     def __init__(self, text_column: str = "text", id_column: str = "doc_id",
-                 seed: int = 42):
+                 seed: int = 42, token_hash: str = "fast"):
+        assert token_hash in ("fast", "md5")
         self.text_column = text_column
         self.id_column = id_column
         self.seed = seed
+        self.token_hash = token_hash
+        self._md5_cache: dict[str, int] = {}
+
+    def _hash_tokens(self, toks: list[str]) -> np.ndarray:
+        if self.token_hash == "fast":
+            return hash64_column(pa.chunked_array([pa.array(toks)]), self.seed)
+        import hashlib
+
+        cache = self._md5_cache
+        out = np.empty(len(toks), dtype=np.uint64)
+        for i, t in enumerate(toks):
+            v = cache.get(t)
+            if v is None:
+                v = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:16], 16)
+                cache[t] = v
+            out[i] = v
+        return out
+
+    def _simhash_batch(self, texts: list[str]) -> np.ndarray:
+        """One flat hash pass over all tokens + segmented sign-sum via
+        ``np.add.reduceat`` — no per-doc hashing loop."""
+        lengths = np.empty(len(texts), dtype=np.int64)
+        all_toks: list[str] = []
+        for i, t in enumerate(texts):
+            tk = (t or "").lower().split()
+            lengths[i] = len(tk)
+            all_toks.extend(tk)
+        sims = np.zeros(len(texts), dtype=np.uint64)
+        if all_toks:
+            h = self._hash_tokens(all_toks)
+            bit_idx = np.arange(64, dtype=np.uint64)
+            sign = (2 * ((h[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int32) - 1)
+            nonempty = lengths > 0
+            starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])[nonempty]
+            scores = np.add.reduceat(sign, starts, axis=0)
+            sims[nonempty] = (
+                (scores > 0).astype(np.uint64) << bit_idx[None, :]
+            ).sum(axis=1)
+        return sims
 
     def simhash(self, text: str) -> int:
-        toks = text.lower().split()
-        if not toks:
-            return 0
-        h = hash64_column(pa.chunked_array([pa.array(toks)]), self.seed)
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
-        score = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-        return int(((score > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+        return int(self._simhash_batch([text])[0])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_column).to_pylist()
-        sims = np.array([self.simhash(t or "") for t in texts], dtype=np.uint64)
+        sims = self._simhash_batch(texts)
         return pa.table(
             {
                 "doc_id": batch.column(self.id_column),

@@ -83,29 +83,61 @@ class LangIdStage:
     Actor-pool stage: stopword tables and the word regex are per-actor
     state; scoring is a vocabulary-overlap vote over the first
     ``max_tokens`` words.  ``und`` (undetermined) when nothing matches.
+    Ties break to the lexicographically-first language (the sorted scan
+    only replaces the best on a STRICT improvement) — the SQL oracle
+    mirrors this with an ordered CASE over the per-language hit counts.
+
+    ``details=True`` additionally emits the exact integer evidence —
+    ``lang_hits``, ``lang_n_words`` and per-language ``<lang>_hits`` —
+    which is what the driver-checked query compares (pure int64: no
+    float rounding-mode hazards between numpy and DuckDB).
     """
 
-    def __init__(self, text_column: str = "text", max_tokens: int = 200):
+    def __init__(self, text_column: str = "text", max_tokens: int = 200,
+                 details: bool = False):
         self.text_column = text_column
         self.max_tokens = max_tokens
+        self.details = details
         self.tables = {lang: frozenset(ws) for lang, ws in _STOPWORDS.items()}
+        self.langs = sorted(self.tables)
+
+    def _vote(self, text: str) -> tuple[str, int, int, dict[str, int]]:
+        words = _WORD_RE.findall((text or "").lower())[: self.max_tokens]
+        hits = {lang: sum(1 for w in words if w in self.tables[lang])
+                for lang in self.langs}
+        best_lang, best_hits = "und", 0
+        for lang in self.langs:
+            if hits[lang] > best_hits:
+                best_lang, best_hits = lang, hits[lang]
+        return best_lang, best_hits, len(words), hits
 
     def predict(self, text: str) -> tuple[str, float]:
-        words = _WORD_RE.findall((text or "").lower())[: self.max_tokens]
-        if not words:
+        lang, best_hits, n_words, _ = self._vote(text)
+        if not n_words or not best_hits:
             return "und", 0.0
-        best_lang, best_hits = "und", 0
-        for lang, table in sorted(self.tables.items()):
-            hits = sum(1 for w in words if w in table)
-            if hits > best_hits:
-                best_lang, best_hits = lang, hits
-        return (best_lang, round(best_hits / len(words), 6)) if best_hits else ("und", 0.0)
+        return lang, round(best_hits / n_words, 6)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds = [self.predict(t) for t in batch.column(self.text_column).to_pylist()]
-        return batch.append_column(
-            "lang_pred", pa.array([p[0] for p in preds], pa.string())
-        ).append_column("lang_score", pa.array([p[1] for p in preds], pa.float64()))
+        texts = batch.column(self.text_column).to_pylist()
+        votes = [self._vote(t) for t in texts]
+        out = batch.append_column(
+            "lang_pred", pa.array([v[0] for v in votes], pa.string())
+        ).append_column(
+            "lang_score",
+            pa.array([round(v[1] / v[2], 6) if v[2] and v[1] else 0.0 for v in votes],
+                     pa.float64()),
+        )
+        if self.details:
+            out = out.append_column(
+                "lang_hits", pa.array([v[1] for v in votes], pa.int64())
+            ).append_column(
+                "lang_n_words", pa.array([v[2] for v in votes], pa.int64())
+            )
+            for lang in self.langs:
+                out = out.append_column(
+                    f"{lang}_hits", pa.array([v[3][lang] for v in votes], pa.int64())
+                )
+        return out
 
 
 def fingerprints(batch: pa.Table, text_column: str = "text") -> pa.Table:
