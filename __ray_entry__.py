@@ -103,7 +103,7 @@ def _q_kg_term_vectors(sf_dir: str):
     ds = ray_from_arrow_blocks(_kg_terms_table(), 4)
     return ds.map_batches(
         TermEmbedStage, fn_constructor_kwargs={"snapshot_hash": "q"},
-        batch_format="pyarrow", concurrency=1,
+        batch_format="pyarrow", concurrency=(1, 4),
     ).sort("term_id")
 
 
@@ -127,20 +127,29 @@ def _q_pricing_summary(sf_dir: str):
     cutoff = pa.scalar(np.datetime64("1998-09-01", "us"))
 
     def partial(batch: pa.Table) -> pa.Table:
+        # Arrow-native partial aggregate (zero-copy; no pandas round-trip
+        # — the two-string-key pandas groupby measured ~10× slower, see
+        # stages/canonicalize.py)
         batch = batch.filter(pc.less_equal(batch.column("l_shipdate"), cutoff))
-        df = batch.to_pandas()
-        df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
-        g = (
-            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
-            .agg(
-                sum_qty=("l_quantity", "sum"),
-                sum_base_price=("l_extendedprice", "sum"),
-                sum_disc_price=("disc_price", "sum"),
-                count_order=("l_quantity", "size"),
-            )
-            .reset_index()
+        disc = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        t = pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "l_quantity": batch.column("l_quantity"),
+            "l_extendedprice": batch.column("l_extendedprice"),
+            "disc_price": disc,
+        })
+        g = t.group_by(["l_returnflag", "l_linestatus"], use_threads=False).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+             ("disc_price", "sum"), ("l_quantity", "count")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+             "sum_disc_price", "count_order"]
+        )
 
     from ray.data.aggregate import Sum
 
@@ -200,20 +209,27 @@ def _q_customer_by_region(sf_dir: str):
                    nation.column("n_regionkey").to_pylist()))
     r2name = dict(zip(region.column("r_regionkey").to_pylist(),
                       region.column("r_name").to_pylist()))
-    lookup_ref = ray.put({nk: r2name[rk] for nk, rk in n2r.items()})
+    # dense nationkey → region-name array: the broadcast small side is a
+    # numpy take (no per-row Python dict lookups in the batch path)
+    max_nk = max(n2r)
+    name_arr = np.array(
+        [r2name.get(n2r.get(nk), "") for nk in range(max_nk + 1)], dtype=object
+    )
+    lookup_ref = ray.put(name_arr)
 
     class JoinStage:
         def __init__(self, ref):
-            self.lookup = ray.get(ref) if not isinstance(ref, dict) else ref
+            self.names = ray.get(ref) if not isinstance(ref, np.ndarray) else ref
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch.column("c_nationkey").to_pylist()
-            names = [self.lookup[k] for k in keys]
-            return batch.append_column("r_name", pa.array(names, pa.string()))
+            keys = batch.column("c_nationkey").to_numpy()
+            return batch.append_column(
+                "r_name", pa.array(np.take(self.names, keys), pa.string())
+            )
 
     ds = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
     joined = ds.map_batches(JoinStage, fn_constructor_args=(lookup_ref,),
-                            batch_format="pyarrow", concurrency=1)
+                            batch_format="pyarrow", concurrency=(1, 8))
     from ray.data.aggregate import Count, Sum
 
     out = joined.groupby("r_name").aggregate(
@@ -253,14 +269,17 @@ def _q_hourly_events(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["hour"] = df["ts"].dt.floor("h")
-        g = (
-            df.groupby(["user_id", "hour"], sort=False)
-            .agg(n_events=("value", "size"), sum_value=("value", "sum"))
-            .reset_index()
+        # Arrow-native partial aggregate (no pandas round-trip)
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        t = pa.table({
+            "user_id": batch.column("user_id"),
+            "hour": hour,
+            "value": batch.column("value"),
+        })
+        g = t.group_by(["user_id", "hour"], use_threads=False).aggregate(
+            [("value", "count"), ("value", "sum")]
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return g.rename_columns(["user_id", "hour", "n_events", "sum_value"])
 
     from ray.data.aggregate import Sum
 
@@ -567,8 +586,9 @@ def _q_multimodal_features(sf_dir: str):
     ds = rd.from_arrow(synth_media_batch(n))
     out = ds.map_batches(
         ImageDecodeStage, fn_constructor_kwargs={"fake": True},
-        batch_format="pyarrow", batch_size=suggest_batch_size(4096), concurrency=1,
-    ).map_batches(ImageFeatureStage, batch_format="pyarrow", concurrency=1)
+        batch_format="pyarrow", batch_size=suggest_batch_size(4096),
+        concurrency=(1, 4),
+    ).map_batches(ImageFeatureStage, batch_format="pyarrow", concurrency=(1, 4))
     return out.select_columns(["media_id", "features"]).sort("media_id")
 
 
