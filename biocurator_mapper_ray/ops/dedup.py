@@ -319,9 +319,7 @@ def minhash_lsh_pairs(
       simply find no partner in their bucket — no driver collection, no
       broadcast dict, no "candidates fit in driver memory" assumption.
     """
-    import ray.data as rd
-
-    from .join import hash_join
+    from .join import pair_feature_join
 
     stage = MinHashBandStage(text_column, id_column, num_perm, bands, shingle_n, seed)
     n_salt = 64
@@ -377,32 +375,16 @@ def minhash_lsh_pairs(
             return pd.DataFrame({"a": pd.Series(dtype=np.int64),
                                  "b": pd.Series(dtype=np.int64),
                                  "est_jaccard": pd.Series(dtype=np.float64)})
-        mat_a = _unpack_sigs(df["sig_a"].to_numpy(), num_perm)
-        mat_b = _unpack_sigs(df["sig"].to_numpy(), num_perm)
+        mat_a = _unpack_sigs(df["f_a"].to_numpy(), num_perm)
+        mat_b = _unpack_sigs(df["f_b"].to_numpy(), num_perm)
         est = (mat_a == mat_b).mean(axis=1)
         keep = est >= threshold
         return pd.DataFrame({"a": df["a"].to_numpy()[keep],
                              "b": df["b"].to_numpy()[keep],
                              "est_jaccard": est[keep]})
 
-    i64 = np.dtype(np.int64)
-    sig_dt = np.dtype(object)
-    with_sig_a = hash_join(
-        cands, sigs, left_on="a", right_on="doc_id", buckets=sig_join_buckets,
-        left_columns=["a", "b"], right_columns=["doc_id", "sig"],
-        left_dtypes={"a": i64, "b": i64},
-        right_dtypes={"doc_id": i64, "sig": sig_dt},
-    ).map_batches(
-        lambda t: t.select(["a", "b", "sig"]).rename_columns(["a", "b", "sig_a"]),
-        batch_format="pyarrow",
-    )
-    pairs = hash_join(
-        with_sig_a, sigs, left_on="b", right_on="doc_id",
-        buckets=sig_join_buckets, bucket_postprocess=verify_df,
-        left_columns=["a", "b", "sig_a"], right_columns=["doc_id", "sig"],
-        left_dtypes={"a": i64, "b": i64, "sig_a": sig_dt},
-        right_dtypes={"doc_id": i64, "sig": sig_dt},
-    )
+    pairs = pair_feature_join(cands, sigs, verify=verify_df,
+                              buckets=sig_join_buckets)
     if not dedup_pairs:
         return pairs
     # same pair can surface from several bands → keep max estimate

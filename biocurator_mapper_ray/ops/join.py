@@ -123,6 +123,56 @@ def hash_join(
     return unioned.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
 
 
+def pair_feature_join(
+    pairs,
+    features,
+    *,
+    verify,
+    feature_column: str = "sig",
+    buckets: int = 32,
+):
+    """Attach a per-doc feature to both sides of an (a, b) pair Dataset
+    and verify — the distributed backbone of the LSH verify stages.
+
+    ``features`` is (doc_id, <feature_column>) with the feature packed as
+    a binary value (signatures, vectors).  Two bucketed :func:`hash_join`
+    exchanges attach the feature for ``a`` (renamed ``f_a``) then ``b``
+    (renamed ``f_b``); ``verify(df)`` runs fused inside the second join's
+    bucket task on a frame with columns (a, b, f_a, f_b) and returns the
+    final verified rows.  Features for docs in no candidate pair simply
+    find no partner in their bucket — nothing is collected on the driver
+    and no "candidates fit in memory" assumption exists.
+
+    Passing explicit column/dtype hints into :func:`hash_join` keeps the
+    lazy ``pairs`` plan unexecuted until the single final run.
+    """
+    i64 = np.dtype(np.int64)
+    obj = np.dtype(object)
+
+    with_f_a = hash_join(
+        pairs, features, left_on="a", right_on="doc_id", buckets=buckets,
+        left_columns=["a", "b"], right_columns=["doc_id", feature_column],
+        left_dtypes={"a": i64, "b": i64},
+        right_dtypes={"doc_id": i64, feature_column: obj},
+    ).map_batches(
+        lambda t: t.select(["a", "b", feature_column]).rename_columns(
+            ["a", "b", "f_a"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def post(df: pd.DataFrame) -> pd.DataFrame:
+        return verify(df.rename(columns={feature_column: "f_b"}))
+
+    return hash_join(
+        with_f_a, features, left_on="b", right_on="doc_id", buckets=buckets,
+        left_columns=["a", "b", "f_a"], right_columns=["doc_id", feature_column],
+        left_dtypes={"a": i64, "b": i64, "f_a": obj},
+        right_dtypes={"doc_id": i64, feature_column: obj},
+        bucket_postprocess=post,
+    )
+
+
 def asof_join(
     left,
     right,

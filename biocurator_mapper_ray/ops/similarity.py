@@ -282,61 +282,104 @@ def embedding_near_dup_pairs(
 
     Two vectors with cosine ≥ t agree on a random hyperplane bit with
     probability 1 − arccos(t)/π; banding b×r bits makes high-cosine pairs
-    collide in ≥ 1 band w.h.p.  Verified exactly inside the bucket.
+    collide in ≥ 1 band w.h.p.
+
+    Scale design mirrors :func:`~biocurator_mapper_ray.ops.dedup
+    .minhash_lsh_pairs`: the band exchange ships LEAN (doc_id, band_id,
+    band_val) rows only — the previous layout duplicated the full vector
+    into every band row, multiplying shuffle volume by ``bands`` — then
+    all within-bucket candidate pairs are emitted inside 64 salt shards
+    and the exact-cosine verify runs fused in a bucketed feature join
+    against a packed (4·dim B/doc) vector table.
     """
     assert num_bits % bands == 0
     rows_per_band = num_bits // bands
     lsh = HyperplaneLSH(dim, num_bits, seed)
+    n_salt = 64
+
+    from .dedup import _allpairs_index
+    from .join import pair_feature_join
 
     def band_rows(batch: pa.Table) -> pa.Table:
         mat = _normalize(_as_matrix(batch.column(vec_column)))
         bits = lsh.signature_bits(mat)  # (n, num_bits)
         ids = batch.column(id_column).to_numpy()
         weights = (1 << np.arange(rows_per_band, dtype=np.int64))
-        out = {"doc_id": [], "band_id": [], "band_val": [], "vec": []}
+        out = {"doc_id": [], "band_id": [], "band_val": []}
         for band in range(bands):
             chunk = bits[:, band * rows_per_band : (band + 1) * rows_per_band]
             vals = chunk.astype(np.int64) @ weights
             out["doc_id"].append(ids)
             out["band_id"].append(np.full(len(ids), band, dtype=np.int32))
             out["band_val"].append(vals)
-            out["vec"].append(mat)
+        band_id = np.concatenate(out["band_id"])
+        band_val = np.concatenate(out["band_val"])
+        salt = ((band_val.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                 + band_id.astype(np.uint64)) % np.uint64(n_salt)).astype(np.int32)
         return pa.table(
             {
                 "doc_id": pa.array(np.concatenate(out["doc_id"])),
-                "band_id": pa.array(np.concatenate(out["band_id"])),
-                "band_val": pa.array(np.concatenate(out["band_val"])),
-                "vec": pa.array(
-                    [v.tolist() for m in out["vec"] for v in m], pa.list_(pa.float32())
-                ),
+                "band_id": pa.array(band_id),
+                "band_val": pa.array(band_val),
+                "__salt": pa.array(salt),
             }
         )
 
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates(subset=["doc_id"]).sort_values("doc_id")
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "cosine": []}).astype(
-                {"a": np.int64, "b": np.int64, "cosine": np.float64}
-            )
-        ids = g["doc_id"].to_numpy()
-        mat = np.stack([np.asarray(v, dtype=np.float32) for v in g["vec"]])
-        sims = mat @ mat.T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        keep = sims[ia, ib] >= threshold
-        return pd.DataFrame(
-            {
-                "a": ids[ia[keep]].astype(np.int64),
-                "b": ids[ib[keep]].astype(np.int64),
-                "cosine": sims[ia[keep], ib[keep]].astype(np.float64),
-            }
+    def cands_in_salt(group: pd.DataFrame) -> pd.DataFrame:
+        g = group[group.duplicated(["band_id", "band_val"], keep=False)]
+        if g.empty:
+            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                 "b": pd.Series(dtype=np.int64)})
+        g = g.sort_values(["band_id", "band_val", "doc_id"]).drop_duplicates(
+            ["band_id", "band_val", "doc_id"]
         )
+        sizes = g.groupby(["band_id", "band_val"], sort=False).size().to_numpy()
+        ia, ib = _allpairs_index(sizes)
+        docs = g["doc_id"].to_numpy()
+        return pd.DataFrame({"a": docs[ia], "b": docs[ib]}).drop_duplicates()
 
-    pairs = (
+    cands = (
         ds.map_batches(band_rows, batch_format="pyarrow")
-        .groupby(["band_id", "band_val"])
-        .map_groups(verify, batch_format="pandas")
+        .groupby("__salt")
+        .map_groups(cands_in_salt, batch_format="pandas")
     )
+
+    def pack_vecs(batch: pa.Table) -> pa.Table:
+        mat = _normalize(_as_matrix(batch.column(vec_column)))
+        width = mat.shape[1] * 4 if len(mat) else dim * 4
+        packed = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(width), len(mat),
+            [None, pa.py_buffer(np.ascontiguousarray(mat, dtype=np.float32).tobytes())],
+        )
+        return pa.table({"doc_id": batch.column(id_column), "sig": packed})
+
+    vecs = ds.map_batches(pack_vecs, batch_format="pyarrow").materialize()
+
+    def verify_df(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                 "b": pd.Series(dtype=np.int64),
+                                 "cosine": pd.Series(dtype=np.float64)})
+        mat_a = np.frombuffer(b"".join(group["f_a"]), dtype=np.float32).reshape(
+            len(group), -1
+        )
+        mat_b = np.frombuffer(b"".join(group["f_b"]), dtype=np.float32).reshape(
+            len(group), -1
+        )
+        cos = np.einsum("ij,ij->i", mat_a, mat_b).astype(np.float64)
+        keep = cos >= threshold
+        return pd.DataFrame({"a": group["a"].to_numpy()[keep],
+                             "b": group["b"].to_numpy()[keep],
+                             "cosine": cos[keep]})
+
+    pairs = pair_feature_join(cands, vecs, verify=verify_df)
     deduped = pairs.groupby(["a", "b"]).max("cosine")
-    return deduped.map_batches(
-        lambda t: t.rename_columns(["a", "b", "cosine"]), batch_format="pyarrow"
-    )
+
+    def rename_or_empty(t: pa.Table) -> pa.Table:
+        if t.num_columns == 3:
+            return t.rename_columns(["a", "b", "cosine"])
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+
+    return deduped.map_batches(rename_or_empty, batch_format="pyarrow")
