@@ -313,14 +313,26 @@ def _q_sessionize_events(sf_dir: str):
     """
     ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gaps = g["ts"].diff()
-        new_sessions = (gaps > pd.Timedelta(minutes=30)).sum() + 1
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
-                             "n_sessions": [int(new_sessions)]})
+    # bucket-then-vectorize (ops/window pattern): one task per user
+    # bucket, session counts for every user in it from one sort + one
+    # grouped diff — no per-user map_groups task overhead
+    from biocurator_mapper_ray.ops.window import _per_bucket, _with_key_bucket
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas").sort("user_id")
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        gaps = g.groupby("user_id", sort=False)["ts"].diff()
+        new = (gaps.isna()) | (gaps > pd.Timedelta(minutes=30))
+        out = new.groupby(g["user_id"], sort=False).sum().reset_index()
+        out.columns = ["user_id", "n_sessions"]
+        out["n_sessions"] = out["n_sessions"].astype(np.int64)
+        return out
+
+    return (
+        _with_key_bucket(ds, "user_id", 64)
+        .groupby("__kb")
+        .map_groups(_per_bucket(per_bucket), batch_format="pandas")
+        .sort("user_id")
+    )
 
 
 def _q_revenue_by_priority(sf_dir: str):

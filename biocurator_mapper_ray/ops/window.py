@@ -2,17 +2,52 @@
 
 Ray Data has no event-time windows; per the engine's streaming-shaped
 design (SURVEY §4), the input is treated as an ordered, key-partitioned
-log: ``groupby(key).map_groups`` over (ts, tiebreak)-sorted groups
-computes tumbling windows, session windows and running aggregates with
-vectorized pandas inside the group.  Ordering assumption: the stated
-sort key makes results deterministic; the tie-break column must be
-unique per key (e.g. event_id).
+log.  All per-key operators here use the BUCKET-THEN-VECTORIZE pattern
+(the same one measured ~3.5 ms/group cheaper than per-key map_groups in
+stages/canonicalize.py): keys are hashed into a bounded number of salt
+buckets, ONE map_groups task per bucket sorts its rows by (key, ts,
+tiebreak) and computes every key's window with vectorized pandas
+``groupby(...).cumsum/diff/rolling`` — per-key framework tasks never
+exist, so millions of small keys cost what one sort per bucket costs.
+
+Ordering assumption: the stated sort key makes results deterministic;
+the tie-break column must be unique per key (e.g. event_id).
+Partitioning assumption (SURVEY §2 custom-operator rule): one key's
+rows fit in one bucket task; buckets spread keys, not rows, so skewed
+single keys bound task memory by that key's row count.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+
+
+def _with_key_bucket(ds, key: str, buckets: int):
+    """Append __kb = hash(key) % buckets (Arrow batch path)."""
+    import pyarrow as pa
+
+    from ..functions.hashing import hash64_column
+
+    def tag(batch: pa.Table) -> pa.Table:
+        h = hash64_column(batch.column(key))
+        return batch.append_column(
+            "__kb", pa.array((h % np.uint64(buckets)).astype(np.int32))
+        )
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def _per_bucket(fn):
+    """Wrap a bucket-frame transform: drop the bucket tag, skip empties."""
+
+    def run(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.drop(columns="__kb")
+        if group.empty:
+            return group
+        return fn(group)
+
+    return run
 
 
 def tumbling_window(ds, *, key: str, ts: str, freq: str, agg: dict):
@@ -34,35 +69,41 @@ def tumbling_window(ds, *, key: str, ts: str, freq: str, agg: dict):
     return ds.map_batches(partial, batch_format="pyarrow")
 
 
-def session_windows(ds, *, key: str, ts: str, tiebreak: str, gap: pd.Timedelta):
+def session_windows(ds, *, key: str, ts: str, tiebreak: str, gap: pd.Timedelta,
+                    buckets: int = 64):
     """Session assignment per key: rows sorted by (ts, tiebreak); a gap
     > ``gap`` starts a new session.  Emits the input plus ``session_id``
     (0-based per key) — the general form of the n_sessions count query."""
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts, tiebreak]).copy()
-        new = g[ts].diff() > gap
-        g["session_id"] = new.cumsum().astype(np.int32)
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts, tiebreak]).copy()
+        gaps = g.groupby(key, sort=False)[ts].diff()
+        new = gaps > gap
+        g["session_id"] = new.groupby(g[key], sort=False).cumsum().astype(np.int32)
         return g
 
-    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+    return _with_key_bucket(ds, key, buckets).groupby("__kb").map_groups(
+        _per_bucket(per_bucket), batch_format="pandas"
+    )
 
 
 def running_aggregate(ds, *, key: str, ts: str, tiebreak: str,
-                      value: str, out: str = "running_sum"):
+                      value: str, out: str = "running_sum", buckets: int = 64):
     """Cumulative sum of ``value`` per key in (ts, tiebreak) order."""
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts, tiebreak]).copy()
-        g[out] = g[value].cumsum()
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts, tiebreak]).copy()
+        g[out] = g.groupby(key, sort=False)[value].cumsum()
         return g
 
-    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+    return _with_key_bucket(ds, key, buckets).groupby("__kb").map_groups(
+        _per_bucket(per_bucket), batch_format="pandas"
+    )
 
 
 def rolling_time_aggregate(ds, *, key: str, ts: str, tiebreak: str,
                            value: str, window: str = "1h",
-                           out: str = "rolling_sum"):
+                           out: str = "rolling_sum", buckets: int = 64):
     """Trailing time-window sum per key: for each row, the sum of
     ``value`` over this key's rows with ``ts`` in ``[row.ts - window,
     row.ts]`` (both ends inclusive — SQL ``RANGE BETWEEN <window>
@@ -70,11 +111,16 @@ def rolling_time_aggregate(ds, *, key: str, ts: str, tiebreak: str,
     frame sees all peer rows, so ``ts`` must be unique per key — the
     stated corpus invariant)."""
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts, tiebreak]).copy()
-        g[out] = (
-            g.rolling(window, on=ts, closed="both")[value].sum().astype(g[value].dtype)
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts, tiebreak]).copy()
+        rolled = (
+            g.groupby(key, sort=False)
+            .rolling(window, on=ts, closed="both")[value]
+            .sum()
         )
+        g[out] = rolled.to_numpy().astype(g[value].dtype)
         return g
 
-    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+    return _with_key_bucket(ds, key, buckets).groupby("__kb").map_groups(
+        _per_bucket(per_bucket), batch_format="pandas"
+    )
