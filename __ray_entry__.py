@@ -577,13 +577,26 @@ def _q_ivf_knn_embeddings(sf_dir: str):
 
 
 def _q_near_dup_embeddings(sf_dir: str):
+    """Embedding near-dup pair IDENTITIES vs a brute-force SQL cosine
+    self-join.  The id projection keeps the check exact: cosine values
+    differ at ULP level between float32 numpy and float64 DuckDB (the
+    op itself emits them; tests/test_ops.py pins them against numpy
+    brute force on planted near-identical vectors)."""
     from biocurator_mapper_ray.ops.similarity import embedding_near_dup_pairs
 
     tbl_path = os.path.join(sf_dir, "embeddings.parquet")
     dim = len(pq.read_table(tbl_path, columns=["embedding"]).column("embedding")[0])
     ds = _read(sf_dir, "embeddings")
     out = embedding_near_dup_pairs(ds, dim=dim, threshold=0.99)
-    return out.sort(["a", "b"])
+    # normalize to a typed frame: a no-pairs corpus yields blocks with
+    # no schema at all in Ray 2.49 (empty groupby/sort partitions), so
+    # pin the (a, b) columns here.  Collecting is fine — the verified
+    # pair set is result-scale, not corpus-scale.
+    df = out.to_pandas()
+    if "a" not in df.columns:
+        df = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                           "b": pd.Series(dtype="int64")})
+    return df[["a", "b"]].sort_values(["a", "b"]).reset_index(drop=True)
 
 
 def _q_multimodal_features(sf_dir: str):
@@ -838,6 +851,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
             FROM sims a JOIN sims b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.sh, b.sh)) <= 3
+            ORDER BY a, b
+        """,
+        "near_dup_embeddings": """
+            SELECT a.vec_id AS a, b.vec_id AS b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
             ORDER BY a, b
         """,
         "knn_embeddings": """

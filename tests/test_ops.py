@@ -250,6 +250,40 @@ class TestKnnSearch:
         got = {tuple(sorted((a, b))) for a, b in zip(pairs["a"], pairs["b"])}
         assert got == {(1, 2)}
 
+    def test_embedding_near_dup_all_pairs_vs_bruteforce(self, ray_session):
+        """Engine pairs == numpy brute-force cosine ≥ t, including pairs
+        where neither member is the bucket anchor (star-pattern
+        regression), with cosines pinned to 1e-5 of float64 truth."""
+        import ray.data as rd
+
+        rng = np.random.default_rng(3)
+        base = rng.normal(size=(20, 16)).astype(np.float32)
+        rows = [{"vec_id": i, "embedding": v.tolist()} for i, v in enumerate(base)]
+        for vid in (100, 101, 102):
+            pert = base[0] + 0.001 * rng.normal(size=16).astype(np.float32)
+            rows.append({"vec_id": vid, "embedding": pert.tolist()})
+        got = embedding_near_dup_pairs(
+            rd.from_items(rows), dim=16, threshold=0.99
+        ).to_pandas()
+        got_pairs = {tuple(sorted((a, b))) for a, b in zip(got["a"], got["b"])}
+
+        ids = np.array([r["vec_id"] for r in rows])
+        mat = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ mat.T
+        want = {
+            tuple(sorted((int(ids[i]), int(ids[j]))))
+            for i in range(len(ids))
+            for j in range(i + 1, len(ids))
+            if sims[i, j] >= 0.99
+        }
+        assert got_pairs == want
+        assert {(100, 101), (100, 102), (101, 102)} <= got_pairs
+        id_pos = {int(v): i for i, v in enumerate(ids)}
+        for _, row in got.iterrows():
+            truth = sims[id_pos[int(row["a"])], id_pos[int(row["b"])]]
+            assert abs(row["cosine"] - truth) < 1e-5
+
     def test_ivf_recall_on_clustered_data(self, ray_session, tmp_path):
         """Clustered vectors: probing a quarter of the cells recovers the
         true neighbors; probing all cells is exactly brute force."""
