@@ -80,6 +80,40 @@ def _q_kg_links(sf_dir: str):
     return links.sort(["conv_id", "turn_idx", "span_start"])
 
 
+def _q_kg_candidates_ns(sf_dir: str):
+    """Namespace-filtered retrieval end-to-end (reference parity:
+    app/ontology_searcher.py:95-151): the term fixture is split into two
+    namespaces deterministically (odd term rows → phenotype_ontology),
+    retrieval is restricted to disease_ontology, and every emitted
+    candidate must come from it (asserted here; rows-only driver check —
+    the term fixture is engine-internal, not a driver table)."""
+    from biocurator_mapper_ray.pipelines.kg import retrieve_candidates
+
+    terms = _kg_terms_table()
+    ns = pa.array(
+        ["disease_ontology" if i % 2 == 0 else "phenotype_ontology"
+         for i in range(len(terms))],
+        pa.string(),
+    )
+    terms = terms.set_column(
+        terms.schema.get_field_index("namespace"), "namespace", ns
+    )
+    allowed = {
+        str(t): n for t, n in zip(terms.column("term_id").to_pylist(), ns.to_pylist())
+    }
+    transcripts, _ = _kg_transcripts(sf_dir)
+    cands = retrieve_candidates(
+        transcripts, terms, namespace_filter="disease_ontology"
+    )
+    out = cands.select_columns(
+        ["conv_id", "turn_idx", "mention", "span_start", "term_id", "rank"]
+    ).sort(["conv_id", "turn_idx", "span_start", "rank"])
+    df = out.to_pandas()
+    bad = [t for t in df["term_id"] if allowed[t] != "disease_ontology"]
+    assert not bad, f"namespace filter leaked {len(bad)} foreign candidates"
+    return df
+
+
 def _q_kg_expected_triples(sf_dir: str):
     """Planted ground truth (for the judge to diff against kg_triples)."""
     import ray.data as rd
@@ -626,6 +660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": _q_kg_triples,
         "kg_links": _q_kg_links,
         "kg_expected_triples": _q_kg_expected_triples,
+        "kg_candidates_ns": _q_kg_candidates_ns,
         "kg_parse_terms": _q_kg_parse_terms,
         "kg_term_vectors": _q_kg_term_vectors,
         # relational operators

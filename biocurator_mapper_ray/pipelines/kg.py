@@ -90,6 +90,46 @@ def extract_links(
     return links
 
 
+def retrieve_candidates(
+    transcripts,
+    terms: pa.Table,
+    *,
+    namespace_filter: str | None = None,
+    k: int = 5,
+    dim: int = 256,
+    seed: int = 42,
+    concurrency: int = 4,
+    batch_size: int = 4096,
+):
+    """transcripts Dataset → exploded candidate rows (search-only flow,
+    no selection): MentionDetector pool → RetrieverStage pool, both over
+    the broadcast term side.  ``namespace_filter`` restricts retrieval
+    to one ontology namespace end-to-end — the reference's filtered
+    search (``/root/reference/app/ontology_searcher.py:95-151``) as a
+    bulk pipeline."""
+    from ..stages.link import RetrieverStage
+    from ..stages.mention import MentionDetector
+
+    terms_ref = ray.put(terms)
+    pool = concurrency if isinstance(concurrency, tuple) else (1, concurrency)
+    mentions = transcripts.map_batches(
+        MentionDetector,
+        fn_constructor_args=(terms_ref,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=pool,
+        num_cpus=1,
+    )
+    return mentions.map_batches(
+        RetrieverStage,
+        fn_constructor_args=(terms_ref, k, dim, seed, namespace_filter),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=pool,
+        num_cpus=1,
+    )
+
+
 def extract_triples(
     transcripts,
     terms: pa.Table,

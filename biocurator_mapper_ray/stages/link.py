@@ -65,15 +65,23 @@ CANDIDATE_SCHEMA = pa.schema(
 
 
 class _TermSide:
-    """Shared actor state: terms table + index + embedder."""
+    """Shared actor state: terms table + index + embedder.
 
-    def __init__(self, terms_ref, k: int, dim: int, seed: int):
+    ``namespace_filter`` reproduces the reference's namespace-restricted
+    search (``/root/reference/app/ontology_searcher.py:95-151``): both
+    the exact-surface owner side and the vector top-k are masked to the
+    requested namespace before ranking.
+    """
+
+    def __init__(self, terms_ref, k: int, dim: int, seed: int,
+                 namespace_filter: str | None = None):
         import ray
 
         terms: pa.Table = ray.get(terms_ref) if not isinstance(terms_ref, pa.Table) else terms_ref
         self.embedder = HashingEmbedder(dim=dim, seed=seed)
         self.index = VectorIndex.from_terms_table(terms, self.embedder)
         self.k = k
+        self.namespace_filter = namespace_filter
         # candidate payload columns, list-indexed like the index rows
         self.names = terms.column("name").to_pylist()
         self.definitions = terms.column("definition").to_pylist()
@@ -101,8 +109,12 @@ class _TermSide:
         """Weaviate-candidate-shaped dicts (ontology_searcher.py:74-87),
         hybrid: exact-surface owners ∪ vector top-k."""
         q = self.embedder.embed_text(mention)
-        idx, cos = self.index.topk(q[None, :], self.k)
+        idx, cos = self.index.topk(q[None, :], self.k,
+                                   namespace_filter=self.namespace_filter)
         owner_rows = self._surface_owners.get(self._normalize_surface(mention), [])
+        if self.namespace_filter is not None:
+            owner_rows = [i for i in owner_rows
+                          if self.namespaces[i] == self.namespace_filter]
         ranked: list[tuple[int, float]] = []
         seen: set[int] = set()
         for i in owner_rows:
@@ -287,10 +299,14 @@ class MentionLinkStage:
 
 
 class RetrieverStage:
-    """mentions → exploded candidate rows with rank (ST3 analog)."""
+    """mentions → exploded candidate rows with rank (ST3 analog).
 
-    def __init__(self, terms_ref, k: int = 5, dim: int = 256, seed: int = 42):
-        self.side = _TermSide(terms_ref, k, dim, seed)
+    ``namespace_filter`` restricts retrieval to one ontology namespace
+    (reference parity: ``app/ontology_searcher.py:95-151``)."""
+
+    def __init__(self, terms_ref, k: int = 5, dim: int = 256, seed: int = 42,
+                 namespace_filter: str | None = None):
+        self.side = _TermSide(terms_ref, k, dim, seed, namespace_filter)
         self._memo: dict[str, list[dict]] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:

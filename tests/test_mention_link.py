@@ -183,6 +183,34 @@ class TestLinkStage:
             assert 0.0 <= r["similarity_certainty"] <= 1.0
             assert abs((1 - r["similarity_distance"]) - (2 * r["similarity_certainty"] - 1)) < 1e-5
 
+    def test_retriever_namespace_filter(self):
+        """Reference parity (app/ontology_searcher.py:95-151): both the
+        exact-owner path and the vector top-k honor the namespace mask."""
+        import pyarrow as pa
+
+        tbl = terms_table(30)
+        ns = pa.array(
+            ["ns_even" if i % 2 == 0 else "ns_odd" for i in range(len(tbl))],
+            pa.string(),
+        )
+        tbl = tbl.set_column(tbl.schema.get_field_index("namespace"), "namespace", ns)
+        allowed = {
+            str(t): n
+            for t, n in zip(tbl.column("term_id").to_pylist(), ns.to_pylist())
+        }
+        # mention = exact surface of an ODD (filtered-out) term: the
+        # exact-owner path must NOT resurrect it
+        odd_name = tbl.column("name")[3].as_py().lower()
+        stage = RetrieverStage(tbl, k=5, namespace_filter="ns_even")
+        out = stage(mentions_batch([("c1", 0, odd_name)])).to_pylist()
+        assert out, "filtered retrieval returned no candidates"
+        for r in out:
+            assert allowed[r["term_id"]] == "ns_even"
+        # and an even term's surface still retrieves itself at rank 0
+        even_name = tbl.column("name")[2].as_py().lower()
+        out2 = stage(mentions_batch([("c1", 0, even_name)])).to_pylist()
+        assert out2[0]["term_id"] == tbl.column("term_id")[2].as_py()
+
     def test_ambiguous_surface_deterministic(self):
         tbl = custom_terms(
             [
