@@ -127,11 +127,42 @@ class EngineConfig:
 
         with open(path) as f:
             data = yaml.safe_load(f) or {}
-        return cls(
+        cfg = cls(
             ontology=data.get("ontology"),
             embeddings=data.get("embeddings"),
             execution=data.get("execution"),
         )
+        cfg.source_path = path
+        return cfg
+
+    source_path: str | None = None
+
+    def reload(self) -> dict:
+        """Re-read the YAML this config came from and swap the surfaces
+        in place (reference parity: ``POST /admin/reload_config``,
+        ``/root/reference/app/main.py:416-434`` — re-loads ontology +
+        embeddings config mid-run and reports what is now active).
+
+        In-place mutation means long-lived drivers holding this object
+        see the new values on the next stage they build; actor pools
+        constructed earlier keep their captured state (same as the
+        reference, where running jobs keep their snapshot).  Returns the
+        reference-shaped status payload."""
+        if not self.source_path:
+            return {"status": "error", "message": "config has no source file"}
+        try:
+            fresh = EngineConfig.from_yaml(self.source_path)
+        except Exception as e:
+            return {"status": "error", "message": f"Failed to reload config: {e}"}
+        self.ontology = fresh.ontology
+        self.embeddings = fresh.embeddings
+        self.execution = fresh.execution
+        return {
+            "status": "success",
+            "message": "Configuration reloaded successfully",
+            "ontologies": list(self.ontology.get("ontologies", {}).keys()),
+            "embedding_model": self.embeddings.get("model", {}).get("name"),
+        }
 
     def id_format(self, ontology_name: str) -> dict:
         ont = self.ontology["ontologies"].get(ontology_name, {})

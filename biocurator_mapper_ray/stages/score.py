@@ -132,3 +132,43 @@ class RuleScorer:
         if "error" in result:
             return candidates
         return [c for c in candidates if c["id"] != result["id"]]
+
+    def explain_match(self, passage: str, selected_term: dict) -> str:
+        """Secondary cheap explain path (reference parity:
+        ``/root/reference/app/llm_matcher.py:140-160`` — a separate
+        2–3-sentence explanation call over the selected term's name, id,
+        definition and exact synonyms).  Deterministic here: the
+        explanation is built from the same evidence the scorer used, and
+        like the reference it degrades to a similarity-based fallback
+        sentence rather than raising."""
+        try:
+            name = selected_term["name"]
+            term_id = selected_term["id"]
+            score, exact = self.score_candidate(passage, selected_term)
+            definition = (selected_term.get("definition") or "").strip()
+            synonyms = [s for s in (selected_term.get("exact_synonyms") or []) if s]
+            if exact:
+                first = (
+                    f"The term '{name}' ({term_id}) is the best match because the "
+                    f"passage surface '{passage}' exactly matches its "
+                    f"{'name' if normalize_surface(name) == normalize_surface(passage) else 'exact synonym'}."
+                )
+            else:
+                cert = float(selected_term.get("similarity_certainty", 0.0))
+                first = (
+                    f"The term '{name}' ({term_id}) is the best match by vector "
+                    f"similarity (certainty {cert:.3f}) to the passage "
+                    f"'{passage}'."
+                )
+            parts = [first]
+            if definition:
+                parts.append(f"Its definition — \"{definition}\" — covers the "
+                             f"concept the passage describes.")
+            if synonyms:
+                parts.append("Known exact synonyms: " + ", ".join(synonyms[:5]) + ".")
+            return " ".join(parts)
+        except Exception as e:  # reference: never raise from explain
+            return (
+                "Match selected based on semantic similarity "
+                f"(explanation generation failed: {e})"
+            )

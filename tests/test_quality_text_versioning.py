@@ -215,3 +215,144 @@ class TestSnapshotStaging:
         os.unlink(staged)  # newest file vanishes
         latest = latest_available(store)
         assert latest is not None and latest["snapshot_hash"] != snap
+
+
+class TestStreamingFetcher:
+    """S1/S2 fetch surface: chunked streaming with progress %, byte
+    counters and cooperative cancel (reference app/main.py:172-229),
+    exercised over file:// URLs and bare paths (no network here; the
+    chunk loop is scheme-independent)."""
+
+    def _write_doc(self, tmp_path, n=40, date="2026-03-03"):
+        import json as _json
+
+        from biocurator_mapper_ray.ontology.fixtures import (
+            make_document, make_performance_nodes,
+        )
+
+        src = tmp_path / "src.json"
+        src.write_text(_json.dumps(make_document(make_performance_nodes(n),
+                                                 version_date=date)))
+        return src
+
+    def test_stream_fetch_progress_sequence(self, tmp_path):
+        from biocurator_mapper_ray.sources.fetcher import (
+            ProgressRecorder, stream_fetch,
+        )
+
+        src = self._write_doc(tmp_path)
+        dest = tmp_path / "out.json"
+        rec = ProgressRecorder()
+        n = stream_fetch(f"file://{src}", str(dest), progress=rec,
+                         chunk_size=1024)
+        assert n == src.stat().st_size == dest.stat().st_size
+        assert dest.read_bytes() == src.read_bytes()
+        assert rec.updates[0]["status"] == "downloading"
+        assert rec.latest["status"] == "completed" and rec.latest["percentage"] == 100
+        mids = [u for u in rec.updates if u["status"] == "downloading"][1:]
+        assert len(mids) >= 2  # multiple chunks reported
+        bytes_seq = [u["download_bytes"] for u in mids]
+        assert bytes_seq == sorted(bytes_seq)
+        assert mids[-1]["download_percentage"] == 100
+        assert all(u["download_total_bytes"] == n for u in mids)
+
+    def test_stream_fetch_cancel_removes_partial(self, tmp_path):
+        import pytest
+
+        from biocurator_mapper_ray.sources.fetcher import (
+            FetchCancelled, ProgressRecorder, stream_fetch,
+        )
+
+        src = self._write_doc(tmp_path, n=80)
+        dest = tmp_path / "out.json"
+        rec = ProgressRecorder()
+        calls = {"n": 0}
+
+        def cancel_after_two():
+            calls["n"] += 1
+            return calls["n"] > 2
+
+        with pytest.raises(FetchCancelled):
+            stream_fetch(str(src), str(dest), progress=rec,
+                         cancel=cancel_after_two, chunk_size=512)
+        assert not dest.exists()
+        assert rec.latest["status"] == "cancelled"
+
+    def test_fetch_and_stage_integrates_with_store(self, tmp_path):
+        import os
+
+        from biocurator_mapper_ray.sources.fetcher import fetch_and_stage
+        from biocurator_mapper_ray.sources.ontology_json import latest_available
+
+        src = self._write_doc(tmp_path, date="2026-04-04")
+        store = str(tmp_path / "store")
+        staged, snap = fetch_and_stage(f"file://{src}", store)
+        assert os.path.exists(staged) and staged.endswith(f"{snap}.json")
+        assert latest_available(store)["snapshot_hash"] == snap
+        # no temp droppings left behind
+        leftovers = [f for f in os.listdir(store) if f.startswith("_fetch_")]
+        assert leftovers == []
+
+
+class TestExplainMatch:
+    def test_exact_and_vector_explanations(self):
+        from biocurator_mapper_ray.stages.score import RuleScorer
+
+        scorer = RuleScorer()
+        term = {
+            "id": "DOID:1", "name": "angiosarcoma",
+            "definition": "A malignant vascular tumor.",
+            "exact_synonyms": ["hemangiosarcoma"], "all_synonyms": ["hemangiosarcoma"],
+            "similarity_certainty": 0.91,
+        }
+        exact = scorer.explain_match("angiosarcoma", term)
+        assert "DOID:1" in exact and "exactly matches" in exact
+        assert "malignant vascular tumor" in exact
+        assert "hemangiosarcoma" in exact
+        syn = scorer.explain_match("hemangiosarcoma", term)
+        assert "exact synonym" in syn
+        vec = scorer.explain_match("vascular cancer of the scalp", term)
+        assert "vector similarity" in vec.lower() and "0.910" in vec
+        # degrades instead of raising (reference fallback sentence)
+        broken = scorer.explain_match("x", {"no": "fields"})
+        assert "explanation generation failed" in broken
+
+
+class TestConfigReload:
+    def test_reload_swaps_surfaces_in_place(self, tmp_path):
+        from biocurator_mapper_ray.config import EngineConfig
+
+        p = tmp_path / "cfg.yaml"
+        p.write_text(
+            "embeddings:\n  model:\n    name: hashing-v1\n"
+            "ontology:\n  ontologies:\n    GO:\n      enabled: true\n"
+        )
+        cfg = EngineConfig.from_yaml(str(p))
+        assert cfg.embeddings["model"]["name"] == "hashing-v1"
+        p.write_text(
+            "embeddings:\n  model:\n    name: hashing-v2\n"
+            "ontology:\n  ontologies:\n    HPO:\n      enabled: true\n"
+        )
+        out = cfg.reload()
+        assert out["status"] == "success"
+        assert out["embedding_model"] == "hashing-v2"
+        assert "HPO" in out["ontologies"]
+        assert cfg.embeddings["model"]["name"] == "hashing-v2"
+
+    def test_reload_without_source_errors(self):
+        from biocurator_mapper_ray.config import EngineConfig
+
+        out = EngineConfig().reload()
+        assert out["status"] == "error"
+
+    def test_reload_bad_yaml_reports_error(self, tmp_path):
+        from biocurator_mapper_ray.config import EngineConfig
+
+        p = tmp_path / "cfg.yaml"
+        p.write_text("embeddings:\n  model:\n    name: ok\n")
+        cfg = EngineConfig.from_yaml(str(p))
+        p.write_text("embeddings: [unclosed\n  bad: {")
+        out = cfg.reload()
+        assert out["status"] == "error"
+        # old values stay active on a failed reload
+        assert cfg.embeddings["model"]["name"] == "ok"
