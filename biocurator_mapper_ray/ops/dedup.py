@@ -218,14 +218,11 @@ class MinHashBandStage:
             sigs[nonempty] = np.minimum.reduceat(vals, starts, axis=0)
         return sigs
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_column).to_pylist()
-        ids = batch.column(self.id_column).to_numpy()
-        n = len(texts)
-        sigs = self.signatures(texts)
-
-        # band hash: polynomial fold of each band's rows, vectorized over
-        # (docs × bands); mixed so different bands with equal rows differ
+    def band_hashes(self, sigs: np.ndarray) -> np.ndarray:
+        """(n, num_perm) signatures → (n, bands) band hashes: polynomial
+        fold of each band's rows, vectorized over (docs × bands); mixed
+        so different bands with equal rows differ."""
+        n = sigs.shape[0]
         bands3 = sigs.reshape(n, self.bands, self.rows_per_band)
         P = np.uint64(1099511628211)
         bh = np.zeros((n, self.bands), dtype=np.uint64)
@@ -233,7 +230,14 @@ class MinHashBandStage:
             bh = bh * P + bands3[:, :, r]
         bh ^= (bh >> np.uint64(33))
         bh += np.arange(self.bands, dtype=np.uint64)[None, :] * np.uint64(0x9E3779B97F4A7C15)
+        return bh
 
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_column).to_pylist()
+        ids = batch.column(self.id_column).to_numpy()
+        n = len(texts)
+        sigs = self.signatures(texts)
+        bh = self.band_hashes(sigs)
         n_rows = n * self.bands
         sig_list = pa.ListArray.from_arrays(
             pa.array(np.arange(0, (n_rows + 1) * self.hasher.num_perm,
@@ -295,7 +299,7 @@ def minhash_lsh_pairs(
     seed: int = 42,
     dedup_pairs: bool = True,
     emit_mode: str = "all",
-    sig_join_buckets: int = 32,
+    sig_join_buckets: int | None = None,
 ):
     """Near-duplicate pairs (a < b, deduplicated across bands unless
     ``dedup_pairs=False`` — clustering callers tolerate duplicate edges
@@ -322,13 +326,24 @@ def minhash_lsh_pairs(
     from .join import pair_feature_join
 
     stage = MinHashBandStage(text_column, id_column, num_perm, bands, shingle_n, seed)
-    n_salt = 64
 
     def band_rows_salted(batch: pa.Table) -> pa.Table:
-        t = stage(batch).drop_columns(["signature"])
-        salt = (t.column("band_hash").to_numpy().view(np.uint64)
-                % np.uint64(n_salt)).astype(np.int32)
-        return t.append_column("__salt", pa.array(salt))
+        """Lean salted band rows derived from the PACKED SIGNATURE table
+        (not the text corpus): the expensive shingle+hash pass over the
+        text runs exactly once (MinHashSignatureStage below); banding is
+        a cheap fold over the 1 KiB/doc signatures."""
+        sigs_mat = _unpack_sigs(batch.column("sig").to_pylist(), num_perm)
+        ids = batch.column("doc_id").to_numpy()
+        n = len(ids)
+        bh = stage.band_hashes(sigs_mat).reshape(-1).view(np.int64) if n else \
+            np.zeros(0, dtype=np.int64)
+        salt = (bh.view(np.uint64) % np.uint64(n_salt)).astype(np.int32)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, bands)),
+            "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+            "band_hash": pa.array(bh),
+            "__salt": pa.array(salt),
+        })
 
     pair_index = _allpairs_index if emit_mode == "all" else _connect_index
 
@@ -351,22 +366,37 @@ def minhash_lsh_pairs(
         docs = g["doc_id"].to_numpy()
         return pd.DataFrame({"a": docs[ia], "b": docs[ib]}).drop_duplicates()
 
-    # the ONE full-data band exchange: salted groupby (64 shards)
-    # emitting candidate pairs directly — no separate count aggregate,
-    # no second pass over the band rows
-    cands = (
-        ds.map_batches(band_rows_salted, batch_format="pyarrow")
-        .groupby("__salt")
-        .map_groups(cands_in_salt, batch_format="pandas")
-    )
-
-    # signature table, computed once and reused by both join sides;
-    # compact (8·num_perm B/doc) so materializing is ~1000× lighter
-    # than the text corpus and the object store may spill it freely
+    # signature table: the ONLY pass over the text corpus, computed once
+    # and reused by the band pass and both join sides; compact
+    # (8·num_perm B/doc) so materializing is ~1000× lighter than the
+    # text corpus and the object store may spill it freely
     sigs = ds.map_batches(
         MinHashSignatureStage(text_column, id_column, num_perm, shingle_n, seed),
         batch_format="pyarrow",
     ).materialize()
+
+    # size every downstream exchange to the DATA, not the read's block
+    # count: a sort-shuffle's cost here is dominated by task dispatch
+    # (~10-25 ms each), so a 5k-doc corpus inheriting the read's 64
+    # blocks pays ~300 tasks per exchange for milliseconds of work.
+    # Shard/bucket counts grow with the corpus (full 64-way at ≥256k
+    # docs), so cluster-scale behavior is unchanged.
+    n_docs = sigs.count()
+    n_salt = int(min(64, max(8, n_docs // 4096 + 1)))
+    sig_blocks = max(1, n_docs // 32768 + 1)
+    if sigs.num_blocks() > 2 * sig_blocks:
+        sigs = sigs.repartition(sig_blocks).materialize()
+    if sig_join_buckets is None:
+        sig_join_buckets = n_salt
+
+    # the ONE full-data band exchange: salted groupby (64 shards)
+    # emitting candidate pairs directly — no separate count aggregate,
+    # no second pass over the text
+    cands = (
+        sigs.map_batches(band_rows_salted, batch_format="pyarrow")
+        .groupby("__salt")
+        .map_groups(cands_in_salt, batch_format="pandas")
+    )
 
     def verify_df(df: pd.DataFrame) -> pd.DataFrame:
         """Fused into the second join's bucket task: one vectorized
@@ -398,11 +428,35 @@ def minhash_lsh_pairs(
     )
 
 
+def _contract_edge_batch(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """In-task local contraction of an edge batch: min-label propagation
+    over just these edges (vectorized numpy), emitting (root, member)
+    star edges — depth 1 within the batch.  Pure connectivity rewrite
+    (no pairs are dropped or added as reachability), so global rounds
+    over contracted edges converge in far fewer iterations."""
+    uniq, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ia, ib = inv[: len(a)], inv[len(a):]
+    lab = np.arange(len(uniq), dtype=np.int64)
+    while True:
+        m = np.minimum(lab[ia], lab[ib])
+        before = lab.copy()
+        np.minimum.at(lab, ia, m)
+        np.minimum.at(lab, ib, m)
+        # path-halving keeps local convergence O(log) on chains
+        lab = lab[lab]
+        if np.array_equal(lab, before):
+            break
+    members = np.nonzero(lab != np.arange(len(uniq)))[0]
+    return uniq[lab[members]], uniq[members]
+
+
 def connected_components(edges, *, max_iters: int = 10, shards: int = 64):
     """Distributed connected components over an (a, b) edge Dataset:
     (node, component) rows where component = min doc_id in the component.
 
-    Min-label propagation with the label state carried ON the edge-
+    Each input batch is first locally contracted in its map task
+    (:func:`_contract_edge_batch` — star edges, depth 1 per batch), then
+    min-label propagation runs with the label state carried ON the edge-
     endpoint rows (a, b, node, label) — two rows per edge — so each
     round is two salted groupby exchanges and zero joins:
 
@@ -411,19 +465,22 @@ def connected_components(edges, *, max_iters: int = 10, shards: int = 64):
     2. group by node: all of a node's rows take the node's min label
        (the label fans back out over the node's incident edges).
 
-    Each round's transforms are vectorized inside 64 salt shards
+    Each round's transforms are vectorized inside the salt shards
     (pandas ``groupby(...).transform('min')`` — no per-edge/per-node
     Python).  Labels decrease monotonically, so an unchanged
-    ``sum(label)`` between rounds proves convergence; propagation
-    reaches distance ≥ 1 per round (O(component diameter) rounds —
-    near-dup components are shallow).  Nothing edge-scale ever lands
-    on the driver.
+    ``sum(label)`` between materialized states proves convergence;
+    after local contraction components typically settle in 1–2 global
+    rounds.  Nothing edge-scale ever lands on the driver.
     """
     import ray.data as rd
 
     def to_endpoint_rows(batch: pa.Table) -> pa.Table:
-        a = batch.column("a").to_numpy().astype(np.int64)
-        b = batch.column("b").to_numpy().astype(np.int64)
+        a0 = batch.column("a").to_numpy().astype(np.int64)
+        b0 = batch.column("b").to_numpy().astype(np.int64)
+        if len(a0):
+            a, b = _contract_edge_batch(a0, b0)
+        else:
+            a, b = a0, b0
         node = np.concatenate([a, b])
         ea = np.concatenate([a, a])
         eb = np.concatenate([b, b])
@@ -455,23 +512,35 @@ def connected_components(edges, *, max_iters: int = 10, shards: int = 64):
         group["label"] = group.groupby("node", sort=False)["label"].transform("min")
         return group
 
+    def one_round(ds_state):
+        return (
+            ds_state.map_batches(add_edge_shard, batch_format="pyarrow")
+            .groupby("__shard").map_groups(edge_min, batch_format="pandas")
+            .map_batches(add_node_shard, batch_format="pyarrow")
+            .groupby("__shard").map_groups(node_min, batch_format="pandas")
+        )
+
     state = edges.map_batches(to_endpoint_rows, batch_format="pyarrow").materialize()
-    if state.count() == 0:
+    n_rows = state.count()
+    if n_rows == 0:
         return rd.from_pandas(
             pd.DataFrame({"node": pd.Series(dtype=np.int64),
                           "component": pd.Series(dtype=np.int64)})
         )
-    prev_sum = None
+    # size shards and the state's block count to the edge data (task
+    # dispatch dominates exchange cost on lean rows — see
+    # minhash_lsh_pairs); full shard width returns at ≥0.5M rows
+    shards = int(min(shards, max(8, n_rows // 8192 + 1)))
+    state_blocks = max(1, n_rows // 65536 + 1)
+    if state.num_blocks() > 2 * state_blocks:
+        state = state.repartition(state_blocks).materialize()
+    # sums are metadata-cheap on materialized states; comparing
+    # consecutive sums detects convergence (labels only decrease)
+    prev_sum = state.sum("label")
     for _ in range(max_iters):
-        state = (
-            state.map_batches(add_edge_shard, batch_format="pyarrow")
-            .groupby("__shard").map_groups(edge_min, batch_format="pandas")
-            .map_batches(add_node_shard, batch_format="pyarrow")
-            .groupby("__shard").map_groups(node_min, batch_format="pandas")
-            .materialize()
-        )
+        state = one_round(state).materialize()
         label_sum = state.sum("label")
-        if prev_sum is not None and label_sum == prev_sum:
+        if label_sum == prev_sum:
             break
         prev_sum = label_sum
 
@@ -593,10 +662,12 @@ def simhash_pairs(ds, text_column: str = "text", id_column: str = "doc_id",
     pigeonhole recall guarantee actually holds — the previous anchor-vs-
     rest comparison dropped any qualifying pair not involving the
     bucket's min-id doc.  Like minhash, the bucket scan is salted into
-    64 shards with singleton buckets dropped by a vectorized duplicated
-    mask — no per-bucket task overhead.
+    data-sized shards with singleton buckets dropped by a vectorized
+    duplicated mask — no per-bucket task overhead (shard count grows
+    with the corpus; ``ds.count()`` is metadata-cheap on parquet reads).
     """
-    n_salt = 64
+    n_docs = ds.count()
+    n_salt = int(min(64, max(8, (n_docs or 0) // 4096 + 1)))
     stage = simhash_stage or SimHashStage(text_column, id_column, seed)
 
     def explode_chunks(batch: pa.Table) -> pa.Table:

@@ -295,15 +295,42 @@ def embedding_near_dup_pairs(
     assert num_bits % bands == 0
     rows_per_band = num_bits // bands
     lsh = HyperplaneLSH(dim, num_bits, seed)
-    n_salt = 64
 
     from .dedup import _allpairs_index
     from .join import pair_feature_join
 
-    def band_rows(batch: pa.Table) -> pa.Table:
+    def pack_vecs(batch: pa.Table) -> pa.Table:
         mat = _normalize(_as_matrix(batch.column(vec_column)))
+        width = mat.shape[1] * 4 if len(mat) else dim * 4
+        packed = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(width), len(mat),
+            [None, pa.py_buffer(np.ascontiguousarray(mat, dtype=np.float32).tobytes())],
+        )
+        return pa.table({"doc_id": batch.column(id_column), "sig": packed})
+
+    # packed normalized-vector table: the only pass over the raw
+    # embedding column; band rows and both verify-join sides read it
+    vecs = ds.map_batches(pack_vecs, batch_format="pyarrow").materialize()
+
+    # data-sized exchanges (see ops/dedup.minhash_lsh_pairs): shard /
+    # bucket / block counts grow with the corpus instead of inheriting
+    # the read's block count, so lean-data exchanges don't pay hundreds
+    # of dispatch-bound tasks
+    n_docs = vecs.count()
+    n_salt = int(min(64, max(8, n_docs // 4096 + 1)))
+    vec_blocks = max(1, n_docs // 16384 + 1)
+    if vecs.num_blocks() > 2 * vec_blocks:
+        vecs = vecs.repartition(vec_blocks).materialize()
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        mat = (
+            np.frombuffer(b"".join(batch.column("sig").to_pylist()),
+                          dtype=np.float32).reshape(n, -1)
+            if n else np.zeros((0, dim), dtype=np.float32)
+        )
         bits = lsh.signature_bits(mat)  # (n, num_bits)
-        ids = batch.column(id_column).to_numpy()
+        ids = batch.column("doc_id").to_numpy()
         weights = (1 << np.arange(rows_per_band, dtype=np.int64))
         out = {"doc_id": [], "band_id": [], "band_val": []}
         for band in range(bands):
@@ -339,21 +366,10 @@ def embedding_near_dup_pairs(
         return pd.DataFrame({"a": docs[ia], "b": docs[ib]}).drop_duplicates()
 
     cands = (
-        ds.map_batches(band_rows, batch_format="pyarrow")
+        vecs.map_batches(band_rows, batch_format="pyarrow")
         .groupby("__salt")
         .map_groups(cands_in_salt, batch_format="pandas")
     )
-
-    def pack_vecs(batch: pa.Table) -> pa.Table:
-        mat = _normalize(_as_matrix(batch.column(vec_column)))
-        width = mat.shape[1] * 4 if len(mat) else dim * 4
-        packed = pa.FixedSizeBinaryArray.from_buffers(
-            pa.binary(width), len(mat),
-            [None, pa.py_buffer(np.ascontiguousarray(mat, dtype=np.float32).tobytes())],
-        )
-        return pa.table({"doc_id": batch.column(id_column), "sig": packed})
-
-    vecs = ds.map_batches(pack_vecs, batch_format="pyarrow").materialize()
 
     def verify_df(group: pd.DataFrame) -> pd.DataFrame:
         if group.empty:
@@ -372,7 +388,7 @@ def embedding_near_dup_pairs(
                              "b": group["b"].to_numpy()[keep],
                              "cosine": cos[keep]})
 
-    pairs = pair_feature_join(cands, vecs, verify=verify_df)
+    pairs = pair_feature_join(cands, vecs, verify=verify_df, buckets=n_salt)
     deduped = pairs.groupby(["a", "b"]).max("cosine")
 
     def rename_or_empty(t: pa.Table) -> pa.Table:
