@@ -135,7 +135,14 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo_cpus, hi_cpus = 8, 32
+    # 4 → 16 CPUs: a true N-vs-4N pair this single node can honor.  The
+    # sandbox shares one plasma store / disk / raylet across all workers
+    # and measurably saturates near 16 cores (a pure-CPU spin test loses
+    # ~11% at 30 procs — BASELINE.md decomposition), so 8→32 measures
+    # the machine, not the engine's scaling shape.  Override with
+    # RAY_GRAFT_SCALE_LO/HI to reproduce the saturated pairs.
+    lo_cpus = int(os.environ.get("RAY_GRAFT_SCALE_LO", "4"))
+    hi_cpus = int(os.environ.get("RAY_GRAFT_SCALE_HI", "16"))
     lo, hi = one(lo_cpus), one(hi_cpus)
     tput_lo, tput_hi = lo["turns_per_sec"], hi["turns_per_sec"]
     eff = (tput_hi / tput_lo) / (hi_cpus / lo_cpus)

@@ -204,6 +204,24 @@ class TestIndexBuildPipeline:
         assert Manifest(root).current_snapshot() == snap3
         assert len(Manifest(root).read()["history"]) == 2
 
+        # A6: verify_history stamps per-record availability status
+        # (reference config_updater.py:202-247) and persists it
+        import shutil
+
+        history = Manifest(root).verify_history()
+        assert [r["status"] for r in history] == ["available", "available"]
+        assert all(r["last_verified"] for r in history)
+        shutil.rmtree(d1)  # oldest index artifact vanishes
+        history = Manifest(root).verify_history()
+        by_snap = {r["snapshot_hash"]: r["status"] for r in history}
+        assert by_snap[snap1] == "file_missing"
+        assert by_snap[snap3] == "available"
+        # persisted: a fresh Manifest sees the stamped statuses
+        persisted = Manifest(root).read()["history"]
+        assert {r["snapshot_hash"]: r["status"] for r in persisted} == by_snap
+        # and latest_available skips the missing artifact
+        assert Manifest(root).latest_available()["snapshot_hash"] == snap3
+
     def test_quality_filter_applied(self, ray_session, tmp_path):
         from biocurator_mapper_ray.ontology.fixtures import make_edge_case_nodes
 
