@@ -82,3 +82,40 @@ def test_shards_partition_output(ray_session, corpus, tmp_path):
     convs0 = set(t0.column("conv_id").to_pylist())
     convs1 = set(t1.column("conv_id").to_pylist())
     assert convs0 and convs1 and not (convs0 & convs1)
+
+
+def test_sharded_files_overlapped_equals_monolithic(ray_session, corpus, tmp_path):
+    """File-partitioned overlapped shards: output union == monolithic
+    triples exactly, resume skips completed shards, and a changed file
+    list invalidates its shard only."""
+    import ray.data as rd
+
+    from biocurator_mapper_ray.pipelines.kg import extract_triples
+    from biocurator_mapper_ray.pipelines.resume import run_sharded_files
+
+    files = sorted(
+        os.path.join(corpus, f) for f in os.listdir(corpus) if f.endswith(".parquet")
+    )
+    terms = terms_table()
+    mono = extract_triples(rd.read_parquet(files), terms, snapshot_hash="s").to_pandas()
+
+    out_root = str(tmp_path / "sharded")
+    s = run_sharded_files(files, terms, out_root, snapshot_hash="s",
+                          num_shards=2, in_flight=2, sort_output=False)
+    assert s["computed"] == 2 and s["skipped"] == 0
+    got = pads.dataset(out_root, format="parquet").to_table().to_pandas()
+    cols = [c for c in mono.columns if c in got.columns]
+    a = mono[cols].sort_values(cols).reset_index(drop=True)
+    b = got[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)
+
+    # resume: everything skips
+    s2 = run_sharded_files(files, terms, out_root, snapshot_hash="s",
+                           num_shards=2, in_flight=2, sort_output=False)
+    assert s2["computed"] == 0 and s2["skipped"] == 2
+
+    # identity includes the shard's file list: dropping a marker recomputes
+    os.remove(os.path.join(out_root, "shard=000", "_SUCCESS"))
+    s3 = run_sharded_files(files, terms, out_root, snapshot_hash="s",
+                           num_shards=2, in_flight=2, sort_output=False)
+    assert s3["computed"] == 1 and s3["skipped"] == 1
