@@ -29,9 +29,21 @@ KG_SEED = 42
 
 
 def _read(sf_dir: str, table: str, columns=None):
+    """Parquet read with a byte-sized block plan: ~24 MiB per read task
+    (capped at 96 blocks) instead of Ray's CPU-derived default, so a
+    small table doesn't fan into 64 blocks whose downstream exchanges
+    pay hundreds of dispatch-bound tasks.  Grows with the data — the
+    cap only binds locally; a cluster read raises it via DataContext."""
     import ray.data as rd
 
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    size = os.path.getsize(path)
+    blocks = max(1, min(size // (24 << 20) + 1, 96))
+    if size > (1 << 19):
+        # floor of 8 so per-batch CPU stages (shingling, scoring) still
+        # parallelize over a small-but-not-tiny table
+        blocks = max(blocks, 8)
+    return rd.read_parquet(path, columns=columns, override_num_blocks=blocks)
 
 
 def _kg_terms_table() -> pa.Table:
@@ -575,6 +587,25 @@ def _q_dedup_simhash(sf_dir: str):
     return simhash_pairs(ds, max_hamming=3, simhash_stage=stage).sort(["a", "b"])
 
 
+def _q_ngram_jaccard(sf_dir: str):
+    """Exact word-3-gram Jaccard pairs ≥ 0.5 (brute-force baseline mode
+    — the ground-truth tool the LSH ops approximate), hash-checked
+    against a DuckDB shingle-set self-join.  Jaccard doubles are
+    bit-identical on both sides: each is one IEEE division of the same
+    exact integer set sizes (shingle sets are hashed engine-side;
+    64-bit collisions would need ~2^32 distinct shingles to matter)."""
+    from biocurator_mapper_ray.ops.dedup import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ngram_jaccard_pairs(ds, n=3, threshold=0.5, candidates="all")
+    df = out.to_pandas()
+    if "a" not in df.columns:
+        df = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                           "b": pd.Series(dtype="int64"),
+                           "jaccard": pd.Series(dtype="float64")})
+    return df[["a", "b", "jaccard"]].sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def _q_knn_embeddings(sf_dir: str):
     from biocurator_mapper_ray.ops.similarity import knn_search
 
@@ -685,6 +716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_quality_documents": _q_lang_quality,
         "dedup_minhash_documents": _q_dedup_minhash,
         "dedup_simhash_documents": _q_dedup_simhash,
+        "ngram_jaccard_documents": _q_ngram_jaccard,
         "knn_embeddings": _q_knn_embeddings,
         "ivf_knn_embeddings": _q_ivf_knn_embeddings,
         "near_dup_embeddings": _q_near_dup_embeddings,
@@ -886,6 +918,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
             FROM sims a JOIN sims b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.sh, b.sh)) <= 3
+            ORDER BY a, b
+        """,
+        "ngram_jaccard_documents": """
+            WITH words AS (
+                SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, ws[g.i] || ' ' || ws[g.i+1] || ' ' || ws[g.i+2] AS sh
+                FROM words, unnest(range(1, len(ws) - 1)) AS g(i)
+                WHERE len(ws) >= 3
+                UNION ALL
+                SELECT doc_id, array_to_string(ws, ' ') AS sh FROM words
+                WHERE len(ws) < 3 AND array_to_string(ws, ' ') <> ''
+            ),
+            sets AS (SELECT DISTINCT doc_id, sh FROM grams),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                FROM sets x JOIN sets y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT a, b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+            FROM inter JOIN sizes sa ON sa.doc_id = a
+                       JOIN sizes sb ON sb.doc_id = b
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
             ORDER BY a, b
         """,
         "near_dup_embeddings": """

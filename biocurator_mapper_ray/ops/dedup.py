@@ -749,3 +749,124 @@ def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
     if not sa or not sb:
         return 0.0
     return len(sa & sb) / len(sa | sb)
+
+
+class _ShingleSetStage:
+    """docs batch → (doc_id, n_shingles, sig) rows; ``sig`` is the packed
+    SORTED UNIQUE shingle-hash set (variable-length binary)."""
+
+    def __init__(self, text_column: str, id_column: str, n: int):
+        self.text_column = text_column
+        self.id_column = id_column
+        self.n = n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_column).to_pylist()
+        packed, counts = [], []
+        for t in texts:
+            s = np.unique(_shingle_hashes(t or "", self.n))
+            packed.append(s.tobytes())
+            counts.append(len(s))
+        return pa.table({
+            "doc_id": batch.column(self.id_column),
+            "n_shingles": pa.array(counts, pa.int64()),
+            "sig": pa.array(packed, pa.binary()),
+        })
+
+
+def ngram_jaccard_pairs(
+    ds,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+    candidates: str = "all",
+    **lsh_kwargs,
+):
+    """EXACT word-n-gram Jaccard pairs ≥ threshold.
+
+    ``candidates='all'`` is the exact brute-force baseline (the role
+    :func:`~biocurator_mapper_ray.ops.similarity.knn_search` plays for
+    ANN): every (a < b) pair is generated by self-joining the shingle-set
+    table through the bucketed :func:`pair_feature_join` backbone and
+    verified with a sorted-array intersection — O(n²) pairs, exact
+    answers, the small/medium-corpus and ground-truth tool.
+    ``candidates='minhash'`` is the scale path: LSH candidate pairs from
+    :func:`minhash_lsh_pairs` (recall < 1 by design, governed by
+    bands/num_perm) re-verified with EXACT Jaccard instead of the
+    signature estimate.
+    """
+    import ray.data as rd
+
+    from .join import pair_feature_join
+
+    sigs = ds.map_batches(
+        _ShingleSetStage(text_column, id_column, n), batch_format="pyarrow"
+    ).materialize()
+    n_docs = sigs.count()
+    n_buckets = int(min(64, max(8, n_docs // 4096 + 1)))
+
+    if candidates == "all":
+        ids = sigs.select_columns(["doc_id"])
+
+        def all_pairs_block(batch: pa.Table, ids_ref=None) -> pa.Table:
+            import ray as _ray
+
+            every = ids_ref if isinstance(ids_ref, np.ndarray) else _ray.get(ids_ref)
+            mine = batch.column("doc_id").to_numpy()
+            a = np.repeat(mine, len(every))
+            b = np.tile(every, len(mine))
+            keep = a < b
+            return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
+
+        import ray as _ray
+
+        ids_ref = _ray.put(ids.to_pandas()["doc_id"].to_numpy())
+        cands = ids.map_batches(
+            all_pairs_block, fn_kwargs={"ids_ref": ids_ref}, batch_format="pyarrow"
+        )
+    elif candidates == "minhash":
+        cands = minhash_lsh_pairs(
+            ds, text_column, id_column, dedup_pairs=False, threshold=0.0,
+            **lsh_kwargs,
+        ).map_batches(
+            lambda t: t.select(["a", "b"]), batch_format="pyarrow"
+        )
+    else:
+        raise ValueError(f"unknown candidates mode {candidates!r}")
+
+    def verify_df(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                 "b": pd.Series(dtype=np.int64),
+                                 "jaccard": pd.Series(dtype=np.float64)})
+        out_a, out_b, out_j = [], [], []
+        a_col = df["a"].to_numpy()
+        b_col = df["b"].to_numpy()
+        for i in range(len(df)):
+            sa = np.frombuffer(df["f_a"].iat[i], dtype=np.uint64)
+            sb = np.frombuffer(df["f_b"].iat[i], dtype=np.uint64)
+            if not len(sa) and not len(sb):
+                j = 1.0
+            elif not len(sa) or not len(sb):
+                j = 0.0
+            else:
+                inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                j = inter / (len(sa) + len(sb) - inter)
+            if j >= threshold:
+                out_a.append(a_col[i]); out_b.append(b_col[i]); out_j.append(j)
+        return pd.DataFrame({"a": np.asarray(out_a, dtype=np.int64),
+                             "b": np.asarray(out_b, dtype=np.int64),
+                             "jaccard": np.asarray(out_j, dtype=np.float64)})
+
+    pairs = pair_feature_join(cands, sigs.select_columns(["doc_id", "sig"]),
+                              verify=verify_df, buckets=n_buckets)
+    if candidates == "all":
+        return pairs
+    deduped = pairs.groupby(["a", "b"]).max("jaccard")
+    return deduped.map_batches(
+        lambda t: _rename_or_empty(t, ["a", "b", "jaccard"],
+                                   [pa.int64(), pa.int64(), pa.float64()]),
+        batch_format="pyarrow",
+    )

@@ -139,6 +139,45 @@ class TestMinHash:
         # cluster id is the component's min doc_id
         assert sorted(by_cluster.index.tolist()) == [0, 100, 200, 300, 400]
 
+    def test_ngram_jaccard_pairs_modes(self, ray_session):
+        """Exact all-pairs mode == per-pair kernel truth; minhash
+        candidate mode re-verifies with exact Jaccard (recall ≤ exact,
+        values identical where found)."""
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.dedup import ngram_jaccard_pairs
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        rows = [
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": base + " extra"},
+            {"doc_id": 3, "text": base},
+            {"doc_id": 4, "text": "totally different words with no overlap at all here now"},
+        ]
+        exact = ngram_jaccard_pairs(rd.from_items(rows), threshold=0.5,
+                                    candidates="all").to_pandas()
+        got = {tuple(sorted((a, b))): j
+               for a, b, j in zip(exact["a"], exact["b"], exact["jaccard"])}
+        want = {}
+        for i in range(len(rows)):
+            for k in range(i + 1, len(rows)):
+                j = ngram_jaccard(rows[i]["text"], rows[k]["text"])
+                if j >= 0.5:
+                    want[(rows[i]["doc_id"], rows[k]["doc_id"])] = j
+        assert set(got) == set(want)
+        for p, j in want.items():
+            assert abs(got[p] - j) < 1e-12
+        assert (1, 3) in got and got[(1, 3)] == 1.0
+
+        lsh = ngram_jaccard_pairs(rd.from_items(rows), threshold=0.5,
+                                  candidates="minhash").to_pandas()
+        lsh_got = {tuple(sorted((a, b))): j
+                   for a, b, j in zip(lsh["a"], lsh["b"], lsh["jaccard"])}
+        assert set(lsh_got) <= set(got)
+        for p, j in lsh_got.items():
+            assert abs(got[p] - j) < 1e-12
+        assert (1, 3) in lsh_got  # identical docs always collide
+
     def test_pair_index_helpers(self):
         from biocurator_mapper_ray.ops.dedup import _allpairs_index, _connect_index
 
