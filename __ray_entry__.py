@@ -700,6 +700,35 @@ def _q_multimodal_features(sf_dir: str):
     return out.select_columns(["media_id", "features"]).sort("media_id")
 
 
+def _q_multimodal_audio(sf_dir: str):
+    """Audio path: PCM decode (fake=raw-L16 reinterpretation) →
+    REAL linear-interp resample 16k→8k → RMS/ZCR/peak features
+    (rows-only: synthesized media, not a driver table)."""
+    import ray.data as rd
+
+    from biocurator_mapper_ray.ops.multimodal import (
+        AudioDecodeStage, AudioFeatureStage, AudioResampleStage,
+        suggest_batch_size, synth_media_batch,
+    )
+
+    n = max(50, int(1000 * float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.001)))
+    ds = rd.from_arrow(synth_media_batch(n, kind="audio", payload_bytes=8192))
+    out = (
+        ds.map_batches(
+            AudioDecodeStage,
+            fn_constructor_kwargs={"fake": True, "sample_rate": 16000},
+            batch_format="pyarrow", batch_size=suggest_batch_size(8192),
+            concurrency=(1, 4),
+        )
+        .map_batches(AudioResampleStage,
+                     fn_constructor_kwargs={"target_rate": 8000},
+                     batch_format="pyarrow", concurrency=(1, 4))
+        .map_batches(AudioFeatureStage, batch_format="pyarrow",
+                     concurrency=(1, 4))
+    )
+    return out.select_columns(["media_id", "audio_features"]).sort("media_id")
+
+
 # ----------------------------------------------------------------- contract
 
 
@@ -739,6 +768,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_knn_embeddings": _q_ivf_knn_embeddings,
         "near_dup_embeddings": _q_near_dup_embeddings,
         "multimodal_features": _q_multimodal_features,
+        "multimodal_audio": _q_multimodal_audio,
     }
 
 

@@ -105,6 +105,92 @@ class ImageFeatureStage:
         )
 
 
+class AudioDecodeStage:
+    """payload → int16 PCM sample column.
+
+    Real mode (compressed codecs: mp3/ogg/flac) requires an audio
+    library not in this container and raises ``NotImplementedError`` at
+    construction.  Fake mode reinterprets the payload bytes as raw
+    little-endian int16 PCM — which is also the REAL decode for
+    ``audio/L16`` payloads, so the downstream resample/feature stages
+    are exercised on genuine PCM semantics.
+    """
+
+    def __init__(self, fake: bool = False, sample_rate: int = 16000):
+        if not fake:
+            raise NotImplementedError(
+                "compressed-audio decoding requires a codec library not "
+                "present in this environment; construct with fake=True for "
+                "the raw-PCM reinterpretation decoder"
+            )
+        self.sample_rate = sample_rate
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        samples = []
+        for payload in batch.column("payload").to_pylist():
+            buf = payload[: len(payload) - (len(payload) % 2)]
+            samples.append(np.frombuffer(buf, dtype="<i2").tolist())
+        n = len(batch)
+        return batch.append_column(
+            "samples", pa.array(samples, pa.list_(pa.int16()))
+        ).append_column(
+            "sample_rate", pa.array(np.full(n, self.sample_rate, dtype=np.int32))
+        )
+
+
+class AudioResampleStage:
+    """PCM samples → linear-interpolation resample to ``target_rate``.
+
+    Real DSP (numpy ``interp`` over the sample grid), not a stub — the
+    codec boundary is :class:`AudioDecodeStage`; everything after it
+    operates on plain PCM.
+    """
+
+    def __init__(self, target_rate: int = 8000):
+        self.target_rate = target_rate
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rates = batch.column("sample_rate").to_numpy()
+        out = []
+        for samples, rate in zip(batch.column("samples").to_pylist(), rates):
+            x = np.asarray(samples, dtype=np.float32)
+            if not len(x) or rate == self.target_rate:
+                out.append(np.asarray(samples, dtype=np.int16).tolist())
+                continue
+            n_out = max(1, int(round(len(x) * self.target_rate / rate)))
+            t_in = np.arange(len(x), dtype=np.float64) / rate
+            t_out = np.arange(n_out, dtype=np.float64) / self.target_rate
+            y = np.interp(t_out, t_in, x)
+            out.append(np.clip(np.round(y), -32768, 32767).astype(np.int16).tolist())
+        n = len(batch)
+        return (
+            batch.drop_columns(["samples", "sample_rate"])
+            .append_column("samples", pa.array(out, pa.list_(pa.int16())))
+            .append_column(
+                "sample_rate", pa.array(np.full(n, self.target_rate, dtype=np.int32))
+            )
+        )
+
+
+class AudioFeatureStage:
+    """PCM samples → (rms, zero-crossing rate, peak, n_samples) features
+    — exact numpy DSP per clip."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        for samples in batch.column("samples").to_pylist():
+            x = np.asarray(samples, dtype=np.float64)
+            if not len(x):
+                feats.append([0.0, 0.0, 0.0, 0.0])
+                continue
+            rms = float(np.sqrt(np.mean(x * x)))
+            zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if len(x) > 1 else 0.0
+            feats.append([rms, zcr, float(np.abs(x).max()), float(len(x))])
+        return batch.append_column(
+            "audio_features", pa.array(feats, pa.list_(pa.float64(), 4))
+        )
+
+
 class FrameSampleStage:
     """video payload → every-k-th "frame" offsets (stub sampling policy;
     real mode would demux — same signature)."""

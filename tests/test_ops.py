@@ -400,6 +400,62 @@ class TestTextStats:
         assert out[0]["fp_sim64"] != out[1]["fp_sim64"]
 
 
+class TestAudioOps:
+    def test_decode_resample_features_pipeline(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.multimodal import (
+            AudioDecodeStage, AudioFeatureStage, AudioResampleStage,
+            synth_media_batch,
+        )
+
+        ds = rd.from_arrow(synth_media_batch(10, kind="audio", payload_bytes=4096))
+        out = (
+            ds.map_batches(AudioDecodeStage,
+                           fn_constructor_kwargs={"fake": True, "sample_rate": 16000},
+                           batch_format="pyarrow", concurrency=2)
+            .map_batches(AudioResampleStage, fn_constructor_kwargs={"target_rate": 8000},
+                         batch_format="pyarrow", concurrency=2)
+            .map_batches(AudioFeatureStage, batch_format="pyarrow", concurrency=2)
+        ).to_pandas()
+        assert len(out) == 10
+        # 4096 bytes → 2048 samples at 16k → ~1024 at 8k
+        assert all(abs(len(s) - 1024) <= 1 for s in out["samples"])
+        assert (out["sample_rate"] == 8000).all()
+        for f in out["audio_features"]:
+            rms, zcr, peak, n = f
+            assert 0 < rms <= peak <= 32768
+            assert 0.0 <= zcr <= 1.0 and n > 0
+
+    def test_resample_identity_and_exactness(self):
+        import pyarrow as pa
+
+        from biocurator_mapper_ray.ops.multimodal import AudioResampleStage
+
+        # a pure ramp resampled 2:1 by linear interp keeps the ramp
+        x = np.arange(0, 2000, 2, dtype=np.int16)  # 1000 samples
+        batch = pa.table({
+            "samples": pa.array([x.tolist()], pa.list_(pa.int16())),
+            "sample_rate": pa.array([16000], pa.int32()),
+        })
+        out = AudioResampleStage(target_rate=8000)(batch)
+        y = np.asarray(out.column("samples").to_pylist()[0])
+        assert len(y) == 500
+        ramp = np.diff(y.astype(np.int64))
+        assert (np.abs(ramp - 4) <= 1).all()  # ~double the step
+        # same-rate input passes through untouched
+        out2 = AudioResampleStage(target_rate=16000)(batch)
+        assert out2.column("samples").to_pylist()[0] == x.tolist()
+
+    def test_real_decode_raises_loudly(self):
+        import pytest
+
+        from biocurator_mapper_ray.ops.multimodal import AudioDecodeStage
+
+        with pytest.raises(NotImplementedError):
+            AudioDecodeStage(fake=False)
+
+
 class TestMultimodal:
     def test_decode_stub_raises_without_fake(self):
         with pytest.raises(NotImplementedError):
