@@ -117,24 +117,32 @@ def _rename_or_empty(t: pa.Table, names: list[str], types: list) -> pa.Table:
     return pa.table({n: pa.array([], ty) for n, ty in zip(names, types)})
 
 
-def exact_dedup(ds, column: str = "text", id_column: str = "doc_id"):
+def exact_dedup(ds, column: str = "text", id_column: str = "doc_id",
+                *, shards: int = 64):
     """Keep the min-id row per distinct value of ``column``.
 
-    Shuffle key = content hash (fixed 8 bytes/row regardless of text
-    size); collisions are split by exact value inside the group.
+    Shuffle key = content-hash SHARD (fixed 4 bytes/row regardless of
+    text size; equal texts share a hash, hence a shard), with the
+    min-id-per-exact-value selection vectorized across each shard's
+    whole frame — one task per shard, not one per distinct value.
+    Grouping inside the shard is by the exact value, so hash collisions
+    can never merge distinct texts.
     """
 
+    def tag(batch: pa.Table) -> pa.Table:
+        h = hash64_column(batch.column(column))
+        return batch.append_column(
+            "__shard", pa.array((h % np.uint64(shards)).astype(np.int32))
+        )
+
     def first_per_text(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.drop(columns="__shard")
         idx = group.groupby(column, sort=False)[id_column].idxmin()
         return group.loc[sorted(idx)]
 
-    hashed = ds.map_batches(
-        lambda b: add_content_hash(b, column), batch_format="pyarrow"
-    )
-    kept = hashed.groupby("content_hash").map_groups(
+    return ds.map_batches(tag, batch_format="pyarrow").groupby("__shard").map_groups(
         first_per_text, batch_format="pandas"
     )
-    return kept.drop_columns(["content_hash"])
 
 
 # -------------------------------------------------------------- minhash
