@@ -175,7 +175,10 @@ def _q_pricing_summary(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         # Arrow-native partial aggregate (zero-copy; no pandas round-trip
         # — the two-string-key pandas groupby measured ~10× slower, see
-        # stages/canonicalize.py)
+        # stages/canonicalize.py).  Monetary values convert to per-ITEM
+        # integer units BEFORE summation: float64 sums are summation-
+        # order-dependent at ULP level across engines (bit the revenue
+        # query at sf0.1); integer sums are exact and order-independent.
         batch = batch.filter(pc.less_equal(batch.column("l_shipdate"), cutoff))
         disc = pc.multiply(
             batch.column("l_extendedprice"),
@@ -184,17 +187,21 @@ def _q_pricing_summary(sf_dir: str):
         t = pa.table({
             "l_returnflag": batch.column("l_returnflag"),
             "l_linestatus": batch.column("l_linestatus"),
-            "l_quantity": batch.column("l_quantity"),
-            "l_extendedprice": batch.column("l_extendedprice"),
-            "disc_price": disc,
+            "qty_i": pc.cast(pc.round(batch.column("l_quantity"), ndigits=0),
+                             pa.int64()),
+            "price_cents": pc.cast(
+                pc.round(pc.multiply(batch.column("l_extendedprice"), 100.0),
+                         ndigits=0), pa.int64()),
+            "disc_c10k": pc.cast(
+                pc.round(pc.multiply(disc, 10000.0), ndigits=0), pa.int64()),
         })
         g = t.group_by(["l_returnflag", "l_linestatus"], use_threads=False).aggregate(
-            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
-             ("disc_price", "sum"), ("l_quantity", "count")]
+            [("qty_i", "sum"), ("price_cents", "sum"),
+             ("disc_c10k", "sum"), ("qty_i", "count")]
         )
         return g.rename_columns(
-            ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
-             "sum_disc_price", "count_order"]
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price_cents",
+             "sum_disc_price_c10k", "count_order"]
         )
 
     from ray.data.aggregate import Sum
@@ -202,26 +209,30 @@ def _q_pricing_summary(sf_dir: str):
     partials = ds.map_batches(partial, batch_format="pyarrow")
     out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("sum_qty", alias_name="sum_qty"),
-        Sum("sum_base_price", alias_name="sum_base_price"),
-        Sum("sum_disc_price", alias_name="sum_disc_price"),
+        Sum("sum_base_price_cents", alias_name="sum_base_price_cents"),
+        Sum("sum_disc_price_c10k", alias_name="sum_disc_price_c10k"),
         Sum("count_order", alias_name="count_order"),
     )
 
     def finish(batch: pa.Table) -> pa.Table:
-        # integer-cents outputs: float64 sums differ between engines at
-        # ULP level depending on summation order, and round(x, 2) does
-        # not canonicalize the binary representation — integers do.
+        # averages derive from the exact integer sums on BOTH sides with
+        # the same floor(x + 0.5) formula, so even an exact .5 quotient
+        # rounds identically (np.round is half-even, DuckDB round is
+        # half-away — floor(x+0.5) sidesteps the mode difference)
         df = batch.to_pandas()
+        cnt = df["count_order"].astype("int64")
+        sum_qty = df["sum_qty"].astype("int64")
+        base_cents = df["sum_base_price_cents"].astype("int64")
         out = pd.DataFrame(
             {
                 "l_returnflag": df["l_returnflag"],
                 "l_linestatus": df["l_linestatus"],
-                "sum_qty": df["sum_qty"].round(0).astype("int64"),
-                "sum_base_price_cents": (df["sum_base_price"] * 100).round(0).astype("int64"),
-                "sum_disc_price_c10k": (df["sum_disc_price"] * 10000).round(0).astype("int64"),
-                "count_order": df["count_order"].astype("int64"),
-                "avg_qty_c100": (df["sum_qty"] / df["count_order"] * 100).round(0).astype("int64"),
-                "avg_price_c100": (df["sum_base_price"] / df["count_order"] * 100).round(0).astype("int64"),
+                "sum_qty": sum_qty,
+                "sum_base_price_cents": base_cents,
+                "sum_disc_price_c10k": df["sum_disc_price_c10k"].astype("int64"),
+                "count_order": cnt,
+                "avg_qty_c100": np.floor(sum_qty * 100.0 / cnt + 0.5).astype("int64"),
+                "avg_price_c100": np.floor(base_cents / cnt + 0.5).astype("int64"),
             }
         )
         return pa.Table.from_pandas(out, preserve_index=False)
@@ -269,7 +280,14 @@ def _q_customer_by_region(sf_dir: str):
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             keys = batch.column("c_nationkey").to_numpy()
-            return batch.append_column(
+            # per-item integer cents before any summation (order-exact)
+            cents = pc.cast(
+                pc.round(pc.multiply(batch.column("c_acctbal"), 100.0), ndigits=0),
+                pa.int64(),
+            )
+            return batch.set_column(
+                batch.schema.get_field_index("c_acctbal"), "acctbal_cents", cents
+            ).append_column(
                 "r_name", pa.array(np.take(self.names, keys), pa.string())
             )
 
@@ -279,18 +297,15 @@ def _q_customer_by_region(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     out = joined.groupby("r_name").aggregate(
-        Count(alias_name="n_customers"), Sum("c_acctbal", alias_name="sum_acctbal")
+        Count(alias_name="n_customers"),
+        Sum("acctbal_cents", alias_name="sum_acctbal_cents"),
     )
 
     def finish(batch: pa.Table) -> pa.Table:
-        cents = pc.cast(
-            pc.round(pc.multiply(batch.column("sum_acctbal"), 100.0), ndigits=0),
-            pa.int64(),
+        return batch.set_column(
+            batch.schema.get_field_index("sum_acctbal_cents"), "sum_acctbal_cents",
+            pc.cast(batch.column("sum_acctbal_cents"), pa.int64()),
         )
-        batch = batch.set_column(
-            batch.schema.get_field_index("sum_acctbal"), "sum_acctbal_cents", cents
-        )
-        return batch
 
     return out.map_batches(finish, batch_format="pyarrow").sort("r_name")
 
@@ -317,15 +332,19 @@ def _q_hourly_events(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         # Arrow-native partial aggregate (no pandas round-trip)
         hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("value"), 100.0), ndigits=0),
+            pa.int64(),
+        )
         t = pa.table({
             "user_id": batch.column("user_id"),
             "hour": hour,
-            "value": batch.column("value"),
+            "value_cents": cents,
         })
         g = t.group_by(["user_id", "hour"], use_threads=False).aggregate(
-            [("value", "count"), ("value", "sum")]
+            [("value_cents", "count"), ("value_cents", "sum")]
         )
-        return g.rename_columns(["user_id", "hour", "n_events", "sum_value"])
+        return g.rename_columns(["user_id", "hour", "n_events", "sum_value_cents"])
 
     # salted-bucket final aggregate (Ray's Aggregate op spent ~4 s on
     # 95k partial rows; one bucket exchange + vectorized pandas groupby
@@ -338,7 +357,7 @@ def _q_hourly_events(sf_dir: str):
 
     def final_bucket(g: pd.DataFrame) -> pd.DataFrame:
         return (
-            g.groupby(["user_id", "hour"], sort=False)[["n_events", "sum_value"]]
+            g.groupby(["user_id", "hour"], sort=False)[["n_events", "sum_value_cents"]]
             .sum()
             .reset_index()
         )
@@ -351,12 +370,9 @@ def _q_hourly_events(sf_dir: str):
     )
 
     def finish(batch: pa.Table) -> pa.Table:
-        cents = pc.cast(
-            pc.round(pc.multiply(batch.column("sum_value"), 100.0), ndigits=0),
-            pa.int64(),
-        )
         batch = batch.set_column(
-            batch.schema.get_field_index("sum_value"), "sum_value_cents", cents
+            batch.schema.get_field_index("sum_value_cents"), "sum_value_cents",
+            pc.cast(batch.column("sum_value_cents"), pa.int64()),
         )
         return batch.set_column(
             batch.schema.get_field_index("hour"),
@@ -413,9 +429,15 @@ def _q_revenue_by_priority(sf_dir: str):
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
 
     def revenue(batch: pa.Table) -> pa.Table:
+        # per-ITEM integer c10k units BEFORE any summation: float64 sums
+        # are summation-order-dependent at ULP level (round-at-the-end
+        # diverged from DuckDB at sf0.1), integer sums are exact and
+        # order-independent on both sides
         rev = pc.multiply(batch.column("l_extendedprice"),
                           pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
-        return pa.table({"l_orderkey": batch.column("l_orderkey"), "revenue": rev})
+        c10k = pc.cast(pc.round(pc.multiply(rev, 10000.0), ndigits=0), pa.int64())
+        return pa.table({"l_orderkey": batch.column("l_orderkey"),
+                         "revenue_c10k": c10k})
 
     per_order = hash_join(
         lineitem.map_batches(revenue, batch_format="pyarrow"),
@@ -428,18 +450,18 @@ def _q_revenue_by_priority(sf_dir: str):
         # the downstream exchange ships one row per order, not per lineitem
         bucket_postprocess=lambda df: df.groupby(
             ["o_orderpriority", "o_orderkey"], sort=False
-        )["revenue"].sum().reset_index(name="order_revenue"),
+        )["revenue_c10k"].sum().reset_index(name="order_revenue_c10k"),
     )
     out = per_order.groupby("o_orderpriority").aggregate(
-        Count(alias_name="n_orders"), Sum("order_revenue", alias_name="revenue")
+        Count(alias_name="n_orders"),
+        Sum("order_revenue_c10k", alias_name="revenue_c10k"),
     )
 
     def finish(batch: pa.Table) -> pa.Table:
-        c10k = pc.cast(pc.round(pc.multiply(batch.column("revenue"), 10000.0), ndigits=0),
-                       pa.int64())
-        batch = batch.set_column(batch.schema.get_field_index("revenue"),
-                                 "revenue_c10k", c10k)
-        return batch
+        return batch.set_column(
+            batch.schema.get_field_index("revenue_c10k"), "revenue_c10k",
+            pc.cast(batch.column("revenue_c10k"), pa.int64()),
+        )
 
     return out.map_batches(finish, batch_format="pyarrow").sort("o_orderpriority")
 
@@ -776,12 +798,16 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   CAST(round(sum(l_quantity), 0) AS BIGINT)                          AS sum_qty,
-                   CAST(round(sum(l_extendedprice) * 100, 0) AS BIGINT)                AS sum_base_price_cents,
-                   CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT) AS sum_disc_price_c10k,
-                   count(*)                                                           AS count_order,
-                   CAST(round(sum(l_quantity) / count(*) * 100, 0) AS BIGINT)          AS avg_qty_c100,
-                   CAST(round(sum(l_extendedprice) / count(*) * 100, 0) AS BIGINT)     AS avg_price_c100
+                   CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+                       AS sum_base_price_cents,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0)
+                                 AS BIGINT)) AS BIGINT) AS sum_disc_price_c10k,
+                   count(*) AS count_order,
+                   CAST(floor(sum(CAST(round(l_quantity, 0) AS BIGINT)) * 100.0
+                              / count(*) + 0.5) AS BIGINT) AS avg_qty_c100,
+                   CAST(floor(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) * 1.0
+                              / count(*) + 0.5) AS BIGINT) AS avg_price_c100
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
             GROUP BY l_returnflag, l_linestatus
@@ -796,7 +822,8 @@ def oracle_sql() -> dict[str, str]:
         "customer_by_region": """
             SELECT r_name,
                    count(*)                 AS n_customers,
-                   CAST(round(sum(c_acctbal) * 100, 0) AS BIGINT) AS sum_acctbal_cents
+                   CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+                       AS sum_acctbal_cents
             FROM customer
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
@@ -817,7 +844,8 @@ def oracle_sql() -> dict[str, str]:
         "hourly_events": """
             SELECT user_id, date_trunc('hour', ts) AS hour,
                    count(*)             AS n_events,
-                   CAST(round(sum(value) * 100, 0) AS BIGINT) AS sum_value_cents
+                   CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                       AS sum_value_cents
             FROM events
             GROUP BY user_id, date_trunc('hour', ts)
             ORDER BY user_id, hour
@@ -825,8 +853,8 @@ def oracle_sql() -> dict[str, str]:
         "revenue_by_priority": """
             SELECT o_orderpriority,
                    count(DISTINCT o_orderkey) AS n_orders,
-                   CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)
-                       AS revenue_c10k
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0)
+                                 AS BIGINT)) AS BIGINT) AS revenue_c10k
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority
