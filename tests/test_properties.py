@@ -1,0 +1,144 @@
+"""Property-based tests for the pure numpy kernels (hypothesis) and
+seeded randomized parity tests for the windowed ops (Ray vs pandas
+reference semantics)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from biocurator_mapper_ray.ops.dedup import (
+    _allpairs_index,
+    _connect_index,
+    _contract_edge_batch,
+    _popcount64,
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=12), min_size=0, max_size=8))
+def test_allpairs_index_is_exactly_all_within_group_pairs(sizes):
+    sizes = np.asarray(sizes, dtype=np.int64)
+    ia, ib = _allpairs_index(sizes)
+    got = set(zip(ia.tolist(), ib.tolist()))
+    want = set()
+    start = 0
+    for s in sizes:
+        for i in range(start, start + s):
+            for j in range(i + 1, start + s):
+                want.add((i, j))
+        start += s
+    assert got == want
+    assert (ia < ib).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=12), min_size=0, max_size=8))
+def test_connect_index_spans_each_group(sizes):
+    """Chain+star edges connect every group completely (union-find) and
+    never cross group boundaries."""
+    sizes = np.asarray(sizes, dtype=np.int64)
+    ia, ib = _connect_index(sizes)
+    total = int(sizes.sum())
+    parent = list(range(total))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    bounds = np.cumsum(sizes)
+    group_of = np.searchsorted(bounds, np.arange(total), side="right")
+    for a, b in zip(ia.tolist(), ib.tolist()):
+        assert group_of[a] == group_of[b]
+        parent[find(a)] = find(b)
+    start = 0
+    for s in sizes:
+        roots = {find(i) for i in range(start, start + s)}
+        assert len(roots) == 1
+        start += s
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1),
+                min_size=1, max_size=32))
+def test_popcount_matches_python(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    got = _popcount64(arr)
+    want = [bin(v).count("1") for v in vals]
+    assert got.tolist() == want
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 20), st.integers(0, 20)),
+                min_size=1, max_size=40))
+def test_contract_edge_batch_preserves_connectivity(pairs):
+    pairs = [(a, b) for a, b in pairs if a != b]
+    if not pairs:
+        return
+    a = np.array([p[0] for p in pairs], dtype=np.int64)
+    b = np.array([p[1] for p in pairs], dtype=np.int64)
+    ra, rb = _contract_edge_batch(a, b)
+
+    def components(edge_a, edge_b):
+        nodes = set(edge_a.tolist()) | set(edge_b.tolist())
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for x, y in zip(edge_a.tolist(), edge_b.tolist()):
+            parent[find(x)] = find(y)
+        comp = {}
+        for n in nodes:
+            comp.setdefault(find(n), set()).add(n)
+        return {frozenset(v) for v in comp.values()}
+
+    assert components(a, b) == components(ra, rb)
+    # contracted edges are star edges from each component's min node
+    assert (ra < rb).all()
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_running_and_rolling_match_pandas_reference(ray_session, seed):
+    import ray.data as rd
+
+    from biocurator_mapper_ray.ops.window import (
+        rolling_time_aggregate,
+        running_aggregate,
+    )
+
+    rng = np.random.default_rng(seed)
+    n = 400
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 12, n),
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.Timestamp("2026-01-01")
+        + pd.to_timedelta(rng.integers(0, 3_600_000, n), unit="s"),
+        "v": rng.integers(-50, 200, n).astype(np.int64),
+    })
+    df = df.drop_duplicates(subset=["user_id", "ts"]).reset_index(drop=True)
+
+    run = running_aggregate(rd.from_pandas(df), key="user_id", ts="ts",
+                            tiebreak="event_id", value="v").to_pandas()
+    ref = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    ref["running_sum"] = ref.groupby("user_id")["v"].cumsum()
+    merged = run.merge(ref[["event_id", "running_sum"]], on="event_id",
+                       suffixes=("", "_ref"))
+    assert (merged["running_sum"] == merged["running_sum_ref"]).all()
+
+    roll = rolling_time_aggregate(rd.from_pandas(df), key="user_id", ts="ts",
+                                  tiebreak="event_id", value="v",
+                                  window="1h").to_pandas()
+    # brute-force reference: trailing [ts-1h, ts] inclusive per key
+    ref_map = {}
+    for _, row in df.iterrows():
+        lo = row["ts"] - pd.Timedelta(hours=1)
+        mask = (df["user_id"] == row["user_id"]) & (df["ts"] >= lo) & (df["ts"] <= row["ts"])
+        ref_map[row["event_id"]] = df.loc[mask, "v"].sum()
+    assert all(ref_map[e] == s for e, s in zip(roll["event_id"], roll["rolling_sum"]))
