@@ -646,6 +646,33 @@ def _q_ngram_jaccard(sf_dir: str):
     return df[["a", "b", "jaccard"]].sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def _q_sample_documents(sf_dir: str):
+    """Deterministic ~20% md5-keyed sample — identical subset on any
+    engine/partitioning (SQL oracle: same md5 bucket expression)."""
+    from biocurator_mapper_ray.ops.sample import hash_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return hash_sample(ds, pct=20, seed=42).select_columns(["doc_id"]).sort("doc_id")
+
+
+def _q_split_documents(sf_dir: str):
+    """Deterministic 10% test / 90% train split assignment."""
+    from biocurator_mapper_ray.ops.sample import hash_split
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return hash_split(ds, test_pct=10, seed=7).select_columns(
+        ["doc_id", "split"]
+    ).sort("doc_id")
+
+
+def _q_token_histogram(sf_dir: str):
+    """Whitespace token-count histogram (width-50 buckets)."""
+    from biocurator_mapper_ray.ops.sample import length_histogram
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return length_histogram(ds, bucket_width=50)
+
+
 def _q_knn_embeddings(sf_dir: str):
     from biocurator_mapper_ray.ops.similarity import knn_search
 
@@ -786,6 +813,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_documents": _q_dedup_minhash,
         "dedup_simhash_documents": _q_dedup_simhash,
         "ngram_jaccard_documents": _q_ngram_jaccard,
+        "sample_documents": _q_sample_documents,
+        "split_documents": _q_split_documents,
+        "token_histogram_documents": _q_token_histogram,
         "knn_embeddings": _q_knn_embeddings,
         "ivf_knn_embeddings": _q_ivf_knn_embeddings,
         "near_dup_embeddings": _q_near_dup_embeddings,
@@ -1021,6 +1051,35 @@ def oracle_sql() -> dict[str, str]:
                        JOIN sizes sb ON sb.doc_id = b
             WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
             ORDER BY a, b
+        """,
+        "sample_documents": """
+            SELECT doc_id FROM documents
+            WHERE CAST('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 16)
+                       AS UBIGINT) % 100 < 20
+            ORDER BY doc_id
+        """,
+        "split_documents": """
+            SELECT doc_id,
+                   CASE WHEN CAST('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)),
+                                                 1, 16) AS UBIGINT) % 100 < 10
+                        THEN 'test' ELSE 'train' END AS split
+            FROM documents
+            ORDER BY doc_id
+        """,
+        "token_histogram_documents": """
+            WITH counts AS (
+                SELECT CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0
+                            THEN 0
+                            ELSE array_length(regexp_split_to_array(
+                                 regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))
+                       END AS n_tokens
+                FROM documents
+            )
+            SELECT CAST(n_tokens // 50 * 50 AS BIGINT) AS bucket_lo,
+                   count(*) AS n_docs
+            FROM counts
+            GROUP BY 1
+            ORDER BY bucket_lo
         """,
         "near_dup_embeddings": """
             SELECT a.vec_id AS a, b.vec_id AS b

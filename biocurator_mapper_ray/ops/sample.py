@@ -1,0 +1,102 @@
+"""Dataset curation primitives: deterministic sampling / train-test
+splits and distribution histograms.
+
+A training-data pipeline needs reproducible subsetting that is stable
+across runs, engines and partitionings — so sampling here is keyed
+content hashing, not RNG state: a row's fate depends only on its id and
+the seed.  The md5-derived variant is byte-identical to DuckDB
+(``CAST('0x' || substr(md5(...), 1, 16) AS UBIGINT)``), giving these
+ops exact SQL oracles.
+
+* :func:`hash_sample` — keep rows whose keyed hash lands under
+  ``pct``; O(1) state, no shuffle, exact same subset on any cluster.
+* :func:`hash_split` — disjoint train/test assignment from the same
+  hash (test = the sampled stratum, train = the rest).
+* :func:`length_histogram` — bucketed distribution of a numeric
+  expression (e.g. whitespace token counts) via map-side partial
+  counts + one tiny groupby.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _md5_bucket(values, buckets: int, seed: int) -> np.ndarray:
+    """Deterministic bucket in [0, buckets) from md5 of ``seed:value``
+    (first 16 hex chars → uint64 — DuckDB-reproducible)."""
+    out = np.empty(len(values), dtype=np.int64)
+    for i, v in enumerate(values):
+        h = hashlib.md5(f"{seed}:{v}".encode("utf-8")).hexdigest()[:16]
+        out[i] = int(h, 16) % buckets
+    return out
+
+
+def hash_sample(ds, *, key_column: str = "doc_id", pct: int = 20,
+                seed: int = 42, buckets: int = 100):
+    """Keep rows whose md5 bucket < ``pct`` — a deterministic ~pct%
+    sample, identical on any engine/partitioning."""
+
+    def keep(batch: pa.Table) -> pa.Table:
+        b = _md5_bucket(batch.column(key_column).to_pylist(), buckets, seed)
+        return batch.filter(pa.array(b < pct))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def hash_split(ds, *, key_column: str = "doc_id", test_pct: int = 10,
+               seed: int = 42, buckets: int = 100):
+    """Append a ``split`` column ('test' for the sampled stratum,
+    'train' otherwise) — disjoint and exhaustive by construction."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = _md5_bucket(batch.column(key_column).to_pylist(), buckets, seed)
+        split = np.where(b < test_pct, "test", "train")
+        return batch.append_column("split", pa.array(split.tolist(), pa.string()))
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def length_histogram(ds, *, column: str = "text", bucket_width: int = 50):
+    """Histogram of whitespace token counts: (bucket_lo, n_docs) rows,
+    bucket_lo = floor(n_tokens / width) * width.
+
+    Map-side partial counts per batch, then one tiny groupby over at
+    most (max_len / width) rows per batch — the exchange is bounded by
+    the histogram's support, not the corpus.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch.column(column)
+        trimmed = pc.utf8_trim_whitespace(text)
+        ws = pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+"))
+        empty = pc.equal(pc.utf8_length(trimmed), 0)
+        ws = pc.if_else(empty, pa.scalar(0, pa.int32()), ws)
+        n = ws.to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = (n // bucket_width) * bucket_width
+        uniq, counts = np.unique(lo, return_counts=True)
+        return pa.table({"bucket_lo": pa.array(uniq),
+                         "n_docs": pa.array(counts.astype(np.int64))})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.groupby("bucket_lo", sort=True)["n_docs"].sum().reset_index()
+        return out
+
+    # single-key groupby over histogram-support-sized partials: route
+    # everything to one combiner (the data is at most a few rows per
+    # batch; a salt layer would only add an exchange)
+    def all_one(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__g", pa.nulls(len(batch), pa.int32()).fill_null(0))
+
+    return (
+        partials.map_batches(all_one, batch_format="pyarrow")
+        .groupby("__g")
+        .map_groups(lambda g: combine(g.drop(columns="__g")), batch_format="pandas")
+    )

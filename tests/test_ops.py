@@ -493,3 +493,50 @@ class TestMultimodal:
         assert suggest_batch_size(1 << 20) == 64
         assert suggest_batch_size(1) == 4096
         assert suggest_batch_size(1 << 30) == 1
+
+
+class TestSampleOps:
+    def test_hash_sample_deterministic_and_partition_invariant(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.sample import hash_sample
+
+        rows = [{"doc_id": i, "text": f"doc {i}"} for i in range(300)]
+        a = hash_sample(rd.from_items(rows), pct=20, seed=42).to_pandas()
+        b = hash_sample(rd.from_items(rows).repartition(7), pct=20, seed=42).to_pandas()
+        assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+        # roughly pct-sized, never empty at this n
+        assert 30 <= len(a) <= 90
+        # a different seed draws a different subset
+        c = hash_sample(rd.from_items(rows), pct=20, seed=1).to_pandas()
+        assert sorted(c["doc_id"]) != sorted(a["doc_id"])
+
+    def test_hash_split_disjoint_exhaustive(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.sample import hash_split
+
+        rows = [{"doc_id": i, "text": "x"} for i in range(400)]
+        out = hash_split(rd.from_items(rows), test_pct=10, seed=7).to_pandas()
+        assert len(out) == 400
+        assert set(out["split"]) == {"train", "test"}
+        n_test = (out["split"] == "test").sum()
+        assert 15 <= n_test <= 80
+        # same rows always land in the same split
+        out2 = hash_split(rd.from_items(rows), test_pct=10, seed=7).to_pandas()
+        m = out.merge(out2, on="doc_id")
+        assert (m["split_x"] == m["split_y"]).all()
+
+    def test_length_histogram_counts_every_doc(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.sample import length_histogram
+
+        rows = (
+            [{"text": "one two three"}] * 5          # 3 tokens -> bucket 0
+            + [{"text": " ".join(["w"] * 60)}] * 2   # 60 tokens -> bucket 50
+            + [{"text": ""}]                          # 0 tokens -> bucket 0
+        )
+        out = length_histogram(rd.from_items(rows), bucket_width=50).to_pandas()
+        got = dict(zip(out["bucket_lo"], out["n_docs"]))
+        assert got == {0: 6, 50: 2}
