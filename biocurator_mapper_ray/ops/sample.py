@@ -85,18 +85,10 @@ def length_histogram(ds, *, column: str = "text", bucket_width: int = 50):
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
+    # final combine keyed by the bucket itself: the exchange carries
+    # (batches × support) partial rows spread over support-many groups —
+    # no single-task fan-in even when the corpus has millions of batches
     def combine(group: pd.DataFrame) -> pd.DataFrame:
-        out = group.groupby("bucket_lo", sort=True)["n_docs"].sum().reset_index()
-        return out
+        return group.groupby("bucket_lo", sort=True)["n_docs"].sum().reset_index()
 
-    # single-key groupby over histogram-support-sized partials: route
-    # everything to one combiner (the data is at most a few rows per
-    # batch; a salt layer would only add an exchange)
-    def all_one(batch: pa.Table) -> pa.Table:
-        return batch.append_column("__g", pa.nulls(len(batch), pa.int32()).fill_null(0))
-
-    return (
-        partials.map_batches(all_one, batch_format="pyarrow")
-        .groupby("__g")
-        .map_groups(lambda g: combine(g.drop(columns="__g")), batch_format="pandas")
-    )
+    return partials.groupby("bucket_lo").map_groups(combine, batch_format="pandas")
