@@ -68,11 +68,14 @@ def run_bench() -> dict:
 
     # read plan: ~24 MiB of parquet per read task, capped at 3 tasks per
     # CPU — few enough dispatches to stay off the driver's critical path,
-    # small enough blocks that the pool stays balanced
+    # small enough blocks that the pool stays balanced.  Floor is
+    # byte-aware (≥8, ≤NCPU): a tiny corpus stops fanning into NCPU
+    # blocks whose downstream exchange pays per-task dispatch for
+    # milliseconds of work
     disk_bytes = sum(
         os.path.getsize(os.path.join(tdir, f)) for f in os.listdir(tdir)
     )
-    n_blocks = max(NUM_CPUS, min(disk_bytes // (24 << 20), 3 * NUM_CPUS))
+    n_blocks = max(min(NUM_CPUS, 8), min(disk_bytes // (24 << 20) + 1, 3 * NUM_CPUS))
 
     # resource-aware plan: on wide sessions over big corpora, run the
     # file-sharded pipeline with TWO shard pipelines in flight so one
