@@ -613,6 +613,11 @@ class SimHashStage:
         import hashlib
 
         cache = self._md5_cache
+        if len(cache) > 1_000_000:
+            # bound per-actor memory over long runs; the vocabulary of a
+            # batch stream is heavy-tailed, so a periodic reset keeps the
+            # hot head cached at negligible recompute cost
+            cache.clear()
         out = np.empty(len(toks), dtype=np.uint64)
         for i, t in enumerate(toks):
             v = cache.get(t)
