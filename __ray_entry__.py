@@ -646,6 +646,34 @@ def _q_ngram_jaccard(sf_dir: str):
     return df[["a", "b", "jaccard"]].sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def _q_price_quantiles(sf_dir: str):
+    """Exact p25/p50/p90/p99 of order totalprice in cents via two-pass
+    distributed histogram refinement (rank = ceil(q·n), DuckDB
+    quantile_disc semantics)."""
+    from biocurator_mapper_ray.ops.quantile import exact_quantiles
+
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "cents": pc.cast(
+                pc.round(pc.multiply(batch.column("o_totalprice"), 100.0),
+                         ndigits=0), pa.int64()),
+        })
+
+    return exact_quantiles(ds.map_batches(cents, batch_format="pyarrow"),
+                           "cents", [0.25, 0.5, 0.9, 0.99])
+
+
+def _q_word_counts(sf_dir: str):
+    """Exact top-50 corpus word counts (heavy hitters), deterministic
+    (count DESC, token ASC) — the canonical map-reduce."""
+    from biocurator_mapper_ray.ops.textstats import word_counts
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return word_counts(ds, top_k=50)
+
+
 def _q_sample_documents(sf_dir: str):
     """Deterministic ~20% md5-keyed sample — identical subset on any
     engine/partitioning (SQL oracle: same md5 bucket expression)."""
@@ -813,6 +841,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_documents": _q_dedup_minhash,
         "dedup_simhash_documents": _q_dedup_simhash,
         "ngram_jaccard_documents": _q_ngram_jaccard,
+        "word_counts_documents": _q_word_counts,
+        "price_quantiles": _q_price_quantiles,
         "sample_documents": _q_sample_documents,
         "split_documents": _q_split_documents,
         "token_histogram_documents": _q_token_histogram,
@@ -1051,6 +1081,34 @@ def oracle_sql() -> dict[str, str]:
                        JOIN sizes sb ON sb.doc_id = b
             WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
             ORDER BY a, b
+        """,
+        "price_quantiles": """
+            WITH cents AS (
+                SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+                FROM orders
+            )
+            SELECT q, value FROM (
+                SELECT 0.25 AS q, quantile_disc(c, 0.25) AS value FROM cents
+                UNION ALL
+                SELECT 0.5, quantile_disc(c, 0.5) FROM cents
+                UNION ALL
+                SELECT 0.9, quantile_disc(c, 0.9) FROM cents
+                UNION ALL
+                SELECT 0.99, quantile_disc(c, 0.99) FROM cents
+            ) ORDER BY q
+        """,
+        "word_counts_documents": """
+            WITH toks AS (
+                SELECT t.tok AS token
+                FROM documents,
+                     unnest(string_split(lower(trim(text)), ' ')) AS t(tok)
+                WHERE t.tok <> ''
+            )
+            SELECT token, count(*) AS n
+            FROM toks
+            GROUP BY token
+            ORDER BY n DESC, token ASC
+            LIMIT 50
         """,
         "sample_documents": """
             SELECT doc_id FROM documents

@@ -140,6 +140,57 @@ class LangIdStage:
         return out
 
 
+def word_counts(ds, *, text_column: str = "text", top_k: int | None = None,
+                shards: int = 32):
+    """Exact corpus word counts (the canonical map-reduce): batch-local
+    Arrow token explode + ``group_by`` partial counts, then a salted
+    exchange keyed by token hash with a vectorized per-shard combine.
+    ``top_k`` sorts by (count DESC, token ASC) and truncates — the
+    deterministic heavy-hitters view.
+
+    Scale shape: the exchange carries per-batch PARTIAL counts (bounded
+    by each batch's distinct vocabulary, not its token stream) and the
+    shard combine is one pandas groupby over its vocabulary slice.
+    """
+    import numpy as np
+
+    from ..functions.hashing import hash64_column
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(
+                pc.utf8_trim_whitespace(pc.utf8_lower(batch.column(text_column))),
+                r"\s+",
+            )
+        )
+        toks = toks.filter(pc.not_equal(toks, ""))
+        t = pa.table({"token": toks})
+        g = t.group_by(["token"], use_threads=False).aggregate([("token", "count")])
+        g = g.rename_columns(["token", "n"])
+        salt = (hash64_column(g.column("token")) % np.uint64(shards)).astype(np.int32)
+        return g.append_column("__s", pa.array(salt))
+
+    def combine(group):
+        group = group.drop(columns="__s")
+        out = group.groupby("token", sort=False)["n"].sum().reset_index(name="n")
+        if top_k is not None:
+            # a global top-k member is necessarily in its shard's top-k
+            # (tokens never split across shards), so the final sort sees
+            # shards×top_k rows instead of the whole vocabulary
+            out = out.sort_values(["n", "token"], ascending=[False, True]).head(top_k)
+        return out
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__s")
+        .map_groups(combine, batch_format="pandas")
+    )
+    if top_k is None:
+        return counts
+    # deterministic heavy hitters: count DESC then token ASC
+    return counts.sort(["n", "token"], descending=[True, False]).limit(top_k)
+
+
 def fingerprints(batch: pa.Table, text_column: str = "text") -> pa.Table:
     """Document fingerprints:
 

@@ -540,3 +540,42 @@ class TestSampleOps:
         out = length_histogram(rd.from_items(rows), bucket_width=50).to_pandas()
         got = dict(zip(out["bucket_lo"], out["n_docs"]))
         assert got == {0: 6, 50: 2}
+
+
+class TestQuantilesAndWordCounts:
+    def test_exact_quantiles_match_numpy_rank(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.quantile import exact_quantiles
+
+        rng = np.random.default_rng(5)
+        vals = rng.integers(-10_000, 10_000_000, 5000).astype(np.int64)
+        qs = [0.01, 0.25, 0.5, 0.9, 0.99]
+        out = exact_quantiles(
+            rd.from_pandas(pd.DataFrame({"v": vals})).repartition(6), "v", qs
+        )
+        s = np.sort(vals)
+        for q, v in zip(out["q"], out["value"]):
+            k = min(len(s), max(1, int(np.ceil(q * len(s)))))
+            assert v == s[k - 1], (q, v, s[k - 1])
+
+    def test_exact_quantiles_heavy_duplicates(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.quantile import exact_quantiles
+
+        vals = np.array([7] * 900 + [100] * 90 + [5000] * 10, dtype=np.int64)
+        out = exact_quantiles(rd.from_pandas(pd.DataFrame({"v": vals})), "v",
+                              [0.5, 0.95, 1.0])
+        got = dict(zip(out["q"], out["value"]))
+        assert got == {0.5: 7, 0.95: 100, 1.0: 5000}
+
+    def test_word_counts_topk_deterministic(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.textstats import word_counts
+
+        rows = [{"text": "b a a"}, {"text": "c b a"}, {"text": "  "},
+                {"text": "d c b a"}]
+        out = word_counts(rd.from_items(rows), top_k=3).to_pandas()
+        assert list(zip(out["token"], out["n"])) == [("a", 4), ("b", 3), ("c", 2)]
