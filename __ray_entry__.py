@@ -119,11 +119,24 @@ def _q_kg_candidates_ns(sf_dir: str):
     )
     out = cands.select_columns(
         ["conv_id", "turn_idx", "mention", "span_start", "term_id", "rank"]
-    ).sort(["conv_id", "turn_idx", "span_start", "rank"])
-    df = out.to_pandas()
-    bad = [t for t in df["term_id"] if allowed[t] != "disease_ontology"]
-    assert not bad, f"namespace filter leaked {len(bad)} foreign candidates"
-    return df
+    ).sort(["conv_id", "turn_idx", "span_start", "rank"]).materialize()
+    # distributed namespace assertion: the candidate set is corpus-scale
+    # (turns × k rows), so the check is a map-side is_in count reduced to
+    # ONE scalar — nothing row-scale ever lands on the driver
+    foreign_ids = pa.array(
+        [t for t, n in allowed.items() if n != "disease_ontology"], pa.string()
+    )
+
+    def count_foreign(batch: pa.Table) -> pa.Table:
+        bad = pc.sum(
+            pc.cast(pc.is_in(batch.column("term_id"), value_set=foreign_ids),
+                    pa.int64())
+        ).as_py() or 0
+        return pa.table({"bad": pa.array([bad], pa.int64())})
+
+    n_bad = out.map_batches(count_foreign, batch_format="pyarrow").sum("bad")
+    assert not n_bad, f"namespace filter leaked {n_bad} foreign candidates"
+    return out
 
 
 def _q_kg_expected_triples(sf_dir: str):
@@ -609,10 +622,20 @@ def _q_lang_quality(sf_dir: str):
 
 
 def _q_dedup_minhash(sf_dir: str):
+    """MinHash+LSH near-dup clustering with an EXACT DuckDB oracle:
+    ``hash_mode='md5'`` makes every step SQL-expressible (shingle hash =
+    md5_u64 % (2^31-1), affine permutations below 2^31-1 so products fit
+    UBIGINT, band key = md5 of the joined band values) and
+    ``emit_mode='all'`` emits the full within-bucket pair set so the
+    engine's verified-edge closure equals SQL's closure over ALL
+    verified bucket pairs (connect/hybrid modes may under-merge — see
+    minhash_dedup docstring).  The fast xx-hash path is the scale/bench
+    configuration; this query is the correctness gate."""
     from biocurator_mapper_ray.ops.dedup import minhash_dedup
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return minhash_dedup(ds, threshold=0.6)
+    return minhash_dedup(ds, threshold=0.6, emit_mode="all",
+                         hash_mode="md5").sort("doc_id")
 
 
 def _q_dedup_simhash(sf_dir: str):
@@ -854,8 +877,98 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+# ASCII-whitespace tokenizer class shared with the engine's Python-side
+# text ops (ops/dedup._WS_RE): RE2 interprets the escapes, so the SQL
+# pattern and the compiled Python regex describe the identical char set.
+# Contract: fixture whitespace is ASCII — Python str.split()/RE2 \s
+# disagree on unicode whitespace (U+00A0 …), which is why neither is
+# used on either side.
+_WS_CLASS = "[ \\t\\n\\r\\f\\x0b]+"
+
+
+def _minhash_md5_oracle(threshold: float = 0.6, num_perm: int = 128,
+                        bands: int = 16) -> str:
+    """DuckDB SQL mirroring minhash_dedup(hash_mode='md5',
+    emit_mode='all') bit-for-bit: same shingles, same md5-based hashes,
+    same affine permutations (literal coefficients inlined from
+    minhash_md5_params — the engine uses the identical arrays), same
+    band keys, candidate set, 128-way signature-equality estimate, and
+    a recursive-CTE connected-components closure (component = min
+    reachable doc_id, nodes = verified-pair endpoints)."""
+    from biocurator_mapper_ray.ops.dedup import minhash_md5_params
+
+    a, b = minhash_md5_params(num_perm)
+    perm_rows = ", ".join(
+        f"({i}, {int(a[i])}, {int(b[i])})" for i in range(num_perm)
+    )
+    rpb = num_perm // bands
+    return f"""
+        WITH RECURSIVE perms(i, a, b) AS (VALUES {perm_rows}),
+        words AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text),
+                               '{_WS_CLASS}'), w -> w <> '') AS ws
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, ws[g.i] || ' ' || ws[g.i+1] || ' ' || ws[g.i+2] AS sh
+            FROM words, unnest(range(1, len(ws) - 1)) AS g(i)
+            WHERE len(ws) >= 3
+            UNION ALL
+            SELECT doc_id, array_to_string(ws, ' ') AS sh FROM words
+            WHERE len(ws) BETWEEN 1 AND 2
+        ),
+        gset AS (SELECT DISTINCT doc_id, sh FROM grams),
+        hashes AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(sh), 1, 16) AS UBIGINT)
+                       % 2147483647 AS h
+            FROM gset
+        ),
+        sigs AS (
+            SELECT doc_id, p.i, min((p.a * h + p.b) % 2147483647) AS s
+            FROM hashes, perms p
+            GROUP BY doc_id, p.i
+        ),
+        bandvals AS (
+            SELECT doc_id, i // {rpb} AS band_id,
+                   CAST('0x' || substr(md5(string_agg(CAST(s AS VARCHAR),
+                        '-' ORDER BY i)), 1, 16) AS UBIGINT) AS bh
+            FROM sigs
+            GROUP BY doc_id, i // {rpb}
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM bandvals x JOIN bandvals y
+              ON x.band_id = y.band_id AND x.bh = y.bh
+             AND x.doc_id < y.doc_id
+        ),
+        est AS (
+            SELECT c.a, c.b,
+                   CAST(sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END)
+                        AS DOUBLE) / {num_perm} AS ej
+            FROM cand c
+            JOIN sigs sa ON sa.doc_id = c.a
+            JOIN sigs sb ON sb.doc_id = c.b AND sb.i = sa.i
+            GROUP BY c.a, c.b
+        ),
+        pairs AS (SELECT a, b FROM est WHERE ej >= {threshold}),
+        edges AS (SELECT a AS u, b AS v FROM pairs
+                  UNION SELECT b, a FROM pairs),
+        reach(u, v) AS (
+            SELECT u, v FROM (SELECT u, v FROM edges
+                              UNION SELECT u, u AS v FROM edges)
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        )
+        SELECT u AS doc_id, min(v) AS cluster_id
+        FROM reach GROUP BY u ORDER BY doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "dedup_minhash_documents": _minhash_md5_oracle(),
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS sum_qty,
@@ -992,8 +1105,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_quality_documents": """
             WITH words AS (
+                -- \\p{L}+ (unicode letters) mirrors the engine's
+                -- [^\\W\\d_]+ word regex, so non-ASCII stopwords
+                -- ('für') count identically on both sides.  Residual
+                -- contract: Python's class additionally matches Nl/No
+                -- numerals (Ⅻ, ²) that \\p{L} excludes — fixture text
+                -- is \\p{L} letters + ASCII digits/punct/whitespace.
                 SELECT doc_id,
-                       list_slice(regexp_extract_all(lower(text), '[a-z]+'),
+                       list_slice(regexp_extract_all(lower(text), '\\p{L}+'),
                                   1, 200) AS ws
                 FROM documents
             ),
@@ -1033,7 +1152,9 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
                 SELECT doc_id,
                        CAST('0x' || substr(md5(t.tok), 1, 16) AS UBIGINT) AS h
-                FROM documents, unnest(string_split(lower(text), ' ')) AS t(tok)
+                FROM documents,
+                     unnest(regexp_split_to_array(lower(text),
+                            '[ \\t\\n\\r\\f\\x0b]+')) AS t(tok)
                 WHERE t.tok <> ''
             ),
             bits AS (
@@ -1058,7 +1179,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard_documents": """
             WITH words AS (
-                SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                                   '[ \\t\\n\\r\\f\\x0b]+'),
+                                   w -> w <> '') AS ws
                 FROM documents
             ),
             grams AS (
@@ -1067,7 +1191,7 @@ def oracle_sql() -> dict[str, str]:
                 WHERE len(ws) >= 3
                 UNION ALL
                 SELECT doc_id, array_to_string(ws, ' ') AS sh FROM words
-                WHERE len(ws) < 3 AND array_to_string(ws, ' ') <> ''
+                WHERE len(ws) BETWEEN 1 AND 2
             ),
             sets AS (SELECT DISTINCT doc_id, sh FROM grams),
             sizes AS (SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id),
@@ -1099,9 +1223,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "word_counts_documents": """
             WITH toks AS (
+                -- \\s+ split + empty filter: the engine side tokenizes
+                -- with Arrow's RE2 \\s+ (same regex engine as DuckDB),
+                -- so any tab/newline/repeated-space input agrees
                 SELECT t.tok AS token
                 FROM documents,
-                     unnest(string_split(lower(trim(text)), ' ')) AS t(tok)
+                     unnest(regexp_split_to_array(lower(text), '\\s+')) AS t(tok)
                 WHERE t.tok <> ''
             )
             SELECT token, count(*) AS n

@@ -22,6 +22,10 @@ the engine adds.  All are Ray-Data-native:
 
 from __future__ import annotations
 
+import hashlib
+import re
+import warnings
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -29,6 +33,23 @@ import pyarrow as pa
 from ..functions.hashing import hash64_column
 
 _MERSENNE = np.uint64((1 << 61) - 1)
+# 2^31-1 (Mersenne prime) — the md5-oracle hash domain: products a*h with
+# a, h < 2^31 stay < 2^62, exact in BOTH numpy uint64 and DuckDB UBIGINT
+# (DuckDB raises on UBIGINT overflow, so the affine minhash transform must
+# never exceed 64 bits on either side)
+_M31 = np.uint64((1 << 31) - 1)
+
+# Explicit ASCII-whitespace tokenizer shared by the Python-side text ops
+# (minhash shingles, simhash tokens, n-gram Jaccard).  The SQL oracles
+# split on the IDENTICAL character class, so engine/oracle tokenization
+# agrees for every input — Python's str.split() and RE2's \s differ on
+# unicode whitespace (U+00A0 etc.), which is why neither is used here.
+_WS_RE = re.compile(r"[ \t\n\r\f\x0b]+")
+
+
+def _ws_tokens(text: str) -> list[str]:
+    """Lowercased ASCII-whitespace tokens, empties dropped."""
+    return [t for t in _WS_RE.split((text or "").lower()) if t]
 
 # 8-bit popcount lookup (numpy < 2.0 has no bitwise_count kernel)
 _POPCNT8 = np.unpackbits(
@@ -77,8 +98,15 @@ def _connect_index(sizes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     (r0..r_{s-1}) emits chain (r_i, r_{i+1}) and star (r0, r_j) edges —
     2s-3 edges instead of s*(s-1)/2.  Linear in bucket size; used by the
     clustering path where connectivity (not the full pair set) is needed.
-    The redundancy (two edge families) keeps components connected even
-    when a single borderline link later fails the similarity verify."""
+
+    Recall trade-off (NOT a guarantee): every emitted edge is later
+    verified against the similarity threshold, and for buckets of size
+    ≥ 4 a qualifying pair like (b, d) is simply never emitted — if all
+    emitted chain/star edges touching b and d fail the verify, docs that
+    the full pair set would cluster together end up in separate
+    components (under-merge).  The chain+star redundancy only tolerates
+    SOME single-edge failures.  Clustering callers that need full-pair
+    recall on small buckets should use :func:`_hybrid_index`."""
     sizes = np.asarray(sizes, dtype=np.int64)
     total = int(sizes.sum())
     if total == 0:
@@ -97,6 +125,68 @@ def _connect_index(sizes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     star_a = group_start[deep]
     star_b = idx[deep]
     return np.concatenate([chain_a, star_a]), np.concatenate([chain_b, star_b])
+
+
+_HYBRID_CUTOFF = 16
+
+
+def _hybrid_index(sizes: np.ndarray, cutoff: int = _HYBRID_CUTOFF) -> tuple[np.ndarray, np.ndarray]:
+    """All pairs for groups of size ≤ ``cutoff``, chain+star connect
+    edges above it: full verify-recall where it is cheap (a 16-doc
+    bucket is 120 pairs), linear emission where a pathological bucket
+    would be quadratic.  Above the cutoff the under-merge trade-off of
+    :func:`_connect_index` applies and is documented there."""
+    sizes = np.asarray(sizes, dtype=np.int64)
+    small = sizes <= cutoff
+    rows = np.arange(int(sizes.sum()), dtype=np.int64)
+    row_small = np.repeat(small, sizes)
+    small_rows, large_rows = rows[row_small], rows[~row_small]
+    sa, sb = _allpairs_index(sizes[small])
+    la, lb = _connect_index(sizes[~small])
+    return (np.concatenate([small_rows[sa], large_rows[la]]),
+            np.concatenate([small_rows[sb], large_rows[lb]]))
+
+
+def _allpairs_blocks(sizes: np.ndarray, max_pairs: int):
+    """Yield (ia, ib) global row-index blocks covering every within-group
+    (i < j) pair, each block holding at most ~``max_pairs`` pairs.
+
+    Unlike calling :func:`_allpairs_index` once and slicing the result,
+    no O(total_pairs) index is ever materialized: consecutive small
+    groups are batched up to the pair budget, and an oversized group
+    (e.g. a heavy-duplicate bucket where thousands of identical docs
+    share one hash) is tiled (i-block × j-block) so the allocation peak
+    stays at ~max_pairs regardless of bucket size."""
+    sizes = np.asarray(sizes, dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    pair_counts = sizes * (sizes - 1) // 2
+    n_groups = len(sizes)
+    g = 0
+    while g < n_groups:
+        if pair_counts[g] > max_pairs:
+            s, base = int(sizes[g]), int(starts[g])
+            blk = max(1, int(np.sqrt(max_pairs)))
+            for i0 in range(0, s, blk):
+                ii = np.arange(i0, min(i0 + blk, s), dtype=np.int64)
+                for j0 in range(i0, s, blk):
+                    jj = np.arange(j0, min(j0 + blk, s), dtype=np.int64)
+                    ia = np.repeat(ii, len(jj))
+                    ib = np.tile(jj, len(ii))
+                    keep = ia < ib
+                    if keep.any():
+                        yield base + ia[keep], base + ib[keep]
+            g += 1
+            continue
+        h, tot = g, 0
+        while h < n_groups and pair_counts[h] <= max_pairs and tot + pair_counts[h] <= max_pairs:
+            tot += pair_counts[h]
+            h += 1
+        if h == g:
+            h = g + 1
+        ia, ib = _allpairs_index(sizes[g:h])
+        if len(ia):
+            yield starts[g] + ia, starts[g] + ib
+        g = h
 
 
 # ---------------------------------------------------------------- exact
@@ -148,9 +238,23 @@ def exact_dedup(ds, column: str = "text", id_column: str = "doc_id",
 # -------------------------------------------------------------- minhash
 
 
+def _shingle_strings(text: str, n: int = 3) -> list[str]:
+    """Word n-gram shingle strings over ASCII-whitespace tokens (the
+    exact gram construction the DuckDB oracles mirror: split on
+    ``[ \\t\\n\\r\\f\\x0b]+``, drop empties, join with single spaces;
+    texts with < n words yield one whole-text shingle, empty texts
+    none)."""
+    toks = _ws_tokens(text)
+    if not toks:
+        return []
+    if len(toks) < n:
+        return [" ".join(toks)]
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
 def _shingle_hashes(text: str, n: int = 3, seed: int = 0) -> np.ndarray:
     """Word n-gram shingle hashes (uint64)."""
-    toks = text.lower().split()
+    toks = _ws_tokens(text)
     if len(toks) < n:
         shingles = [" ".join(toks)] if toks else []
     else:
@@ -158,6 +262,24 @@ def _shingle_hashes(text: str, n: int = 3, seed: int = 0) -> np.ndarray:
     if not shingles:
         return np.zeros(0, dtype=np.uint64)
     return hash64_column(pa.chunked_array([pa.array(shingles)]), seed)
+
+
+def minhash_md5_params(num_perm: int = 128, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    """Affine coefficients (a, b) for the md5-oracle minhash mode, drawn
+    below 2^31-1 so ``a*h + b`` (h also < 2^31-1) stays < 2^62 — exact in
+    numpy uint64 AND DuckDB UBIGINT (which raises on overflow).  The same
+    literal values are inlined into the SQL oracle, so the engine and
+    DuckDB compute bit-identical signatures."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, int(_M31), num_perm, dtype=np.uint64)
+    b = rng.integers(0, int(_M31), num_perm, dtype=np.uint64)
+    return a, b
+
+
+def md5_u64(s: str) -> int:
+    """First 16 hex chars of md5 as uint64 — byte-identical to DuckDB's
+    ``CAST('0x' || substr(md5(s), 1, 16) AS UBIGINT)``."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:16], 16)
 
 
 class MinHasher:
@@ -181,19 +303,50 @@ class MinHasher:
         return float(np.mean(sig_a == sig_b))
 
 
+_SIG_SENTINEL = np.iinfo(np.uint64).max
+
+
 class MinHashBandStage:
-    """docs batch → (doc_id, band_id, band_hash, signature) rows."""
+    """docs batch → (doc_id, band_id, band_hash, signature) rows.
+
+    ``hash_mode='fast'`` (default) hashes shingles with the engine's
+    xx-style 64-bit hash and folds bands with a polynomial mix.
+    ``hash_mode='md5'`` computes h = md5_u64(shingle) % (2^31-1),
+    sig_i = (a_i*h + b_i) % (2^31-1) with :func:`minhash_md5_params`
+    coefficients, and band_hash = md5_u64 of the '-'-joined band values —
+    every step byte-identical to a DuckDB SQL expression, giving MinHash
+    LSH an EXACT SQL oracle (the md5 calls make it ~3× slower; it is the
+    correctness-gate path, not the scale path)."""
 
     def __init__(self, text_column: str = "text", id_column: str = "doc_id",
                  num_perm: int = 128, bands: int = 16, shingle_n: int = 3,
-                 seed: int = 42):
+                 seed: int = 42, hash_mode: str = "fast"):
         assert num_perm % bands == 0
+        assert hash_mode in ("fast", "md5")
         self.hasher = MinHasher(num_perm, seed)
         self.text_column = text_column
         self.id_column = id_column
         self.bands = bands
         self.rows_per_band = num_perm // bands
         self.shingle_n = shingle_n
+        self.hash_mode = hash_mode
+        if hash_mode == "md5":
+            self.md5_a, self.md5_b = minhash_md5_params(num_perm, seed)
+        self._md5_cache: dict[str, int] = {}
+
+    def _md5_shingle_hashes(self, shingles: list[str]) -> np.ndarray:
+        cache = self._md5_cache
+        if len(cache) > 1_000_000:
+            cache.clear()
+        out = np.empty(len(shingles), dtype=np.uint64)
+        m31 = int(_M31)
+        for i, s in enumerate(shingles):
+            v = cache.get(s)
+            if v is None:
+                v = md5_u64(s) % m31
+                cache[s] = v
+            out[i] = v
+        return out
 
     def signatures(self, texts: list[str]) -> np.ndarray:
         """(n_docs, num_perm) uint64 — one flat hash pass + segmented min.
@@ -201,37 +354,50 @@ class MinHashBandStage:
         All shingles of the batch are hashed in ONE Arrow/numpy pass and
         the per-doc minima come from ``np.minimum.reduceat`` — the
         per-doc-loop version spent ~2 ms/doc on Arrow array construction.
+        Empty texts get the all-ones sentinel signature (callers drop
+        sentinel docs from the band pass: an empty doc pairs with
+        nothing, matching the SQL oracle where it contributes no rows).
         """
         all_shingles: list[str] = []
         lengths = np.empty(len(texts), dtype=np.int64)
         for i, text in enumerate(texts):
-            toks = (text or "").lower().split()
-            if len(toks) >= self.shingle_n:
-                sh = [" ".join(toks[j : j + self.shingle_n])
-                      for j in range(len(toks) - self.shingle_n + 1)]
-            elif toks:
-                sh = [" ".join(toks)]
-            else:
-                sh = []
+            sh = _shingle_strings(text or "", self.shingle_n)
             lengths[i] = len(sh)
             all_shingles.extend(sh)
 
         sigs = np.full((len(texts), self.hasher.num_perm),
-                       np.iinfo(np.uint64).max, dtype=np.uint64)
+                       _SIG_SENTINEL, dtype=np.uint64)
         if all_shingles:
-            h = hash64_column(pa.chunked_array([pa.array(all_shingles)]))
-            vals = h[:, None] * self.hasher.a[None, :] + self.hasher.b[None, :]
+            if self.hash_mode == "md5":
+                h = self._md5_shingle_hashes(all_shingles)
+                vals = (h[:, None] * self.md5_a[None, :] + self.md5_b[None, :]) % _M31
+            else:
+                h = hash64_column(pa.chunked_array([pa.array(all_shingles)]))
+                vals = h[:, None] * self.hasher.a[None, :] + self.hasher.b[None, :]
             nonempty = lengths > 0
             starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])[nonempty]
             sigs[nonempty] = np.minimum.reduceat(vals, starts, axis=0)
         return sigs
 
     def band_hashes(self, sigs: np.ndarray) -> np.ndarray:
-        """(n, num_perm) signatures → (n, bands) band hashes: polynomial
-        fold of each band's rows, vectorized over (docs × bands); mixed
-        so different bands with equal rows differ."""
+        """(n, num_perm) signatures → (n, bands) band hashes.
+
+        fast: polynomial fold of each band's rows, vectorized over
+        (docs × bands), mixed so different bands with equal rows differ.
+        md5: md5_u64('-'.join(band values)) — the exact expression the
+        SQL oracle computes with string_agg + md5, so bucket membership
+        matches DuckDB bit-for-bit (band_id disambiguates bands there
+        via an explicit group key, here via the per-band join below)."""
         n = sigs.shape[0]
         bands3 = sigs.reshape(n, self.bands, self.rows_per_band)
+        if self.hash_mode == "md5":
+            bh = np.empty((n, self.bands), dtype=np.uint64)
+            for d in range(n):
+                for bnd in range(self.bands):
+                    bh[d, bnd] = md5_u64(
+                        "-".join(str(int(v)) for v in bands3[d, bnd])
+                    )
+            return bh
         P = np.uint64(1099511628211)
         bh = np.zeros((n, self.bands), dtype=np.uint64)
         for r in range(self.rows_per_band):
@@ -269,9 +435,11 @@ class MinHashSignatureStage:
     where list columns trip Ray's pandas-block schema hashing."""
 
     def __init__(self, text_column: str = "text", id_column: str = "doc_id",
-                 num_perm: int = 128, shingle_n: int = 3, seed: int = 42):
+                 num_perm: int = 128, shingle_n: int = 3, seed: int = 42,
+                 hash_mode: str = "fast"):
         self.band_stage = MinHashBandStage(text_column, id_column, num_perm,
-                                           bands=1, shingle_n=shingle_n, seed=seed)
+                                           bands=1, shingle_n=shingle_n, seed=seed,
+                                           hash_mode=hash_mode)
         self.text_column = text_column
         self.id_column = id_column
         self.num_perm = num_perm
@@ -307,6 +475,7 @@ def minhash_lsh_pairs(
     seed: int = 42,
     dedup_pairs: bool = True,
     emit_mode: str = "all",
+    hash_mode: str = "fast",
     sig_join_buckets: int | None = None,
 ):
     """Near-duplicate pairs (a < b, deduplicated across bands unless
@@ -333,15 +502,22 @@ def minhash_lsh_pairs(
     """
     from .join import pair_feature_join
 
-    stage = MinHashBandStage(text_column, id_column, num_perm, bands, shingle_n, seed)
+    stage = MinHashBandStage(text_column, id_column, num_perm, bands, shingle_n,
+                             seed, hash_mode)
 
     def band_rows_salted(batch: pa.Table) -> pa.Table:
         """Lean salted band rows derived from the PACKED SIGNATURE table
         (not the text corpus): the expensive shingle+hash pass over the
         text runs exactly once (MinHashSignatureStage below); banding is
-        a cheap fold over the 1 KiB/doc signatures."""
+        a cheap fold over the 1 KiB/doc signatures.  Empty docs (the
+        all-ones sentinel signature) are dropped here — an empty doc has
+        no shingles, pairs with nothing (Jaccard with an empty set is
+        0), and would otherwise collapse into ONE giant bucket of
+        mutually-'identical' sentinel signatures."""
         sigs_mat = _unpack_sigs(batch.column("sig").to_pylist(), num_perm)
         ids = batch.column("doc_id").to_numpy()
+        nonempty = ~(sigs_mat == _SIG_SENTINEL).all(axis=1)
+        sigs_mat, ids = sigs_mat[nonempty], ids[nonempty]
         n = len(ids)
         bh = stage.band_hashes(sigs_mat).reshape(-1).view(np.int64) if n else \
             np.zeros(0, dtype=np.int64)
@@ -353,7 +529,8 @@ def minhash_lsh_pairs(
             "__salt": pa.array(salt),
         })
 
-    pair_index = _allpairs_index if emit_mode == "all" else _connect_index
+    pair_index = {"all": _allpairs_index, "connect": _connect_index,
+                  "hybrid": _hybrid_index}[emit_mode]
 
     def cands_in_salt(group: pd.DataFrame) -> pd.DataFrame:
         """One salt shard → candidate pairs, vectorized (duplicated-mask
@@ -379,7 +556,8 @@ def minhash_lsh_pairs(
     # (8·num_perm B/doc) so materializing is ~1000× lighter than the
     # text corpus and the object store may spill it freely
     sigs = ds.map_batches(
-        MinHashSignatureStage(text_column, id_column, num_perm, shingle_n, seed),
+        MinHashSignatureStage(text_column, id_column, num_perm, shingle_n, seed,
+                              hash_mode),
         batch_format="pyarrow",
     ).materialize()
 
@@ -416,6 +594,12 @@ def minhash_lsh_pairs(
         mat_a = _unpack_sigs(df["f_a"].to_numpy(), num_perm)
         mat_b = _unpack_sigs(df["f_b"].to_numpy(), num_perm)
         est = (mat_a == mat_b).mean(axis=1)
+        # defense in depth: sentinel (empty-doc) signatures compare as
+        # identical but mean "no shingles" — Jaccard with an empty set
+        # is 0, never a near-dup (the band pass already drops them)
+        sentinel = ((mat_a == _SIG_SENTINEL).all(axis=1)
+                    | (mat_b == _SIG_SENTINEL).all(axis=1))
+        est[sentinel] = 0.0
         keep = est >= threshold
         return pd.DataFrame({"a": df["a"].to_numpy()[keep],
                              "b": df["b"].to_numpy()[keep],
@@ -545,12 +729,25 @@ def connected_components(edges, *, max_iters: int = 10, shards: int = 64):
     # sums are metadata-cheap on materialized states; comparing
     # consecutive sums detects convergence (labels only decrease)
     prev_sum = state.sum("label")
+    converged = False
     for _ in range(max_iters):
         state = one_round(state).materialize()
         label_sum = state.sum("label")
         if label_sum == prev_sum:
+            converged = True
             break
         prev_sum = label_sum
+    if not converged:
+        # a high-diameter component (long chains stitched across batches)
+        # can outlive max_iters; returning silently would hand back an
+        # inconsistent (node, component) assignment
+        warnings.warn(
+            f"connected_components: min-label propagation still changing "
+            f"after {max_iters} rounds — labels may be inconsistent for "
+            f"high-diameter components; raise max_iters",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
     comps = state.groupby("node").min("label")
     return comps.map_batches(
@@ -565,19 +762,28 @@ def minhash_dedup(
     *,
     threshold: float = 0.7,
     max_iters: int = 10,
+    emit_mode: str = "hybrid",
     **kwargs,
 ):
     """Cluster near-duplicates and return (doc_id, cluster_id) rows.
 
-    Fully distributed: candidate edges stay a Dataset (linear
-    ``emit_mode='connect'`` chain+star edges — the full quadratic pair
-    set is not needed for connectivity), verification is the fused
-    signature join in :func:`minhash_lsh_pairs`, and clustering is
-    :func:`connected_components` min-label propagation — no driver-side
-    edge list, signature dict, or candidate materialization anywhere.
+    Fully distributed: candidate edges stay a Dataset, verification is
+    the fused signature join in :func:`minhash_lsh_pairs`, and
+    clustering is :func:`connected_components` min-label propagation —
+    no driver-side edge list, signature dict, or candidate
+    materialization anywhere.
+
+    ``emit_mode`` governs the recall/cost trade-off per LSH bucket:
+    ``'hybrid'`` (default) emits the FULL pair set for buckets ≤ 16
+    docs and linear chain+star connect edges above — since every edge
+    is verified against the Jaccard threshold, connect-only emission
+    can under-merge when its few edges touching a doc all fail the
+    verify while an unemitted pair would have passed; ``'all'``
+    guarantees the exact verified-pair closure (quadratic in bucket
+    size), ``'connect'`` is the linear-cost floor.
     """
     pairs = minhash_lsh_pairs(ds, text_column, id_column, threshold=threshold,
-                              dedup_pairs=False, emit_mode="connect", **kwargs)
+                              dedup_pairs=False, emit_mode=emit_mode, **kwargs)
     comps = connected_components(pairs, max_iters=max_iters)
     return comps.map_batches(
         lambda t: t.rename_columns(["doc_id", "cluster_id"]), batch_format="pyarrow"
@@ -633,7 +839,7 @@ class SimHashStage:
         lengths = np.empty(len(texts), dtype=np.int64)
         all_toks: list[str] = []
         for i, t in enumerate(texts):
-            tk = (t or "").lower().split()
+            tk = _ws_tokens(t)
             lengths[i] = len(tk)
             all_toks.extend(tk)
         sims = np.zeros(len(texts), dtype=np.uint64)
@@ -722,16 +928,16 @@ def simhash_pairs(ds, text_column: str = "text", id_column: str = "doc_id",
         docs = g["doc_id"].to_numpy()
         sims = g["simhash"].to_numpy().astype(np.uint64)
         out = []
-        # blocked all-pairs per bucket: tile the (ia, ib) index stream so
-        # a pathological bucket never allocates an m×m matrix at once
-        ia, ib = _allpairs_index(sizes)
-        for lo in range(0, len(ia), pair_block * pair_block):
-            sl = slice(lo, lo + pair_block * pair_block)
-            ham = _popcount64(sims[ia[sl]] ^ sims[ib[sl]])
+        # blocked all-pairs per bucket: the (ia, ib) index stream itself
+        # is generated in ≤ pair_block² tiles (_allpairs_blocks), so a
+        # pathological bucket (thousands of docs sharing one chunk
+        # value) never allocates its quadratic index up front
+        for ia, ib in _allpairs_blocks(sizes, pair_block * pair_block):
+            ham = _popcount64(sims[ia] ^ sims[ib])
             keep = ham <= max_hamming
             if keep.any():
-                out.append(pd.DataFrame({"a": docs[ia[sl]][keep],
-                                         "b": docs[ib[sl]][keep],
+                out.append(pd.DataFrame({"a": docs[ia][keep],
+                                         "b": docs[ib][keep],
                                          "hamming": ham[keep]}))
         if not out:
             return empty
@@ -754,11 +960,15 @@ def simhash_pairs(ds, text_column: str = "text", id_column: str = "doc_id",
 
 
 def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
-    """Exact word-n-gram Jaccard similarity (verification kernel)."""
+    """Exact word-n-gram Jaccard similarity (verification kernel).
+
+    Either set empty → 0.0, INCLUDING both-empty: Jaccard of two empty
+    sets is undefined, the SQL oracles build gram sets that simply
+    contain no rows for empty docs (so no pair is ever emitted), and
+    scoring empty-vs-empty as 1.0 would emit spurious 'near-dup' pairs
+    for every pair of whitespace-only docs in a corpus."""
     sa = set(_shingle_hashes(text_a, n).tolist())
     sb = set(_shingle_hashes(text_b, n).tolist())
-    if not sa and not sb:
-        return 1.0
     if not sa or not sb:
         return 0.0
     return len(sa & sb) / len(sa | sb)
@@ -850,28 +1060,42 @@ def ngram_jaccard_pairs(
         raise ValueError(f"unknown candidates mode {candidates!r}")
 
     def verify_df(df: pd.DataFrame) -> pd.DataFrame:
+        """One vectorized sort-merge over ALL of the bucket's candidate
+        pairs: the packed (sorted, unique) shingle sets are stacked into
+        two flat (pair_idx, value) key arrays; after one mergesort of
+        the concatenation, adjacent equal keys are exactly the per-pair
+        set intersections (each side's keys are unique within a pair),
+        counted with one bincount — no per-pair Python loop.  Either
+        side empty → jaccard 0.0 (see :func:`ngram_jaccard`)."""
         if df.empty:
             return pd.DataFrame({"a": pd.Series(dtype=np.int64),
                                  "b": pd.Series(dtype=np.int64),
                                  "jaccard": pd.Series(dtype=np.float64)})
-        out_a, out_b, out_j = [], [], []
-        a_col = df["a"].to_numpy()
-        b_col = df["b"].to_numpy()
-        for i in range(len(df)):
-            sa = np.frombuffer(df["f_a"].iat[i], dtype=np.uint64)
-            sb = np.frombuffer(df["f_b"].iat[i], dtype=np.uint64)
-            if not len(sa) and not len(sb):
-                j = 1.0
-            elif not len(sa) or not len(sb):
-                j = 0.0
-            else:
-                inter = len(np.intersect1d(sa, sb, assume_unique=True))
-                j = inter / (len(sa) + len(sb) - inter)
-            if j >= threshold:
-                out_a.append(a_col[i]); out_b.append(b_col[i]); out_j.append(j)
-        return pd.DataFrame({"a": np.asarray(out_a, dtype=np.int64),
-                             "b": np.asarray(out_b, dtype=np.int64),
-                             "jaccard": np.asarray(out_j, dtype=np.float64)})
+        n_pairs = len(df)
+        key_t = np.dtype([("p", "<u8"), ("v", "<u8")])
+
+        def stack(col) -> tuple[np.ndarray, np.ndarray]:
+            lens = np.fromiter((len(x) for x in col), count=n_pairs,
+                               dtype=np.int64) // 8
+            keys = np.empty(int(lens.sum()), dtype=key_t)
+            keys["p"] = np.repeat(np.arange(n_pairs, dtype=np.uint64), lens)
+            keys["v"] = np.frombuffer(b"".join(col), dtype=np.uint64)
+            return keys, lens
+
+        ka, na = stack(df["f_a"].to_numpy())
+        kb, nb = stack(df["f_b"].to_numpy())
+        allk = np.concatenate([ka, kb])
+        allk.sort(kind="mergesort")
+        eq = allk[1:] == allk[:-1]
+        inter = np.bincount(allk["p"][:-1][eq].astype(np.int64),
+                            minlength=n_pairs)
+        union = na + nb - inter
+        jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+        jac[(na == 0) | (nb == 0)] = 0.0
+        keep = jac >= threshold
+        return pd.DataFrame({"a": df["a"].to_numpy()[keep],
+                             "b": df["b"].to_numpy()[keep],
+                             "jaccard": jac[keep]})
 
     pairs = pair_feature_join(cands, sigs.select_columns(["doc_id", "sig"]),
                               verify=verify_df, buckets=n_buckets)

@@ -100,7 +100,7 @@ class TestMinHash:
     def test_jaccard_kernel(self):
         assert ngram_jaccard("a b c d", "a b c d") == 1.0
         assert ngram_jaccard("a b c d", "x y z w") == 0.0
-        assert ngram_jaccard("", "") == 1.0
+        assert ngram_jaccard("", "") == 0.0  # empty sets: no grams, no pair (oracle parity)
         assert ngram_jaccard("a b c", "") == 0.0
 
     def test_three_identical_docs_emit_all_pairs(self, ray_session):

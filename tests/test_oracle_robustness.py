@@ -1,0 +1,105 @@
+"""Engine ↔ DuckDB oracle parity on a hostile corpus: tabs, repeated
+spaces, leading/trailing whitespace, empty and whitespace-only docs
+(two or more of each — the empty-pair trap), unicode letters, and
+duplicate short docs.  The driver only exercises the oracles on the
+well-behaved fixture tables; this suite pins the tokenizer-alignment
+contract (ASCII whitespace class + \\p{L} words) on inputs where the
+old single-space/ [a-z]+ oracles diverged.
+"""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+NASTY_DOCS = [
+    (0, ""),
+    (1, "   "),
+    (2, "\t\n\t"),
+    (3, "the quick  brown\tfox jumps"),
+    (4, "the quick brown fox jumps"),
+    (5, "The Quick Brown Fox Jumps"),
+    (6, "für die der und ist nicht ein eine"),
+    (7, "  leading and trailing   "),
+    (8, "a b"),
+    (9, "a b"),
+    (10, "x y z w v u t s r q p o n m l k"),
+    (11, "the quick brown fox jumps over the lazy dog again and again"),
+]
+
+
+@pytest.fixture(scope="module")
+def nasty_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("nasty_sf")
+    tbl = pa.table({
+        "doc_id": pa.array([i for i, _ in NASTY_DOCS], pa.int64()),
+        "text": pa.array([t for _, t in NASTY_DOCS], pa.string()),
+    })
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    return str(d)
+
+
+def _oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    return con.execute(sql).df()
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+QUERIES = [
+    "token_counts_documents",
+    "fingerprint_documents",
+    "word_counts_documents",
+    "lang_quality_documents",
+    "dedup_simhash_documents",
+    "ngram_jaccard_documents",
+    "dedup_minhash_documents",
+    "dedup_exact_documents",
+]
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_nasty_corpus_matches_oracle(name, nasty_dir, ray_session):
+    import __ray_entry__ as entry
+
+    got = entry.queries()[name](nasty_dir)
+    got = got if isinstance(got, pd.DataFrame) else got.to_pandas()
+    want = _oracle(entry.oracle_sql()[name], nasty_dir)
+    g, w = _norm(got), _norm(want)
+    assert list(g.columns) == list(w.columns)
+    assert len(g) == len(w), f"{name}: {len(g)} engine vs {len(w)} oracle rows"
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+
+
+def test_empty_docs_never_pair(ray_session):
+    """Two+ empty/whitespace-only docs must emit NO near-dup pair from
+    any dedup op (Jaccard over empty sets is 0, and the oracles build no
+    gram rows for them) — the old both-empty→1.0 scoring emitted
+    spurious pairs."""
+    import ray.data as rd
+
+    from biocurator_mapper_ray.ops.dedup import (
+        minhash_lsh_pairs, ngram_jaccard_pairs,
+    )
+
+    rows = [{"doc_id": i, "text": t} for i, t in
+            [(0, ""), (1, "   "), (2, "\t"), (3, "real text content here"),
+             (4, "real text content here")]]
+    ng = ngram_jaccard_pairs(rd.from_items(rows), threshold=0.1,
+                             candidates="all").to_pandas()
+    got = set(zip(ng.get("a", []), ng.get("b", [])))
+    assert got == {(3, 4)}
+    mh = minhash_lsh_pairs(rd.from_items(rows), threshold=0.1).to_pandas()
+    got = set(zip(mh.get("a", []), mh.get("b", [])))
+    assert got == {(3, 4)}

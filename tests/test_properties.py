@@ -142,3 +142,92 @@ def test_running_and_rolling_match_pandas_reference(ray_session, seed):
         mask = (df["user_id"] == row["user_id"]) & (df["ts"] >= lo) & (df["ts"] <= row["ts"])
         ref_map[row["event_id"]] = df.loc[mask, "v"].sum()
     assert all(ref_map[e] == s for e, s in zip(roll["event_id"], roll["rolling_sum"]))
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=12), min_size=0, max_size=8),
+       st.integers(min_value=1, max_value=30))
+def test_allpairs_blocks_equals_allpairs_index(sizes, max_pairs):
+    """The blocked generator covers EXACTLY the all-pairs set for any
+    budget, including budgets smaller than a single group's pair count
+    (the oversized-bucket tiling path)."""
+    from biocurator_mapper_ray.ops.dedup import _allpairs_blocks
+
+    sizes = np.asarray(sizes, dtype=np.int64)
+    want_a, want_b = _allpairs_index(sizes)
+    want = set(zip(want_a.tolist(), want_b.tolist()))
+    got = set()
+    for ia, ib in _allpairs_blocks(sizes, max_pairs):
+        assert len(ia) <= max(max_pairs,
+                              int(np.sqrt(max_pairs)) ** 2) or len(ia) <= max_pairs
+        block = set(zip(ia.tolist(), ib.tolist()))
+        assert not (block & got), "pair emitted twice"
+        got |= block
+    assert got == want
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=40), min_size=0, max_size=6))
+def test_hybrid_index_full_pairs_small_connect_large(sizes):
+    from biocurator_mapper_ray.ops.dedup import _HYBRID_CUTOFF, _hybrid_index
+
+    sizes = np.asarray(sizes, dtype=np.int64)
+    ia, ib = _hybrid_index(sizes)
+    got = set(zip(ia.tolist(), ib.tolist()))
+    bounds = np.cumsum(sizes)
+    starts = bounds - sizes
+    n_expected = 0
+    for g, s in enumerate(sizes):
+        rows = range(int(starts[g]), int(bounds[g]))
+        group_pairs = {(i, j) for i, j in got
+                       if i in rows and j in rows}
+        if s <= _HYBRID_CUTOFF:
+            assert group_pairs == {(i, j) for i in rows for j in rows if i < j}
+        else:
+            assert len(group_pairs) == 2 * s - 3
+            # still spans the group (connectivity)
+            parent = {i: i for i in rows}
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for i, j in group_pairs:
+                parent[find(i)] = find(j)
+            assert len({find(i) for i in rows}) == 1
+        n_expected += len(group_pairs)
+    assert len(got) == n_expected
+
+
+def test_connected_components_warns_when_unconverged(ray_session):
+    """A long chain with max_iters=1 must WARN instead of silently
+    returning inconsistent labels (ADVICE r2)."""
+    import warnings as _warnings
+
+    import ray.data as rd
+
+    from biocurator_mapper_ray.ops.dedup import connected_components
+
+    # one long chain, one edge per block so local contraction can't
+    # collapse it and a single global round can't reach the fixpoint
+    n = 40
+    edges = rd.from_pandas(
+        pd.DataFrame({"a": np.arange(n - 1), "b": np.arange(1, n)})
+    ).repartition(n - 1)
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        connected_components(edges, max_iters=1).to_pandas()
+    assert any("still changing" in str(w.message) for w in rec)
+
+    # a short chain converges within the budget and stays silent
+    m = 8
+    short = rd.from_pandas(
+        pd.DataFrame({"a": np.arange(m - 1), "b": np.arange(1, m)})
+    ).repartition(m - 1)
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        out = connected_components(short, max_iters=10).to_pandas()
+    assert not any("still changing" in str(w.message) for w in rec)
+    assert set(out["component"]) == {0} and len(out) == m
