@@ -829,6 +829,91 @@ def _q_multimodal_audio(sf_dir: str):
     return out.select_columns(["media_id", "audio_features"]).sort("media_id")
 
 
+def _q_clicks_before_purchase(sf_dir: str):
+    """Range (interval) join: per purchase event, the number of clicks
+    by the same user in the inclusive hour before it — the classic
+    funnel/attribution query; counts computed by two vectorized
+    searchsorted calls per bucket, never a row-per-match intermediate."""
+    from biocurator_mapper_ray.ops.join import interval_count_join
+
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    purchases = events.map_batches(
+        lambda t: t.filter(pc.equal(t.column("event_type"), "purchase"))
+                   .select(["event_id", "user_id", "ts"]),
+        batch_format="pyarrow",
+    )
+    clicks = events.map_batches(
+        lambda t: t.filter(pc.equal(t.column("event_type"), "click"))
+                   .select(["user_id", "ts"]),
+        batch_format="pyarrow",
+    )
+    out = interval_count_join(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="ts",
+        lo_offset=pd.Timedelta(hours=-1), hi_offset=pd.Timedelta(0),
+        left_columns=["event_id", "user_id", "ts"], count_name="n_clicks",
+    )
+    return out.select_columns(["event_id", "user_id", "n_clicks"]).sort("event_id")
+
+
+def _q_top_orders_per_priority(sf_dir: str):
+    """Exact top-3 orders by totalprice per priority (deterministic
+    tie-break on orderkey), with the per-batch combiner push-down."""
+    from biocurator_mapper_ray.ops.rank import top_k_per_group
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+    out = top_k_per_group(ds, "o_orderpriority", "o_totalprice", 3,
+                          tiebreak_col="o_orderkey")
+    return out.select_columns(
+        ["o_orderpriority", "o_orderkey", "o_totalprice", "rn"]
+    ).sort(["o_orderpriority", "rn"])
+
+
+def _q_price_quantiles_by_priority(sf_dir: str):
+    """Per-group exact quantiles (p50/p90 of order totalprice in cents
+    per priority) — grouped two-pass histogram refinement."""
+    from biocurator_mapper_ray.ops.quantile import grouped_exact_quantiles
+
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": batch.column("o_orderpriority"),
+            "cents": pc.cast(
+                pc.round(pc.multiply(batch.column("o_totalprice"), 100.0),
+                         ndigits=0), pa.int64()),
+        })
+
+    return grouped_exact_quantiles(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        "cents", "o_orderpriority", [0.5, 0.9],
+    )
+
+
+def _q_hll_tokens(sf_dir: str):
+    """HyperLogLog register table over corpus tokens (m=256).  The
+    registers ARE the sketch state and are exactly SQL-expressible
+    (md5 hash + trailing-zero rank via the isolated lowest set bit);
+    the float estimate derives from them deterministically
+    (ops.sketch.hll_estimate, unit-tested against exact distinct)."""
+    from biocurator_mapper_ray.ops.sketch import hll_registers
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return hll_registers(ds, m=256)
+
+
+def _q_tfidf_top_terms(sf_dir: str):
+    """Top-5 terms per doc by integer-scaled tf·idf (exact floor-div
+    arithmetic → engine-independent ranking with an exact SQL oracle)."""
+    from biocurator_mapper_ray.ops.textstats import tfidf_top_terms
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = tfidf_top_terms(ds, k=5)
+    return out.select_columns(
+        ["doc_id", "token", "tf", "df", "score", "rn"]
+    ).sort(["doc_id", "rn"])
+
+
 # ----------------------------------------------------------------- contract
 
 
@@ -855,6 +940,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_purchase_click": _q_asof_purchase_click,
         # joins
         "revenue_by_priority": _q_revenue_by_priority,
+        "clicks_before_purchase": _q_clicks_before_purchase,
+        # ranking / sketches / grouped order statistics
+        "top_orders_per_priority": _q_top_orders_per_priority,
+        "price_quantiles_by_priority": _q_price_quantiles_by_priority,
+        "hll_tokens_documents": _q_hll_tokens,
+        "tfidf_top_terms_documents": _q_tfidf_top_terms,
         # training-data ops
         "dedup_exact_documents": _q_dedup_exact,
         "token_counts_documents": _q_token_counts,
@@ -969,6 +1060,96 @@ def _minhash_md5_oracle(threshold: float = 0.6, num_perm: int = 128,
 def oracle_sql() -> dict[str, str]:
     return {
         "dedup_minhash_documents": _minhash_md5_oracle(),
+        "clicks_before_purchase": """
+            SELECT p.event_id, p.user_id,
+                   count(c.user_id) AS n_clicks
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase') p
+            LEFT JOIN (SELECT user_id, ts FROM events
+                       WHERE event_type = 'click') c
+              ON p.user_id = c.user_id
+             AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+            GROUP BY p.event_id, p.user_id
+            ORDER BY p.event_id
+        """,
+        "top_orders_per_priority": """
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   CAST(row_number() OVER (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+            FROM orders
+            QUALIFY rn <= 3
+            ORDER BY o_orderpriority, rn
+        """,
+        "price_quantiles_by_priority": """
+            WITH cents AS (
+                SELECT o_orderpriority,
+                       CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+                FROM orders
+            )
+            SELECT o_orderpriority, q, value FROM (
+                SELECT o_orderpriority, 0.5 AS q,
+                       quantile_disc(c, 0.5) AS value
+                FROM cents GROUP BY o_orderpriority
+                UNION ALL
+                SELECT o_orderpriority, 0.9, quantile_disc(c, 0.9)
+                FROM cents GROUP BY o_orderpriority
+            ) ORDER BY o_orderpriority, q
+        """,
+        "hll_tokens_documents": """
+            WITH toks AS (
+                SELECT DISTINCT t.tok AS tok
+                FROM documents,
+                     unnest(regexp_split_to_array(lower(text), '\\s+')) AS t(tok)
+                WHERE t.tok <> ''
+            ),
+            h AS (
+                SELECT CAST('0x' || substr(md5(tok), 1, 16) AS UBIGINT) AS h
+                FROM toks
+            ),
+            rr AS (
+                SELECT CAST(h % 256 AS BIGINT) AS register, h // 256 AS rest
+                FROM h
+            ),
+            ranks AS (
+                -- 1 + trailing-zeros(rest): x XOR (x-1) masks the
+                -- trailing zeros plus the lowest set bit, so its
+                -- bit_count IS rank directly (DuckDB's ~ on UBIGINT
+                -- does not behave as a 64-bit bitwise not, so the
+                -- isolate-lowest-bit form is not portable here)
+                SELECT register,
+                       CASE WHEN rest = 0 THEN 57
+                            ELSE CAST(bit_count(xor(rest, rest - 1)) AS BIGINT)
+                       END AS rank
+                FROM rr
+            )
+            SELECT register, max(rank) AS max_rank
+            FROM ranks GROUP BY register ORDER BY register
+        """,
+        "tfidf_top_terms_documents": """
+            WITH toks AS (
+                SELECT doc_id, t.tok AS token
+                FROM documents,
+                     unnest(regexp_split_to_array(lower(text), '\\s+')) AS t(tok)
+                WHERE t.tok <> ''
+            ),
+            tf AS (
+                SELECT doc_id, token, count(*) AS tf
+                FROM toks GROUP BY doc_id, token
+            ),
+            df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+            n AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                       tf.tf * ((1000000 * n.n) // df.df) AS score
+                FROM tf JOIN df USING (token) CROSS JOIN n
+            )
+            SELECT doc_id, token, tf, df, score,
+                   CAST(row_number() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, token) AS BIGINT) AS rn
+            FROM scored
+            QUALIFY rn <= 5
+            ORDER BY doc_id, rn
+        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS sum_qty,

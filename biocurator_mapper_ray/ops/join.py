@@ -173,6 +173,76 @@ def pair_feature_join(
     )
 
 
+def interval_count_join(
+    left,
+    right,
+    *,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lo_offset: pd.Timedelta,
+    hi_offset: pd.Timedelta,
+    left_columns: list[str],
+    count_name: str = "n_matches",
+    buckets: int = 16,
+):
+    """Range (interval) join reduced to a per-left-row COUNT: for every
+    left row, the number of right rows with the same ``key`` and
+    ``right_ts`` in the inclusive window
+    ``[left_ts + lo_offset, left_ts + hi_offset]``.
+
+    The classic funnel/attribution query ("clicks in the hour before
+    each purchase").  Shape: both sides are bucketed by key hash (one
+    exchange each, same as :func:`hash_join`); inside a bucket the right
+    side is sorted ONCE by (key, ts) and every left row's window is
+    located with two vectorized ``np.searchsorted`` calls on a
+    structured (key, ts) array — no per-row loops and, unlike a
+    full range join, no |left|×|matches| intermediate ever exists.
+
+    Partitioning assumption: one bucket's rows fit in one task (keys are
+    spread across ``buckets``; raise it for skew).  Left rows with no
+    match are kept with count 0 (LEFT-join semantics).
+    """
+    rcols = [key, right_ts]
+    all_cols = list(dict.fromkeys(left_columns + rcols))
+    l_dtypes = _side_dtypes(left, left_columns)
+
+    lo_us = np.int64(lo_offset // pd.Timedelta(microseconds=1))
+    hi_us = np.int64(hi_offset // pd.Timedelta(microseconds=1))
+    key_ts = np.dtype([("k", "<i8"), ("t", "<i8")])
+
+    tagged_l = _tag_and_bucket(left.select_columns(left_columns), key, 0,
+                               buckets, all_cols)
+    tagged_r = _tag_and_bucket(right.select_columns(rcols), key, 1,
+                               buckets, all_cols)
+    unioned = tagged_l.union(tagged_r)
+
+    def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        l = group[group["__side"] == 0][left_columns]
+        if l_dtypes:
+            l = l.astype(l_dtypes)
+        r = group[group["__side"] == 1]
+        rk = r[key].to_numpy().astype(np.int64)
+        rt = r[right_ts].to_numpy().astype("datetime64[us]").view(np.int64)
+        order = np.lexsort((rt, rk))
+        sorted_r = np.empty(len(rk), dtype=key_ts)
+        sorted_r["k"], sorted_r["t"] = rk[order], rt[order]
+
+        lk = l[key].to_numpy().astype(np.int64)
+        lt = l[left_ts].to_numpy().astype("datetime64[us]").view(np.int64)
+        q_lo = np.empty(len(lk), dtype=key_ts)
+        q_lo["k"], q_lo["t"] = lk, lt + lo_us
+        q_hi = np.empty(len(lk), dtype=key_ts)
+        q_hi["k"], q_hi["t"] = lk, lt + hi_us
+        n = (np.searchsorted(sorted_r, q_hi, side="right")
+             - np.searchsorted(sorted_r, q_lo, side="left"))
+        out = l.copy()
+        out[count_name] = n.astype(np.int64)
+        return out
+
+    return unioned.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
+
+
 def asof_join(
     left,
     right,

@@ -56,32 +56,77 @@ def synth_media_batch(n: int, kind: str = "image", payload_bytes: int = 4096,
     )
 
 
-class ImageDecodeStage:
-    """payload → decoded pixel tensor column (stub behind ``fake=True``).
+def default_image_decoder(out_hw: tuple[int, int]):
+    """→ a ``payload_bytes → (h, w, 3) uint8 ndarray`` callable backed by
+    the first available codec library (optional import), or None.
 
-    Real mode requires an image codec library (not in this container) and
-    raises ``NotImplementedError`` at construction, loudly and early.
-    Fake mode derives a deterministic (h, w, 3) uint8 array from the
-    payload bytes — schema and plumbing identical to a real decoder.
+    The decode itself is the ONLY stubbed step of the multimodal path —
+    when Pillow (or a caller-supplied decoder) is present the real
+    branch runs; this container ships no codec, so tests exercise the
+    real-mode dispatch with an injected decoder."""
+    try:  # optional dependency — not in this container
+        import io
+
+        from PIL import Image  # type: ignore
+
+        def decode(payload: bytes) -> np.ndarray:
+            img = Image.open(io.BytesIO(payload)).convert("RGB")
+            img = img.resize((out_hw[1], out_hw[0]))
+            return np.asarray(img, dtype=np.uint8)
+
+        return decode
+    except ImportError:
+        return None
+
+
+class ImageDecodeStage:
+    """payload → decoded (h, w, 3) pixel tensor column.
+
+    Three modes, resolved once per ACTOR in ``__init__``:
+
+    * ``fake=True`` — deterministic payload-derived pixels (schema and
+      plumbing identical to a real decoder; the test/bench path);
+    * ``fake=False, decoder=<callable>`` — REAL mode with an injected
+      ``payload → (h, w, 3) uint8`` codec (how a user plugs Pillow/cv2/
+      turbojpeg in; also how tests prove the real-mode plumbing);
+    * ``fake=False`` — auto-detects an installed codec
+      (:func:`default_image_decoder`) and raises ``NotImplementedError``
+      loudly at construction when none exists (this container).
     """
 
-    def __init__(self, fake: bool = False, out_hw: tuple[int, int] = (8, 8)):
-        if not fake:
-            raise NotImplementedError(
-                "image decoding requires a codec library not present in this "
-                "environment; construct with fake=True for the deterministic "
-                "test decoder"
-            )
+    def __init__(self, fake: bool = False, out_hw: tuple[int, int] = (8, 8),
+                 decoder=None):
         self.out_hw = out_hw
+        if fake:
+            self.decoder = None
+            return
+        self.decoder = decoder or default_image_decoder(out_hw)
+        if self.decoder is None:
+            raise NotImplementedError(
+                "image decoding requires a codec library (e.g. Pillow) not "
+                "present in this environment; install one, pass decoder=, or "
+                "construct with fake=True for the deterministic test decoder"
+            )
+
+    def _fake_decode(self, payload: bytes, size: int) -> np.ndarray:
+        buf = np.frombuffer(payload, dtype=np.uint8)
+        reps = int(np.ceil(size / max(1, len(buf))))
+        return np.tile(buf, reps)[:size]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         h, w = self.out_hw
         size = h * w * 3
         pixels = []
         for payload in batch.column("payload").to_pylist():
-            buf = np.frombuffer(payload, dtype=np.uint8)
-            reps = int(np.ceil(size / max(1, len(buf))))
-            pixels.append(np.tile(buf, reps)[:size].tolist())
+            if self.decoder is not None:
+                arr = np.asarray(self.decoder(payload), dtype=np.uint8)
+                if arr.shape != (h, w, 3):
+                    raise ValueError(
+                        f"decoder returned shape {arr.shape}, expected {(h, w, 3)}"
+                    )
+                pixels.append(arr.reshape(-1).tolist())
+            else:
+                pixels.append(self._fake_decode(payload, size).tolist())
         return batch.append_column(
             "pixels", pa.array(pixels, pa.list_(pa.uint8(), size))
         ).append_column(
@@ -105,6 +150,25 @@ class ImageFeatureStage:
         )
 
 
+def default_audio_decoder():
+    """→ ``payload_bytes → (int16 samples, rate)`` via an optional audio
+    library, or None when absent (this container)."""
+    try:  # optional dependency — not in this container
+        import io
+
+        import soundfile  # type: ignore
+
+        def decode(payload: bytes):
+            data, rate = soundfile.read(io.BytesIO(payload), dtype="int16")
+            if data.ndim > 1:
+                data = data.mean(axis=1).astype(np.int16)
+            return data, int(rate)
+
+        return decode
+    except ImportError:
+        return None
+
+
 class AudioDecodeStage:
     """payload → int16 PCM sample column.
 
@@ -116,25 +180,38 @@ class AudioDecodeStage:
     are exercised on genuine PCM semantics.
     """
 
-    def __init__(self, fake: bool = False, sample_rate: int = 16000):
-        if not fake:
-            raise NotImplementedError(
-                "compressed-audio decoding requires a codec library not "
-                "present in this environment; construct with fake=True for "
-                "the raw-PCM reinterpretation decoder"
-            )
+    def __init__(self, fake: bool = False, sample_rate: int = 16000,
+                 decoder=None):
         self.sample_rate = sample_rate
+        if fake:
+            self.decoder = None
+            return
+        # real mode: injected codec (``payload → (int16 samples, rate)``,
+        # e.g. soundfile.read) or an optional-import default
+        self.decoder = decoder or default_audio_decoder()
+        if self.decoder is None:
+            raise NotImplementedError(
+                "compressed-audio decoding requires a codec library (e.g. "
+                "soundfile) not present in this environment; install one, "
+                "pass decoder=, or construct with fake=True for the raw-PCM "
+                "reinterpretation decoder"
+            )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        samples = []
+        samples, rates = [], []
         for payload in batch.column("payload").to_pylist():
-            buf = payload[: len(payload) - (len(payload) % 2)]
-            samples.append(np.frombuffer(buf, dtype="<i2").tolist())
-        n = len(batch)
+            if self.decoder is not None:
+                pcm, rate = self.decoder(payload)
+                samples.append(np.asarray(pcm, dtype=np.int16).tolist())
+                rates.append(rate)
+            else:
+                buf = payload[: len(payload) - (len(payload) % 2)]
+                samples.append(np.frombuffer(buf, dtype="<i2").tolist())
+                rates.append(self.sample_rate)
         return batch.append_column(
             "samples", pa.array(samples, pa.list_(pa.int16()))
         ).append_column(
-            "sample_rate", pa.array(np.full(n, self.sample_rate, dtype=np.int32))
+            "sample_rate", pa.array(np.asarray(rates, dtype=np.int32))
         )
 
 

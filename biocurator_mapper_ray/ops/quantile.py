@@ -19,6 +19,119 @@ import pandas as pd
 import pyarrow as pa
 
 
+def grouped_exact_quantiles(ds, column: str, group_col: str, qs: list[float], *,
+                            coarse_bits: int = 16) -> pd.DataFrame:
+    """Exact per-group quantiles → DataFrame (group, q, value), the
+    grouped form of :func:`exact_quantiles` with the same two-pass
+    histogram refinement, every exchange keyed by (group, bucket).
+
+    Scale contract: driver-side state is groups × needed-buckets (the
+    RESULT is per-group scalars, so group cardinality is driver-bounded
+    by definition); row-scale data never leaves the cluster.  Bucketing
+    uses one global [lo, hi) span — per-group spans would save refine
+    work only when group ranges are disjoint.
+    """
+    def minmax(batch: pa.Table) -> pa.Table:
+        df = batch.select([group_col, column]).to_pandas()
+        g = df.groupby(group_col, sort=False)[column].agg(["min", "max", "count"])
+        g = g.reset_index()
+        g.columns = [group_col, "lo", "hi", "n"]
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    mm = ds.map_batches(minmax, batch_format="pyarrow").to_pandas()
+    if mm.empty or mm["n"].sum() == 0:
+        return pd.DataFrame({group_col: pd.Series(dtype=object),
+                             "q": pd.Series(dtype=np.float64),
+                             "value": pd.Series(dtype=np.int64)})
+    per_group = mm.groupby(group_col).agg(
+        lo=("lo", "min"), hi=("hi", "max"), n=("n", "sum")
+    )
+    lo = int(per_group["lo"].min())
+    span = int(per_group["hi"].max()) - lo
+    shift = max(0, span.bit_length() - coarse_bits)
+
+    def bucket_counts(batch: pa.Table) -> pa.Table:
+        df = batch.select([group_col, column]).to_pandas()
+        df["bucket"] = (df[column].to_numpy().astype(np.int64) - lo) >> shift
+        g = df.groupby([group_col, "bucket"], sort=False).size().reset_index(name="cnt")
+        salt = (g["bucket"].to_numpy() % 16).astype(np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False).append_column(
+            "__s", pa.array(salt))
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        return (
+            group.drop(columns="__s")
+            .groupby([group_col, "bucket"], sort=True)["cnt"].sum().reset_index()
+        )
+
+    hist = (
+        ds.map_batches(bucket_counts, batch_format="pyarrow")
+        .groupby("__s").map_groups(combine, batch_format="pandas")
+        .to_pandas()  # ≤ groups × 2^coarse_bits rows
+        .sort_values([group_col, "bucket"])
+    )
+
+    # per-group CDF → (group, bucket) → [(q, residual rank)]
+    need: dict[tuple, list[tuple[float, int]]] = {}
+    for grp, gh in hist.groupby(group_col, sort=False):
+        n = int(per_group.loc[grp, "n"])
+        buckets = gh["bucket"].to_numpy()
+        cum = gh["cnt"].to_numpy().cumsum()
+        for q in qs:
+            k = min(n, max(1, int(np.ceil(q * n))))
+            i = int(np.searchsorted(cum, k, side="left"))
+            below = int(cum[i - 1]) if i else 0
+            need.setdefault((grp, int(buckets[i])), []).append((q, k - below))
+
+    needed_buckets = {b for (_, b) in need}
+
+    def value_counts(batch: pa.Table) -> pa.Table:
+        df = batch.select([group_col, column]).to_pandas()
+        v = df[column].to_numpy().astype(np.int64)
+        b = (v - lo) >> shift
+        mask = np.isin(b, list(needed_buckets))
+        df = df[mask]
+        g = df.groupby([group_col, column], sort=False).size().reset_index(name="cnt")
+        salt = (g[column].to_numpy() % 16).astype(np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False).append_column(
+            "__s", pa.array(salt))
+
+    def combine_v(group: pd.DataFrame) -> pd.DataFrame:
+        return (
+            group.drop(columns="__s")
+            .groupby([group_col, column], sort=True)["cnt"].sum().reset_index()
+        )
+
+    fine = (
+        ds.map_batches(value_counts, batch_format="pyarrow")
+        .groupby("__s").map_groups(combine_v, batch_format="pandas")
+        .to_pandas()
+        .sort_values([group_col, column])
+    )
+    out_g, out_q, out_v = [], [], []
+    for grp, gf in fine.groupby(group_col, sort=False):
+        fv = gf[column].to_numpy()
+        fb = (fv - lo) >> shift
+        fc = gf["cnt"].to_numpy()
+        for (g2, bucket), wants in need.items():
+            if g2 != grp:
+                continue
+            sel = fb == bucket
+            vals, counts = fv[sel], fc[sel].cumsum()
+            for q, resid in wants:
+                j = int(np.searchsorted(counts, resid, side="left"))
+                out_g.append(grp)
+                out_q.append(q)
+                out_v.append(int(vals[j]))
+    return (
+        pd.DataFrame({group_col: out_g,
+                      "q": np.asarray(out_q, dtype=np.float64),
+                      "value": np.asarray(out_v, dtype=np.int64)})
+        .sort_values([group_col, "q"])
+        .reset_index(drop=True)
+    )
+
+
 def exact_quantiles(ds, column: str, qs: list[float], *,
                     coarse_bits: int = 16) -> pd.DataFrame:
     """→ DataFrame (q float64, value int64): the exact ceil(q·n)-th

@@ -191,6 +191,91 @@ def word_counts(ds, *, text_column: str = "text", top_k: int | None = None,
     return counts.sort(["n", "token"], descending=[True, False]).limit(top_k)
 
 
+def tfidf_top_terms(ds, *, text_column: str = "text", id_column: str = "doc_id",
+                    k: int = 5, idf_scale: int = 1_000_000, n_docs: int | None = None,
+                    shards: int = 32):
+    """Top-``k`` terms per document by integer-scaled tf·idf.
+
+    ``score = tf * ((idf_scale * N) // df)`` — an inverse-document-
+    frequency weight kept in EXACT integer arithmetic (floor division)
+    instead of ``ln(N/df)``: the ranking is deterministic and identical
+    in any engine (float ``ln`` differs at ULP level between libms,
+    which would make top-k membership engine-dependent at ties), giving
+    the op an exact DuckDB oracle.
+
+    Distributed shape (one doc's text is one row, so per-batch
+    (doc, token, tf) counts are exact with NO exchange):
+
+    1. tf table: Arrow token explode + batch-local group_by;
+    2. df table: per-batch partial counts over the tf rows, one salted
+       token-keyed exchange (vocabulary-scale, like word_counts);
+    3. tf ⋈ df by token: bucketed :func:`~biocurator_mapper_ray.ops.join.hash_join`;
+    4. per-doc top-k: :func:`~biocurator_mapper_ray.ops.rank.top_k_per_group`
+       with its batch-level combiner push-down.
+    """
+    import numpy as np
+
+    from ..functions.hashing import hash64_column
+    from ..ops.join import hash_join
+    from ..ops.rank import top_k_per_group
+
+    if n_docs is None:
+        n_docs = ds.count()
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column(text_column)), r"\s+"
+        )
+        flat = pc.list_flatten(toks)
+        doc_ids = pa.chunked_array([batch.column(id_column)]).combine_chunks()
+        lens = pc.list_value_length(toks)
+        ids_rep = np.repeat(doc_ids.to_numpy(), lens.to_numpy())
+        t = pa.table({"doc_id": pa.array(ids_rep), "token": flat})
+        t = t.filter(pc.not_equal(t.column("token"), ""))
+        g = t.group_by(["doc_id", "token"], use_threads=False).aggregate(
+            [("token", "count")]
+        )
+        return g.rename_columns(["doc_id", "token", "tf"])
+
+    tf = ds.map_batches(tf_partial, batch_format="pyarrow").materialize()
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["token"], use_threads=False).aggregate([("token", "count")])
+        g = g.rename_columns(["token", "df"])
+        salt = (hash64_column(g.column("token")) % np.uint64(shards)).astype(np.int32)
+        return g.append_column("__s", pa.array(salt))
+
+    def df_combine(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.drop(columns="__s")
+        return group.groupby("token", sort=False)["df"].sum().reset_index(name="df")
+
+    df_tbl = (
+        tf.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("__s").map_groups(df_combine, batch_format="pandas")
+    )
+
+    scale_n = idf_scale * n_docs
+
+    def score(merged: pd.DataFrame) -> pd.DataFrame:
+        merged = merged.copy()
+        merged["score"] = merged["tf"].to_numpy() * (
+            scale_n // merged["df"].to_numpy().astype(np.int64)
+        )
+        return merged
+
+    i64, obj = np.dtype(np.int64), np.dtype(object)
+    scored = hash_join(
+        tf, df_tbl, left_on="token", right_on="token",
+        buckets=shards,
+        left_columns=["doc_id", "token", "tf"], right_columns=["token", "df"],
+        left_dtypes={"doc_id": i64, "token": obj, "tf": i64},
+        right_dtypes={"token": obj, "df": i64},
+        bucket_postprocess=score,
+    )
+    return top_k_per_group(scored, "doc_id", "score", k,
+                           tiebreak_col="token", shards=shards)
+
+
 def fingerprints(batch: pa.Table, text_column: str = "text") -> pa.Table:
     """Document fingerprints:
 

@@ -579,3 +579,130 @@ class TestQuantilesAndWordCounts:
                 {"text": "d c b a"}]
         out = word_counts(rd.from_items(rows), top_k=3).to_pandas()
         assert list(zip(out["token"], out["n"])) == [("a", 4), ("b", 3), ("c", 2)]
+
+
+class TestRankJoinSketchOps:
+    def test_interval_count_join_matches_bruteforce(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.join import interval_count_join
+
+        rng = np.random.default_rng(5)
+        n_l, n_r = 300, 900
+        left = pd.DataFrame({
+            "event_id": np.arange(n_l, dtype=np.int64),
+            "user_id": rng.integers(0, 20, n_l),
+            "ts": pd.Timestamp("2026-02-01")
+            + pd.to_timedelta(rng.integers(0, 86_400, n_l), unit="s"),
+        })
+        right = pd.DataFrame({
+            "user_id": rng.integers(0, 20, n_r),
+            "ts": pd.Timestamp("2026-02-01")
+            + pd.to_timedelta(rng.integers(0, 86_400, n_r), unit="s"),
+        })
+        out = interval_count_join(
+            rd.from_pandas(left).repartition(4),
+            rd.from_pandas(right).repartition(4),
+            key="user_id", left_ts="ts", right_ts="ts",
+            lo_offset=pd.Timedelta(minutes=-30), hi_offset=pd.Timedelta(0),
+            left_columns=["event_id", "user_id", "ts"], count_name="n",
+        ).to_pandas()
+        assert len(out) == n_l
+        got = dict(zip(out["event_id"], out["n"]))
+        for _, row in left.iterrows():
+            lo = row["ts"] - pd.Timedelta(minutes=30)
+            want = int(((right["user_id"] == row["user_id"])
+                        & (right["ts"] >= lo)
+                        & (right["ts"] <= row["ts"])).sum())
+            assert got[row["event_id"]] == want
+
+    def test_top_k_per_group_matches_pandas(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.rank import top_k_per_group
+
+        rng = np.random.default_rng(7)
+        df = pd.DataFrame({
+            "g": rng.integers(0, 9, 500),
+            "v": rng.integers(0, 40, 500).astype(np.int64),  # many ties
+            "id": np.arange(500, dtype=np.int64),
+        })
+        out = top_k_per_group(
+            rd.from_pandas(df).repartition(6), "g", "v", 3, tiebreak_col="id"
+        ).to_pandas().sort_values(["g", "rn"]).reset_index(drop=True)
+        ref = (df.sort_values(["g", "v", "id"], ascending=[True, False, True],
+                              kind="mergesort")
+               .groupby("g").head(3).copy())
+        ref["rn"] = ref.groupby("g").cumcount() + 1
+        ref = ref.sort_values(["g", "rn"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            out[["g", "v", "id", "rn"]], ref[["g", "v", "id", "rn"]],
+            check_dtype=False)
+
+    def test_grouped_exact_quantiles(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.quantile import grouped_exact_quantiles
+
+        rng = np.random.default_rng(11)
+        df = pd.DataFrame({
+            "grp": rng.choice(["a", "b", "c"], 2000),
+            "v": rng.integers(-10_000, 10_000_000, 2000).astype(np.int64),
+        })
+        out = grouped_exact_quantiles(
+            rd.from_pandas(df).repartition(5), "v", "grp", [0.25, 0.5, 0.99]
+        )
+        for grp, gdf in df.groupby("grp"):
+            vals = np.sort(gdf["v"].to_numpy())
+            for q in [0.25, 0.5, 0.99]:
+                k = min(len(vals), max(1, int(np.ceil(q * len(vals)))))
+                want = int(vals[k - 1])  # rank = ceil(q*n), quantile_disc
+                got = out[(out["grp"] == grp) & (out["q"] == q)]["value"].iloc[0]
+                assert got == want, (grp, q, got, want)
+
+    def test_hll_estimate_accuracy(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.sketch import hll_estimate, hll_registers
+
+        # 4000 distinct tokens spread over 400 docs, each repeated in
+        # several docs — estimate must land within ~3 standard errors
+        # (1.04/sqrt(256) ≈ 6.5%)
+        rng = np.random.default_rng(3)
+        vocab = [f"tok{i:05d}" for i in range(4000)]
+        docs = [" ".join(rng.choice(vocab, 40, replace=False))
+                for _ in range(400)]
+        distinct = len({t for d in docs for t in d.split()})
+        ds = rd.from_items([{"text": d} for d in docs]).repartition(4)
+        regs = hll_registers(ds, m=256).to_pandas()
+        est = hll_estimate(regs, m=256)
+        assert abs(est - distinct) / distinct < 0.20
+        assert (regs["register"].between(0, 255)).all()
+        assert (regs["max_rank"].between(1, 57)).all()
+
+    def test_rank_of_kernel(self):
+        from biocurator_mapper_ray.ops.sketch import _rank_of
+
+        rest = np.array([0, 1, 2, 12, 96, 2**55], dtype=np.uint64)
+        got = _rank_of(rest, 57)
+        assert got.tolist() == [57, 1, 2, 3, 6, 56]
+
+    def test_tfidf_top_terms_small(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.textstats import tfidf_top_terms
+
+        rows = [
+            {"doc_id": 0, "text": "apple apple banana common"},
+            {"doc_id": 1, "text": "banana cherry common"},
+            {"doc_id": 2, "text": "common common cherry"},
+        ]
+        out = tfidf_top_terms(rd.from_items(rows), k=2).to_pandas()
+        n, scale = 3, 1_000_000
+        # doc 0: apple tf=2 df=1 → 2*(3M//1)=6M; banana tf=1 df=2 → 1.5M
+        d0 = out[out["doc_id"] == 0].sort_values("rn")
+        assert list(d0["token"]) == ["apple", "banana"]
+        assert list(d0["score"]) == [2 * (scale * n // 1), scale * n // 2]
+        # doc 2: common tf=2 df=3 → 2M; cherry tf=1 df=2 → 1.5M
+        d2 = out[out["doc_id"] == 2].sort_values("rn")
+        assert list(d2["token"]) == ["common", "cherry"]
