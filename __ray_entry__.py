@@ -139,6 +139,30 @@ def _q_kg_candidates_ns(sf_dir: str):
     return out
 
 
+def _q_kg_triples_diff(sf_dir: str):
+    """Distributed set-equality proof for the flagship: the symmetric
+    difference between emitted (subj, pred, obj) triples and the planted
+    expected set, which must be EMPTY.  The driver's rows check on this
+    query (0 rows) therefore certifies set equality — a strictly
+    stronger guarantee than kg_triples and kg_expected_triples merely
+    having matching row counts (BASELINE.json P/R anchor ≥ 0.95; this
+    pins P = R = 1.0 driver-visibly).  The diff itself is the bucketed
+    :func:`~biocurator_mapper_ray.ops.join.symmetric_diff` — nothing
+    triple-scale lands on the driver."""
+    import ray.data as rd
+
+    from biocurator_mapper_ray.ops.join import symmetric_diff
+    from biocurator_mapper_ray.pipelines.kg import extract_triples
+
+    transcripts, edir = _kg_transcripts(sf_dir)
+    emitted = extract_triples(transcripts, _kg_terms_table(), snapshot_hash="q")
+    expected = rd.read_parquet(edir)
+    return symmetric_diff(
+        emitted, expected, keys=["subj", "pred", "obj"],
+        left_name="emitted_only", right_name="expected_only",
+    ).sort(["subj", "pred", "obj"])
+
+
 def _q_kg_expected_triples(sf_dir: str):
     """Planted ground truth (for the judge to diff against kg_triples)."""
     import ray.data as rd
@@ -574,6 +598,18 @@ def _q_dedup_exact(sf_dir: str):
     return exact_dedup(ds).sort("doc_id")
 
 
+def _q_dedup_exact_ids(sf_dir: str):
+    """Text-light exact dedup: lean (id, h64, md5) exchange picks the
+    winners, survivors stream back from source via the broadcast
+    semi-join — text bytes never cross an exchange (the 100-TB shape;
+    same oracle as dedup_exact_documents, survivors must be identical)."""
+    from biocurator_mapper_ray.ops.dedup import exact_dedup_ids, semi_join_ids
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    winners = exact_dedup_ids(ds)
+    return semi_join_ids(ds, winners).sort("doc_id")
+
+
 def _q_token_counts(sf_dir: str):
     from biocurator_mapper_ray.ops.textstats import token_counts
 
@@ -923,6 +959,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": _q_kg_triples,
         "kg_links": _q_kg_links,
         "kg_expected_triples": _q_kg_expected_triples,
+        "kg_triples_diff": _q_kg_triples_diff,
         "kg_candidates_ns": _q_kg_candidates_ns,
         "kg_parse_terms": _q_kg_parse_terms,
         "kg_term_vectors": _q_kg_term_vectors,
@@ -948,6 +985,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms_documents": _q_tfidf_top_terms,
         # training-data ops
         "dedup_exact_documents": _q_dedup_exact,
+        "dedup_exact_ids_documents": _q_dedup_exact_ids,
         "token_counts_documents": _q_token_counts,
         "quality_counts_documents": _q_quality_counts,
         "fingerprint_documents": _q_fingerprints,
@@ -1254,6 +1292,12 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY user_id
         """,
         "dedup_exact_documents": """
+            SELECT min(doc_id) AS doc_id, text
+            FROM documents
+            GROUP BY text
+            ORDER BY doc_id
+        """,
+        "dedup_exact_ids_documents": """
             SELECT min(doc_id) AS doc_id, text
             FROM documents
             GROUP BY text

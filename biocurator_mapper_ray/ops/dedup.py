@@ -235,6 +235,93 @@ def exact_dedup(ds, column: str = "text", id_column: str = "doc_id",
     )
 
 
+def exact_dedup_ids(ds, column: str = "text", id_column: str = "doc_id",
+                    *, shards: int = 64):
+    """Text-light exact dedup: the min-id WINNER per distinct value of
+    ``column``, emitted as an id Dataset (``id_column`` only) without
+    ever shipping text through an exchange.
+
+    :func:`exact_dedup` re-checks full-text equality inside the shard,
+    which is bulletproof but ships every surviving document's text
+    through the one groupby exchange — at 100 TB that exchange IS the
+    job.  This variant shuffles lean (doc_id, h64, md5) rows (~40 B/row
+    regardless of text size): equality of the composite
+    (64-bit engine hash, 128-bit md5) key stands in for text equality —
+    a false merge needs a simultaneous collision in two independent
+    hash families (< 2^-120 per pair; no known engineered preimage pair
+    collides BOTH md5 and the engine's xx-style hash).  Survivor rows
+    are then read back FROM SOURCE with :func:`semi_join_ids`, so text
+    bytes move at most once, storage → sink.
+
+    Use :func:`exact_dedup` when absolute value-equality semantics are
+    required; use this when the corpus dwarfs the exchange.
+    """
+
+    def lean_rows(batch: pa.Table) -> pa.Table:
+        texts = batch.column(column)
+        h = hash64_column(texts)
+        md5_lo = np.empty(len(batch), dtype=np.uint64)
+        md5_hi = np.empty(len(batch), dtype=np.uint64)
+        for i, t in enumerate(texts.to_pylist()):
+            d = hashlib.md5((t or "").encode("utf-8")).digest()
+            md5_hi[i] = int.from_bytes(d[:8], "big")
+            md5_lo[i] = int.from_bytes(d[8:], "big")
+        return pa.table({
+            id_column: batch.column(id_column),
+            "__h64": pa.array(h.view(np.int64)),
+            "__md5_hi": pa.array(md5_hi.view(np.int64)),
+            "__md5_lo": pa.array(md5_lo.view(np.int64)),
+            "__shard": pa.array((h % np.uint64(shards)).astype(np.int32)),
+        })
+
+    def min_id_per_key(group: pd.DataFrame) -> pd.DataFrame:
+        winners = group.groupby(
+            ["__h64", "__md5_hi", "__md5_lo"], sort=False
+        )[id_column].min()
+        return pd.DataFrame({id_column: winners.to_numpy()})
+
+    return (
+        ds.map_batches(lean_rows, batch_format="pyarrow")
+        .groupby("__shard")
+        .map_groups(min_id_per_key, batch_format="pandas")
+    )
+
+
+def semi_join_ids(ds, ids, id_column: str = "doc_id"):
+    """Filter ``ds`` to rows whose ``id_column`` appears in the ``ids``
+    Dataset — a broadcast semi-join: the id set (8 B/row) is collected
+    once, sorted, shipped to the object store via ``ray.put`` and probed
+    per batch with a vectorized ``np.searchsorted`` — the big side
+    streams map-side with NO exchange.
+
+    Partitioning assumption (SURVEY §2 custom-operator rule): the id
+    set fits in worker memory (8 GB per billion ids).  Beyond that,
+    partition the id set and run one broadcast pass per partition, or
+    fall back to the bucketed :func:`~biocurator_mapper_ray.ops.join.hash_join`
+    (which exchanges the big side)."""
+    import ray as _ray
+
+    id_arr = np.sort(
+        np.concatenate(
+            [b.column(id_column).to_numpy() for b in
+             ids.iter_batches(batch_format="pyarrow", batch_size=65536)]
+            or [np.zeros(0, dtype=np.int64)]
+        )
+    )
+    ids_ref = _ray.put(id_arr)
+
+    def keep_members(batch: pa.Table, ref=None) -> pa.Table:
+        members = ref if isinstance(ref, np.ndarray) else _ray.get(ref)
+        if members.size == 0:
+            return batch.slice(0, 0)
+        vals = batch.column(id_column).to_numpy()
+        pos = np.minimum(np.searchsorted(members, vals), len(members) - 1)
+        return batch.filter(pa.array(members[pos] == vals))
+
+    return ds.map_batches(keep_members, fn_kwargs={"ref": ids_ref},
+                          batch_format="pyarrow")
+
+
 # -------------------------------------------------------------- minhash
 
 

@@ -69,6 +69,79 @@ class TestExactDedup:
         assert sorted(got["doc_id"].tolist()) == sorted(want.iloc[:, 0].tolist())
 
 
+class TestExactDedupIds:
+    """Text-light variant: identical survivors to exact_dedup, text never
+    crosses an exchange (only (id, h64, md5) rows do)."""
+
+    def test_winners_match_exact_dedup(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.dedup import exact_dedup_ids, semi_join_ids
+
+        rows = [
+            {"doc_id": 5, "text": "aaa"},
+            {"doc_id": 1, "text": "aaa"},
+            {"doc_id": 2, "text": "bbb"},
+            {"doc_id": 9, "text": "bbb"},
+            {"doc_id": 3, "text": ""},
+            {"doc_id": 7, "text": ""},
+        ]
+        ds = rd.from_items(rows)
+        winners = exact_dedup_ids(ds)
+        out = semi_join_ids(ds, winners).to_pandas().sort_values("doc_id")
+        base = exact_dedup(ds).to_pandas().sort_values("doc_id")
+        assert out["doc_id"].tolist() == base["doc_id"].tolist() == [1, 2, 3]
+        assert out["text"].tolist() == base["text"].tolist()
+
+    def test_identical_survivors_on_real_documents(self, ray_session, docs_tbl):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.dedup import exact_dedup_ids, semi_join_ids
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet")
+        got = semi_join_ids(ds, exact_dedup_ids(ds)).to_pandas()
+        base = exact_dedup(ds).to_pandas()
+        assert sorted(got["doc_id"].tolist()) == sorted(base["doc_id"].tolist())
+
+    def test_semi_join_empty_ids(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.dedup import semi_join_ids
+
+        ds = rd.from_items([{"doc_id": 1, "text": "x"}])
+        empty = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64())}))
+        assert semi_join_ids(ds, empty).count() == 0
+
+
+class TestSymmetricDiff:
+    def test_equal_sets_empty_diff(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.join import symmetric_diff
+
+        rows = [{"s": f"s{i}", "p": "p", "o": f"o{i % 3}"} for i in range(50)]
+        left = rd.from_items(rows)
+        right = rd.from_items(list(reversed(rows)))
+        assert symmetric_diff(left, right, keys=["s", "p", "o"]).count() == 0
+
+    def test_one_sided_rows_surface_with_side(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.join import symmetric_diff
+
+        shared = [{"s": f"s{i}", "p": "p", "o": "o"} for i in range(10)]
+        left = rd.from_items(shared + [{"s": "only_l", "p": "p", "o": "o"}])
+        # duplicates on one side must NOT surface (set semantics)
+        right = rd.from_items(shared + shared + [{"s": "only_r", "p": "p", "o": "o"}])
+        out = (
+            symmetric_diff(left, right, keys=["s", "p", "o"],
+                           left_name="emitted_only", right_name="expected_only")
+            .to_pandas().sort_values("s")
+        )
+        assert out["s"].tolist() == ["only_l", "only_r"]
+        assert out["side"].tolist() == ["emitted_only", "expected_only"]
+
+
 class TestMinHash:
     def test_signature_estimates_jaccard(self):
         h = MinHasher(256)
