@@ -705,6 +705,28 @@ def _q_ngram_jaccard(sf_dir: str):
     return df[["a", "b", "jaccard"]].sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def _q_decontam(sf_dir: str):
+    """Benchmark decontamination over the documents table: the
+    'benchmark' is the deterministic subset doc_id % 20 == 0 (standing
+    in for a small held-out eval set — eval sets are KiB-to-MiB scale,
+    so the shingle set broadcast is cheap by construction); every doc
+    reports how many of its distinct word 3-grams appear in it."""
+    from biocurator_mapper_ray.ops.decontam import (
+        benchmark_shingle_set,
+        contamination_counts,
+    )
+
+    bench_tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    mask = bench_tbl.column("doc_id").to_numpy() % 20 == 0
+    bench_texts = bench_tbl.filter(pa.array(mask)).column("text").to_pylist()
+    bench = benchmark_shingle_set(bench_texts, n=3)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return contamination_counts(ds, bench, n=3).sort("doc_id")
+
+
 def _q_price_quantiles(sf_dir: str):
     """Exact p25/p50/p90/p99 of order totalprice in cents via two-pass
     distributed histogram refinement (rank = ceil(q·n), DuckDB
@@ -994,6 +1016,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_documents": _q_dedup_simhash,
         "ngram_jaccard_documents": _q_ngram_jaccard,
         "word_counts_documents": _q_word_counts,
+        "decontam_documents": _q_decontam,
         "price_quantiles": _q_price_quantiles,
         "sample_documents": _q_sample_documents,
         "split_documents": _q_split_documents,
@@ -1401,6 +1424,39 @@ def oracle_sql() -> dict[str, str]:
             FROM sims a JOIN sims b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.sh, b.sh)) <= 3
             ORDER BY a, b
+        """,
+        "decontam_documents": """
+            WITH words AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                                   '[ \\t\\n\\r\\f\\x0b]+'),
+                                   w -> w <> '') AS ws
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, ws[g.i] || ' ' || ws[g.i+1] || ' ' || ws[g.i+2] AS sh
+                FROM words, unnest(range(1, len(ws) - 1)) AS g(i)
+                WHERE len(ws) >= 3
+                UNION ALL
+                SELECT doc_id, array_to_string(ws, ' ') AS sh FROM words
+                WHERE len(ws) BETWEEN 1 AND 2
+            ),
+            sets AS (SELECT DISTINCT doc_id, sh FROM grams),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id),
+            bench AS (SELECT DISTINCT sh FROM sets WHERE doc_id % 20 = 0),
+            hits AS (
+                SELECT s.doc_id, count(*) AS h
+                FROM sets s JOIN bench b ON s.sh = b.sh
+                GROUP BY s.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(h.h, 0) AS n_contaminated,
+                   COALESCE(z.n, 0) AS n_shingles,
+                   COALESCE(h.h, 0) > 0 AS contaminated
+            FROM documents d
+            LEFT JOIN hits h ON h.doc_id = d.doc_id
+            LEFT JOIN sizes z ON z.doc_id = d.doc_id
+            ORDER BY d.doc_id
         """,
         "ngram_jaccard_documents": """
             WITH words AS (

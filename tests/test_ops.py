@@ -142,6 +142,48 @@ class TestSymmetricDiff:
         assert out["side"].tolist() == ["emitted_only", "expected_only"]
 
 
+class TestDecontam:
+    def test_planted_overlap_counts(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.decontam import (
+            benchmark_shingle_set,
+            contamination_counts,
+            decontaminate,
+        )
+
+        bench = benchmark_shingle_set(
+            ["the quick brown fox jumps over the lazy dog"], n=3
+        )
+        rows = [
+            # contains "the quick brown" etc. → contaminated
+            {"doc_id": 1, "text": "well the quick brown fox appeared"},
+            {"doc_id": 2, "text": "completely unrelated words here today"},
+            {"doc_id": 3, "text": ""},  # no shingles → clean
+        ]
+        ds = rd.from_items(rows)
+        out = contamination_counts(ds, bench, n=3).to_pandas().sort_values("doc_id")
+        assert out["contaminated"].tolist() == [True, False, False]
+        assert out.loc[out.doc_id == 1, "n_contaminated"].iloc[0] >= 2
+        assert out.loc[out.doc_id == 3, "n_shingles"].iloc[0] == 0
+        clean = decontaminate(ds, bench, n=3).to_pandas()
+        assert sorted(clean["doc_id"].tolist()) == [2, 3]
+
+    def test_empty_benchmark_flags_nothing(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.decontam import (
+            benchmark_shingle_set,
+            contamination_counts,
+        )
+
+        bench = benchmark_shingle_set([], n=3)
+        assert bench.size == 0
+        ds = rd.from_items([{"doc_id": 1, "text": "some words here"}])
+        out = contamination_counts(ds, bench, n=3).to_pandas()
+        assert out["contaminated"].tolist() == [False]
+
+
 class TestMinHash:
     def test_signature_estimates_jaccard(self):
         h = MinHasher(256)
