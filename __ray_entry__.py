@@ -764,6 +764,21 @@ def _q_sample_documents(sf_dir: str):
     return hash_sample(ds, pct=20, seed=42).select_columns(["doc_id"]).sort("doc_id")
 
 
+def _q_stratified_sample(sf_dir: str):
+    """Per-language rebalancing sample: keep 10% of dominant en, all of
+    de, half of zh, 25% of everything else — md5-keyed so the subset is
+    engine/partitioning-invariant and monotone in pct."""
+    from biocurator_mapper_ray.ops.sample import stratified_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    out = stratified_sample(
+        ds, group_column="lang",
+        pct_by_group={"en": 10, "de": 100, "zh": 50}, default_pct=25,
+        seed=42,
+    )
+    return out.select_columns(["doc_id", "lang"]).sort("doc_id")
+
+
 def _q_split_documents(sf_dir: str):
     """Deterministic 10% test / 90% train split assignment."""
     from biocurator_mapper_ray.ops.sample import hash_split
@@ -1019,6 +1034,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontam_documents": _q_decontam,
         "price_quantiles": _q_price_quantiles,
         "sample_documents": _q_sample_documents,
+        "stratified_sample_documents": _q_stratified_sample,
         "split_documents": _q_split_documents,
         "token_histogram_documents": _q_token_histogram,
         "knn_embeddings": _q_knn_embeddings,
@@ -1522,6 +1538,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE CAST('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 16)
                        AS UBIGINT) % 100 < 20
+            ORDER BY doc_id
+        """,
+        "stratified_sample_documents": """
+            SELECT doc_id, lang FROM documents
+            WHERE CAST('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 16)
+                       AS UBIGINT) % 100
+                  < CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 100
+                              WHEN 'zh' THEN 50 ELSE 25 END
             ORDER BY doc_id
         """,
         "split_documents": """

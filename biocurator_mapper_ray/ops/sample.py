@@ -62,6 +62,36 @@ def hash_split(ds, *, key_column: str = "doc_id", test_pct: int = 10,
     return ds.map_batches(tag, batch_format="pyarrow")
 
 
+def stratified_sample(ds, *, key_column: str = "doc_id",
+                      group_column: str, pct_by_group: dict[str, int],
+                      default_pct: int = 0, seed: int = 42,
+                      buckets: int = 100):
+    """Per-group deterministic sampling: each row's keep-probability is
+    its group's entry in ``pct_by_group`` (percent, 0-100; groups absent
+    from the map get ``default_pct``).  The curation primitive for
+    rebalancing a corpus — e.g. keep 100% of a rare language, 10% of
+    the dominant one — with the same md5-keyed determinism as
+    :func:`hash_sample`: a row's fate depends only on (seed, key), so
+    the subset is identical on any engine or partitioning, and
+    membership is monotone in pct (raising a group's pct only ADDS
+    rows — stable incremental curation).
+
+    Map-side only: no shuffle, O(1) state; the group→pct map rides into
+    each task as a closure (it is group-cardinality-sized, i.e. tiny).
+    """
+
+    def keep(batch: pa.Table) -> pa.Table:
+        b = _md5_bucket(batch.column(key_column).to_pylist(), buckets, seed)
+        groups = batch.column(group_column).to_pylist()
+        cut = np.fromiter(
+            (pct_by_group.get(g, default_pct) for g in groups),
+            count=len(groups), dtype=np.int64,
+        )
+        return batch.filter(pa.array(b < cut))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def length_histogram(ds, *, column: str = "text", bucket_width: int = 50):
     """Histogram of whitespace token counts: (bucket_lo, n_docs) rows,
     bucket_lo = floor(n_tokens / width) * width.
