@@ -97,7 +97,11 @@ def run_bench() -> dict:
         files = sorted(
             os.path.join(tdir, f) for f in os.listdir(tdir) if f.endswith(".parquet")
         )
-        in_flight = 2
+        # 3 shard pipelines in flight over 6 shards: measured best at 16
+        # CPUs on the 64M corpus (48-55 s vs 50-63 s for 2-in-flight/4
+        # shards) — three staggered tails overlap link compute more
+        # smoothly than two, and the last shard's solo tail is smaller
+        in_flight = 3
         run_sharded_files(
             files, terms, out_dir, snapshot_hash="bench",
             num_shards=2 * in_flight, in_flight=in_flight,
@@ -175,11 +179,17 @@ def run_scaling() -> dict:
     # level runs RAY_GRAFT_SCALE_REPS fresh sessions and the efficiency
     # is computed from the best of each (raw runs all reported).
     # Override the pair with RAY_GRAFT_SCALE_LO/HI.
-    lo_cpus = int(os.environ.get("RAY_GRAFT_SCALE_LO", "8"))
+    lo_cpus = int(os.environ.get("RAY_GRAFT_SCALE_LO", "4"))
     hi_cpus = int(os.environ.get("RAY_GRAFT_SCALE_HI", "16"))
     reps = int(os.environ.get("RAY_GRAFT_SCALE_REPS", "3"))
-    lo_runs = [one(lo_cpus) for _ in range(reps)]
-    hi_runs = [one(hi_cpus) for _ in range(reps)]
+    # INTERLEAVED (lo, hi, lo, hi, ...) so slow host-level drift (this
+    # VM shares a noisy physical box; identical fresh sessions vary
+    # ±20-35%) hits both levels symmetrically instead of biasing
+    # whichever level happened to run later
+    lo_runs, hi_runs = [], []
+    for _ in range(reps):
+        lo_runs.append(one(lo_cpus))
+        hi_runs.append(one(hi_cpus))
     lo = max(lo_runs, key=lambda r: r["turns_per_sec"])
     hi = max(hi_runs, key=lambda r: r["turns_per_sec"])
     tput_lo, tput_hi = lo["turns_per_sec"], hi["turns_per_sec"]
