@@ -89,7 +89,7 @@ def run_bench() -> dict:
     import shutil
 
     shutil.rmtree(out_dir, ignore_errors=True)
-    use_sharded = NUM_CPUS >= 16 and n_turns >= 8_000_000
+    use_sharded = NUM_CPUS >= 8 and n_turns >= 8_000_000
     t0 = time.time()
     if use_sharded:
         from biocurator_mapper_ray.pipelines.resume import run_sharded_files
@@ -97,11 +97,14 @@ def run_bench() -> dict:
         files = sorted(
             os.path.join(tdir, f) for f in os.listdir(tdir) if f.endswith(".parquet")
         )
-        # 3 shard pipelines in flight over 6 shards: measured best at 16
-        # CPUs on the 64M corpus (48-55 s vs 50-63 s for 2-in-flight/4
+        # 3 shard pipelines in flight over 6 shards at ≥16 CPUs: measured
+        # best on the 64M corpus (48-55 s vs 50-63 s for 2-in-flight/4
         # shards) — three staggered tails overlap link compute more
-        # smoothly than two, and the last shard's solo tail is smaller
-        in_flight = 3
+        # smoothly than two, and the last shard's solo tail is smaller.
+        # 8 CPUs takes 2 in flight (94.8 s vs 118 s monolithic); at 4
+        # CPUs two concurrent pipelines thrash (>15 min) so narrow
+        # sessions keep the monolithic plan below.
+        in_flight = 3 if NUM_CPUS >= 16 else 2
         run_sharded_files(
             files, terms, out_dir, snapshot_hash="bench",
             num_shards=2 * in_flight, in_flight=in_flight,
