@@ -149,6 +149,19 @@ def run_bench() -> dict:
             res.count()
         queries[name] = round(time.time() - t0, 3)
 
+    if "dedup_minhash_documents" in queries:
+        # the queries() entry runs hash_mode='md5' (the exact-oracle
+        # correctness gate, ~2-3x slower by construction — md5 per
+        # shingle); also time the fast xx-hash SCALE path, which is what
+        # a production dedup run uses
+        from biocurator_mapper_ray.ops.dedup import minhash_dedup
+
+        t0 = time.time()
+        ds = entry._read(SF_DIR, "documents", columns=["doc_id", "text"])
+        minhash_dedup(ds, threshold=0.6, emit_mode="hybrid",
+                      hash_mode="fast").count()
+        queries["dedup_minhash_fast"] = round(time.time() - t0, 3)
+
     ray.shutdown()
     return {
         "metric": "turns/sec end-to-end triple extraction",
