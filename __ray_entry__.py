@@ -987,6 +987,84 @@ def _q_tfidf_top_terms(sf_dir: str):
     ).sort(["doc_id", "rn"])
 
 
+def _q_repetition(sf_dir: str):
+    """Gopher-style within-doc repetition evidence (exact integers:
+    token/vocab sizes and top word/bigram counts) — the numerators of
+    the published repetition-fraction quality rules, hash-checked
+    against a DuckDB token/bigram explode."""
+    from biocurator_mapper_ray.ops.textstats import repetition_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(repetition_stats, batch_format="pyarrow")
+    return out.select_columns(
+        ["doc_id", "n_words", "n_distinct_words", "top_word_n",
+         "n_bigrams", "n_distinct_bigrams", "top_bigram_n"]
+    ).sort("doc_id")
+
+
+def _q_pii_scrub(sf_dir: str):
+    """PII detect+redact with deterministic planted PII (the fixture has
+    none organically): docs with doc_id%7==0 get an email, %11==0 a
+    phone, %13==0 an IPv4, appended identically on BOTH sides before
+    scrubbing, so the hash check verifies true RE2 replace/count parity
+    on the redacted strings — same synthetic-subset device as
+    decontam_documents."""
+    import numpy as np
+
+    from biocurator_mapper_ray.ops.pii import pii_scrub
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        email = np.where(
+            ids % 7 == 0,
+            np.char.add(np.char.add(" contact user", ids.astype(str)),
+                        "@example.com"),
+            "",
+        )
+        phone = np.where(ids % 11 == 0, " call 555-123-4567", "")
+        ip = np.where(
+            ids % 13 == 0,
+            np.char.add(np.char.add(" from 10.0.", (ids % 256).astype(str)),
+                        ".42"),
+            "",
+        )
+        aug = pc.binary_join_element_wise(
+            batch.column("text"), pa.array(email, pa.string()),
+            pa.array(phone, pa.string()), pa.array(ip, pa.string()), "",
+        )
+        return pa.table({"doc_id": batch.column("doc_id"), "text": aug})
+
+    out = ds.map_batches(plant, batch_format="pyarrow").map_batches(
+        pii_scrub, batch_format="pyarrow"
+    )
+    return out.select_columns(
+        ["doc_id", "n_email", "n_phone", "n_ipv4", "text_clean"]
+    ).sort("doc_id")
+
+
+def _q_kmeans_embeddings(sf_dir: str):
+    """Distributed full-data Lloyd k-means assignments (k=8, 5 rounds,
+    seeded k-means++ init).  Iterative — no SQL equivalent (rows-only);
+    correctness pinned by planted-Gaussian recovery tests."""
+    from biocurator_mapper_ray.ops.cluster import kmeans_embeddings
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    assignments, _cents = kmeans_embeddings(ds, k=8, iters=5)
+    return assignments.sort("vec_id")
+
+
+def _q_semdedup_embeddings(sf_dir: str):
+    """SemDeDup semantic dedup survivors (cluster + within-cluster
+    greedy cosine-ball pruning).  Iterative — rows-only; planted
+    near-duplicate tests pin the keep rule."""
+    from biocurator_mapper_ray.ops.cluster import semdedup_embeddings
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return semdedup_embeddings(ds, threshold=0.97, k=8).sort("vec_id")
+
+
 # ----------------------------------------------------------------- contract
 
 
@@ -1042,6 +1120,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_embeddings": _q_near_dup_embeddings,
         "multimodal_features": _q_multimodal_features,
         "multimodal_audio": _q_multimodal_audio,
+        "repetition_documents": _q_repetition,
+        "pii_scrub_documents": _q_pii_scrub,
+        "kmeans_embeddings": _q_kmeans_embeddings,
+        "semdedup_embeddings": _q_semdedup_embeddings,
     }
 
 
@@ -1131,6 +1213,44 @@ def _minhash_md5_oracle(threshold: float = 0.6, num_perm: int = 128,
         )
         SELECT u AS doc_id, min(v) AS cluster_id
         FROM reach GROUP BY u ORDER BY doc_id
+    """
+
+
+def _pii_oracle() -> str:
+    """DuckDB SQL mirroring _q_pii_scrub: identical planted PII, then
+    counts via regexp_extract_all on the augmented text and a chained
+    regexp_replace in the engine's fixed pattern order.  The patterns
+    are interpolated from ops.pii.PII_PATTERNS so both sides always
+    evaluate the same RE2 literals."""
+    from biocurator_mapper_ray.ops.pii import PII_PATTERNS
+
+    pats = {name: pat for name, pat, _ in PII_PATTERNS}
+    redacted = "t"
+    for name, pat, repl in PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{pat}', '{repl}', 'g')"
+    return f"""
+        WITH aug AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 7 = 0
+                           THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                                || '@example.com' ELSE '' END
+                   || CASE WHEN doc_id % 11 = 0
+                           THEN ' call 555-123-4567' ELSE '' END
+                   || CASE WHEN doc_id % 13 = 0
+                           THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                                || '.42' ELSE '' END AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '{pats["email"]}')) AS BIGINT)
+                   AS n_email,
+               CAST(len(regexp_extract_all(t, '{pats["phone"]}')) AS BIGINT)
+                   AS n_phone,
+               CAST(len(regexp_extract_all(t, '{pats["ipv4"]}')) AS BIGINT)
+                   AS n_ipv4,
+               {redacted} AS text_clean
+        FROM aug ORDER BY doc_id
     """
 
 
@@ -1611,4 +1731,50 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY rank < 10
             ORDER BY query_id, rank
         """,
+        "repetition_documents": """
+            WITH words AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(trim(text)),
+                                   '\\s+'), w -> w <> '') AS ws
+                FROM documents
+            ),
+            wc AS (
+                SELECT doc_id, t.tok, count(*) AS c
+                FROM words, unnest(ws) AS t(tok)
+                GROUP BY doc_id, t.tok
+            ),
+            wstats AS (
+                SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+                       count(*) AS n_distinct_words,
+                       CAST(max(c) AS BIGINT) AS top_word_n
+                FROM wc GROUP BY doc_id
+            ),
+            bg AS (
+                SELECT doc_id, ws[g.i] || ' ' || ws[g.i+1] AS gram
+                FROM words, unnest(range(1, len(ws))) AS g(i)
+                WHERE len(ws) >= 2
+            ),
+            bc AS (
+                SELECT doc_id, gram, count(*) AS c
+                FROM bg GROUP BY doc_id, gram
+            ),
+            bstats AS (
+                SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                       count(*) AS n_distinct_bigrams,
+                       CAST(max(c) AS BIGINT) AS top_bigram_n
+                FROM bc GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(w.n_words, 0)            AS n_words,
+                   coalesce(w.n_distinct_words, 0)   AS n_distinct_words,
+                   coalesce(w.top_word_n, 0)         AS top_word_n,
+                   coalesce(b.n_bigrams, 0)          AS n_bigrams,
+                   coalesce(b.n_distinct_bigrams, 0) AS n_distinct_bigrams,
+                   coalesce(b.top_bigram_n, 0)       AS top_bigram_n
+            FROM documents d
+            LEFT JOIN wstats w USING (doc_id)
+            LEFT JOIN bstats b USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        "pii_scrub_documents": _pii_oracle(),
     }

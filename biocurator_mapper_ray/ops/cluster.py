@@ -1,0 +1,227 @@
+"""Distributed embedding clustering + cluster-based semantic dedup.
+
+Two operators a large-scale training-data pipeline needs on top of the
+LSH near-dup family in :mod:`~biocurator_mapper_ray.ops.similarity`:
+
+* :func:`kmeans_embeddings` — full-data Lloyd k-means expressed as Ray
+  Data passes: each iteration is ONE ``map_batches`` pass emitting
+  per-batch (cluster, count, partial-sum) rows, combined through a
+  cluster-keyed exchange of k·batches LEAN rows (d+2 floats each, never
+  vectors×rows), with the k×d centroid matrix — the only driver-side
+  state — re-broadcast via ``ray.put`` each round.  Unlike the
+  sample-trained IVF ``_kmeans`` (``similarity.py``), every vector
+  participates in every update.
+* :func:`semdedup_embeddings` — SemDeDup-style semantic deduplication
+  (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+  through semantic deduplication", arXiv:2303.09540 — public paper):
+  k-means-cluster the corpus, then WITHIN each cluster greedily keep the
+  lowest-id member of every cosine-ε ball.  The O(m²) work is confined
+  to single clusters (k sized so corpus/k fits a task), shipped through
+  one ``groupby(cluster)`` exchange.
+
+Both are iterative / data-dependent algorithms with no SQL equivalent —
+their driver-contract entries are rows-only by design; correctness is
+pinned by planted-cluster and planted-duplicate tests
+(``tests/test_ops.py``).
+
+Reference parity note: the reference's vector side is a Weaviate kNN
+index (``/root/reference/app/ontology_manager.py``); it has no
+clustering op.  These extend the engine beyond the reference surface,
+as SURVEY.md §2's training-data addendum calls for.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .similarity import _as_matrix, _normalize
+
+
+def _init_centroids(ds, k: int, *, vec_column: str, sample_size: int,
+                    seed: int) -> np.ndarray:
+    """Deterministic k-means++ init on a bounded head sample (collects
+    ≤ sample_size×d floats on the driver — size-invariant at corpus
+    scale)."""
+    sample_tbl = ds.limit(sample_size).select_columns([vec_column]).to_pandas()
+    sample = _normalize(
+        np.asarray(sample_tbl[vec_column].tolist(), dtype=np.float32)
+    )
+    rng = np.random.default_rng(seed)
+    k = min(k, len(sample))
+    cents = np.empty((k, sample.shape[1]), dtype=np.float32)
+    cents[0] = sample[rng.integers(len(sample))]
+    # k-means++: next centroid ∝ squared cosine distance to nearest chosen
+    d2 = np.maximum(1.0 - sample @ cents[0], 0.0) ** 2
+    for i in range(1, k):
+        probs = d2 / d2.sum() if d2.sum() > 0 else None
+        cents[i] = sample[rng.choice(len(sample), p=probs)]
+        d2 = np.minimum(d2, np.maximum(1.0 - sample @ cents[i], 0.0) ** 2)
+    return _normalize(cents)
+
+
+def kmeans_embeddings(
+    ds,
+    *,
+    k: int = 8,
+    iters: int = 5,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+    seed: int = 42,
+    init_sample: int = 4096,
+):
+    """Distributed Lloyd k-means over a (normalized) embedding column.
+
+    Returns ``(assignments, centroids)``: a Dataset of
+    ``(id_column, cluster:int32)`` rows and the final ``(k, d)`` float32
+    centroid matrix.
+
+    Scale shape — per iteration:
+
+    1. one streaming ``map_batches`` pass: per batch, argmax-cosine
+       assignment (one matmul) then ``np.add.at`` partial sums → k lean
+       rows ``(cluster, n, sum:list<float>)`` per batch;
+    2. one ``groupby(cluster)`` exchange over those k·n_batches lean
+       rows with a vectorized stack-and-sum combine → exactly k rows;
+    3. driver: normalize sums into the next centroid matrix (k×d — the
+       only driver-resident state), ``ray.put`` for the next round.
+
+    Empty clusters keep their previous centroid (deterministic).  The
+    input vector blocks are materialized once and re-read per iteration
+    (Ray re-executes lazy lineage otherwise, multiplying upstream work
+    by ``iters``).
+    """
+    import ray
+
+    vecs = ds.select_columns([id_column, vec_column]).materialize()
+    cents = _init_centroids(vecs, k, vec_column=vec_column,
+                            sample_size=init_sample, seed=seed)
+    k = len(cents)
+
+    def partials_fn(cent_ref):
+        def partials(batch: pa.Table) -> pa.Table:
+            cent = ray.get(cent_ref)
+            mat = _normalize(_as_matrix(batch.column(vec_column)))
+            if not len(mat):
+                return pa.table({"cluster": pa.array([], pa.int32()),
+                                 "n": pa.array([], pa.int64()),
+                                 "vsum": pa.array([], pa.list_(pa.float64()))})
+            assign = np.argmax(mat @ cent.T, axis=1)
+            sums = np.zeros((k, mat.shape[1]), dtype=np.float64)
+            np.add.at(sums, assign, mat)
+            counts = np.bincount(assign, minlength=k).astype(np.int64)
+            live = counts > 0
+            return pa.table({
+                "cluster": pa.array(np.flatnonzero(live).astype(np.int32)),
+                "n": pa.array(counts[live]),
+                "vsum": pa.array(list(sums[live])),
+            })
+        return partials
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        vs = np.stack(group["vsum"].to_numpy()).sum(axis=0)
+        return pd.DataFrame({
+            "cluster": [int(group["cluster"].iloc[0])],
+            "n": [int(group["n"].sum())],
+            "vsum": [vs],
+        })
+
+    for _ in range(iters):
+        cent_ref = ray.put(cents)
+        combined = (
+            vecs.map_batches(partials_fn(cent_ref), batch_format="pyarrow")
+            .groupby("cluster")
+            .map_groups(combine, batch_format="pandas")
+            .to_pandas()  # exactly k rows
+        )
+        nxt = cents.copy()
+        for _, row in combined.iterrows():
+            if row["n"] > 0:
+                nxt[int(row["cluster"])] = row["vsum"] / row["n"]
+        cents = _normalize(nxt.astype(np.float32))
+
+    cent_ref = ray.put(cents)
+
+    def assign_final(batch: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        mat = _normalize(_as_matrix(batch.column(vec_column)))
+        cl = (np.argmax(mat @ cent.T, axis=1).astype(np.int32)
+              if len(mat) else np.zeros(0, np.int32))
+        return pa.table({
+            id_column: batch.column(id_column),
+            "cluster": pa.array(cl),
+        })
+
+    assignments = vecs.map_batches(assign_final, batch_format="pyarrow")
+    return assignments, cents
+
+
+def semdedup_embeddings(
+    ds,
+    *,
+    threshold: float = 0.97,
+    k: int = 8,
+    iters: int = 5,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+    seed: int = 42,
+):
+    """SemDeDup: drop all but the lowest-id member of every within-cluster
+    cosine-ε ball.  Returns a Dataset of surviving
+    ``(id_column, cluster:int32)`` rows.
+
+    The greedy keep rule (scan members in id order; keep a vector iff
+    its max cosine against the already-KEPT set is < ``threshold``) is
+    order-deterministic and engine-independent.  Each cluster's O(m²)
+    similarity work runs inside its own ``map_groups`` task — k bounds
+    the expected cluster size at corpus/k, and the greedy loop is one
+    vectorized (kept × 1) matmul per member, never a full m×m allocation.
+
+    Duplicates that land in DIFFERENT clusters are not compared — the
+    documented SemDeDup approximation (the paper accepts this; raise k
+    for tighter balls, or run :func:`embedding_near_dup_pairs` for
+    LSH-based cross-cluster recall).
+    """
+    import ray
+
+    # the assignment is a pure function of the k×d centroid matrix, so
+    # no id→cluster join/broadcast is needed: re-derive the cluster per
+    # batch from the broadcast centroids (one matmul) on the SAME pass
+    # that ships the vectors into the cluster-keyed exchange
+    _assignments, cents = kmeans_embeddings(
+        ds, k=k, iters=iters, id_column=id_column, vec_column=vec_column,
+        seed=seed,
+    )
+    cent_ref = ray.put(cents)
+
+    vec_by_id = ds.select_columns([id_column, vec_column])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        mat = _normalize(_as_matrix(batch.column(vec_column)))
+        cl = (np.argmax(mat @ cent.T, axis=1).astype(np.int32)
+              if len(mat) else np.zeros(0, np.int32))
+        return batch.append_column("cluster", pa.array(cl))
+
+    def dedup_group(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(id_column)
+        mat = _normalize(np.asarray(group[vec_column].tolist(),
+                                    dtype=np.float32))
+        kept_idx: list[int] = []
+        for i in range(len(group)):
+            if not kept_idx or float(
+                np.max(mat[kept_idx] @ mat[i])
+            ) < threshold:
+                kept_idx.append(i)
+        out = group.iloc[kept_idx]
+        return pd.DataFrame({
+            id_column: out[id_column].to_numpy(),
+            "cluster": out["cluster"].to_numpy(),
+        })
+
+    return (
+        vec_by_id.map_batches(tag, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(dedup_group, batch_format="pandas")
+    )

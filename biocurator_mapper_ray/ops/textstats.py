@@ -276,6 +276,70 @@ def tfidf_top_terms(ds, *, text_column: str = "text", id_column: str = "doc_id",
                            tiebreak_col="token", shards=shards)
 
 
+def repetition_stats(batch: pa.Table, text_column: str = "text") -> pa.Table:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", §A1.1 quality rules — public
+    paper), emitted as EXACT integer evidence so the op has a DuckDB
+    oracle (the float "fraction in top n-gram" rules are these numerators
+    over ``n_words`` / ``n_bigrams``):
+
+    * ``n_words`` / ``n_distinct_words`` / ``top_word_n`` — token stream
+      size, vocabulary size, and the most-frequent token's count;
+    * ``n_bigrams`` / ``n_distinct_bigrams`` / ``top_bigram_n`` — same
+      over adjacent word 2-grams.
+
+    Fully vectorized: one Arrow lower+split per batch, token/bigram
+    streams exploded with a repeated doc index, counts via two Arrow
+    ``group_by`` passes (no exchange — a doc's text is one row, so the
+    per-batch counts are exact and final).
+    """
+    toks = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(pc.utf8_lower(batch.column(text_column))),
+        r"\s+",
+    )
+    lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+    flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+    n = len(batch)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+    # empty-text rows split to [""] — drop empty tokens
+    nonempty = flat != ""
+    flat, doc_idx = flat[nonempty], doc_idx[nonempty]
+
+    def per_doc(keys: np.ndarray, grams: np.ndarray) -> tuple[np.ndarray, ...]:
+        """→ (stream size, distinct grams, top-gram count) per doc row."""
+        total = np.zeros(n, np.int64)
+        distinct = np.zeros(n, np.int64)
+        top = np.zeros(n, np.int64)
+        if len(keys):
+            t = pa.table({"d": pa.array(keys), "g": pa.array(grams)})
+            g = t.group_by(["d", "g"], use_threads=False).aggregate([("g", "count")])
+            d = g.column("d").to_numpy()
+            c = g.column("g_count").to_numpy().astype(np.int64)
+            np.add.at(total, d, c)
+            np.add.at(distinct, d, 1)
+            np.maximum.at(top, d, c)
+        return total, distinct, top
+
+    n_words, n_distinct_words, top_word_n = per_doc(doc_idx, flat)
+
+    adjacent = doc_idx[:-1] == doc_idx[1:] if len(doc_idx) else np.zeros(0, bool)
+    bi_left = flat[:-1][adjacent] if len(flat) else flat
+    bi_right = flat[1:][adjacent] if len(flat) else flat
+    bigrams = np.char.add(np.char.add(bi_left.astype(str), " "),
+                          bi_right.astype(str)) if len(bi_left) else bi_left
+    bi_idx = doc_idx[:-1][adjacent] if len(doc_idx) else doc_idx
+    n_bigrams, n_distinct_bigrams, top_bigram_n = per_doc(bi_idx, bigrams)
+
+    return (
+        batch.append_column("n_words", pa.array(n_words))
+        .append_column("n_distinct_words", pa.array(n_distinct_words))
+        .append_column("top_word_n", pa.array(top_word_n))
+        .append_column("n_bigrams", pa.array(n_bigrams))
+        .append_column("n_distinct_bigrams", pa.array(n_distinct_bigrams))
+        .append_column("top_bigram_n", pa.array(top_bigram_n))
+    )
+
+
 def fingerprints(batch: pa.Table, text_column: str = "text") -> pa.Table:
     """Document fingerprints:
 

@@ -821,3 +821,156 @@ class TestRankJoinSketchOps:
         # doc 2: common tf=2 df=3 → 2M; cherry tf=1 df=2 → 1.5M
         d2 = out[out["doc_id"] == 2].sort_values("rn")
         assert list(d2["token"]) == ["common", "cherry"]
+
+
+class TestRepetitionStats:
+    def test_counts_and_edges(self):
+        from biocurator_mapper_ray.ops.textstats import repetition_stats
+
+        tbl = pa.table({
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                ["a a a b b a", "", "solo", "x y x y x"], pa.string()
+            ),
+        })
+        out = (repetition_stats(tbl).to_pandas().set_index("doc_id")
+               .drop(columns="text"))
+        # doc 0: words a×4 b×2; bigrams: "a a"×2 "a b" "b b" "b a"
+        assert out.loc[0, ["n_words", "n_distinct_words", "top_word_n"]].tolist() == [6, 2, 4]
+        assert out.loc[0, ["n_bigrams", "n_distinct_bigrams", "top_bigram_n"]].tolist() == [5, 4, 2]
+        assert out.loc[1].tolist() == [0, 0, 0, 0, 0, 0]
+        assert out.loc[2].tolist() == [1, 1, 1, 0, 0, 0]
+        # doc 3: "x y"×2 "y x"×2
+        assert out.loc[3, ["n_bigrams", "n_distinct_bigrams", "top_bigram_n"]].tolist() == [4, 2, 2]
+
+    def test_batch_boundary_independence(self):
+        """A doc's stats must not depend on its neighbours (bigrams never
+        cross doc boundaries)."""
+        from biocurator_mapper_ray.ops.textstats import repetition_stats
+
+        a = pa.table({"doc_id": pa.array([0], pa.int64()),
+                      "text": pa.array(["p q"], pa.string())})
+        b = pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "text": pa.array(["q r"], pa.string())})
+        both = pa.concat_tables([a, b])
+        merged = repetition_stats(both).to_pandas().set_index("doc_id")
+        solo = repetition_stats(a).to_pandas().set_index("doc_id")
+        assert merged.loc[0].tolist() == solo.loc[0].tolist()
+        assert merged.loc[0, "n_bigrams"] == 1  # "p q" only — no "q q"
+
+
+class TestPIIScrub:
+    def test_patterns_and_redaction_order(self):
+        from biocurator_mapper_ray.ops.pii import pii_scrub
+
+        tbl = pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array([
+                "mail a.user+tag@sub.example.org now",
+                "call +1 555-123-4567 or 10.0.0.1 x",
+                "clean text with no pii at all",
+            ], pa.string()),
+        })
+        out = pii_scrub(tbl).to_pandas().set_index("doc_id")
+        assert out.loc[0, "n_email"] == 1 and "<EMAIL>" in out.loc[0, "text_clean"]
+        assert "@" not in out.loc[0, "text_clean"]
+        assert out.loc[1, "n_phone"] == 1 and out.loc[1, "n_ipv4"] == 1
+        assert out.loc[1, "text_clean"] == "call +1 <PHONE> or <IP> x"
+        assert out.loc[2][["n_email", "n_phone", "n_ipv4"]].sum() == 0
+        assert out.loc[2, "text_clean"] == out.loc[2, "text"]
+
+    def test_counts_on_original_text(self):
+        """Counts are per-pattern on the ORIGINAL text, not post-redaction."""
+        from biocurator_mapper_ray.ops.pii import pii_scrub
+
+        tbl = pa.table({
+            "doc_id": pa.array([0], pa.int64()),
+            "text": pa.array(["a@b.co c@d.io 1.2.3.4"], pa.string()),
+        })
+        out = pii_scrub(tbl).to_pandas().iloc[0]
+        assert out["n_email"] == 2 and out["n_ipv4"] == 1
+        assert out["text_clean"] == "<EMAIL> <EMAIL> <IP>"
+
+
+def _planted_gaussians(n_per=40, dim=16, seed=7):
+    """3 well-separated clusters + exact duplicate tail rows."""
+    rng = np.random.default_rng(seed)
+    centers = np.zeros((3, dim), np.float32)
+    centers[0, 0] = centers[1, 1] = centers[2, 2] = 10.0
+    rows = []
+    for c in range(3):
+        pts = centers[c] + rng.normal(0, 0.05, size=(n_per, dim)).astype(np.float32)
+        rows.append(pts)
+    mat = np.vstack(rows)
+    return mat
+
+
+class TestKMeansEmbeddings:
+    def test_recovers_planted_partition(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.cluster import kmeans_embeddings
+
+        mat = _planted_gaussians()
+        items = [{"vec_id": i, "embedding": mat[i].tolist()}
+                 for i in range(len(mat))]
+        ds = rd.from_items(items).repartition(4)
+        assigns, cents = kmeans_embeddings(ds, k=3, iters=5)
+        df = assigns.to_pandas().sort_values("vec_id")
+        labels = df["cluster"].to_numpy()
+        # every planted cluster maps to ONE kmeans cluster, all distinct
+        blocks = [set(labels[i * 40:(i + 1) * 40]) for i in range(3)]
+        assert all(len(b) == 1 for b in blocks)
+        assert len(set().union(*blocks)) == 3
+        assert cents.shape == (3, 16)
+        # centroids are unit-normalized
+        np.testing.assert_allclose(np.linalg.norm(cents, axis=1), 1.0, atol=1e-5)
+
+    def test_deterministic_across_partitionings(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.cluster import kmeans_embeddings
+
+        mat = _planted_gaussians()
+        items = [{"vec_id": i, "embedding": mat[i].tolist()}
+                 for i in range(len(mat))]
+        outs = []
+        for parts in (2, 7):
+            ds = rd.from_items(items).repartition(parts)
+            assigns, _ = kmeans_embeddings(ds, k=3, iters=3)
+            outs.append(assigns.to_pandas().sort_values("vec_id")
+                        .reset_index(drop=True))
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+class TestSemDeDup:
+    def test_drops_planted_near_dups_keeps_lowest_id(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.cluster import semdedup_embeddings
+
+        mat = _planted_gaussians()
+        # plant exact duplicates of rows 0 and 40 at high ids
+        dup_src = [0, 0, 40]
+        items = [{"vec_id": i, "embedding": mat[i].tolist()}
+                 for i in range(len(mat))]
+        for j, src in enumerate(dup_src):
+            items.append({"vec_id": 1000 + j, "embedding": mat[src].tolist()})
+        ds = rd.from_items(items).repartition(4)
+        out = semdedup_embeddings(ds, threshold=0.999999, k=3, iters=5)
+        kept = set(out.to_pandas()["vec_id"])
+        # exact dups of kept lower ids are gone; originals survive
+        assert {1000, 1001, 1002}.isdisjoint(kept)
+        assert {0, 40} <= kept
+
+    def test_threshold_one_keeps_everything_distinct(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.cluster import semdedup_embeddings
+
+        mat = _planted_gaussians(n_per=10)
+        items = [{"vec_id": i, "embedding": mat[i].tolist()}
+                 for i in range(len(mat))]
+        ds = rd.from_items(items).repartition(3)
+        out = semdedup_embeddings(ds, threshold=1.01, k=3, iters=3)
+        assert len(out.to_pandas()) == len(mat)
