@@ -64,7 +64,10 @@ def run_bench() -> dict:
     # 3/4 of CPUs for the fused hot stage: NCPU-2 was ~10% faster at 32M
     # turns but oversubscribes at 64M (30 actors + read/shuffle/write
     # tasks thrash: 64s vs 44s) — the 0.75 ratio is robust across sizes
-    concurrency = max(2, int(NUM_CPUS * 0.75))
+    # never give the fixed pool EVERY CPU: at num_cpus=2 a (2, 2) pool
+    # pins both slots and ReadParquet deadlocks (the library clamps too;
+    # the bench plan stays self-consistent)
+    concurrency = max(1, min(NUM_CPUS - 1, int(NUM_CPUS * 0.75)))
 
     # read plan: ~24 MiB of parquet per read task, capped at 3 tasks per
     # CPU — few enough dispatches to stay off the driver's critical path,

@@ -48,6 +48,37 @@ from ..stages.link import MentionLinkStage
 N_INPUT_SHARDS = 64
 
 
+def _cluster_cpus() -> int:
+    try:
+        return int(ray.cluster_resources().get("CPU", 0))
+    except Exception:
+        return 0
+
+
+def _clamp_pool(pool: tuple[int, int], n_pools: int = 1) -> tuple[tuple[int, int], float]:
+    """Size an actor pool so the pipeline's pooled stages can never pin
+    EVERY CPU slot: a fixed pool whose actor count equals the cluster's
+    CPU count deadlocks the streaming executor — the pool holds every
+    slot while the upstream ReadParquet waits forever for one (observed
+    on a num_cpus=2 session with a (2, 2) pool — 30+ min, zero blocks
+    output).
+
+    Returns ``(clamped_pool, num_cpus_per_actor)``: both pool ends are
+    capped at cluster_CPUs - 1 (floor 1), and when the pipeline runs
+    ``n_pools`` pooled stages on a session too narrow to give each its
+    own slot plus one for tasks (cluster_CPUs <= n_pools), actors drop
+    to 0.5 CPU each so two share a slot instead of starving the reader.
+    Only relevant on tiny/debug sessions — a real cluster never hits
+    either branch."""
+    total = _cluster_cpus()
+    if total <= 1:
+        return pool, 1.0
+    cap = max(1, total - 1)
+    clamped = (max(1, min(pool[0], cap)), max(1, min(pool[1], cap)))
+    actor_cpus = 0.5 if total <= n_pools * clamped[0] else 1.0
+    return clamped, actor_cpus
+
+
 _SHARD_NAMES = pa.array([f"conv_bucket={s:03d}" for s in range(N_INPUT_SHARDS)])
 
 
@@ -78,14 +109,16 @@ def extract_links(
     autoscaling (1, concurrency) so task stages are never starved.
     """
     terms_ref = ray.put(terms)
-    pool = concurrency if isinstance(concurrency, tuple) else (1, concurrency)
+    pool, _actor_cpus = _clamp_pool(
+        concurrency if isinstance(concurrency, tuple) else (1, concurrency)
+    )
     links = transcripts.map_batches(
         MentionLinkStage,
         fn_constructor_args=(terms_ref, k, dim, seed, confidence_threshold),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=pool,
-        num_cpus=1,
+        num_cpus=_actor_cpus,
     )
     return links
 
@@ -111,14 +144,17 @@ def retrieve_candidates(
     from ..stages.mention import MentionDetector
 
     terms_ref = ray.put(terms)
-    pool = concurrency if isinstance(concurrency, tuple) else (1, concurrency)
+    pool, _actor_cpus = _clamp_pool(
+        concurrency if isinstance(concurrency, tuple) else (1, concurrency),
+        n_pools=2,
+    )
     mentions = transcripts.map_batches(
         MentionDetector,
         fn_constructor_args=(terms_ref,),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=pool,
-        num_cpus=1,
+        num_cpus=_actor_cpus,
     )
     return mentions.map_batches(
         RetrieverStage,
@@ -126,7 +162,7 @@ def retrieve_candidates(
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=pool,
-        num_cpus=1,
+        num_cpus=_actor_cpus,
     )
 
 
@@ -166,7 +202,9 @@ def extract_triples(
     otherwise emit duplicate triples.
     """
     terms_ref = ray.put(terms)
-    pool = concurrency if isinstance(concurrency, tuple) else (1, concurrency)
+    pool, _actor_cpus = _clamp_pool(
+        concurrency if isinstance(concurrency, tuple) else (1, concurrency)
+    )
     if deterministic_scorer and assume_conv_contiguous:
         import pyarrow.compute as pc
 
@@ -182,7 +220,7 @@ def extract_triples(
             # which interleaves conversations and breaks the split.
             batch_size=None,
             concurrency=pool,
-            num_cpus=1,
+            num_cpus=_actor_cpus,
         ).materialize()  # bounded: one row per distinct (conv, term) pair
 
         def keep(final: bool):
@@ -219,7 +257,7 @@ def extract_triples(
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=pool,
-            num_cpus=1,
+            num_cpus=_actor_cpus,
         )
         triples = bucketed.groupby("__bucket").map_groups(
             lambda g: canonicalize_bucket_term_level(g.drop_columns(["__bucket"])),
@@ -232,7 +270,7 @@ def extract_triples(
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=pool,
-            num_cpus=1,
+            num_cpus=_actor_cpus,
         )
         partials = links.map_batches(combine_links_batch, batch_format="pyarrow")
 
@@ -289,7 +327,9 @@ def extract_triples_to_parquet(
 
     os.makedirs(out_dir, exist_ok=True)
     terms_ref = ray.put(terms)
-    pool = concurrency if isinstance(concurrency, tuple) else (1, concurrency)
+    pool, _actor_cpus = _clamp_pool(
+        concurrency if isinstance(concurrency, tuple) else (1, concurrency)
+    )
     boundary = transcripts.map_batches(
         MentionLinkStage,
         fn_constructor_args=(terms_ref, k, dim, seed, confidence_threshold,
@@ -298,7 +338,7 @@ def extract_triples_to_parquet(
         batch_format="pyarrow",
         batch_size=None,  # one batch per block — see assume_conv_contiguous
         concurrency=pool,
-        num_cpus=1,
+        num_cpus=_actor_cpus,
     )
     merged = boundary.groupby("__bucket").map_groups(
         lambda g: add_lineage(
