@@ -208,11 +208,15 @@ def semdedup_embeddings(
         group = group.sort_values(id_column)
         mat = _normalize(np.asarray(group[vec_column].tolist(),
                                     dtype=np.float32))
+        # incremental kept-matrix buffer: one (nk, d) @ (d,) matvec per
+        # member, no per-iteration fancy-index copy of the kept set
+        kept_mat = np.empty_like(mat)
         kept_idx: list[int] = []
+        nk = 0
         for i in range(len(group)):
-            if not kept_idx or float(
-                np.max(mat[kept_idx] @ mat[i])
-            ) < threshold:
+            if nk == 0 or float(np.max(kept_mat[:nk] @ mat[i])) < threshold:
+                kept_mat[nk] = mat[i]
+                nk += 1
                 kept_idx.append(i)
         out = group.iloc[kept_idx]
         return pd.DataFrame({

@@ -230,3 +230,32 @@ class TestIndexBuildPipeline:
         tbl = load_term_index_table(d)
         # 8 edge nodes parse -> 3 survive quality
         assert tbl.num_rows == 3
+
+
+class TestPoolClamp:
+    """_clamp_pool must never let pooled stages pin every CPU slot (the
+    num_cpus=2 + (2,2)-pool ReadParquet deadlock)."""
+
+    def test_caps_at_cluster_minus_one(self, ray_session):
+        from biocurator_mapper_ray.pipelines.kg import _clamp_pool, _cluster_cpus
+
+        total = _cluster_cpus()  # 4 in the test session
+        pool, cpus = _clamp_pool((total, total))
+        assert pool == (total - 1, total - 1)
+        assert cpus == 1.0
+
+    def test_fractional_cpus_when_pools_would_saturate(self, ray_session):
+        from biocurator_mapper_ray.pipelines.kg import _clamp_pool, _cluster_cpus
+
+        total = _cluster_cpus()
+        # two pooled stages each wanting total/2 actors: together they
+        # would pin every slot -> actors shrink to half a CPU
+        pool, cpus = _clamp_pool((total // 2, total // 2), n_pools=2)
+        assert pool == (total // 2, total // 2)
+        assert cpus == 0.5
+
+    def test_wide_session_untouched(self, ray_session):
+        from biocurator_mapper_ray.pipelines.kg import _clamp_pool
+
+        pool, cpus = _clamp_pool((1, 2))
+        assert pool == (1, 2) and cpus == 1.0
