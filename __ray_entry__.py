@@ -1065,6 +1065,57 @@ def _q_semdedup_embeddings(sf_dir: str):
     return semdedup_embeddings(ds, threshold=0.97, k=8).sort("vec_id")
 
 
+def _q_quality_filter(sf_dir: str):
+    """Composite C4/Gopher-style keep/drop decision from exact integer
+    evidence (word count band, top-word dominance, type-token ratio) —
+    every fraction rule is integer cross-multiplication, so the boolean
+    itself is hash-checked against SQL."""
+    from biocurator_mapper_ray.ops.textstats import quality_filter
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(quality_filter, batch_format="pyarrow")
+    return out.select_columns(
+        ["doc_id", "n_words", "top_word_n", "n_distinct_words", "keep"]
+    ).sort("doc_id")
+
+
+def _q_domain_quota(sf_dir: str):
+    """Per-domain quota sampling (keep ≤ 20 docs per domain, md5-order
+    deterministic) over planted URLs — the anti-domination cap a
+    web-corpus pipeline applies per source.  URL is planted from doc_id
+    identically on both sides (fixture text has no URLs); the domain is
+    then extracted with a real RE2 regex, so the oracle checks the
+    extract + the deterministic per-group selection end-to-end."""
+    import numpy as np
+
+    from biocurator_mapper_ray.ops.sample import quota_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        url = np.char.add(
+            np.char.add(" http://site", (ids % 17).astype(str)),
+            np.char.add(".example.com/page", ids.astype(str)),
+        )
+        aug = pc.binary_join_element_wise(
+            batch.column("text"), pa.array(url, pa.string()), "")
+        return pa.table({"doc_id": batch.column("doc_id"), "text": aug})
+
+    def extract(batch: pa.Table) -> pa.Table:
+        hit = pc.extract_regex(
+            batch.column("text"), r"https?://(?P<domain>[A-Za-z0-9.-]+)")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "domain": pc.struct_field(hit, "domain"),
+        })
+
+    tagged = ds.map_batches(plant, batch_format="pyarrow").map_batches(
+        extract, batch_format="pyarrow")
+    out = quota_sample(tagged, group_column="domain", quota=20)
+    return out.select_columns(["doc_id", "domain", "rn"]).sort(["domain", "rn"])
+
+
 # ----------------------------------------------------------------- contract
 
 
@@ -1121,6 +1172,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": _q_multimodal_features,
         "multimodal_audio": _q_multimodal_audio,
         "repetition_documents": _q_repetition,
+        "quality_filter_documents": _q_quality_filter,
+        "domain_quota_documents": _q_domain_quota,
         "pii_scrub_documents": _q_pii_scrub,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "semdedup_embeddings": _q_semdedup_embeddings,
@@ -1777,4 +1830,52 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY d.doc_id
         """,
         "pii_scrub_documents": _pii_oracle(),
+        "quality_filter_documents": """
+            WITH words AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(trim(text)),
+                                   '\\s+'), w -> w <> '') AS ws
+                FROM documents
+            ),
+            wc AS (
+                SELECT doc_id, t.tok, count(*) AS c
+                FROM words, unnest(ws) AS t(tok)
+                GROUP BY doc_id, t.tok
+            ),
+            wstats AS (
+                SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+                       count(*) AS n_distinct_words,
+                       CAST(max(c) AS BIGINT) AS top_word_n
+                FROM wc GROUP BY doc_id
+            ),
+            ev AS (
+                SELECT d.doc_id,
+                       coalesce(w.n_words, 0)          AS n_words,
+                       coalesce(w.top_word_n, 0)       AS top_word_n,
+                       coalesce(w.n_distinct_words, 0) AS n_distinct_words
+                FROM documents d LEFT JOIN wstats w USING (doc_id)
+            )
+            SELECT doc_id, n_words, top_word_n, n_distinct_words,
+                   (n_words >= 5 AND n_words <= 50000
+                    AND top_word_n * 2 <= n_words
+                    AND n_distinct_words * 4 >= n_words) AS keep
+            FROM ev
+            ORDER BY doc_id
+        """,
+        "domain_quota_documents": """
+            WITH keyed AS (
+                SELECT doc_id,
+                       'site' || CAST(doc_id % 17 AS VARCHAR)
+                              || '.example.com' AS domain,
+                       CAST('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)),
+                                           1, 15) AS UBIGINT) AS qkey
+                FROM documents
+            )
+            SELECT doc_id, domain,
+                   CAST(row_number() OVER (PARTITION BY domain
+                        ORDER BY qkey, doc_id) AS BIGINT) AS rn
+            FROM keyed
+            QUALIFY rn <= 20
+            ORDER BY domain, rn
+        """,
     }

@@ -122,3 +122,41 @@ def length_histogram(ds, *, column: str = "text", bucket_width: int = 50):
         return group.groupby("bucket_lo", sort=True)["n_docs"].sum().reset_index()
 
     return partials.groupby("bucket_lo").map_groups(combine, batch_format="pandas")
+
+
+def quota_sample(ds, *, group_column: str, quota: int,
+                 key_column: str = "doc_id", seed: int = 42,
+                 shards: int = 32):
+    """Keep at most ``quota`` rows per group, chosen deterministically
+    by md5 order — the per-domain / per-source cap every web-scale
+    curation pipeline applies (don't let one domain dominate the
+    corpus).
+
+    Selection key is ``md5(seed:key)``'s first 15 hex chars as int64
+    (60 bits — sign-safe in both numpy and DuckDB), ascending, ties by
+    ``key_column``: a row's fate depends only on (seed, key, its
+    group's other members), so the subset is engine- and
+    partitioning-invariant and SQL-checkable.  Distribution is
+    :func:`~biocurator_mapper_ray.ops.rank.top_k_per_group`'s combiner
+    push-down — the exchange ships ≤ batches×groups×quota rows.  Adds
+    ``rn`` (1-based rank within the group's kept rows).
+    """
+    import hashlib
+
+    from .rank import top_k_per_group
+
+    def key(batch: pa.Table) -> pa.Table:
+        vals = batch.column(key_column).to_pylist()
+        ks = np.empty(len(vals), dtype=np.int64)
+        for i, v in enumerate(vals):
+            ks[i] = int(
+                hashlib.md5(f"{seed}:{v}".encode("utf-8")).hexdigest()[:15], 16
+            )
+        return batch.append_column("__qkey", pa.array(ks))
+
+    out = top_k_per_group(
+        ds.map_batches(key, batch_format="pyarrow"),
+        group_column, "__qkey", quota,
+        ascending=True, tiebreak_col=key_column, shards=shards,
+    )
+    return out.drop_columns(["__qkey"])

@@ -340,6 +340,39 @@ def repetition_stats(batch: pa.Table, text_column: str = "text") -> pa.Table:
     )
 
 
+def quality_filter(batch: pa.Table, text_column: str = "text",
+                   *, min_words: int = 5, max_words: int = 50_000,
+                   top_word_frac: tuple[int, int] = (1, 2),
+                   min_distinct_frac: tuple[int, int] = (1, 4)) -> pa.Table:
+    """Composite keep/drop quality decision (the C4/Gopher-style filter
+    stage a pre-training pipeline actually applies), built ONLY from
+    exact integer evidence so the decision has an exact SQL oracle —
+    every fraction rule is an integer cross-multiplication, never a
+    float division:
+
+    keep ⇔  min_words ≤ n_words ≤ max_words
+         ∧  top_word_n · den ≤ num · n_words      (no word dominates)
+         ∧  n_distinct_words · den' ≥ num' · n_words  (type-token ratio)
+
+    Emits ``keep`` (bool) plus the :func:`repetition_stats` evidence it
+    was decided on — downstream stages filter on ``keep``; audits read
+    the evidence.
+    """
+    out = repetition_stats(batch, text_column)
+    n_words = out.column("n_words").to_numpy()
+    top_word = out.column("top_word_n").to_numpy()
+    distinct = out.column("n_distinct_words").to_numpy()
+    tnum, tden = top_word_frac
+    dnum, dden = min_distinct_frac
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (top_word * tden <= tnum * n_words)
+        & (distinct * dden >= dnum * n_words)
+    )
+    return out.append_column("keep", pa.array(keep))
+
+
 def fingerprints(batch: pa.Table, text_column: str = "text") -> pa.Table:
     """Document fingerprints:
 

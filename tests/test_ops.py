@@ -974,3 +974,71 @@ class TestSemDeDup:
         ds = rd.from_items(items).repartition(3)
         out = semdedup_embeddings(ds, threshold=1.01, k=3, iters=3)
         assert len(out.to_pandas()) == len(mat)
+
+
+class TestQualityFilter:
+    def test_keep_rules_on_crafted_docs(self):
+        import pyarrow as pa
+
+        from biocurator_mapper_ray.ops.textstats import quality_filter
+
+        docs = {
+            0: "one two three four five six seven",   # healthy -> keep
+            1: "too short",                            # n_words < 5 -> drop
+            2: "spam spam spam spam spam ham",         # top word 5/6 > 1/2 -> drop
+            3: " ".join(["a b c d"] * 10),             # distinct 4/40 < 1/4 -> drop
+            4: "",                                     # empty -> drop
+        }
+        tbl = pa.table({"doc_id": list(docs), "text": list(docs.values())})
+        out = quality_filter(tbl).to_pandas().set_index("doc_id")
+        assert out.loc[0, "keep"]
+        assert not out.loc[1, "keep"]
+        assert not out.loc[2, "keep"]
+        assert not out.loc[3, "keep"]
+        assert not out.loc[4, "keep"]
+        # evidence columns carried through for audit
+        assert out.loc[2, "top_word_n"] == 5 and out.loc[2, "n_words"] == 6
+
+    def test_boundary_is_inclusive(self):
+        import pyarrow as pa
+
+        from biocurator_mapper_ray.ops.textstats import quality_filter
+
+        # exactly at every boundary: 8 words, top word 4 (== n/2),
+        # distinct 2 (== n/4) -> keep (all rules are <= / >=)
+        text = "x x x x y y z w"
+        tbl = pa.table({"doc_id": [0], "text": [text]})
+        out = quality_filter(tbl).to_pandas()
+        assert out.loc[0, "n_words"] == 8
+        assert out.loc[0, "top_word_n"] == 4
+        assert out.loc[0, "keep"]
+
+
+class TestQuotaSample:
+    def test_quota_enforced_and_partition_invariant(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.sample import quota_sample
+
+        rows = [{"doc_id": i, "domain": f"d{i % 3}"} for i in range(120)]
+        a = quota_sample(rd.from_items(rows), group_column="domain",
+                        quota=10).to_pandas()
+        b = quota_sample(rd.from_items(rows).repartition(7),
+                        group_column="domain", quota=10).to_pandas()
+        assert len(a) == 30  # 3 domains x quota
+        assert a.groupby("domain").size().max() == 10
+        assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+        # rn is 1..quota within each group
+        assert sorted(a[a["domain"] == "d0"]["rn"]) == list(range(1, 11))
+
+    def test_small_groups_survive_whole(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.sample import quota_sample
+
+        rows = [{"doc_id": i, "domain": "big"} for i in range(50)]
+        rows += [{"doc_id": 100 + i, "domain": "tiny"} for i in range(3)]
+        out = quota_sample(rd.from_items(rows), group_column="domain",
+                          quota=20).to_pandas()
+        assert (out["domain"] == "tiny").sum() == 3
+        assert (out["domain"] == "big").sum() == 20
