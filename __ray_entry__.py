@@ -1116,6 +1116,89 @@ def _q_domain_quota(sf_dir: str):
     return out.select_columns(["doc_id", "domain", "rn"]).sort(["domain", "rn"])
 
 
+def _doc_tree_edges(sf_dir: str):
+    """Deterministic hierarchy over doc_ids (child i → parent i//2, a
+    binary tree rooted at 0) planted identically on both sides — the
+    stand-in for an ontology is_a edge table (the fixture corpus has no
+    hierarchy column).  Small side by construction, like a real
+    ontology."""
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        child = ids[ids >= 1]
+        return pa.table({"child": pa.array(child),
+                         "parent": pa.array(child // 2)})
+
+    return ds.map_batches(edges, batch_format="pyarrow")
+
+
+def _q_ancestors(sf_dir: str):
+    """Transitive ancestor closure of the planted doc tree: map-side
+    vectorized chain walk against a broadcast CSR — checked against a
+    DuckDB WITH RECURSIVE oracle (node, ancestor, shortest depth)."""
+    import ray as _ray
+
+    from biocurator_mapper_ray.ops.graph import (
+        ancestor_closure, parent_csr_from_edges)
+
+    csr = parent_csr_from_edges(
+        _doc_tree_edges(sf_dir), child_col="child", parent_col="parent")
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    out = ancestor_closure(ds, _ray.put(csr), node_col="doc_id")
+    return out.sort(["node", "depth"])
+
+
+def _q_subtree_rollup(sf_dir: str):
+    """Hierarchical rollup: every document's n_chars added to itself and
+    every ancestor in the planted tree (the "aggregate the corpus up the
+    ontology" step) — exact integer sums vs a recursive-CTE oracle."""
+    import ray as _ray
+
+    from biocurator_mapper_ray.ops.graph import (
+        parent_csr_from_edges, subtree_rollup)
+
+    csr = parent_csr_from_edges(
+        _doc_tree_edges(sf_dir), child_col="child", parent_col="parent")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    out = subtree_rollup(ds, _ray.put(csr), node_col="doc_id",
+                         value_col="n_chars")
+    return out.sort("node")
+
+
+def _q_sequence_pack(sf_dir: str):
+    """Deterministic sequence packing: md5-order concat-and-chunk with a
+    distributed ordered prefix sum — global token offsets and training
+    sequence ids, exact vs a SQL window-sum oracle."""
+    from biocurator_mapper_ray.ops.pack import sequence_pack
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = sequence_pack(ds, budget=256)
+    return out.sort("tok_start")
+
+
+def _q_chunk_spans(sf_dir: str):
+    """Fixed-window overlapping chunking (12-token windows every 8) with
+    the chunk text rebuilt — RAG / long-doc splitting, exact vs a SQL
+    generate_series + list-slice oracle."""
+    from biocurator_mapper_ray.ops.pack import chunk_spans
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = chunk_spans(ds, chunk_tokens=12, stride=8)
+    return out.sort(["doc_id", "chunk_id"])
+
+
+def _q_cooccur(sf_dir: str):
+    """Within-document distinct-token co-occurrence edge list with
+    document counts — the weighted edge extraction KG construction
+    starts from; exact counts vs a DuckDB token self-join oracle."""
+    from biocurator_mapper_ray.ops.graph import cooccur_edges
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = cooccur_edges(ds, min_count=2)
+    return out.sort(["tok_a", "tok_b"])
+
+
 # ----------------------------------------------------------------- contract
 
 
@@ -1174,6 +1257,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_documents": _q_repetition,
         "quality_filter_documents": _q_quality_filter,
         "domain_quota_documents": _q_domain_quota,
+        "ancestors_documents": _q_ancestors,
+        "sequence_pack_documents": _q_sequence_pack,
+        "chunk_spans_documents": _q_chunk_spans,
+        "subtree_rollup_documents": _q_subtree_rollup,
+        "cooccur_documents": _q_cooccur,
         "pii_scrub_documents": _q_pii_scrub,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "semdedup_embeddings": _q_semdedup_embeddings,
@@ -1877,5 +1965,93 @@ def oracle_sql() -> dict[str, str]:
             FROM keyed
             QUALIFY rn <= 20
             ORDER BY domain, rn
+        """,
+        "ancestors_documents": """
+            WITH RECURSIVE anc AS (
+                SELECT doc_id AS node, doc_id // 2 AS ancestor,
+                       CAST(1 AS BIGINT) AS depth
+                FROM documents WHERE doc_id >= 1
+                UNION ALL
+                SELECT node, ancestor // 2, depth + 1
+                FROM anc WHERE ancestor >= 1
+            )
+            SELECT node, ancestor, depth FROM anc ORDER BY node, depth
+        """,
+        "subtree_rollup_documents": """
+            WITH RECURSIVE anc AS (
+                SELECT doc_id AS node, doc_id AS ancestor,
+                       CAST(0 AS BIGINT) AS depth
+                FROM documents
+                UNION ALL
+                SELECT node, ancestor // 2, depth + 1
+                FROM anc WHERE ancestor >= 1
+            )
+            SELECT anc.ancestor AS node,
+                   CAST(sum(d.n_chars) AS BIGINT) AS subtree_value,
+                   CAST(count(*) AS BIGINT) AS n_desc
+            FROM anc JOIN documents d ON anc.node = d.doc_id
+            GROUP BY 1 ORDER BY node
+        """,
+        "sequence_pack_documents": """
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN length(regexp_replace(text,
+                                 '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
+                            ELSE array_length(regexp_split_to_array(
+                                 regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                                 '\\s+')) END AS n_tokens,
+                       CAST('0x' || substr(md5('42:' ||
+                            CAST(doc_id AS VARCHAR)), 1, 15) AS UBIGINT)
+                           AS qkey
+                FROM documents
+            ),
+            laid AS (
+                SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                       CAST(coalesce(sum(n_tokens) OVER (
+                            ORDER BY qkey, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS BIGINT)
+                           AS tok_start
+                FROM t
+            )
+            SELECT doc_id, n_tokens, tok_start,
+                   tok_start // 256 AS seq_id
+            FROM laid ORDER BY tok_start
+        """,
+        "chunk_spans_documents": """
+            WITH base AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                           '\\s+'), w -> w <> '') AS ts
+                FROM documents
+            ),
+            sized AS (
+                SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS n
+                FROM base WHERE len(ts) > 0
+            )
+            SELECT doc_id, g // 8 AS chunk_id, g AS tok_lo,
+                   least(g + 12, n) AS tok_hi,
+                   array_to_string(ts[g + 1 : least(g + 12, n)], ' ')
+                       AS chunk_text
+            FROM (SELECT doc_id, ts, n, unnest(range(0, n, 8)) AS g
+                  FROM sized) x
+            ORDER BY doc_id, chunk_id
+        """,
+        "cooccur_documents": """
+            WITH toks AS (
+                SELECT DISTINCT doc_id, tok FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(lower(text),
+                                  '\\s+')) AS tok
+                    FROM documents) t
+                WHERE tok <> ''
+            )
+            SELECT a.tok AS tok_a, b.tok AS tok_b,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM toks a JOIN toks b
+              ON a.doc_id = b.doc_id AND a.tok < b.tok
+            GROUP BY 1, 2 HAVING count(*) >= 2
+            ORDER BY tok_a, tok_b
         """,
     }

@@ -1,0 +1,317 @@
+"""Graph / hierarchy operators for KG construction: ancestor closure
+over an ontology DAG, hierarchical subtree rollup, and within-document
+token co-occurrence edges.
+
+Reference anchor: biocurator_mapper holds its whole ontology in memory
+and consults parent links term-by-term while curating
+(``/root/reference/app/go_parser.py`` keeps each term's relationship
+list; the UI walks them on demand).  At corpus scale the equivalent
+primitives are (a) the materialized ancestor CLOSURE of the ontology —
+every (term, ancestor, depth) pair — which downstream joins consume for
+subsumption reasoning, and (b) hierarchical rollups ("aggregate every
+document's signal up the tree").  Co-occurrence edge extraction is the
+standard first step of corpus-driven KG construction (count-based edge
+weights feed PMI / embedding training).
+
+Scale shape (the 100-TB path):
+
+* the ontology EDGE SET is the small side by definition (100k terms ×
+  a few parents ≈ MBs): it is compressed into CSR arrays once, shipped
+  via ``ray.put``, and every closure/rollup stage streams map-side over
+  the corpus-scale node/value table with NO exchange for the walk
+  itself; only the rollup's per-ancestor partial sums cross one salted,
+  support-bounded exchange.
+* the per-level frontier expansion inside a batch is fully vectorized
+  (CSR gather via repeat/cumsum, packed-key dedup via ``np.unique``) —
+  no per-node Python in the walk.
+* co-occurrence streams one Arrow tokenize pass per batch, expands
+  per-document distinct-token pairs with the same repeat/cumsum pair
+  index the dedup suite uses, pre-aggregates (pair → count) INSIDE the
+  batch, and ships only the batch's distinct pairs through one salted
+  exchange — bounded by vocabulary² per batch, not by token count.
+  Restrict ``vocab`` (broadcast allow-list) to bound the blowup on
+  open-vocabulary corpora.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .dedup import _allpairs_index
+from ..functions.hashing import hash64_column
+
+
+# --------------------------------------------------------------- closure
+
+
+class ParentCSR:
+    """Compressed-sparse-row view of a (child → parents) edge set.
+
+    Node ids are compressed to dense indices once; ``parents_of`` is a
+    vectorized CSR gather.  Supports DAGs (multiple parents per child).
+    This object is the BROADCAST side: build once on the driver from the
+    (small) ontology edge table, ``ray.put`` it, read per actor.
+    """
+
+    def __init__(self, children: np.ndarray, parents: np.ndarray):
+        children = np.asarray(children, dtype=np.int64)
+        parents = np.asarray(parents, dtype=np.int64)
+        self.ids = np.unique(np.concatenate([children, parents]))
+        self.n = len(self.ids)
+        c = np.searchsorted(self.ids, children)
+        p = np.searchsorted(self.ids, parents)
+        order = np.argsort(c, kind="stable")
+        c, p = c[order], p[order]
+        self.deg = np.bincount(c, minlength=self.n).astype(np.int64)
+        self.offsets = np.concatenate([[0], np.cumsum(self.deg)])
+        self.targets = p
+
+    def index_of(self, nodes: np.ndarray) -> np.ndarray:
+        """Dense index per node id; -1 for ids not in the graph."""
+        idx = np.searchsorted(self.ids, nodes)
+        idx = np.minimum(idx, self.n - 1)
+        ok = self.ids[idx] == nodes
+        return np.where(ok, idx, -1)
+
+    def expand(self, idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """CSR multi-gather: for dense indices ``idx`` return
+        (positions-into-idx repeated per parent, parent dense indices) —
+        one repeat/cumsum pass, no per-node loop."""
+        counts = self.deg[idx]
+        total = int(counts.sum())
+        if total == 0:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z
+        src = np.repeat(np.arange(len(idx), dtype=np.int64), counts)
+        # flat positions into self.targets: offsets[idx] repeated, plus a
+        # within-run ramp (global arange minus each run's start)
+        run_starts = np.cumsum(counts) - counts
+        ramp = np.arange(total, dtype=np.int64) - np.repeat(run_starts, counts)
+        flat = np.repeat(self.offsets[idx], counts) + ramp
+        return src, self.targets[flat]
+
+
+def parent_csr_from_edges(edges_ds, *, child_col: str, parent_col: str) -> ParentCSR:
+    """Build the broadcast :class:`ParentCSR` from an edge Dataset.
+
+    Materializes the EDGE table to the driver — by design: ontology
+    edge sets are the small side (MBs).  Corpus-scale tables never pass
+    through here; they stream through :func:`ancestor_closure` /
+    :func:`subtree_rollup` map-side.
+    """
+    df = edges_ds.select_columns([child_col, parent_col]).to_pandas()
+    return ParentCSR(df[child_col].to_numpy(), df[parent_col].to_numpy())
+
+
+def _closure_for_batch(nodes: np.ndarray, csr: ParentCSR, max_depth: int,
+                       include_self: bool
+                       ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(node, ancestor, depth) triples for one batch of node ids —
+    semi-naive level-wise expansion, deduped per level with packed keys
+    so diamond DAG patterns can't blow up exponentially; depth is the
+    SHORTEST path (first level an ancestor is reached at)."""
+    out_n: list[np.ndarray] = []
+    out_a: list[np.ndarray] = []
+    out_d: list[np.ndarray] = []
+    uniq, inv = np.unique(nodes, return_inverse=True)
+    idx0 = csr.index_of(uniq)
+    known = idx0 >= 0
+    # frontier rows: (position-in-uniq, current dense index)
+    f_src = np.nonzero(known)[0]
+    f_cur = idx0[known]
+    if include_self:
+        out_n.append(uniq)
+        out_a.append(uniq)
+        out_d.append(np.zeros(len(uniq), dtype=np.int64))
+    # per-origin seen set, as packed (origin_pos * n + dense) keys kept
+    # sorted for searchsorted membership; n < 2**31 keeps products exact
+    seen = np.sort(f_src * csr.n + f_cur)
+    depth = 0
+    while len(f_src) and depth < max_depth:
+        depth += 1
+        src, anc = csr.expand(f_cur)
+        orig = f_src[src]
+        keys = orig * csr.n + anc
+        keys, first = np.unique(keys, return_index=True)
+        orig, anc = orig[first], anc[first]
+        pos = np.searchsorted(seen, keys)
+        pos = np.minimum(pos, len(seen) - 1) if len(seen) else pos
+        fresh = (seen[pos] != keys) if len(seen) else np.ones(len(keys), bool)
+        orig, anc, keys = orig[fresh], anc[fresh], keys[fresh]
+        if not len(orig):
+            break
+        seen = np.sort(np.concatenate([seen, keys]))
+        out_n.append(uniq[orig])
+        out_a.append(csr.ids[anc])
+        out_d.append(np.full(len(orig), depth, dtype=np.int64))
+        f_src, f_cur = orig, anc
+    if not out_n:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z
+    return (np.concatenate(out_n), np.concatenate(out_a),
+            np.concatenate(out_d))
+
+
+def ancestor_closure(ds, csr_ref, *, node_col: str = "doc_id",
+                     max_depth: int = 64, include_self: bool = False):
+    """Transitive ancestor closure: for every node in ``ds``, emit
+    (node, ancestor, depth) for all ancestors reachable through the
+    broadcast edge set, depth = shortest path.
+
+    Map-side only — each batch walks its own nodes' chains against the
+    broadcast :class:`ParentCSR` (``csr_ref`` is a ``ray.put`` handle or
+    a plain ``ParentCSR`` for tests); the walk itself needs NO exchange,
+    and output size is Σ per-node ancestor counts (the closure, which is
+    what the caller asked to materialize).  Duplicate node ids in ``ds``
+    each re-emit their chain (closure over a node TABLE, not a set).
+    """
+    import ray as _ray
+
+    def walk(batch: pa.Table) -> pa.Table:
+        csr = csr_ref if isinstance(csr_ref, ParentCSR) else _ray.get(csr_ref)
+        nodes = batch.column(node_col).to_numpy()
+        uniq_n, uniq_a, uniq_d = _closure_for_batch(
+            nodes, csr, max_depth, include_self)
+        # re-expand per duplicate input row: join batch nodes -> unique rows
+        order = np.argsort(uniq_n, kind="stable")
+        uniq_n, uniq_a, uniq_d = uniq_n[order], uniq_a[order], uniq_d[order]
+        starts = np.searchsorted(uniq_n, nodes, side="left")
+        ends = np.searchsorted(uniq_n, nodes, side="right")
+        counts = ends - starts
+        total = int(counts.sum())
+        if total == 0:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "ancestor": pa.array([], pa.int64()),
+                             "depth": pa.array([], pa.int64())})
+        run_starts = np.cumsum(counts) - counts
+        ramp = np.arange(total, dtype=np.int64) - np.repeat(run_starts, counts)
+        flat = np.repeat(starts, counts) + ramp
+        return pa.table({"node": pa.array(uniq_n[flat]),
+                         "ancestor": pa.array(uniq_a[flat]),
+                         "depth": pa.array(uniq_d[flat])})
+
+    return ds.map_batches(walk, batch_format="pyarrow")
+
+
+def subtree_rollup(ds, csr_ref, *, node_col: str = "doc_id",
+                   value_col: str = "n_chars", max_depth: int = 64,
+                   shards: int = 32):
+    """Hierarchical rollup: every row's value is added to its own node
+    AND every ancestor; returns (node, subtree_value, n_desc) — the
+    classic "aggregate the corpus up the ontology" step.
+
+    Map-side closure walk (broadcast CSR, no exchange) + per-batch
+    partial sums keyed by ancestor, then ONE salted exchange bounded by
+    (ancestor support × shards), never by corpus rows.
+    """
+    import ray as _ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        csr = csr_ref if isinstance(csr_ref, ParentCSR) else _ray.get(csr_ref)
+        nodes = batch.column(node_col).to_numpy()
+        vals = batch.column(value_col).to_numpy().astype(np.int64)
+        n, a, _ = _closure_for_batch(nodes, csr, max_depth, include_self=True)
+        # map each closure row's origin node back to batch rows (values
+        # may repeat per node if ids duplicate — handled by summing per
+        # node first)
+        order = np.argsort(nodes, kind="stable")
+        snodes = nodes[order]
+        uniq, starts = np.unique(snodes, return_index=True)
+        node_sum = np.add.reduceat(vals[order], starts)
+        node_cnt = np.diff(np.concatenate([starts, [len(snodes)]]))
+        ui = np.searchsorted(uniq, n)
+        contrib = node_sum[ui]
+        cnt = node_cnt[ui]
+        df = pd.DataFrame({"node": a, "v": contrib, "c": cnt})
+        g = df.groupby("node", sort=False, as_index=False).sum()
+        salt = (hash64_column(pa.array(g["node"].to_numpy()))
+                % np.uint64(shards)).astype(np.int32)
+        return pa.table({"node": pa.array(g["node"].to_numpy()),
+                         "v": pa.array(g["v"].to_numpy()),
+                         "c": pa.array(g["c"].to_numpy()),
+                         "__s": pa.array(salt)})
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("node", sort=True, as_index=False)[["v", "c"]].sum()
+        return g.rename(columns={"v": "subtree_value", "c": "n_desc"})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("__s")
+              .map_groups(combine, batch_format="pandas"))
+
+
+# --------------------------------------------------------- co-occurrence
+
+
+def cooccur_edges(ds, *, text_column: str = "text", min_count: int = 1,
+                  vocab: list[str] | None = None, shards: int = 32):
+    """Within-document token co-occurrence edges: for every unordered
+    pair of DISTINCT tokens appearing in the same document, count the
+    documents containing both — the weighted edge list corpus-driven KG
+    construction starts from (feed counts to PMI / node2vec downstream).
+
+    Per batch: one Arrow lower+split pass, per-document distinct-token
+    sets (sorted, so pairs come out canonically ordered tok_a < tok_b),
+    pair expansion via the repeat/cumsum all-pairs index, and an
+    IN-BATCH pre-aggregation so the single salted exchange ships each
+    batch's distinct pairs once — bounded by (batch vocabulary)², not by
+    corpus rows.  Pass ``vocab`` (allow-list, e.g. the top-k from
+    :func:`~biocurator_mapper_ray.ops.textstats.word_counts`) to bound
+    the per-document set size on open-vocabulary corpora.
+    """
+    vocab_arr = np.sort(np.asarray(vocab, dtype=object)) if vocab else None
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.cast(batch.column(text_column), pa.string())),
+            r"\s+")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        doc = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        keep = flat != ""
+        if vocab_arr is not None and len(flat):
+            pos = np.minimum(np.searchsorted(vocab_arr, flat),
+                             len(vocab_arr) - 1)
+            keep &= vocab_arr[pos] == flat
+        flat, doc = flat[keep], doc[keep]
+        if not len(flat):
+            return pa.table({"tok_a": pa.array([], pa.string()),
+                             "tok_b": pa.array([], pa.string()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "__s": pa.array([], pa.int32())})
+        # distinct (doc, token), token-sorted within doc: lexsort puts
+        # each doc's tokens in order, unique on packed keys dedups
+        order = np.lexsort((flat, doc))
+        doc, flat = doc[order], flat[order]
+        dup = np.zeros(len(doc), dtype=bool)
+        dup[1:] = (doc[1:] == doc[:-1]) & (flat[1:] == flat[:-1])
+        doc, flat = doc[~dup], flat[~dup]
+        sizes = np.bincount(doc, minlength=int(doc.max()) + 1 if len(doc) else 0)
+        sizes = sizes[sizes > 0]
+        ia, ib = _allpairs_index(sizes)
+        df = pd.DataFrame({"tok_a": flat[ia], "tok_b": flat[ib]})
+        g = df.groupby(["tok_a", "tok_b"], sort=False, as_index=False).size()
+        if not len(g):  # all docs < 2 distinct tokens — typed empty
+            return pa.table({"tok_a": pa.array([], pa.string()),
+                             "tok_b": pa.array([], pa.string()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "__s": pa.array([], pa.int32())})
+        key = np.char.add(g["tok_a"].to_numpy().astype(str),
+                          g["tok_b"].to_numpy().astype(str))
+        salt = (hash64_column(pa.array(key)) % np.uint64(shards)).astype(np.int32)
+        return pa.table({"tok_a": pa.array(g["tok_a"]),
+                         "tok_b": pa.array(g["tok_b"]),
+                         "n_docs": pa.array(g["size"].to_numpy()),
+                         "__s": pa.array(salt)})
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby(["tok_a", "tok_b"], sort=True,
+                          as_index=False)["n_docs"].sum()
+        return g[g["n_docs"] >= min_count]
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("__s")
+              .map_groups(combine, batch_format="pandas"))

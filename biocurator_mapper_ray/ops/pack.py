@@ -1,0 +1,187 @@
+"""Training-sequence assembly operators: deterministic sequence packing
+(GPT-style concat-and-chunk) and fixed-window document chunking (the
+RAG / long-doc split).
+
+No reference equivalent (biocurator_mapper never assembles training
+sequences); these are the last-mile operators between a curated corpus
+and a pre-training or retrieval job:
+
+* :func:`sequence_pack` — lay every document out on ONE global token
+  axis in a deterministic md5-keyed order (the reproducible "shuffle
+  then concatenate" of pre-training data loaders) and assign each doc
+  the fixed-size training sequence its span starts in
+  (``seq_id = tok_start // budget``).  The global offsets come from a
+  DISTRIBUTED ORDERED PREFIX SUM: the md5 key's top bits are the range
+  partition (uniform by construction — no planning pass needed), so
+  per-shard token totals (one tiny exchange, ≤ ``2^shard_bits`` rows on
+  the driver) turn into exclusive shard offsets, and each shard then
+  computes its rows' exact global offsets independently.  A row's
+  placement depends only on (seed, its key, the multiset of other
+  rows) — engine- and partitioning-invariant, with an exact SQL window
+  ``SUM() OVER (ORDER BY ...)`` oracle.
+* :func:`chunk_spans` — split each document's token stream into
+  overlapping fixed windows (``chunk_tokens`` wide, every ``stride``),
+  emitting the chunk TEXT rebuilt zero-Python-loop: per-chunk token
+  indices are one repeat/ramp expansion, the (overlapping) slices are
+  one Arrow ``take`` into a ListArray, and ``binary_join`` rebuilds the
+  strings — map-side only, no exchange.
+
+Scale shape: ``sequence_pack``'s lean projection (id, n_tokens, key —
+~24 B/row) is materialized once so passes A (shard totals) and B
+(per-shard layout) don't recompute tokenization; at 10⁹ docs that is
+~24 GB spread across the cluster's object store, while the driver holds
+only the ``2^shard_bits`` shard totals.  ``chunk_spans`` streams.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _tokenize_counts(batch: pa.Table, text_column: str):
+    """(list<token>, n_tokens) with the engine's whitespace contract:
+    split trimmed text on ``\\s+``, drop empty tokens (empty text → 0)."""
+    text = pc.cast(batch.column(text_column), pa.string())
+    toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
+    flat = pc.list_flatten(toks)
+    lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+    # "" splits to [""] — a single empty token that must not count
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    n_empty_runs = np.add.reduceat(
+        (~keep).astype(np.int64),
+        np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64),
+    ) if len(lens) else np.zeros(0, dtype=np.int64)
+    n = np.where(lens > 0, lens - n_empty_runs, 0)
+    return toks, flat, keep, lens, n
+
+
+def _md5_key60(values, seed: int) -> np.ndarray:
+    """First 15 md5 hex chars of ``seed:value`` as int64 (60 bits —
+    sign-safe in numpy and DuckDB's UBIGINT cast)."""
+    out = np.empty(len(values), dtype=np.int64)
+    for i, v in enumerate(values):
+        out[i] = int(
+            hashlib.md5(f"{seed}:{v}".encode("utf-8")).hexdigest()[:15], 16)
+    return out
+
+
+def sequence_pack(ds, *, budget: int, id_column: str = "doc_id",
+                  text_column: str = "text", seed: int = 42,
+                  shard_bits: int = 6):
+    """Assign every document a global token offset and training-sequence
+    id under deterministic md5-order concatenation.
+
+    Returns (doc_id, n_tokens, tok_start, seq_id) where ``tok_start``
+    is the exclusive prefix sum of token counts in (md5 key, doc_id)
+    order and ``seq_id = tok_start // budget`` — the sequence whose
+    window the document STARTS in under the standard concatenate-then-
+    split-every-``budget``-tokens layout.
+    """
+    shards = 1 << shard_bits
+
+    def lean(batch: pa.Table) -> pa.Table:
+        _, _, _, _, n = _tokenize_counts(batch, text_column)
+        ids = batch.column(id_column).to_pylist()
+        qkey = _md5_key60(ids, seed)
+        return pa.table({
+            id_column: batch.column(id_column),
+            "n_tokens": pa.array(n),
+            "__qkey": pa.array(qkey),
+            # top bits of a uniform 60-bit key = ordered range partition
+            "__shard": pa.array((qkey >> (60 - shard_bits)).astype(np.int32)),
+        })
+
+    lean_ds = ds.map_batches(lean, batch_format="pyarrow").materialize()
+
+    # pass A: per-shard token totals -> exclusive global shard offsets.
+    # Driver state is <= 2^shard_bits rows, never corpus rows.
+    totals = (lean_ds.groupby("__shard").sum("n_tokens").to_pandas()
+              .sort_values("__shard"))
+    offs = np.zeros(shards, dtype=np.int64)
+    sums = np.zeros(shards, dtype=np.int64)
+    sums[totals["__shard"].to_numpy()] = totals["sum(n_tokens)"].to_numpy()
+    offs[1:] = np.cumsum(sums)[:-1]
+
+    # pass B: each shard lays out its own rows — key order within the
+    # shard plus the shard's global offset gives exact global positions
+    def layout(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(["__qkey", id_column], kind="mergesort")
+        n = group["n_tokens"].to_numpy()
+        start = offs[int(group["__shard"].iloc[0])] + np.cumsum(n) - n
+        return pd.DataFrame({
+            id_column: group[id_column].to_numpy(),
+            "n_tokens": n,
+            "tok_start": start,
+            "seq_id": start // budget,
+        })
+
+    return lean_ds.groupby("__shard").map_groups(layout, batch_format="pandas")
+
+
+def chunk_spans(ds, *, chunk_tokens: int, stride: int | None = None,
+                id_column: str = "doc_id", text_column: str = "text"):
+    """Split each document into fixed token windows (``chunk_tokens``
+    wide, starting every ``stride`` tokens; stride defaults to the
+    window → non-overlapping) and rebuild each window's text.
+
+    Emits (doc_id, chunk_id, tok_lo, tok_hi, chunk_text); documents
+    with zero tokens emit no chunks.  Map-side only: the per-chunk
+    token index set is one repeat/ramp expansion, the overlapping
+    slices are one Arrow ``take`` into a ListArray (offsets =
+    cumulative chunk widths), and ``binary_join_element_wise``-free
+    string rebuild happens in one ``pc.binary_join`` call.
+    """
+    stride = stride or chunk_tokens
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        _, flat, keep, lens, n = _tokenize_counts(batch, text_column)
+        ids = batch.column(id_column).to_numpy()
+        # flat token array with empties dropped; per-doc start offsets
+        vals = flat.filter(pa.array(keep))
+        doc_off = np.concatenate([[0], np.cumsum(n)])
+        # chunk counts per doc: ceil(n / stride) for n > 0
+        c = np.where(n > 0, (n + stride - 1) // stride, 0).astype(np.int64)
+        total = int(c.sum())
+        empty = pa.table({
+            id_column: pa.array([], batch.column(id_column).type),
+            "chunk_id": pa.array([], pa.int64()),
+            "tok_lo": pa.array([], pa.int64()),
+            "tok_hi": pa.array([], pa.int64()),
+            "chunk_text": pa.array([], pa.string()),
+        })
+        if total == 0:
+            return empty
+        doc_idx = np.repeat(np.arange(len(n), dtype=np.int64), c)
+        run_starts = np.cumsum(c) - c
+        chunk_id = np.arange(total, dtype=np.int64) - np.repeat(run_starts, c)
+        lo = chunk_id * stride
+        hi = np.minimum(lo + chunk_tokens, n[doc_idx])
+        widths = hi - lo
+        # per-chunk flat token indices (overlap-safe: take duplicates)
+        w_total = int(widths.sum())
+        w_starts = np.cumsum(widths) - widths
+        ramp = np.arange(w_total, dtype=np.int64) - np.repeat(w_starts, widths)
+        take = np.repeat(doc_off[doc_idx] + lo, widths) + ramp
+        taken = vals.take(pa.array(take))
+        if isinstance(taken, pa.ChunkedArray):
+            taken = taken.combine_chunks()
+        sliced = pa.ListArray.from_arrays(
+            pa.array(np.concatenate([[0], np.cumsum(widths)]), pa.int32()),
+            taken,
+        )
+        return pa.table({
+            id_column: pa.array(ids[doc_idx]),
+            "chunk_id": pa.array(chunk_id),
+            "tok_lo": pa.array(lo),
+            "tok_hi": pa.array(hi),
+            "chunk_text": pc.binary_join(sliced, " "),
+        })
+
+    return ds.map_batches(chunks, batch_format="pyarrow")

@@ -1,0 +1,158 @@
+"""Graph / hierarchy operator tests: ancestor closure (DAG + cycle
+safety), subtree rollup, token co-occurrence edges."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from biocurator_mapper_ray.ops.graph import (
+    ParentCSR,
+    _closure_for_batch,
+    ancestor_closure,
+    cooccur_edges,
+    parent_csr_from_edges,
+    subtree_rollup,
+)
+
+
+def _closure_set(nodes, csr, **kw):
+    n, a, d = _closure_for_batch(np.asarray(nodes, dtype=np.int64), csr,
+                                 kw.pop("max_depth", 64),
+                                 kw.pop("include_self", False))
+    return set(zip(n.tolist(), a.tolist(), d.tolist()))
+
+
+class TestClosureKernel:
+    def test_diamond_dag_dedups_and_takes_min_depth(self):
+        # 3 -> {1, 2} -> 0: ancestor 0 reachable twice at depth 2,
+        # emitted once
+        csr = ParentCSR(np.array([3, 3, 1, 2]), np.array([1, 2, 0, 0]))
+        got = _closure_set([3], csr)
+        assert got == {(3, 1, 1), (3, 2, 1), (3, 0, 2)}
+
+    def test_shortcut_edge_gives_shortest_depth(self):
+        # 4 -> 2 -> 1 -> 0 plus shortcut 4 -> 0: depth(4, 0) == 1
+        csr = ParentCSR(np.array([4, 2, 1, 4]), np.array([2, 1, 0, 0]))
+        got = dict(((n, a), d) for n, a, d in _closure_set([4], csr))
+        assert got[(4, 0)] == 1
+        assert got[(4, 2)] == 1 and got[(4, 1)] == 2
+
+    def test_cycle_terminates(self):
+        csr = ParentCSR(np.array([1, 2]), np.array([2, 1]))
+        assert _closure_set([1], csr) == {(1, 2, 1)}
+
+    def test_unknown_node_and_include_self(self):
+        csr = ParentCSR(np.array([1]), np.array([0]))
+        assert _closure_set([99], csr) == set()
+        got = _closure_set([99, 1], csr, include_self=True)
+        assert (99, 99, 0) in got and (1, 1, 0) in got and (1, 0, 1) in got
+
+    def test_max_depth_truncates(self):
+        csr = ParentCSR(np.array([3, 2, 1]), np.array([2, 1, 0]))
+        got = _closure_set([3], csr, max_depth=2)
+        assert got == {(3, 2, 1), (3, 1, 2)}
+
+
+class TestAncestorClosure:
+    def test_matches_brute_force_and_partition_invariant(self, ray_session):
+        import ray
+        import ray.data as rd
+
+        # binary tree over 0..63
+        ids = np.arange(64)
+        edges = rd.from_arrow(pa.table({"child": ids[1:], "parent": ids[1:] // 2}))
+        csr = parent_csr_from_edges(edges, child_col="child", parent_col="parent")
+        nodes = rd.from_arrow(pa.table({"doc_id": ids}))
+
+        def brute(i):
+            out, d = [], 0
+            while i >= 1:
+                d += 1
+                i //= 2
+                out.append((d, i))
+            return out
+
+        expect = {(i, a, d) for i in ids for d, a in brute(i)}
+        got = ancestor_closure(nodes, ray.put(csr)).to_pandas()
+        assert set(map(tuple, got.values)) == expect
+        got7 = ancestor_closure(nodes.repartition(7), ray.put(csr)).to_pandas()
+        assert set(map(tuple, got7.values)) == expect
+
+    def test_duplicate_input_rows_re_emit(self, ray_session):
+        import ray.data as rd
+
+        csr = ParentCSR(np.array([1]), np.array([0]))
+        nodes = rd.from_arrow(pa.table({"doc_id": [1, 1, 0]}))
+        got = ancestor_closure(nodes, csr).to_pandas()
+        assert len(got) == 2  # each dup row emits its chain; 0 has none
+        assert set(got["node"]) == {1} and set(got["ancestor"]) == {0}
+
+
+class TestSubtreeRollup:
+    def test_sums_match_brute_force(self, ray_session):
+        import ray
+        import ray.data as rd
+
+        ids = np.arange(32)
+        vals = (ids * 7 + 3).astype(np.int64)
+        edges = rd.from_arrow(pa.table({"child": ids[1:], "parent": ids[1:] // 2}))
+        csr = parent_csr_from_edges(edges, child_col="child", parent_col="parent")
+        ds = rd.from_arrow(pa.table({"doc_id": ids, "v": vals})).repartition(5)
+
+        expect_sum = {int(i): 0 for i in ids}
+        expect_cnt = {int(i): 0 for i in ids}
+        for i in ids:
+            j = int(i)
+            while True:
+                expect_sum[j] += int(vals[i])
+                expect_cnt[j] += 1
+                if j == 0:
+                    break
+                j //= 2
+
+        got = subtree_rollup(ds, ray.put(csr), node_col="doc_id",
+                             value_col="v").to_pandas().set_index("node")
+        assert len(got) == 32
+        for i in ids:
+            assert got.loc[i, "subtree_value"] == expect_sum[int(i)]
+            assert got.loc[i, "n_desc"] == expect_cnt[int(i)]
+
+    def test_isolated_node_keeps_own_value(self, ray_session):
+        import ray.data as rd
+
+        csr = ParentCSR(np.array([1]), np.array([0]))
+        ds = rd.from_arrow(pa.table({"doc_id": [0, 1, 99], "v": [10, 5, 7]}))
+        got = subtree_rollup(ds, csr, node_col="doc_id",
+                             value_col="v").to_pandas().set_index("node")
+        assert got.loc[99, "subtree_value"] == 7
+        assert got.loc[0, "subtree_value"] == 15
+
+
+class TestCooccurEdges:
+    def test_counts_match_brute_force(self, ray_session):
+        import itertools
+
+        import ray.data as rd
+
+        docs = ["a b c", "b a a", "c d", "", "a  b"]  # double space + empty
+        ds = rd.from_arrow(pa.table({"doc_id": list(range(len(docs))),
+                                     "text": docs})).repartition(3)
+        expect: dict[tuple, int] = {}
+        for t in docs:
+            toks = sorted(set(t.split()))
+            for pair in itertools.combinations(toks, 2):
+                expect[pair] = expect.get(pair, 0) + 1
+        got = cooccur_edges(ds, min_count=1).to_pandas()
+        got_map = {(r.tok_a, r.tok_b): r.n_docs for r in got.itertuples()}
+        assert got_map == expect
+        # min_count filters
+        got2 = cooccur_edges(ds, min_count=2).to_pandas()
+        assert {(r.tok_a, r.tok_b) for r in got2.itertuples()} == {
+            p for p, c in expect.items() if c >= 2}
+
+    def test_vocab_restriction(self, ray_session):
+        import ray.data as rd
+
+        ds = rd.from_arrow(pa.table({"doc_id": [0], "text": ["a b c d"]}))
+        got = cooccur_edges(ds, vocab=["a", "c"]).to_pandas()
+        assert set(map(tuple, got[["tok_a", "tok_b"]].values)) == {("a", "c")}
