@@ -1166,6 +1166,20 @@ def _q_subtree_rollup(sf_dir: str):
     return out.sort("node")
 
 
+def _q_budget_sample(sf_dir: str):
+    """Per-source token/char budget cap (keep md5-lowest docs while the
+    running n_chars total stays under 4000) — the mixture-control step
+    of corpus assembly, exact vs a SQL window-sum QUALIFY oracle."""
+    from biocurator_mapper_ray.ops.sample import budget_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    out = budget_sample(ds, group_column="source", budget=4000,
+                        value_column="n_chars")
+    return out.select_columns(
+        ["doc_id", "source", "n_chars", "cum_before"]
+    ).sort(["source", "cum_before"])
+
+
 def _q_sequence_pack(sf_dir: str):
     """Deterministic sequence packing: md5-order concat-and-chunk with a
     distributed ordered prefix sum — global token offsets and training
@@ -1258,6 +1272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter_documents": _q_quality_filter,
         "domain_quota_documents": _q_domain_quota,
         "ancestors_documents": _q_ancestors,
+        "budget_sample_documents": _q_budget_sample,
         "sequence_pack_documents": _q_sequence_pack,
         "chunk_spans_documents": _q_chunk_spans,
         "subtree_rollup_documents": _q_subtree_rollup,
@@ -1991,6 +2006,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_desc
             FROM anc JOIN documents d ON anc.node = d.doc_id
             GROUP BY 1 ORDER BY node
+        """,
+        "budget_sample_documents": """
+            WITH keyed AS (
+                SELECT doc_id, source, n_chars,
+                       CAST('0x' || substr(md5('42:' ||
+                            CAST(doc_id AS VARCHAR)), 1, 15) AS UBIGINT)
+                           AS qkey
+                FROM documents
+            )
+            SELECT doc_id, source, n_chars,
+                   CAST(coalesce(sum(n_chars) OVER (
+                        PARTITION BY source ORDER BY qkey, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS BIGINT)
+                       AS cum_before
+            FROM keyed
+            QUALIFY cum_before < 4000
+            ORDER BY source, cum_before
         """,
         "sequence_pack_documents": """
             WITH t AS (

@@ -26,6 +26,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..functions.hashing import hash64_column
+
 
 def _md5_bucket(values, buckets: int, seed: int) -> np.ndarray:
     """Deterministic bucket in [0, buckets) from md5 of ``seed:value``
@@ -122,6 +124,68 @@ def length_histogram(ds, *, column: str = "text", bucket_width: int = 50):
         return group.groupby("bucket_lo", sort=True)["n_docs"].sum().reset_index()
 
     return partials.groupby("bucket_lo").map_groups(combine, batch_format="pandas")
+
+
+def budget_sample(ds, *, group_column: str, budget: int,
+                  value_column: str, key_column: str = "doc_id",
+                  seed: int = 42, shards: int = 32):
+    """Keep, per group, the md5-lowest rows whose RUNNING value total
+    stays under ``budget`` — "cap each source at N tokens/chars", the
+    mixture-control knob of corpus assembly (a quota counts documents;
+    a budget counts the quantity training actually consumes).
+
+    Keep rule: a row survives iff the summed values of rows BEFORE it
+    (same group, ``(md5(seed:key), key)`` ascending) are < ``budget`` —
+    so a group's first row always survives even if oversized, and the
+    kept set is engine- and partitioning-invariant with an exact SQL
+    window-sum oracle.  Emits ``cum_before`` (that exact prefix sum).
+
+    Combiner push-down (exact, not heuristic): a batch's survivors are
+    its own budget-feasible prefix per group.  Any batch-dropped row d
+    has batch-prefix ≥ budget, which means SURVIVING batch rows before
+    d already sum ≥ budget and all precede d (hence any global row
+    after d) in key order — so rows the batch drops can neither survive
+    globally nor shift a global survivor's prefix.  The single salted
+    exchange therefore ships only per-batch feasible prefixes
+    (≈ batches × (budget / mean value + 1) rows per group), never the
+    corpus, and the merge recomputes exact global prefixes from
+    survivors alone.
+    """
+
+    def key60(vals) -> np.ndarray:
+        out = np.empty(len(vals), dtype=np.int64)
+        for i, v in enumerate(vals):
+            out[i] = int(
+                hashlib.md5(f"{seed}:{v}".encode("utf-8")).hexdigest()[:15], 16)
+        return out
+
+    def feasible(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([group_column, "__qkey", key_column],
+                            kind="mergesort")
+        v = df[value_column].to_numpy().astype(np.int64)
+        cum = df.groupby(group_column, sort=False)[value_column].cumsum(
+        ).to_numpy().astype(np.int64)
+        df = df.assign(cum_before=cum - v)
+        return df[df["cum_before"] < budget]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["__qkey"] = key60(df[key_column].to_list())
+        df = feasible(df).drop(columns="cum_before")
+        gcol = df[group_column]
+        salt = (hash64_column(pa.Array.from_pandas(gcol.astype(str))
+                              if gcol.dtype == object
+                              else pa.Array.from_pandas(gcol))
+                % np.uint64(shards)).astype(np.int32)
+        out = pa.Table.from_pandas(df, preserve_index=False)
+        return out.append_column("__s", pa.array(salt))
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        return feasible(group.drop(columns="__s")).drop(columns="__qkey")
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("__s")
+              .map_groups(merge, batch_format="pandas"))
 
 
 def quota_sample(ds, *, group_column: str, quota: int,

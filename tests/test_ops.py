@@ -1042,3 +1042,58 @@ class TestQuotaSample:
                           quota=20).to_pandas()
         assert (out["domain"] == "tiny").sum() == 3
         assert (out["domain"] == "big").sum() == 20
+
+
+class TestBudgetSample:
+    def test_matches_brute_force_and_partition_invariant(self, ray_session):
+        import hashlib
+
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.sample import budget_sample
+
+        rows = [{"doc_id": i, "src": f"s{i % 3}", "v": 10 + (i * 7) % 25}
+                for i in range(90)]
+
+        def key(i):
+            return int(hashlib.md5(f"42:{i}".encode()).hexdigest()[:15], 16)
+
+        expect = {}
+        for s in ("s0", "s1", "s2"):
+            run = 0
+            for r in sorted((r for r in rows if r["src"] == s),
+                            key=lambda r: (key(r["doc_id"]), r["doc_id"])):
+                if run < 100:
+                    expect[r["doc_id"]] = run
+                run += r["v"]
+
+        for parts in (1, 8):
+            ds = rd.from_items(rows).repartition(parts)
+            got = budget_sample(ds, group_column="src", budget=100,
+                                value_column="v").to_pandas()
+            assert {r.doc_id: r.cum_before for r in got.itertuples()} == expect
+
+    def test_first_row_survives_even_oversized(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.sample import budget_sample
+
+        rows = [{"doc_id": i, "src": "only", "v": 10_000} for i in range(5)]
+        got = budget_sample(rd.from_items(rows), group_column="src",
+                            budget=100, value_column="v").to_pandas()
+        assert len(got) == 1
+        assert got["cum_before"].iloc[0] == 0
+
+    def test_budget_monotone(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.sample import budget_sample
+
+        rows = [{"doc_id": i, "src": "s", "v": 7} for i in range(40)]
+        ds = rd.from_items(rows)
+        small = budget_sample(ds, group_column="src", budget=70,
+                              value_column="v").to_pandas()
+        big = budget_sample(ds, group_column="src", budget=140,
+                            value_column="v").to_pandas()
+        assert set(small["doc_id"]).issubset(set(big["doc_id"]))
+        assert len(small) == 10 and len(big) == 20
