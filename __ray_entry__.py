@@ -1166,6 +1166,41 @@ def _q_subtree_rollup(sf_dir: str):
     return out.sort("node")
 
 
+def _q_customer_urgent_orders(sf_dir: str):
+    """LEFT outer hash join: every customer with their count of URGENT
+    orders — 203 customers (sf0.01) have none and must survive the join
+    with an exact zero.  Right side pre-aggregated to one row per
+    custkey BEFORE the join (combiner push-down), so the exchange ships
+    customer-cardinality rows, not order rows."""
+    from biocurator_mapper_ray.ops.join import hash_join
+
+    customer = _read(sf_dir, "customer", columns=["c_custkey"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+
+    def urgent_partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("o_orderpriority"), "1-URGENT"))
+        agg = t.group_by("o_custkey").aggregate([("o_custkey", "count")])
+        return pa.table({"o_custkey": agg.column("o_custkey"),
+                         "n": agg.column("o_custkey_count")})
+
+    per_cust = (orders.map_batches(urgent_partial, batch_format="pyarrow")
+                .groupby("o_custkey").sum("n"))
+
+    joined = hash_join(
+        customer, per_cust,
+        left_on="c_custkey", right_on="o_custkey",
+        how="left", buckets=16,
+        right_columns=["o_custkey", "sum(n)"],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = pc.fill_null(pc.cast(batch.column("sum(n)"), pa.int64()), 0)
+        return pa.table({"c_custkey": batch.column("c_custkey"),
+                         "n_urgent": n})
+
+    return joined.map_batches(finish, batch_format="pyarrow").sort("c_custkey")
+
+
 def _q_budget_sample(sf_dir: str):
     """Per-source token/char budget cap (keep md5-lowest docs while the
     running n_chars total stays under 4000) — the mixture-control step
@@ -1272,6 +1307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter_documents": _q_quality_filter,
         "domain_quota_documents": _q_domain_quota,
         "ancestors_documents": _q_ancestors,
+        "customer_urgent_orders": _q_customer_urgent_orders,
         "budget_sample_documents": _q_budget_sample,
         "sequence_pack_documents": _q_sequence_pack,
         "chunk_spans_documents": _q_chunk_spans,
@@ -2006,6 +2042,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_desc
             FROM anc JOIN documents d ON anc.node = d.doc_id
             GROUP BY 1 ORDER BY node
+        """,
+        "customer_urgent_orders": """
+            SELECT c.c_custkey,
+                   CAST(count(o.o_orderkey) AS BIGINT) AS n_urgent
+            FROM customer c
+            LEFT JOIN (SELECT * FROM orders
+                       WHERE o_orderpriority = '1-URGENT') o
+              ON o.o_custkey = c.c_custkey
+            GROUP BY 1 ORDER BY c_custkey
         """,
         "budget_sample_documents": """
             WITH keyed AS (

@@ -120,3 +120,20 @@ class TestWindows:
         )
         assert out[out["user_id"] == 1]["n"].tolist() == [2, 1]
         assert out[out["user_id"] == 2]["s"].tolist() == [9.0]
+
+
+class TestLeftJoin:
+    def test_unmatched_left_rows_survive_with_nulls(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.join import hash_join
+
+        left = rd.from_items([{"k": i, "lv": i * 10} for i in range(8)])
+        right = rd.from_items([{"k": i, "rv": i + 100} for i in (1, 3)])
+        out = hash_join(left, right, left_on="k", right_on="k",
+                        how="left", buckets=4).to_pandas()
+        assert len(out) == 8
+        matched = out[out["k"].isin([1, 3])]
+        assert sorted(matched["rv"]) == [101, 103]
+        unmatched = out[~out["k"].isin([1, 3])]
+        assert unmatched["rv"].isna().all()
