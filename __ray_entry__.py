@@ -1166,6 +1166,17 @@ def _q_subtree_rollup(sf_dir: str):
     return out.sort("node")
 
 
+def _q_corpus_freq(sf_dir: str):
+    """Two-phase corpus-statistics scoring: global word counts → top-20
+    vocabulary broadcast → per-doc exact integer evidence (n_tokens,
+    n_oov, sum of global counts of in-vocab tokens).  The fixture's 31
+    distinct tokens leave 11 out-of-vocab, exercising the OOV path."""
+    from biocurator_mapper_ray.ops.textstats import corpus_freq_scores
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return corpus_freq_scores(ds, top_v=20).sort("doc_id")
+
+
 def _q_customer_urgent_orders(sf_dir: str):
     """LEFT outer hash join: every customer with their count of URGENT
     orders — 203 customers (sf0.01) have none and must survive the join
@@ -1308,6 +1319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_quota_documents": _q_domain_quota,
         "ancestors_documents": _q_ancestors,
         "customer_urgent_orders": _q_customer_urgent_orders,
+        "corpus_freq_documents": _q_corpus_freq,
         "budget_sample_documents": _q_budget_sample,
         "sequence_pack_documents": _q_sequence_pack,
         "chunk_spans_documents": _q_chunk_spans,
@@ -2042,6 +2054,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_desc
             FROM anc JOIN documents d ON anc.node = d.doc_id
             GROUP BY 1 ORDER BY node
+        """,
+        "corpus_freq_documents": """
+            WITH toks AS (
+                SELECT doc_id, tok FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(lower(text),
+                                  '\\s+')) AS tok
+                    FROM documents) t
+                WHERE tok <> ''
+            ),
+            cnt AS (
+                SELECT tok, CAST(count(*) AS BIGINT) AS c
+                FROM toks GROUP BY 1
+            ),
+            vocab AS (
+                SELECT tok, c FROM cnt
+                QUALIFY row_number() OVER (ORDER BY c DESC, tok) <= 20
+            ),
+            scored AS (
+                SELECT t.doc_id,
+                       CAST(count(*) AS BIGINT) AS n_tokens,
+                       CAST(sum(CASE WHEN v.tok IS NULL
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+                       CAST(sum(coalesce(v.c, 0)) AS BIGINT) AS sum_freq
+                FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+                GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(s.n_tokens, 0) AS n_tokens,
+                   coalesce(s.n_oov, 0) AS n_oov,
+                   coalesce(s.sum_freq, 0) AS sum_freq
+            FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+            ORDER BY d.doc_id
         """,
         "customer_urgent_orders": """
             SELECT c.c_custkey,

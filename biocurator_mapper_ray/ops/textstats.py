@@ -191,6 +191,79 @@ def word_counts(ds, *, text_column: str = "text", top_k: int | None = None,
     return counts.sort(["n", "token"], descending=[True, False]).limit(top_k)
 
 
+def corpus_freq_scores(ds, *, text_column: str = "text",
+                       id_column: str = "doc_id", top_v: int | None = None,
+                       shards: int = 32):
+    """Corpus-statistics document scoring, the two-phase shape of every
+    "score each doc against global statistics" stage (unigram LM
+    scoring, OOV-rate filters, rare-token flags):
+
+    1. global token counts via :func:`word_counts` (partial-combine
+       exchange bounded by vocabulary);
+    2. the vocabulary — optionally truncated to the ``top_v`` heaviest
+       tokens (count DESC, token ASC; deterministic) — is broadcast
+       sorted via ``ray.put``, and every batch scores its documents
+       map-side with one flat tokenize + searchsorted pass.
+
+    Emits EXACT integer evidence per document (no float scores, so the
+    whole operator is hash-checkable against SQL): ``n_tokens``,
+    ``n_oov`` (tokens outside the vocab) and ``sum_freq`` (summed
+    global counts of in-vocab tokens, repeats included).  Downstream
+    turns these into OOV-rate / mean-log-frequency scores however it
+    likes.
+
+    Driver state is the vocabulary table (the corpus' distinct tokens —
+    inherently the small side; cap with ``top_v`` on open-vocabulary
+    corpora where the tail is noise anyway).
+    """
+    import ray as _ray
+
+    cdf = (word_counts(ds, text_column=text_column, shards=shards)
+           .to_pandas()
+           .sort_values(["n", "token"], ascending=[False, True]))
+    if top_v is not None:
+        cdf = cdf.head(top_v)
+    order = np.argsort(cdf["token"].to_numpy())
+    vtok = cdf["token"].to_numpy()[order]
+    vcnt = cdf["n"].to_numpy()[order].astype(np.int64)
+    ref = _ray.put((vtok, vcnt))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vt, vc = ref if isinstance(ref, tuple) else _ray.get(ref)
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(
+                pc.cast(batch.column(text_column), pa.string()))),
+            r"\s+")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        n_docs = len(lens)
+        if n_docs == 0 or not len(flat):
+            z = np.zeros(n_docs, dtype=np.int64)
+            return pa.table({id_column: batch.column(id_column),
+                             "n_tokens": pa.array(z), "n_oov": pa.array(z),
+                             "sum_freq": pa.array(z)})
+        keep = flat != ""
+        if len(vt):
+            pos = np.minimum(np.searchsorted(vt, flat), len(vt) - 1)
+            inv = (vt[pos] == flat) & keep
+            freq = np.where(inv, vc[pos], 0)
+        else:
+            inv = np.zeros(len(flat), dtype=bool)
+            freq = np.zeros(len(flat), dtype=np.int64)
+        # split() of "" yields [""] so every doc owns ≥1 slot — reduceat
+        # boundaries are strictly increasing
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        n_tokens = np.add.reduceat(keep.astype(np.int64), starts)
+        n_oov = np.add.reduceat((keep & ~inv).astype(np.int64), starts)
+        sum_freq = np.add.reduceat(freq, starts)
+        return pa.table({id_column: batch.column(id_column),
+                         "n_tokens": pa.array(n_tokens),
+                         "n_oov": pa.array(n_oov),
+                         "sum_freq": pa.array(sum_freq)})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def tfidf_top_terms(ds, *, text_column: str = "text", id_column: str = "doc_id",
                     k: int = 5, idf_scale: int = 1_000_000, n_docs: int | None = None,
                     shards: int = 32):

@@ -1097,3 +1097,31 @@ class TestBudgetSample:
                             value_column="v").to_pandas()
         assert set(small["doc_id"]).issubset(set(big["doc_id"]))
         assert len(small) == 10 and len(big) == 20
+
+
+class TestCorpusFreqScores:
+    def test_evidence_matches_brute_force(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.textstats import corpus_freq_scores
+
+        docs = {0: "a a b c", 1: "b b b", 2: "", 3: "c d d"}
+        # counts: b=4, a=2, d=2, c=2 -> top_v=2 vocab {b(4), a(2)}
+        # (count DESC, token ASC tie-break: a before c/d)
+        ds = rd.from_items(
+            [{"doc_id": k, "text": v} for k, v in docs.items()]).repartition(2)
+        got = corpus_freq_scores(ds, top_v=2).to_pandas().set_index("doc_id")
+        assert got.loc[0].tolist() == [4, 1, 8]   # a,a,b in vocab: 2+2+4
+        assert got.loc[1].tolist() == [3, 0, 12]  # b,b,b: 4*3
+        assert got.loc[2].tolist() == [0, 0, 0]
+        assert got.loc[3].tolist() == [3, 3, 0]   # c,d,d all OOV
+
+    def test_full_vocab_has_no_oov(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.textstats import corpus_freq_scores
+
+        ds = rd.from_items([{"doc_id": 0, "text": "x y x"}])
+        got = corpus_freq_scores(ds).to_pandas()
+        assert got.loc[0, "n_oov"] == 0
+        assert got.loc[0, "sum_freq"] == 2 + 1 + 2
