@@ -1166,6 +1166,18 @@ def _q_subtree_rollup(sf_dir: str):
     return out.sort("node")
 
 
+def _q_quantile_trim(sf_dir: str):
+    """Exact-quantile outlier trim: keep documents whose n_chars lies in
+    the exact [0.1, 0.9] quantile band (the drop-the-tails length
+    filter), composed from the distributed exact-quantile op + a
+    map-side filter; DuckDB quantile_disc parity."""
+    from biocurator_mapper_ray.ops.quantile import filter_by_quantile
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    out = filter_by_quantile(ds, "n_chars", lo_q=0.1, hi_q=0.9)
+    return out.select_columns(["doc_id", "n_chars"]).sort("doc_id")
+
+
 def _q_corpus_freq(sf_dir: str):
     """Two-phase corpus-statistics scoring: global word counts → top-20
     vocabulary broadcast → per-doc exact integer evidence (n_tokens,
@@ -1320,6 +1332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ancestors_documents": _q_ancestors,
         "customer_urgent_orders": _q_customer_urgent_orders,
         "corpus_freq_documents": _q_corpus_freq,
+        "quantile_trim_documents": _q_quantile_trim,
         "budget_sample_documents": _q_budget_sample,
         "sequence_pack_documents": _q_sequence_pack,
         "chunk_spans_documents": _q_chunk_spans,
@@ -2054,6 +2067,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_desc
             FROM anc JOIN documents d ON anc.node = d.doc_id
             GROUP BY 1 ORDER BY node
+        """,
+        "quantile_trim_documents": """
+            WITH b AS (
+                SELECT quantile_disc(n_chars, 0.1) AS lo,
+                       quantile_disc(n_chars, 0.9) AS hi
+                FROM documents
+            )
+            SELECT doc_id, n_chars
+            FROM documents, b
+            WHERE n_chars BETWEEN lo AND hi
+            ORDER BY doc_id
         """,
         "corpus_freq_documents": """
             WITH toks AS (

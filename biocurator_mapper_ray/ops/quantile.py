@@ -17,6 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def grouped_exact_quantiles(ds, column: str, group_col: str, qs: list[float], *,
@@ -236,3 +237,26 @@ def exact_quantiles(ds, column: str, qs: list[float], *,
         .sort_values("q")
         .reset_index(drop=True)
     )
+
+
+def filter_by_quantile(ds, column: str, *, lo_q: float = 0.05,
+                       hi_q: float = 0.95, coarse_bits: int = 16):
+    """Keep rows whose ``column`` lies inside the EXACT [lo_q, hi_q]
+    quantile band — the length/outlier trim every curation pipeline
+    applies ("drop the shortest 5% and longest 5%"), composed from
+    :func:`exact_quantiles` (driver state: two ints) + a map-side
+    vectorized filter.  Inclusive on both thresholds, matching DuckDB's
+    ``BETWEEN quantile_disc(lo_q) AND quantile_disc(hi_q)``.
+    """
+    qdf = exact_quantiles(ds, column, [lo_q, hi_q], coarse_bits=coarse_bits)
+    if qdf.empty:
+        return ds
+    lo_v = int(qdf["value"].iloc[0])
+    hi_v = int(qdf["value"].iloc[-1])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        v = batch.column(column)
+        mask = pc.and_(pc.greater_equal(v, lo_v), pc.less_equal(v, hi_v))
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -1125,3 +1125,31 @@ class TestCorpusFreqScores:
         got = corpus_freq_scores(ds).to_pandas()
         assert got.loc[0, "n_oov"] == 0
         assert got.loc[0, "sum_freq"] == 2 + 1 + 2
+
+
+class TestFilterByQuantile:
+    def test_band_matches_duckdb_semantics(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.quantile import filter_by_quantile
+
+        vals = [(i * 37) % 101 for i in range(200)]
+        rows = [{"doc_id": i, "v": v} for i, v in enumerate(vals)]
+        got = filter_by_quantile(
+            rd.from_items(rows).repartition(5), "v",
+            lo_q=0.1, hi_q=0.9).to_pandas()
+        lo, hi = duckdb.sql(
+            "SELECT quantile_disc(v, 0.1), quantile_disc(v, 0.9) "
+            "FROM (SELECT unnest(?) AS v)", params=[vals]).fetchone()
+        keep = [i for i, v in enumerate(vals) if lo <= v <= hi]
+        assert sorted(got["doc_id"]) == keep
+
+    def test_degenerate_single_value(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.quantile import filter_by_quantile
+
+        rows = [{"doc_id": i, "v": 5} for i in range(10)]
+        got = filter_by_quantile(rd.from_items(rows), "v").to_pandas()
+        assert len(got) == 10
