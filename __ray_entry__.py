@@ -1166,6 +1166,30 @@ def _q_subtree_rollup(sf_dir: str):
     return out.sort("node")
 
 
+def _q_boilerplate(sf_dir: str):
+    """Line-level boilerplate scrub on planted headers/footers: a header
+    shared by ALL docs and a footer shared by ~1/7 of docs cross the
+    min_docs=50 bar and are removed; a ~1/29 footer and the unique body
+    line survive, order preserved.  Exact vs a SQL line-explode +
+    doc-count + rebuild oracle (planted identically on both sides)."""
+    from biocurator_mapper_ray.ops.boilerplate import boilerplate_scrub
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        hdr = pa.array(np.full(len(ids), "hdr boilerplate", dtype=object))
+        f7 = pa.array(np.char.add("footer ", (ids % 7).astype(str)))
+        f29 = pa.array(np.char.add("rare ", (ids % 29).astype(str)))
+        aug = pc.binary_join_element_wise(
+            hdr, batch.column("text"), f7, f29, "\n")
+        return pa.table({"doc_id": batch.column("doc_id"), "text": aug})
+
+    out = boilerplate_scrub(ds.map_batches(plant, batch_format="pyarrow"),
+                            min_docs=50)
+    return out.sort("doc_id")
+
+
 def _q_quantile_trim(sf_dir: str):
     """Exact-quantile outlier trim: keep documents whose n_chars lies in
     the exact [0.1, 0.9] quantile band (the drop-the-tails length
@@ -1333,6 +1357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_urgent_orders": _q_customer_urgent_orders,
         "corpus_freq_documents": _q_corpus_freq,
         "quantile_trim_documents": _q_quantile_trim,
+        "boilerplate_documents": _q_boilerplate,
         "budget_sample_documents": _q_budget_sample,
         "sequence_pack_documents": _q_sequence_pack,
         "chunk_spans_documents": _q_chunk_spans,
@@ -2067,6 +2092,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_desc
             FROM anc JOIN documents d ON anc.node = d.doc_id
             GROUP BY 1 ORDER BY node
+        """,
+        "boilerplate_documents": """
+            WITH aug AS (
+                SELECT doc_id,
+                       'hdr boilerplate' || chr(10) || text || chr(10) ||
+                       'footer ' || CAST(doc_id % 7 AS VARCHAR) || chr(10) ||
+                       'rare ' || CAST(doc_id % 29 AS VARCHAR) AS t
+                FROM documents
+            ),
+            splitted AS (
+                SELECT doc_id, string_split(t, chr(10)) AS ls FROM aug
+            ),
+            lines AS (
+                SELECT doc_id, g AS idx, ls[g] AS line
+                FROM (SELECT doc_id, ls,
+                             unnest(range(1, len(ls) + 1)) AS g
+                      FROM splitted) x
+            ),
+            freq AS (
+                SELECT line
+                FROM (SELECT line, count(DISTINCT doc_id) AS nd
+                      FROM lines GROUP BY 1) f
+                WHERE nd >= 50
+            ),
+            kept AS (
+                SELECT l.doc_id,
+                       array_to_string(list(l.line ORDER BY l.idx),
+                                       chr(10)) AS text,
+                       CAST(count(*) AS BIGINT) AS n_kept
+                FROM lines l LEFT JOIN freq f ON l.line = f.line
+                WHERE f.line IS NULL
+                GROUP BY 1
+            )
+            SELECT s.doc_id,
+                   coalesce(k.text, '') AS text,
+                   CAST(len(s.ls) AS BIGINT) - coalesce(k.n_kept, 0)
+                       AS n_removed
+            FROM splitted s LEFT JOIN kept k ON s.doc_id = k.doc_id
+            ORDER BY s.doc_id
         """,
         "quantile_trim_documents": """
             WITH b AS (
