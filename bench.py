@@ -142,6 +142,8 @@ def run_bench() -> dict:
         "dedup_minhash_documents",
         "knn_embeddings",
         "fingerprint_documents",
+        "sequence_pack_documents",
+        "boilerplate_documents",
     ]
     qs = entry.queries()
     for name in bench_queries:
