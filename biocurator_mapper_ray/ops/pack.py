@@ -172,10 +172,12 @@ def chunk_spans(ds, *, chunk_tokens: int, stride: int | None = None,
         taken = vals.take(pa.array(take))
         if isinstance(taken, pa.ChunkedArray):
             taken = taken.combine_chunks()
-        sliced = pa.ListArray.from_arrays(
-            pa.array(np.concatenate([[0], np.cumsum(widths)]), pa.int32()),
-            taken,
-        )
+        offs = np.concatenate([[0], np.cumsum(widths)])
+        if offs[-1] < 2**31:
+            sliced = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), taken)
+        else:  # overlap factor × giant batch: spill to 64-bit offsets
+            sliced = pa.LargeListArray.from_arrays(
+                pa.array(offs, pa.int64()), taken)
         return pa.table({
             id_column: pa.array(ids[doc_idx]),
             "chunk_id": pa.array(chunk_id),

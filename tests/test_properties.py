@@ -231,3 +231,70 @@ def test_connected_components_warns_when_unconverged(ray_session):
         out = connected_components(short, max_iters=10).to_pandas()
     assert not any("still changing" in str(w.message) for w in rec)
     assert set(out["component"]) == {0} and len(out) == m
+
+
+# ---------------------------------------------------------- graph closure
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.tuples(st.integers(1, 15), st.integers(0, 14)),
+                min_size=0, max_size=30))
+def test_closure_matches_bfs_on_random_dags(edges):
+    from biocurator_mapper_ray.ops.graph import ParentCSR, _closure_for_batch
+
+    # parent < child guarantees a DAG; dedup identical edges
+    edges = sorted({(c, p) for c, p in edges if p < c})
+    if not edges:
+        return
+    children = np.array([c for c, _ in edges], dtype=np.int64)
+    parents = np.array([p for _, p in edges], dtype=np.int64)
+    csr = ParentCSR(children, parents)
+
+    # brute force: BFS per node over the parent relation (min depth)
+    adj = {}
+    for c, p in edges:
+        adj.setdefault(c, []).append(p)
+    want = set()
+    nodes = sorted({c for c, _ in edges} | {p for _, p in edges})
+    for n0 in nodes:
+        depth = {n0: 0}
+        frontier = [n0]
+        while frontier:
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, []):
+                    if v not in depth:
+                        depth[v] = depth[u] + 1
+                        nxt.append(v)
+            frontier = nxt
+        for v, d in depth.items():
+            if d > 0:
+                want.add((n0, v, d))
+
+    n, a, d = _closure_for_batch(np.array(nodes, dtype=np.int64), csr,
+                                 max_depth=64, include_self=False)
+    assert set(zip(n.tolist(), a.tolist(), d.tolist())) == want
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 9), st.integers(0, 9)),
+                min_size=1, max_size=20),
+       st.lists(st.integers(0, 9), min_size=1, max_size=6))
+def test_parent_csr_expand_matches_per_node_lists(edges, probe):
+    from biocurator_mapper_ray.ops.graph import ParentCSR
+
+    children = np.array([c for c, _ in edges], dtype=np.int64)
+    parents = np.array([p for _, p in edges], dtype=np.int64)
+    csr = ParentCSR(children, parents)
+    idx = csr.index_of(np.array(probe, dtype=np.int64))
+    idx = idx[idx >= 0]
+    if not len(idx):
+        return
+    src, tgt = csr.expand(idx)
+    got = {}
+    for s, t in zip(src.tolist(), tgt.tolist()):
+        got.setdefault(s, []).append(int(csr.ids[t]))
+    for i, dense in enumerate(idx.tolist()):
+        node = int(csr.ids[dense])
+        want = sorted(p for c, p in edges if c == node)
+        assert sorted(got.get(i, [])) == want
