@@ -66,6 +66,13 @@ QUERIES = [
     "ngram_jaccard_documents",
     "dedup_minhash_documents",
     "dedup_exact_documents",
+    # round-3 second-session text ops (doc_id/text only)
+    "quality_filter_documents",
+    "cooccur_documents",
+    "sequence_pack_documents",
+    "chunk_spans_documents",
+    "boilerplate_documents",
+    "corpus_freq_documents",
 ]
 
 
