@@ -1166,6 +1166,25 @@ def _q_subtree_rollup(sf_dir: str):
     return out.sort("node")
 
 
+def _q_blocklist(sf_dir: str):
+    """Broadcast ANTI-join blocklist filter: drop documents whose id is
+    in a (deterministically derived) banned-id set — the opt-out /
+    revoked-license tombstone pass.  The blocklist rides through the
+    same sorted-set broadcast as the dedup semi-join; corpus streams
+    map-side, no exchange."""
+    from biocurator_mapper_ray.ops.dedup import semi_join_ids
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def banned(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        return pa.table({"doc_id": pa.array(ids[ids % 13 == 0])})
+
+    blocklist = ds.map_batches(banned, batch_format="pyarrow")
+    out = semi_join_ids(ds, blocklist, anti=True)
+    return out.sort("doc_id")
+
+
 def _q_boilerplate(sf_dir: str):
     """Line-level boilerplate scrub on planted headers/footers: a header
     shared by ALL docs and a footer shared by ~1/7 of docs cross the
@@ -1358,6 +1377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_freq_documents": _q_corpus_freq,
         "quantile_trim_documents": _q_quantile_trim,
         "boilerplate_documents": _q_boilerplate,
+        "blocklist_documents": _q_blocklist,
         "budget_sample_documents": _q_budget_sample,
         "sequence_pack_documents": _q_sequence_pack,
         "chunk_spans_documents": _q_chunk_spans,
@@ -2092,6 +2112,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_desc
             FROM anc JOIN documents d ON anc.node = d.doc_id
             GROUP BY 1 ORDER BY node
+        """,
+        "blocklist_documents": """
+            SELECT doc_id, source FROM documents
+            WHERE doc_id % 13 <> 0
+            ORDER BY doc_id
         """,
         "boilerplate_documents": """
             WITH aug AS (

@@ -287,12 +287,18 @@ def exact_dedup_ids(ds, column: str = "text", id_column: str = "doc_id",
     )
 
 
-def semi_join_ids(ds, ids, id_column: str = "doc_id"):
+def semi_join_ids(ds, ids, id_column: str = "doc_id", *,
+                  anti: bool = False):
     """Filter ``ds`` to rows whose ``id_column`` appears in the ``ids``
     Dataset — a broadcast semi-join: the id set (8 B/row) is collected
     once, sorted, shipped to the object store via ``ray.put`` and probed
     per batch with a vectorized ``np.searchsorted`` — the big side
     streams map-side with NO exchange.
+
+    ``anti=True`` inverts the membership test (broadcast ANTI-join):
+    keep rows whose id is NOT in the set — the blocklist / tombstone
+    filter of a curation pipeline (banned URLs, opt-out ids, revoked
+    licenses).  An empty blocklist then keeps everything.
 
     Partitioning assumption (SURVEY §2 custom-operator rule): the id
     set fits in worker memory (8 GB per billion ids).  Beyond that,
@@ -313,10 +319,11 @@ def semi_join_ids(ds, ids, id_column: str = "doc_id"):
     def keep_members(batch: pa.Table, ref=None) -> pa.Table:
         members = ref if isinstance(ref, np.ndarray) else _ray.get(ref)
         if members.size == 0:
-            return batch.slice(0, 0)
+            return batch if anti else batch.slice(0, 0)
         vals = batch.column(id_column).to_numpy()
         pos = np.minimum(np.searchsorted(members, vals), len(members) - 1)
-        return batch.filter(pa.array(members[pos] == vals))
+        member = members[pos] == vals
+        return batch.filter(pa.array(~member if anti else member))
 
     return ds.map_batches(keep_members, fn_kwargs={"ref": ids_ref},
                           batch_format="pyarrow")

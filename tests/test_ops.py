@@ -1153,3 +1153,28 @@ class TestFilterByQuantile:
         rows = [{"doc_id": i, "v": 5} for i in range(10)]
         got = filter_by_quantile(rd.from_items(rows), "v").to_pandas()
         assert len(got) == 10
+
+
+class TestAntiJoinIds:
+    def test_anti_drops_members_keeps_rest(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.dedup import semi_join_ids
+
+        ds = rd.from_items([{"doc_id": i, "text": f"t{i}"} for i in range(10)])
+        block = rd.from_items([{"doc_id": i} for i in (2, 5, 7)])
+        out = semi_join_ids(ds, block, anti=True).to_pandas()
+        assert sorted(out["doc_id"]) == [0, 1, 3, 4, 6, 8, 9]
+        # semi (default) is the complement
+        kept = semi_join_ids(ds, block).to_pandas()
+        assert sorted(kept["doc_id"]) == [2, 5, 7]
+
+    def test_empty_blocklist_keeps_everything(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.dedup import semi_join_ids
+
+        ds = rd.from_items([{"doc_id": 1, "text": "x"}])
+        empty = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64())}))
+        assert semi_join_ids(ds, empty, anti=True).count() == 1
