@@ -1178,3 +1178,19 @@ class TestAntiJoinIds:
         ds = rd.from_items([{"doc_id": 1, "text": "x"}])
         empty = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64())}))
         assert semi_join_ids(ds, empty, anti=True).count() == 1
+
+
+class TestCorpusFreqPartitionInvariance:
+    def test_same_evidence_any_partitioning(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.textstats import corpus_freq_scores
+
+        rows = [{"doc_id": i, "text": f"w{i % 5} w{i % 3} common"}
+                for i in range(60)]
+        a = corpus_freq_scores(rd.from_items(rows), top_v=4).to_pandas()
+        b = corpus_freq_scores(rd.from_items(rows).repartition(7),
+                               top_v=4).to_pandas()
+        a = a.sort_values("doc_id").reset_index(drop=True)
+        b = b.sort_values("doc_id").reset_index(drop=True)
+        assert a.equals(b)
