@@ -100,22 +100,32 @@ def run_bench() -> dict:
         files = sorted(
             os.path.join(tdir, f) for f in os.listdir(tdir) if f.endswith(".parquet")
         )
-        # 3 shard pipelines in flight over 6 shards at ≥16 CPUs: measured
+        # shard-plan defaults (see A/B note below): 4 in flight over 8
         # best on the 64M corpus (48-55 s vs 50-63 s for 2-in-flight/4
         # shards) — three staggered tails overlap link compute more
         # smoothly than two, and the last shard's solo tail is smaller.
         # 8 CPUs takes 2 in flight (94.8 s vs 118 s monolithic); at 4
         # CPUs two concurrent pipelines thrash (>15 min) so narrow
         # sessions keep the monolithic plan below.
-        in_flight = 3 if NUM_CPUS >= 16 else 2
+        # 4-in-flight over 8 shards beat 3/6 in every cycle of a paired
+        # interleaved A/B at 16 CPUs (47.2-49.9 s vs 50.4-63.0 s; 3/9
+        # was worse than both — per-shard fixed cost outweighs the
+        # smaller tail): four staggered tails pack the post-barrier idle
+        # tighter than three
+        in_flight = int(os.environ.get(
+            "RAY_GRAFT_INFLIGHT", "4" if NUM_CPUS >= 16 else "2"))
+        # more shards than 2×in_flight shrink the LAST shard's solo
+        # tail (the residual idle at high CPU counts) at the cost of
+        # more per-shard fixed overhead — override to experiment
+        num_shards = int(os.environ.get("RAY_GRAFT_SHARDS", 2 * in_flight))
         run_sharded_files(
             files, terms, out_dir, snapshot_hash="bench",
-            num_shards=2 * in_flight, in_flight=in_flight,
+            num_shards=num_shards, in_flight=in_flight,
             concurrency=(max(2, int(NUM_CPUS * 0.75 / in_flight)),) * 2,
             batch_size=65536, sort_output=False,
             blocks_per_shard=max(
                 NUM_CPUS // in_flight,
-                min(disk_bytes // (2 * in_flight) // (24 << 20),
+                min(disk_bytes // num_shards // (24 << 20),
                     3 * NUM_CPUS // in_flight),
             ),
         )
