@@ -100,18 +100,14 @@ def run_bench() -> dict:
         files = sorted(
             os.path.join(tdir, f) for f in os.listdir(tdir) if f.endswith(".parquet")
         )
-        # shard-plan defaults (see A/B note below): 4 in flight over 8
-        # best on the 64M corpus (48-55 s vs 50-63 s for 2-in-flight/4
-        # shards) — three staggered tails overlap link compute more
-        # smoothly than two, and the last shard's solo tail is smaller.
+        # shard-plan defaults, all from paired interleaved A/Bs on the
+        # 64M corpus: 4 in flight over 8 shards at ≥16 CPUs beat 3/6 in
+        # every cycle (47.2-49.9 s vs 50.4-63.0 s) — four staggered
+        # tails pack the post-barrier idle tighter; 3/9 was worse than
+        # both (per-shard fixed cost outweighs the smaller last tail).
         # 8 CPUs takes 2 in flight (94.8 s vs 118 s monolithic); at 4
         # CPUs two concurrent pipelines thrash (>15 min) so narrow
         # sessions keep the monolithic plan below.
-        # 4-in-flight over 8 shards beat 3/6 in every cycle of a paired
-        # interleaved A/B at 16 CPUs (47.2-49.9 s vs 50.4-63.0 s; 3/9
-        # was worse than both — per-shard fixed cost outweighs the
-        # smaller tail): four staggered tails pack the post-barrier idle
-        # tighter than three
         in_flight = int(os.environ.get(
             "RAY_GRAFT_INFLIGHT", "4" if NUM_CPUS >= 16 else "2"))
         # more shards than 2×in_flight shrink the LAST shard's solo
