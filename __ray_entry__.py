@@ -728,22 +728,14 @@ def _q_decontam(sf_dir: str):
 
 
 def _q_price_quantiles(sf_dir: str):
-    """Exact p25/p50/p90/p99 of order totalprice in cents via two-pass
-    distributed histogram refinement (rank = ceil(q·n), DuckDB
+    """Exact p25/p50/p90/p99 of order totalprice — NATIVE double, no
+    cents cast — via multi-pass distributed histogram refinement over
+    the IEEE-754 order-preserving key (rank = ceil(q·n), DuckDB
     quantile_disc semantics)."""
     from biocurator_mapper_ray.ops.quantile import exact_quantiles
 
     ds = _read(sf_dir, "orders", columns=["o_totalprice"])
-
-    def cents(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "cents": pc.cast(
-                pc.round(pc.multiply(batch.column("o_totalprice"), 100.0),
-                         ndigits=0), pa.int64()),
-        })
-
-    return exact_quantiles(ds.map_batches(cents, batch_format="pyarrow"),
-                           "cents", [0.25, 0.5, 0.9, 0.99])
+    return exact_quantiles(ds, "o_totalprice", [0.25, 0.5, 0.9, 0.99])
 
 
 def _q_word_counts(sf_dir: str):
@@ -943,23 +935,14 @@ def _q_top_orders_per_priority(sf_dir: str):
 
 
 def _q_price_quantiles_by_priority(sf_dir: str):
-    """Per-group exact quantiles (p50/p90 of order totalprice in cents
-    per priority) — grouped two-pass histogram refinement."""
+    """Per-group exact quantiles (p50/p90 of order totalprice per
+    priority, NATIVE double) — grouped multi-pass histogram
+    refinement."""
     from biocurator_mapper_ray.ops.quantile import grouped_exact_quantiles
 
     ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
-
-    def cents(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "o_orderpriority": batch.column("o_orderpriority"),
-            "cents": pc.cast(
-                pc.round(pc.multiply(batch.column("o_totalprice"), 100.0),
-                         ndigits=0), pa.int64()),
-        })
-
     return grouped_exact_quantiles(
-        ds.map_batches(cents, batch_format="pyarrow"),
-        "cents", "o_orderpriority", [0.5, 0.9],
+        ds, "o_totalprice", "o_orderpriority", [0.5, 0.9],
     )
 
 
@@ -1554,18 +1537,14 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY o_orderpriority, rn
         """,
         "price_quantiles_by_priority": """
-            WITH cents AS (
-                SELECT o_orderpriority,
-                       CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
-                FROM orders
-            )
             SELECT o_orderpriority, q, value FROM (
                 SELECT o_orderpriority, 0.5 AS q,
-                       quantile_disc(c, 0.5) AS value
-                FROM cents GROUP BY o_orderpriority
+                       quantile_disc(o_totalprice, 0.5) AS value
+                FROM orders GROUP BY o_orderpriority
                 UNION ALL
-                SELECT o_orderpriority, 0.9, quantile_disc(c, 0.9)
-                FROM cents GROUP BY o_orderpriority
+                SELECT o_orderpriority, 0.9,
+                       quantile_disc(o_totalprice, 0.9)
+                FROM orders GROUP BY o_orderpriority
             ) ORDER BY o_orderpriority, q
         """,
         "hll_tokens_documents": """
@@ -1900,18 +1879,15 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY a, b
         """,
         "price_quantiles": """
-            WITH cents AS (
-                SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
-                FROM orders
-            )
             SELECT q, value FROM (
-                SELECT 0.25 AS q, quantile_disc(c, 0.25) AS value FROM cents
+                SELECT 0.25 AS q, quantile_disc(o_totalprice, 0.25) AS value
+                FROM orders
                 UNION ALL
-                SELECT 0.5, quantile_disc(c, 0.5) FROM cents
+                SELECT 0.5, quantile_disc(o_totalprice, 0.5) FROM orders
                 UNION ALL
-                SELECT 0.9, quantile_disc(c, 0.9) FROM cents
+                SELECT 0.9, quantile_disc(o_totalprice, 0.9) FROM orders
                 UNION ALL
-                SELECT 0.99, quantile_disc(c, 0.99) FROM cents
+                SELECT 0.99, quantile_disc(o_totalprice, 0.99) FROM orders
             ) ORDER BY q
         """,
         "word_counts_documents": """

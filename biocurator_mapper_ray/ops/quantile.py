@@ -1,15 +1,28 @@
-"""Exact distributed order statistics over an integer column.
+"""Exact distributed order statistics over an integer or float column.
 
-Two-pass histogram refinement — the classic distributed-selection
-algorithm: pass 1 counts values by COARSE bucket (a distributive
-groupby whose result is bounded by the bucket count, ~2^16, never by
-rows); the driver folds the bucket CDF to locate each quantile's
-bucket; pass 2 counts exact values inside only the needed buckets
-(bounded by those buckets' distinct values).  Driver-side data is
-bucket-scale at every step, so the op holds at any corpus size, and
-the answers are EXACT — rank = ceil(q·n), matching DuckDB's
-``quantile_disc`` (verified empirically), which gives it an exact SQL
-oracle.
+Multi-pass histogram refinement — the classic distributed-selection
+algorithm, generalised from the usual integer-only form with an
+order-preserving ``uint64`` key encoding (identity-shift for integers,
+the IEEE-754 monotone bit trick for floats), so quantiles come back in
+the column's NATIVE dtype with no silent truncation:
+
+* pass 0 folds (min key, max key, n) from one lean row per batch;
+* each refinement pass counts rows by coarse key-bucket (a distributive
+  groupby whose result is bounded by ``qs × 2^coarse_bits`` rows, never
+  by data rows) and the driver folds the bucket CDF to locate each
+  quantile's bucket plus its residual rank;
+* passes repeat at ``coarse_bits`` finer granularity per level until the
+  bucket width is one key unit — at which point the located key IS the
+  answer.  Driver-side state is bucket-scale at every level (the old
+  two-pass form collected all DISTINCT values inside the needed buckets,
+  which a pathological column could blow up; the loop removes that).
+
+Answers are EXACT — rank = ceil(q·n), matching DuckDB's
+``quantile_disc`` (verified empirically), which gives every caller an
+exact SQL oracle.  NaNs are not supported (the IEEE key maps them to
+the extremes, silently skewing ranks — filter them first); -0.0 and
++0.0 are kept distinct (-0.0 sorts first), the one knowable divergence
+from SQL comparison semantics.
 """
 
 from __future__ import annotations
@@ -19,222 +32,278 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+_SIGN = np.uint64(1 << 63)
+_ALL1 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _encode_keys(v: np.ndarray) -> np.ndarray:
+    """Order-preserving uint64 key: k(a) < k(b)  ⇔  a < b.
+
+    Integers shift by 2^63; floats use the IEEE-754 monotone bit trick
+    (positive: set the sign bit; negative: flip all bits).
+    """
+    if v.dtype.kind == "u":
+        return v.astype(np.uint64)
+    if v.dtype.kind == "i":
+        return v.astype(np.int64).view(np.uint64) ^ _SIGN
+    bits = v.astype(np.float64).view(np.uint64)
+    neg = (bits >> np.uint64(63)).astype(bool)
+    return bits ^ np.where(neg, _ALL1, _SIGN)
+
+
+def _decode_key(key: int, arrow_type: pa.DataType):
+    """Inverse of :func:`_encode_keys` for one driver-side key."""
+    k = np.uint64(key)
+    if pa.types.is_floating(arrow_type):
+        bits = (k ^ _ALL1) if (k >> np.uint64(63)) == 0 else (k ^ _SIGN)
+        return float(np.uint64(bits).view(np.float64))
+    if pa.types.is_unsigned_integer(arrow_type):
+        return int(k)
+    return int((k ^ _SIGN).view(np.int64))
+
+
+def _value_series(keys: list[int], arrow_type: pa.DataType) -> np.ndarray:
+    vals = [_decode_key(k, arrow_type) for k in keys]
+    dt = np.float64 if pa.types.is_floating(arrow_type) else np.int64
+    return np.asarray(vals, dtype=dt)
+
+
+def _rel(v: np.ndarray, lo: int) -> np.ndarray:
+    """Key distance from the global minimum, exact in uint64."""
+    return _encode_keys(v) - np.uint64(lo)
+
+
+def _column_type(ds, column: str) -> pa.DataType:
+    sch = ds.schema()
+    return dict(zip(sch.names, sch.types))[column]
+
+
+def exact_quantiles(ds, column: str, qs: list[float], *,
+                    coarse_bits: int = 16) -> pd.DataFrame:
+    """→ DataFrame (q float64, value in the column's native dtype): the
+    exact ceil(q·n)-th smallest value of ``column`` for each q.
+
+    ``2 + ceil(key_span_bits / coarse_bits)`` bounded executions: one
+    min/max/n fold, then one coarse-bucket count exchange per refinement
+    level (integer columns with span < 2^32 finish in two levels; float
+    columns take up to four).
+    """
+    arrow_type = _column_type(ds, column)
+
+    def minmax(batch: pa.Table) -> pa.Table:
+        v = batch.column(column).to_numpy()
+        if not len(v):
+            return pa.table({"lo": pa.array([], pa.uint64()),
+                             "hi": pa.array([], pa.uint64()),
+                             "n": pa.array([], pa.int64())})
+        k = _encode_keys(v)
+        return pa.table({"lo": pa.array([k.min()], pa.uint64()),
+                         "hi": pa.array([k.max()], pa.uint64()),
+                         "n": pa.array([len(v)])})
+
+    mm = ds.map_batches(minmax, batch_format="pyarrow").to_pandas()
+    if mm.empty or mm["n"].sum() == 0:
+        dt = np.float64 if pa.types.is_floating(arrow_type) else np.int64
+        return pd.DataFrame({"q": pd.Series(dtype=np.float64),
+                             "value": pd.Series(dtype=dt)})
+    lo = int(mm["lo"].min())
+    span = int(mm["hi"].max()) - lo
+    n = int(mm["n"].sum())
+
+    # per-q residual rank within its current needed bucket; the bucket
+    # itself is tracked at prev_shift granularity (None = whole span)
+    state = {q: [None, min(n, max(1, int(np.ceil(q * n))))] for q in qs}
+    shift = max(0, span.bit_length() - coarse_bits)
+    prev_shift: int | None = None
+
+    while True:
+        s, ps = shift, prev_shift
+        needed = (np.unique(np.array([b for b, _ in state.values()],
+                                     dtype=np.uint64))
+                  if ps is not None else None)
+
+        def bucket_counts(batch: pa.Table, *, _s=s, _ps=ps,
+                          _needed=needed) -> pa.Table:
+            rel = _rel(batch.column(column).to_numpy(), lo)
+            if _ps is not None:
+                rel = rel[np.isin(rel >> np.uint64(_ps), _needed)]
+            b = rel >> np.uint64(_s)
+            uniq, counts = np.unique(b, return_counts=True)
+            return pa.table({"bucket": pa.array(uniq, pa.uint64()),
+                             "cnt": pa.array(counts.astype(np.int64)),
+                             "__s": pa.array((uniq % 16).astype(np.int32))})
+
+        def combine(group: pd.DataFrame) -> pd.DataFrame:
+            # salt-shard combine: one task per shard, vectorized within —
+            # a per-bucket-key groupby would pay per-group task overhead
+            # for up to qs × 2^coarse_bits singleton groups
+            return (
+                group.drop(columns="__s")
+                .groupby("bucket", sort=True)["cnt"].sum().reset_index()
+            )
+
+        hist = (
+            ds.map_batches(bucket_counts, batch_format="pyarrow")
+            .groupby("__s")
+            .map_groups(combine, batch_format="pandas")
+            .to_pandas()  # ≤ qs × 2^coarse_bits rows — bucket-scale
+            .sort_values("bucket")
+        )
+        buckets = hist["bucket"].to_numpy().astype(np.uint64)
+        counts = hist["cnt"].to_numpy()
+
+        width = ps - s if ps is not None else None
+        for q, st in state.items():
+            if ps is None:
+                sel = np.ones(len(buckets), dtype=bool)
+            else:
+                sel = (buckets >> np.uint64(width)) == st[0]
+            cum = counts[sel].cumsum()
+            i = int(np.searchsorted(cum, st[1], side="left"))
+            below = int(cum[i - 1]) if i else 0
+            st[0] = buckets[sel][i]
+            st[1] -= below
+
+        if shift == 0:
+            break
+        prev_shift, shift = shift, max(0, shift - coarse_bits)
+
+    keys = [lo + int(st[0]) for st in state.values()]
+    return (
+        pd.DataFrame({"q": np.asarray(list(state), dtype=np.float64),
+                      "value": _value_series(keys, arrow_type)})
+        .sort_values("q")
+        .reset_index(drop=True)
+    )
+
 
 def grouped_exact_quantiles(ds, column: str, group_col: str, qs: list[float], *,
                             coarse_bits: int = 16) -> pd.DataFrame:
     """Exact per-group quantiles → DataFrame (group, q, value), the
-    grouped form of :func:`exact_quantiles` with the same two-pass
+    grouped form of :func:`exact_quantiles` with the same multi-pass
     histogram refinement, every exchange keyed by (group, bucket).
 
-    Scale contract: driver-side state is groups × needed-buckets (the
-    RESULT is per-group scalars, so group cardinality is driver-bounded
-    by definition); row-scale data never leaves the cluster.  Bucketing
-    uses one global [lo, hi) span — per-group spans would save refine
-    work only when group ranges are disjoint.
+    Scale contract: driver-side state is groups × qs needed buckets per
+    level (the RESULT is per-group scalars, so group cardinality is
+    driver-bounded by definition); row-scale data never leaves the
+    cluster.  Bucketing uses one global [lo, hi) key span — per-group
+    spans would save refine work only when group ranges are disjoint.
     """
+    arrow_type = _column_type(ds, column)
+    val_dt = np.float64 if pa.types.is_floating(arrow_type) else np.int64
+
     def minmax(batch: pa.Table) -> pa.Table:
         df = batch.select([group_col, column]).to_pandas()
-        g = df.groupby(group_col, sort=False)[column].agg(["min", "max", "count"])
+        df["__k"] = _encode_keys(df[column].to_numpy())
+        g = df.groupby(group_col, sort=False)["__k"].agg(["min", "max", "count"])
         g = g.reset_index()
         g.columns = [group_col, "lo", "hi", "n"]
-        return pa.Table.from_pandas(g, preserve_index=False)
+        t = pa.Table.from_pandas(g, preserve_index=False)
+        return t.set_column(t.schema.get_field_index("lo"), "lo",
+                            t.column("lo").cast(pa.uint64())).set_column(
+            t.schema.get_field_index("hi"), "hi",
+            t.column("hi").cast(pa.uint64()))
 
     mm = ds.map_batches(minmax, batch_format="pyarrow").to_pandas()
     if mm.empty or mm["n"].sum() == 0:
         return pd.DataFrame({group_col: pd.Series(dtype=object),
                              "q": pd.Series(dtype=np.float64),
-                             "value": pd.Series(dtype=np.int64)})
+                             "value": pd.Series(dtype=val_dt)})
     per_group = mm.groupby(group_col).agg(
         lo=("lo", "min"), hi=("hi", "max"), n=("n", "sum")
     )
     lo = int(per_group["lo"].min())
     span = int(per_group["hi"].max()) - lo
-    shift = max(0, span.bit_length() - coarse_bits)
 
-    def bucket_counts(batch: pa.Table) -> pa.Table:
-        df = batch.select([group_col, column]).to_pandas()
-        df["bucket"] = (df[column].to_numpy().astype(np.int64) - lo) >> shift
-        g = df.groupby([group_col, "bucket"], sort=False).size().reset_index(name="cnt")
-        salt = (g["bucket"].to_numpy() % 16).astype(np.int32)
-        return pa.Table.from_pandas(g, preserve_index=False).append_column(
-            "__s", pa.array(salt))
-
-    def combine(group: pd.DataFrame) -> pd.DataFrame:
-        return (
-            group.drop(columns="__s")
-            .groupby([group_col, "bucket"], sort=True)["cnt"].sum().reset_index()
-        )
-
-    hist = (
-        ds.map_batches(bucket_counts, batch_format="pyarrow")
-        .groupby("__s").map_groups(combine, batch_format="pandas")
-        .to_pandas()  # ≤ groups × 2^coarse_bits rows
-        .sort_values([group_col, "bucket"])
-    )
-
-    # per-group CDF → (group, bucket) → [(q, residual rank)]
-    need: dict[tuple, list[tuple[float, int]]] = {}
-    for grp, gh in hist.groupby(group_col, sort=False):
-        n = int(per_group.loc[grp, "n"])
-        buckets = gh["bucket"].to_numpy()
-        cum = gh["cnt"].to_numpy().cumsum()
+    # state[(grp, q)] = [needed bucket at prev_shift (None = all), resid]
+    state: dict[tuple, list] = {}
+    for grp, row in per_group.iterrows():
+        n = int(row["n"])
         for q in qs:
-            k = min(n, max(1, int(np.ceil(q * n))))
-            i = int(np.searchsorted(cum, k, side="left"))
-            below = int(cum[i - 1]) if i else 0
-            need.setdefault((grp, int(buckets[i])), []).append((q, k - below))
+            state[(grp, q)] = [None, min(n, max(1, int(np.ceil(q * n))))]
+    shift = max(0, span.bit_length() - coarse_bits)
+    prev_shift: int | None = None
 
-    needed_buckets = {b for (_, b) in need}
+    while True:
+        s, ps = shift, prev_shift
+        if ps is not None:
+            need_pairs = pd.DataFrame(
+                [(g, int(st[0])) for (g, _), st in state.items()],
+                columns=[group_col, "__pb"],
+            ).drop_duplicates()
+        else:
+            need_pairs = None
 
-    def value_counts(batch: pa.Table) -> pa.Table:
-        df = batch.select([group_col, column]).to_pandas()
-        v = df[column].to_numpy().astype(np.int64)
-        b = (v - lo) >> shift
-        mask = np.isin(b, list(needed_buckets))
-        df = df[mask]
-        g = df.groupby([group_col, column], sort=False).size().reset_index(name="cnt")
-        salt = (g[column].to_numpy() % 16).astype(np.int32)
-        return pa.Table.from_pandas(g, preserve_index=False).append_column(
-            "__s", pa.array(salt))
+        def bucket_counts(batch: pa.Table, *, _s=s, _ps=ps,
+                          _need=need_pairs) -> pa.Table:
+            grp_type = batch.schema.field(group_col).type
+            empty = pa.table({group_col: pa.array([], grp_type),
+                              "bucket": pa.array([], pa.int64()),
+                              "cnt": pa.array([], pa.int64()),
+                              "__s": pa.array([], pa.int32())})
+            df = batch.select([group_col, column]).to_pandas()
+            if df.empty:
+                return empty
+            rel = _rel(df[column].to_numpy(), lo)
+            if _ps is not None:
+                df["__pb"] = (rel >> np.uint64(_ps)).astype(np.int64)
+                df["__rel"] = rel
+                df = df.merge(_need, on=[group_col, "__pb"])  # semi-join
+                if df.empty:  # typed empty keeps block schemas uniform
+                    return empty
+                rel = df["__rel"].to_numpy().astype(np.uint64)
+            out = pd.DataFrame({
+                group_col: df[group_col].to_numpy(),
+                "bucket": (rel >> np.uint64(_s)).astype(np.int64),
+            })
+            g = out.groupby([group_col, "bucket"], sort=False).size() \
+                   .reset_index(name="cnt")
+            salt = (g["bucket"].to_numpy() % 16).astype(np.int32)
+            return pa.Table.from_pandas(g, preserve_index=False) \
+                           .append_column("__s", pa.array(salt))
 
-    def combine_v(group: pd.DataFrame) -> pd.DataFrame:
-        return (
-            group.drop(columns="__s")
-            .groupby([group_col, column], sort=True)["cnt"].sum().reset_index()
+        def combine(group: pd.DataFrame) -> pd.DataFrame:
+            return (
+                group.drop(columns="__s")
+                .groupby([group_col, "bucket"], sort=True)["cnt"].sum()
+                .reset_index()
+            )
+
+        hist = (
+            ds.map_batches(bucket_counts, batch_format="pyarrow")
+            .groupby("__s").map_groups(combine, batch_format="pandas")
+            .to_pandas()  # ≤ groups × qs × 2^coarse_bits rows
+            .sort_values([group_col, "bucket"])
         )
 
-    fine = (
-        ds.map_batches(value_counts, batch_format="pyarrow")
-        .groupby("__s").map_groups(combine_v, batch_format="pandas")
-        .to_pandas()
-        .sort_values([group_col, column])
-    )
-    out_g, out_q, out_v = [], [], []
-    for grp, gf in fine.groupby(group_col, sort=False):
-        fv = gf[column].to_numpy()
-        fb = (fv - lo) >> shift
-        fc = gf["cnt"].to_numpy()
-        for (g2, bucket), wants in need.items():
-            if g2 != grp:
-                continue
-            sel = fb == bucket
-            vals, counts = fv[sel], fc[sel].cumsum()
-            for q, resid in wants:
-                j = int(np.searchsorted(counts, resid, side="left"))
-                out_g.append(grp)
-                out_q.append(q)
-                out_v.append(int(vals[j]))
+        width = ps - s if ps is not None else None
+        for grp, gh in hist.groupby(group_col, sort=False):
+            gb = gh["bucket"].to_numpy().astype(np.uint64)
+            gc = gh["cnt"].to_numpy()
+            for q in qs:
+                st = state[(grp, q)]
+                if ps is None:
+                    sel = np.ones(len(gb), dtype=bool)
+                else:
+                    sel = (gb >> np.uint64(width)) == st[0]
+                cum = gc[sel].cumsum()
+                i = int(np.searchsorted(cum, st[1], side="left"))
+                below = int(cum[i - 1]) if i else 0
+                st[0] = gb[sel][i]
+                st[1] -= below
+
+        if shift == 0:
+            break
+        prev_shift, shift = shift, max(0, shift - coarse_bits)
+
+    out_g = [g for (g, _) in state]
+    out_q = [q for (_, q) in state]
+    keys = [lo + int(st[0]) for st in state.values()]
     return (
         pd.DataFrame({group_col: out_g,
                       "q": np.asarray(out_q, dtype=np.float64),
-                      "value": np.asarray(out_v, dtype=np.int64)})
+                      "value": _value_series(keys, arrow_type)})
         .sort_values([group_col, "q"])
-        .reset_index(drop=True)
-    )
-
-
-def exact_quantiles(ds, column: str, qs: list[float], *,
-                    coarse_bits: int = 16) -> pd.DataFrame:
-    """→ DataFrame (q float64, value int64): the exact ceil(q·n)-th
-    smallest value of ``column`` (int64) for each q.
-
-    Three bounded executions: min/max aggregate, coarse-bucket count
-    exchange, needed-bucket value-count exchange.
-    """
-    # pass 0: (lo, hi, n) folded from one row per batch — a single
-    # execution instead of three Aggregate ops
-    def minmax(batch: pa.Table) -> pa.Table:
-        v = batch.column(column).to_numpy()
-        if not len(v):
-            return pa.table({"lo": pa.array([], pa.int64()),
-                             "hi": pa.array([], pa.int64()),
-                             "n": pa.array([], pa.int64())})
-        return pa.table({"lo": pa.array([int(v.min())]),
-                         "hi": pa.array([int(v.max())]),
-                         "n": pa.array([len(v)])})
-
-    mm = ds.map_batches(minmax, batch_format="pyarrow").to_pandas()
-    if mm.empty or mm["n"].sum() == 0:
-        return pd.DataFrame({"q": pd.Series(dtype=np.float64),
-                             "value": pd.Series(dtype=np.int64)})
-    lo, hi, n = int(mm["lo"].min()), int(mm["hi"].max()), int(mm["n"].sum())
-    span = hi - lo
-    shift = max(0, span.bit_length() - coarse_bits)
-
-    def bucket_counts(batch: pa.Table) -> pa.Table:
-        v = batch.column(column).to_numpy().astype(np.int64)
-        b = (v - lo) >> shift
-        uniq, counts = np.unique(b, return_counts=True)
-        return pa.table({"bucket": pa.array(uniq),
-                         "cnt": pa.array(counts.astype(np.int64)),
-                         "__s": pa.array((uniq % 16).astype(np.int32))})
-
-    def combine(group: pd.DataFrame) -> pd.DataFrame:
-        # salt-shard combine: one task per shard, vectorized within — a
-        # per-bucket-key groupby would pay per-group task overhead for
-        # up to 2^coarse_bits singleton groups
-        return (
-            group.drop(columns="__s")
-            .groupby("bucket", sort=True)["cnt"].sum().reset_index()
-        )
-
-    hist = (
-        ds.map_batches(bucket_counts, batch_format="pyarrow")
-        .groupby("__s")
-        .map_groups(combine, batch_format="pandas")
-        .to_pandas()  # ≤ 2^coarse_bits rows — bucket-scale, not row-scale
-        .sort_values("bucket")
-    )
-    buckets = hist["bucket"].to_numpy()
-    cum = hist["cnt"].to_numpy().cumsum()
-
-    # locate each rank's bucket and its within-bucket residual rank
-    ranks = [min(n, max(1, int(np.ceil(q * n)))) for q in qs]
-    need: dict[int, list[tuple[float, int]]] = {}
-    for q, k in zip(qs, ranks):
-        i = int(np.searchsorted(cum, k, side="left"))
-        below = int(cum[i - 1]) if i else 0
-        need.setdefault(int(buckets[i]), []).append((q, k - below))
-
-    needed = set(need)
-
-    def value_counts(batch: pa.Table) -> pa.Table:
-        v = batch.column(column).to_numpy().astype(np.int64)
-        b = (v - lo) >> shift
-        mask = np.isin(b, list(needed))
-        uniq, counts = np.unique(v[mask], return_counts=True)
-        return pa.table({"value": pa.array(uniq),
-                         "cnt": pa.array(counts.astype(np.int64)),
-                         "__s": pa.array((uniq % 16).astype(np.int32))})
-
-    def combine_v(group: pd.DataFrame) -> pd.DataFrame:
-        return (
-            group.drop(columns="__s")
-            .groupby("value", sort=True)["cnt"].sum().reset_index()
-        )
-
-    fine = (
-        ds.map_batches(value_counts, batch_format="pyarrow")
-        .groupby("__s")
-        .map_groups(combine_v, batch_format="pandas")
-        .to_pandas()  # distinct values inside the needed buckets only
-        .sort_values("value")
-    )
-    out_q, out_v = [], []
-    fv = fine["value"].to_numpy()
-    fb = (fv - lo) >> shift
-    fc = fine["cnt"].to_numpy()
-    for bucket, wants in need.items():
-        sel = fb == bucket
-        vals, counts = fv[sel], fc[sel].cumsum()
-        for q, resid in wants:
-            j = int(np.searchsorted(counts, resid, side="left"))
-            out_q.append(q)
-            out_v.append(int(vals[j]))
-    return (
-        pd.DataFrame({"q": np.asarray(out_q, dtype=np.float64),
-                      "value": np.asarray(out_v, dtype=np.int64)})
-        .sort_values("q")
         .reset_index(drop=True)
     )
 
@@ -244,15 +313,16 @@ def filter_by_quantile(ds, column: str, *, lo_q: float = 0.05,
     """Keep rows whose ``column`` lies inside the EXACT [lo_q, hi_q]
     quantile band — the length/outlier trim every curation pipeline
     applies ("drop the shortest 5% and longest 5%"), composed from
-    :func:`exact_quantiles` (driver state: two ints) + a map-side
-    vectorized filter.  Inclusive on both thresholds, matching DuckDB's
-    ``BETWEEN quantile_disc(lo_q) AND quantile_disc(hi_q)``.
+    :func:`exact_quantiles` (driver state: two scalars) + a map-side
+    vectorized filter.  Inclusive on both thresholds in the column's
+    NATIVE dtype (no integer truncation on float columns), matching
+    DuckDB's ``BETWEEN quantile_disc(lo_q) AND quantile_disc(hi_q)``.
     """
     qdf = exact_quantiles(ds, column, [lo_q, hi_q], coarse_bits=coarse_bits)
     if qdf.empty:
         return ds
-    lo_v = int(qdf["value"].iloc[0])
-    hi_v = int(qdf["value"].iloc[-1])
+    lo_v = qdf["value"].iloc[0].item()
+    hi_v = qdf["value"].iloc[-1].item()
 
     def keep(batch: pa.Table) -> pa.Table:
         v = batch.column(column)

@@ -674,6 +674,70 @@ class TestQuantilesAndWordCounts:
             k = min(len(s), max(1, int(np.ceil(q * len(s)))))
             assert v == s[k - 1], (q, v, s[k - 1])
 
+    def test_exact_quantiles_float_native_dtype(self, ray_session):
+        # float columns must come back as exact data values in float64 —
+        # no int() truncation (ADVICE r3: int(10.7)=10 silently widened
+        # the band in filter_by_quantile)
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.quantile import exact_quantiles
+
+        rng = np.random.default_rng(9)
+        vals = np.concatenate([rng.normal(10.7, 3.0, 4000),
+                               [-0.0, 0.0, -123.456, 1e9]])
+        qs = [0.01, 0.25, 0.5, 0.9, 1.0]
+        out = exact_quantiles(
+            rd.from_pandas(pd.DataFrame({"v": vals})).repartition(5), "v", qs
+        )
+        assert out["value"].dtype == np.float64
+        s = np.sort(vals)
+        for q, v in zip(out["q"], out["value"]):
+            k = min(len(s), max(1, int(np.ceil(q * len(s)))))
+            assert v == s[k - 1], (q, v, s[k - 1])
+
+    def test_grouped_exact_quantiles_float(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.quantile import grouped_exact_quantiles
+
+        rng = np.random.default_rng(13)
+        df = pd.DataFrame({
+            "grp": rng.choice(["a", "b"], 1500),
+            "v": rng.normal(0.0, 50.0, 1500),
+        })
+        out = grouped_exact_quantiles(
+            rd.from_pandas(df).repartition(4), "v", "grp", [0.25, 0.9]
+        )
+        assert out["value"].dtype == np.float64
+        for grp, gdf in df.groupby("grp"):
+            sv = np.sort(gdf["v"].to_numpy())
+            for q in [0.25, 0.9]:
+                k = min(len(sv), max(1, int(np.ceil(q * len(sv)))))
+                got = out[(out["grp"] == grp) & (out["q"] == q)]["value"].iloc[0]
+                assert got == sv[k - 1], (grp, q, got, sv[k - 1])
+
+    def test_filter_by_quantile_float_band_is_exact(self, ray_session):
+        # regression for the int()-truncation defect: thresholds must be
+        # the exact discrete quantile values of the float column
+        import duckdb
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.quantile import filter_by_quantile
+
+        rng = np.random.default_rng(21)
+        df = pd.DataFrame({"id": np.arange(3000, dtype=np.int64),
+                           "score": np.round(rng.normal(10.7, 3.0, 3000), 3)})
+        got = (filter_by_quantile(rd.from_pandas(df).repartition(4), "score",
+                                  lo_q=0.1, hi_q=0.9)
+               .to_pandas().sort_values("id").reset_index(drop=True))
+        want = duckdb.sql(
+            """SELECT id FROM df WHERE score BETWEEN
+               (SELECT quantile_disc(score, 0.1) FROM df)
+               AND (SELECT quantile_disc(score, 0.9) FROM df)
+               ORDER BY id"""
+        ).df()
+        assert (got["id"].to_numpy() == want["id"].to_numpy()).all()
+
     def test_exact_quantiles_heavy_duplicates(self, ray_session):
         import ray.data as rd
 
