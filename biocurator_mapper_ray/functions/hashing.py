@@ -100,3 +100,72 @@ def hash64_column(arr: pa.ChunkedArray | pa.Array, seed: int = 0) -> np.ndarray:
 
 def stable_bucket(s: str, buckets: int, seed: int = 0) -> int:
     return stable_hash64(s, seed) % buckets
+
+
+# --- vectorized md5 (DuckDB kernel) -----------------------------------
+#
+# Several ops key rows by md5 so their DuckDB oracles can reproduce the
+# key bit-for-bit (sampling, sequence packing, text-light exact dedup).
+# hashlib costs a Python loop per row — at billions of rows that loop
+# dominates the lean pass (ADVICE r3).  These helpers evaluate the SAME
+# md5 SQL expression the oracles use, inside an embedded single-threaded
+# DuckDB connection cached per worker process: vectorized C, zero-copy
+# Arrow in/out, order-preserving (preserve_insertion_order defaults on
+# and threads=1 removes scan-parallelism reordering).
+
+_DUCK = None
+
+
+def _duck():
+    global _DUCK
+    if _DUCK is None:
+        import duckdb
+
+        _DUCK = duckdb.connect(config={"threads": 1})
+    return _DUCK
+
+
+def _as_string_array(arr) -> pa.Array:
+    if isinstance(arr, (list, np.ndarray)):
+        try:
+            arr = pa.array(arr)
+        except (pa.ArrowInvalid, pa.ArrowTypeError):
+            arr = pa.array([None if v is None else str(v) for v in arr],
+                           pa.string())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not pa.types.is_string(arr.type):
+        arr = pc.cast(arr, pa.string())
+    return arr
+
+
+def md5_prefix_u64(strings, nhex: int = 16, prefix: str = "") -> np.ndarray:
+    """uint64 array from the first ``nhex`` (≤16) hex chars of
+    ``md5(prefix || s)`` — identical to the oracle expression
+    ``CAST('0x' || substr(md5(prefix || s), 1, nhex) AS UBIGINT)``."""
+    arr = _as_string_array(strings)
+    if len(arr) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    tbl = pa.table({"s": pc.fill_null(arr, "")})  # noqa: F841 (duckdb scan)
+    lit = prefix.replace("'", "''")
+    out = _duck().execute(
+        f"SELECT CAST('0x' || substr(md5('{lit}' || s), 1, {nhex}) "
+        "AS UBIGINT) AS h FROM tbl"
+    ).arrow()
+    return out.column("h").to_numpy(zero_copy_only=False).astype(np.uint64)
+
+
+def md5_u128(strings) -> tuple[np.ndarray, np.ndarray]:
+    """(hi, lo) uint64 arrays of the full 16-byte md5 digest (big-endian
+    hex halves), null strings hashed as the empty string."""
+    arr = _as_string_array(strings)
+    if len(arr) == 0:
+        z = np.zeros(0, dtype=np.uint64)
+        return z, z
+    tbl = pa.table({"s": pc.fill_null(arr, "")})  # noqa: F841
+    out = _duck().execute(
+        "SELECT CAST('0x' || substr(md5(s), 1, 16) AS UBIGINT) AS hi, "
+        "CAST('0x' || substr(md5(s), 17, 16) AS UBIGINT) AS lo FROM tbl"
+    ).arrow()
+    return (out.column("hi").to_numpy(zero_copy_only=False).astype(np.uint64),
+            out.column("lo").to_numpy(zero_copy_only=False).astype(np.uint64))

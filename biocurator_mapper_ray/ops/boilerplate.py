@@ -49,9 +49,22 @@ def _explode_lines(batch: pa.Table, text_column: str, id_column: str):
 
 def frequent_line_hashes(ds, *, text_column: str = "text",
                          id_column: str = "doc_id", min_docs: int,
-                         shards: int = 32) -> np.ndarray:
+                         shards: int = 32,
+                         max_lines: int = 4_000_000) -> np.ndarray:
     """Sorted uint64 hashes of lines appearing in ≥ ``min_docs``
-    DISTINCT documents (the broadcast side of the scrub)."""
+    DISTINCT documents (the broadcast side of the scrub).
+
+    ``max_lines`` bounds the broadcast set — and, because the cap is
+    applied INSIDE the salted combine (each shard keeps its
+    ``max_lines/shards`` most-frequent qualifying lines, ties broken by
+    hash), the driver-side collect too.  An adversarial corpus where
+    every line qualifies therefore cannot pull corpus-line-scale data
+    to the driver; the least-frequent overflow lines are left unscrubbed
+    and a warning reports how many were dropped.  Hashes are salted
+    uniformly across shards, so the per-shard quota is an unbiased
+    approximation of the global top-``max_lines``.
+    """
+    quota = max(1, max_lines // shards)
 
     def partial(batch: pa.Table) -> pa.Table:
         flat, doc, _ = _explode_lines(batch, text_column, id_column)
@@ -74,7 +87,17 @@ def frequent_line_hashes(ds, *, text_column: str = "text",
 
     def combine(group: pd.DataFrame) -> pd.DataFrame:
         g = group.groupby("h", sort=False, as_index=False)["n"].sum()
-        return g[g["n"] >= min_docs][["h"]]
+        g = g[g["n"] >= min_docs]
+        dropped = 0
+        if len(g) > quota:
+            dropped = len(g) - quota
+            g = g.sort_values(["n", "h"],
+                              ascending=[False, True]).head(quota)
+        g = g[["h"]].reset_index(drop=True)
+        g["__dropped"] = 0
+        if dropped:
+            g.loc[0, "__dropped"] = dropped
+        return g
 
     freq = (ds.map_batches(partial, batch_format="pyarrow")
               .groupby("__s")
@@ -82,6 +105,15 @@ def frequent_line_hashes(ds, *, text_column: str = "text",
               .to_pandas())
     if not len(freq):
         return np.zeros(0, dtype=np.uint64)
+    n_dropped = int(freq["__dropped"].sum())
+    if n_dropped:
+        import warnings
+
+        warnings.warn(
+            f"frequent_line_hashes: broadcast set capped at ~{max_lines} "
+            f"lines ({n_dropped} qualifying lines dropped, least-frequent "
+            "first — they will not be scrubbed); raise max_lines to keep "
+            "them", stacklevel=2)
     return np.sort(freq["h"].to_numpy().astype(np.uint64))
 
 
@@ -115,9 +147,15 @@ def remove_frequent_lines(ds, freq_hashes, *, text_column: str = "text",
         flat_arr = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
         kept_lines = flat_arr.filter(pa.array(keep))
         offsets = np.concatenate([[0], np.cumsum(kept_per_doc)])
-        rebuilt = pc.binary_join(
-            pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), kept_lines),
-            "\n")
+        # mirror pack.py's guard: spill to 64-bit offsets past 2^31 lines
+        if offsets[-1] < 2**31:
+            kept_list = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()), kept_lines)
+        else:
+            kept_list = pa.LargeListArray.from_arrays(
+                pa.array(offsets, pa.int64()),
+                kept_lines.cast(pa.large_string()))
+        rebuilt = pc.binary_join(kept_list, "\n")
         n_removed = (lens - kept_per_doc).astype(np.int64)
         return pa.table({id_column: batch.column(id_column),
                          text_column: rebuilt,
@@ -128,13 +166,13 @@ def remove_frequent_lines(ds, freq_hashes, *, text_column: str = "text",
 
 def boilerplate_scrub(ds, *, text_column: str = "text",
                       id_column: str = "doc_id", min_docs: int,
-                      shards: int = 32):
+                      shards: int = 32, max_lines: int = 4_000_000):
     """Phase 1 + broadcast + phase 2 in one call."""
     import ray as _ray
 
     freq = frequent_line_hashes(ds, text_column=text_column,
                                 id_column=id_column, min_docs=min_docs,
-                                shards=shards)
+                                shards=shards, max_lines=max_lines)
     return remove_frequent_lines(ds, _ray.put(freq),
                                  text_column=text_column,
                                  id_column=id_column)

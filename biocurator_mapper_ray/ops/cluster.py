@@ -45,6 +45,10 @@ def _init_centroids(ds, k: int, *, vec_column: str, sample_size: int,
     ≤ sample_size×d floats on the driver — size-invariant at corpus
     scale)."""
     sample_tbl = ds.limit(sample_size).select_columns([vec_column]).to_pandas()
+    if len(sample_tbl) == 0:
+        # empty input: (0, 0) centroids — callers short-circuit to an
+        # empty assignments dataset instead of an obscure numpy error
+        return np.zeros((0, 0), dtype=np.float32)
     sample = _normalize(
         np.asarray(sample_tbl[vec_column].tolist(), dtype=np.float32)
     )
@@ -98,6 +102,14 @@ def kmeans_embeddings(
     cents = _init_centroids(vecs, k, vec_column=vec_column,
                             sample_size=init_sample, seed=seed)
     k = len(cents)
+    if k == 0:  # empty input
+
+        def empty_assign(batch: pa.Table) -> pa.Table:
+            return pa.table({id_column: batch.column(id_column),
+                             "cluster": pa.array(
+                                 np.zeros(len(batch), np.int32))})
+
+        return vecs.map_batches(empty_assign, batch_format="pyarrow"), cents
 
     def partials_fn(cent_ref):
         def partials(batch: pa.Table) -> pa.Table:

@@ -30,7 +30,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.hashing import hash64_column
+from ..functions.hashing import hash64_column, md5_prefix_u64, md5_u128
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 # 2^31-1 (Mersenne prime) — the md5-oracle hash domain: products a*h with
@@ -260,12 +260,8 @@ def exact_dedup_ids(ds, column: str = "text", id_column: str = "doc_id",
     def lean_rows(batch: pa.Table) -> pa.Table:
         texts = batch.column(column)
         h = hash64_column(texts)
-        md5_lo = np.empty(len(batch), dtype=np.uint64)
-        md5_hi = np.empty(len(batch), dtype=np.uint64)
-        for i, t in enumerate(texts.to_pylist()):
-            d = hashlib.md5((t or "").encode("utf-8")).digest()
-            md5_hi[i] = int.from_bytes(d[:8], "big")
-            md5_lo[i] = int.from_bytes(d[8:], "big")
+        # vectorized md5 (shared DuckDB kernel) — no per-row Python
+        md5_hi, md5_lo = md5_u128(texts)
         return pa.table({
             id_column: batch.column(id_column),
             "__h64": pa.array(h.view(np.int64)),
@@ -432,15 +428,24 @@ class MinHashBandStage:
         cache = self._md5_cache
         if len(cache) > 1_000_000:
             cache.clear()
-        out = np.empty(len(shingles), dtype=np.uint64)
-        m31 = int(_M31)
-        for i, s in enumerate(shingles):
-            v = cache.get(s)
+        # factorize to the batch vocabulary, md5 only the cache misses in
+        # ONE vectorized kernel call — the per-item Python loop runs over
+        # the (heavy-tailed, mostly-cached) vocab, never the shingle
+        # stream
+        codes, uniques = pd.factorize(np.asarray(shingles, dtype=object))
+        vals = np.empty(len(uniques), dtype=np.uint64)
+        miss = []
+        for j, u in enumerate(uniques):
+            v = cache.get(u)
             if v is None:
-                v = md5_u64(s) % m31
-                cache[s] = v
-            out[i] = v
-        return out
+                miss.append(j)
+            else:
+                vals[j] = v
+        if miss:
+            hv = md5_prefix_u64([uniques[j] for j in miss], 16) % _M31
+            for j, v in zip(miss, hv):
+                cache[uniques[j]] = vals[j] = v
+        return vals[codes]
 
     def signatures(self, texts: list[str]) -> np.ndarray:
         """(n_docs, num_perm) uint64 — one flat hash pass + segmented min.
@@ -485,13 +490,10 @@ class MinHashBandStage:
         n = sigs.shape[0]
         bands3 = sigs.reshape(n, self.bands, self.rows_per_band)
         if self.hash_mode == "md5":
-            bh = np.empty((n, self.bands), dtype=np.uint64)
-            for d in range(n):
-                for bnd in range(self.bands):
-                    bh[d, bnd] = md5_u64(
-                        "-".join(str(int(v)) for v in bands3[d, bnd])
-                    )
-            return bh
+            joined = ["-".join(map(str, row)) for row in
+                      bands3.reshape(n * self.bands,
+                                     self.rows_per_band).tolist()]
+            return md5_prefix_u64(joined, 16).reshape(n, self.bands)
         P = np.uint64(1099511628211)
         bh = np.zeros((n, self.bands), dtype=np.uint64)
         for r in range(self.rows_per_band):
@@ -910,22 +912,28 @@ class SimHashStage:
     def _hash_tokens(self, toks: list[str]) -> np.ndarray:
         if self.token_hash == "fast":
             return hash64_column(pa.chunked_array([pa.array(toks)]), self.seed)
-        import hashlib
-
         cache = self._md5_cache
         if len(cache) > 1_000_000:
             # bound per-actor memory over long runs; the vocabulary of a
             # batch stream is heavy-tailed, so a periodic reset keeps the
             # hot head cached at negligible recompute cost
             cache.clear()
-        out = np.empty(len(toks), dtype=np.uint64)
-        for i, t in enumerate(toks):
-            v = cache.get(t)
+        # vocab-factorized, vectorized-md5 misses (same shape as
+        # MinHashStage._md5_shingle_hashes)
+        codes, uniques = pd.factorize(np.asarray(toks, dtype=object))
+        vals = np.empty(len(uniques), dtype=np.uint64)
+        miss = []
+        for j, u in enumerate(uniques):
+            v = cache.get(u)
             if v is None:
-                v = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:16], 16)
-                cache[t] = v
-            out[i] = v
-        return out
+                miss.append(j)
+            else:
+                vals[j] = v
+        if miss:
+            hv = md5_prefix_u64([uniques[j] for j in miss], 16)
+            for j, v in zip(miss, hv):
+                cache[uniques[j]] = vals[j] = v
+        return vals[codes]
 
     def _simhash_batch(self, texts: list[str]) -> np.ndarray:
         """One flat hash pass over all tokens + segmented sign-sum via

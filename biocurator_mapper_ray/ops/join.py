@@ -215,15 +215,26 @@ def symmetric_diff(
     tagged_l = left.select_columns(keys).map_batches(tag(0), batch_format="pyarrow")
     tagged_r = right.select_columns(keys).map_batches(tag(1), batch_format="pyarrow")
 
-    def diff_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    def diff_bucket(group: pd.DataFrame):
         l = group[group["__side"] == 0][keys].drop_duplicates()
         r = group[group["__side"] == 1][keys].drop_duplicates()
         out = l.merge(r, on=keys, how="outer", indicator=True)
         out = out[out["_merge"] != "both"]
+        if out.empty:
+            # typed empty Arrow table (types inferred from the group's
+            # actual rows — the group is never empty): an empty
+            # object-dtype frame types every key column null, and Ray's
+            # block size estimator np.vectorize()s each one, spamming
+            # 'cannot call vectorize on size 0 inputs' per bucket on the
+            # common all-equal path
+            sch = pa.Table.from_pandas(group[keys].head(1),
+                                       preserve_index=False).schema
+            cols = {k: pa.array([], sch.field(k).type) for k in keys}
+            cols["side"] = pa.array([], pa.string())
+            return pa.table(cols)
         side = np.where(out["_merge"] == "left_only", left_name, right_name)
         out = out.drop(columns="_merge")
-        # plain-object dtype even when empty: Ray's block size estimator
-        # np.vectorize()s object columns and chokes on numpy str_ empties
+        # plain-object dtype: Ray's size estimator chokes on numpy str_
         out["side"] = pd.Series(side, index=out.index, dtype=object)
         return out
 

@@ -35,12 +35,12 @@ only the ``2^shard_bits`` shard totals.  ``chunk_spans`` streams.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+
+from ..functions.hashing import md5_prefix_u64
 
 
 def _tokenize_counts(batch: pa.Table, text_column: str):
@@ -62,12 +62,9 @@ def _tokenize_counts(batch: pa.Table, text_column: str):
 
 def _md5_key60(values, seed: int) -> np.ndarray:
     """First 15 md5 hex chars of ``seed:value`` as int64 (60 bits —
-    sign-safe in numpy and DuckDB's UBIGINT cast)."""
-    out = np.empty(len(values), dtype=np.int64)
-    for i, v in enumerate(values):
-        out[i] = int(
-            hashlib.md5(f"{seed}:{v}".encode("utf-8")).hexdigest()[:15], 16)
-    return out
+    sign-safe in numpy and DuckDB's UBIGINT cast); vectorized via the
+    shared DuckDB md5 kernel, no per-row Python."""
+    return md5_prefix_u64(values, 15, prefix=f"{seed}:").astype(np.int64)
 
 
 def sequence_pack(ds, *, budget: int, id_column: str = "doc_id",

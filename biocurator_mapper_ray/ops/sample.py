@@ -19,24 +19,20 @@ ops exact SQL oracles.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.hashing import hash64_column
+from ..functions.hashing import hash64_column, md5_prefix_u64
 
 
 def _md5_bucket(values, buckets: int, seed: int) -> np.ndarray:
     """Deterministic bucket in [0, buckets) from md5 of ``seed:value``
-    (first 16 hex chars → uint64 — DuckDB-reproducible)."""
-    out = np.empty(len(values), dtype=np.int64)
-    for i, v in enumerate(values):
-        h = hashlib.md5(f"{seed}:{v}".encode("utf-8")).hexdigest()[:16]
-        out[i] = int(h, 16) % buckets
-    return out
+    (first 16 hex chars → uint64 — DuckDB-reproducible); vectorized via
+    the shared DuckDB md5 kernel, no per-row Python."""
+    h = md5_prefix_u64(values, 16, prefix=f"{seed}:")
+    return (h % np.uint64(buckets)).astype(np.int64)
 
 
 def hash_sample(ds, *, key_column: str = "doc_id", pct: int = 20,
@@ -45,7 +41,7 @@ def hash_sample(ds, *, key_column: str = "doc_id", pct: int = 20,
     sample, identical on any engine/partitioning."""
 
     def keep(batch: pa.Table) -> pa.Table:
-        b = _md5_bucket(batch.column(key_column).to_pylist(), buckets, seed)
+        b = _md5_bucket(batch.column(key_column), buckets, seed)
         return batch.filter(pa.array(b < pct))
 
     return ds.map_batches(keep, batch_format="pyarrow")
@@ -57,7 +53,7 @@ def hash_split(ds, *, key_column: str = "doc_id", test_pct: int = 10,
     'train' otherwise) — disjoint and exhaustive by construction."""
 
     def tag(batch: pa.Table) -> pa.Table:
-        b = _md5_bucket(batch.column(key_column).to_pylist(), buckets, seed)
+        b = _md5_bucket(batch.column(key_column), buckets, seed)
         split = np.where(b < test_pct, "test", "train")
         return batch.append_column("split", pa.array(split.tolist(), pa.string()))
 
@@ -83,7 +79,7 @@ def stratified_sample(ds, *, key_column: str = "doc_id",
     """
 
     def keep(batch: pa.Table) -> pa.Table:
-        b = _md5_bucket(batch.column(key_column).to_pylist(), buckets, seed)
+        b = _md5_bucket(batch.column(key_column), buckets, seed)
         groups = batch.column(group_column).to_pylist()
         cut = np.fromiter(
             (pct_by_group.get(g, default_pct) for g in groups),
@@ -153,11 +149,7 @@ def budget_sample(ds, *, group_column: str, budget: int,
     """
 
     def key60(vals) -> np.ndarray:
-        out = np.empty(len(vals), dtype=np.int64)
-        for i, v in enumerate(vals):
-            out[i] = int(
-                hashlib.md5(f"{seed}:{v}".encode("utf-8")).hexdigest()[:15], 16)
-        return out
+        return md5_prefix_u64(vals, 15, prefix=f"{seed}:").astype(np.int64)
 
     def feasible(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values([group_column, "__qkey", key_column],
@@ -205,17 +197,11 @@ def quota_sample(ds, *, group_column: str, quota: int,
     push-down — the exchange ships ≤ batches×groups×quota rows.  Adds
     ``rn`` (1-based rank within the group's kept rows).
     """
-    import hashlib
-
     from .rank import top_k_per_group
 
     def key(batch: pa.Table) -> pa.Table:
-        vals = batch.column(key_column).to_pylist()
-        ks = np.empty(len(vals), dtype=np.int64)
-        for i, v in enumerate(vals):
-            ks[i] = int(
-                hashlib.md5(f"{seed}:{v}".encode("utf-8")).hexdigest()[:15], 16
-            )
+        ks = md5_prefix_u64(batch.column(key_column), 15,
+                            prefix=f"{seed}:").astype(np.int64)
         return batch.append_column("__qkey", pa.array(ks))
 
     out = top_k_per_group(

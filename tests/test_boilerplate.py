@@ -38,6 +38,30 @@ class TestFrequentLines:
         assert len(frequent_line_hashes(ds, min_docs=4)) == 1
         assert len(frequent_line_hashes(ds, min_docs=5)) == 0
 
+    def test_broadcast_cap_keeps_most_frequent(self, ray_session):
+        # adversarial corpus: every line qualifies — the cap must bound
+        # the broadcast set (most-frequent lines kept) and warn
+        import warnings
+
+        rows = [{"doc_id": d, "text": "\n".join(
+            ["shared"] + [f"uniq-{d}-{i}" for i in range(20)])}
+            for d in range(10)]
+        ds = rd.from_items(rows)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            freq = frequent_line_hashes(ds, min_docs=1, shards=1,
+                                        max_lines=5)
+            assert any("capped" in str(x.message) for x in w)
+        assert len(freq) == 5
+        # 'shared' (10 docs) must survive the cap
+        from biocurator_mapper_ray.functions.hashing import hash64_column
+        import pyarrow as pa
+
+        h = hash64_column(pa.chunked_array([pa.array(["shared"])]))[0]
+        assert h in freq
+        # uncapped: all 201 distinct lines qualify
+        assert len(frequent_line_hashes(ds, min_docs=1)) == 201
+
 
 class TestScrub:
     def test_removes_frequent_preserves_order(self, ray_session):

@@ -990,6 +990,21 @@ class TestKMeansEmbeddings:
         # centroids are unit-normalized
         np.testing.assert_allclose(np.linalg.norm(cents, axis=1), 1.0, atol=1e-5)
 
+    def test_empty_input_returns_empty(self, ray_session):
+        # ADVICE r3: empty input must not die inside numpy init
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.cluster import (kmeans_embeddings,
+                                                       semdedup_embeddings)
+
+        empty = pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64),
+                              "embedding": pd.Series([], dtype=object)})
+        assigns, cents = kmeans_embeddings(rd.from_pandas(empty), k=3)
+        assert assigns.count() == 0
+        assert cents.shape[0] == 0
+        kept = semdedup_embeddings(rd.from_pandas(empty), k=3)
+        assert kept.count() == 0
+
     def test_deterministic_across_partitionings(self, ray_session):
         import ray.data as rd
 
