@@ -159,6 +159,10 @@ def _q_kg_triples_diff(sf_dir: str):
     expected = rd.read_parquet(edir)
     return symmetric_diff(
         emitted, expected, keys=["subj", "pred", "obj"],
+        # emitted is the full lazy extraction plan — counting it would
+        # run the flagship twice; expected's parquet count is metadata
+        # and emitted ≈ expected by construction
+        size_hint=2 * expected.count(),
         left_name="emitted_only", right_name="expected_only",
     ).sort(["subj", "pred", "obj"])
 
@@ -481,7 +485,9 @@ def _q_revenue_by_priority(sf_dir: str):
         orders,
         left_on="l_orderkey",
         right_on="o_orderkey",
-        buckets=16,
+        # size from the raw reads' metadata counts (the left side is a
+        # lazy map — counting it would execute the plan twice)
+        size_hint=lineitem.count() + orders.count(),
         # combiner push-down: all rows of an order share its bucket, so
         # the per-order revenue computed inside the join task is final —
         # the downstream exchange ships one row per order, not per lineitem
@@ -526,6 +532,7 @@ def _q_rolling_user_value(sf_dir: str):
         events.map_batches(to_cents, batch_format="pyarrow"),
         key="user_id", ts="ts", tiebreak="event_id",
         value="value_cents", window="1h", out="rolling_cents",
+        size_hint=events.count(),  # raw-read metadata, lazy map uncounted
     )
     return out.select_columns(["event_id", "user_id", "rolling_cents"]).sort("event_id")
 
@@ -551,6 +558,7 @@ def _q_asof_purchase_click(sf_dir: str):
     out = asof_join(
         purchases, clicks, key="user_id", ts="ts",
         right_value_columns=["click_event_id"],
+        size_hint=events.count(),  # purchases + clicks <= events rows
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -584,6 +592,7 @@ def _q_running_user_value(sf_dir: str):
         events.map_batches(to_cents, batch_format="pyarrow"),
         key="user_id", ts="ts", tiebreak="event_id",
         value="value_cents", out="running_cents",
+        size_hint=events.count(),  # raw-read metadata, lazy map uncounted
     )
     return out.select_columns(["event_id", "user_id", "running_cents"]).sort("event_id")
 
@@ -916,6 +925,7 @@ def _q_clicks_before_purchase(sf_dir: str):
         purchases, clicks, key="user_id", left_ts="ts", right_ts="ts",
         lo_offset=pd.Timedelta(hours=-1), hi_offset=pd.Timedelta(0),
         left_columns=["event_id", "user_id", "ts"], count_name="n_clicks",
+        size_hint=events.count(),  # purchases + clicks <= events rows
     )
     return out.select_columns(["event_id", "user_id", "n_clicks"]).sort("event_id")
 
@@ -1238,7 +1248,8 @@ def _q_customer_urgent_orders(sf_dir: str):
     joined = hash_join(
         customer, per_cust,
         left_on="c_custkey", right_on="o_custkey",
-        how="left", buckets=16,
+        # per_cust is a lazy groupby with <= one row per customer
+        how="left", size_hint=2 * customer.count(),
         right_columns=["o_custkey", "sum(n)"],
     )
 

@@ -27,6 +27,33 @@ import pyarrow as pa
 from ..functions.hashing import hash64_column
 
 
+def derive_buckets(n_rows: int | None, *, rows_per_bucket: int = 1 << 17,
+                   lo: int = 8, hi: int = 8192) -> int:
+    """Bucket count sized to the DATA (the minhash exchange rule,
+    ops/dedup.py): one bucket's frame materializes as pandas inside a
+    single task, so the count must grow with input — a fixed default is
+    a per-task OOM at corpus scale — while small inputs keep few buckets
+    (task dispatch ~10-25 ms dominates tiny groups).  ``hi`` caps the
+    shuffle's task count; past it a bucket frame grows again (~1.5 GB of
+    lean join rows at 10^11 input rows) — raise ``hi`` before raising
+    ``rows_per_bucket`` if that bites."""
+    if n_rows is None:
+        return 64
+    return int(min(hi, max(lo, n_rows // rows_per_bucket + 1)))
+
+
+def _join_buckets(buckets, size_hint, *sides) -> int:
+    """Resolve an explicit/derived bucket count for a join: explicit
+    wins; else size_hint; else the summed ``count()`` of the sides —
+    metadata-free on reads/materialized inputs, but an extra execution
+    on lazy transformed plans (callers with expensive lazy inputs should
+    pass ``size_hint`` or ``buckets``)."""
+    if buckets is not None:
+        return buckets
+    n = size_hint if size_hint is not None else sum(s.count() for s in sides)
+    return derive_buckets(n)
+
+
 def _tag_and_bucket(ds, key: str, side: int, buckets: int, all_cols: list[str]):
     """Add __side/__bucket, pad to the unified column set (nulls)."""
 
@@ -74,7 +101,8 @@ def hash_join(
     left_on: str,
     right_on: str,
     *,
-    buckets: int = 32,
+    buckets: int | None = None,
+    size_hint: int | None = None,
     how: str = "inner",
     left_columns: list[str] | None = None,
     right_columns: list[str] | None = None,
@@ -97,6 +125,7 @@ def hash_join(
     if overlap:
         raise ValueError(f"ambiguous columns in join: {sorted(overlap)}")
     all_cols = list(dict.fromkeys(lcols + rcols))
+    buckets = _join_buckets(buckets, size_hint, left, right)
 
     # explicit dtype overrides let callers with lazy inputs (map_groups
     # chains whose schema is unknown until executed) skip the ds.schema()
@@ -129,7 +158,7 @@ def pair_feature_join(
     *,
     verify,
     feature_column: str = "sig",
-    buckets: int = 32,
+    buckets: int | None = None,
 ):
     """Attach a per-doc feature to both sides of an (a, b) pair Dataset
     and verify — the distributed backbone of the LSH verify stages.
@@ -148,6 +177,10 @@ def pair_feature_join(
     """
     i64 = np.dtype(np.int64)
     obj = np.dtype(object)
+    if buckets is None:
+        # size from the features side only: pairs is a lazy plan the
+        # caller wants executed exactly once (counting it would run it)
+        buckets = derive_buckets(features.count())
 
     with_f_a = hash_join(
         pairs, features, left_on="a", right_on="doc_id", buckets=buckets,
@@ -178,7 +211,8 @@ def symmetric_diff(
     right,
     *,
     keys: list[str],
-    buckets: int = 32,
+    buckets: int | None = None,
+    size_hint: int | None = None,
     left_name: str = "left_only",
     right_name: str = "right_only",
 ):
@@ -196,6 +230,8 @@ def symmetric_diff(
     pandas drop_duplicates + indicator merge — nothing key-set-scale
     ever lands on the driver.
     """
+
+    buckets = _join_buckets(buckets, size_hint, left, right)
 
     def tag(side: int):
         def fn(batch: pa.Table) -> pa.Table:
@@ -256,7 +292,8 @@ def interval_count_join(
     hi_offset: pd.Timedelta,
     left_columns: list[str],
     count_name: str = "n_matches",
-    buckets: int = 16,
+    buckets: int | None = None,
+    size_hint: int | None = None,
 ):
     """Range (interval) join reduced to a per-left-row COUNT: for every
     left row, the number of right rows with the same ``key`` and
@@ -275,6 +312,7 @@ def interval_count_join(
     spread across ``buckets``; raise it for skew).  Left rows with no
     match are kept with count 0 (LEFT-join semantics).
     """
+    buckets = _join_buckets(buckets, size_hint, left, right)
     rcols = [key, right_ts]
     all_cols = list(dict.fromkeys(left_columns + rcols))
     l_dtypes = _side_dtypes(left, left_columns)
@@ -324,7 +362,8 @@ def asof_join(
     direction: str = "backward",
     right_value_columns: list[str],
     tolerance: pd.Timedelta | None = None,
-    buckets: int = 16,
+    buckets: int | None = None,
+    size_hint: int | None = None,
 ):
     """As-of join: for each left row, the latest (backward) right row with
     the same ``key`` and ``right.ts <= left.ts``.
@@ -334,6 +373,7 @@ def asof_join(
     SURVEY §2 custom-operator rule): all rows of one key land in one
     group; keys are spread over ``buckets`` hash buckets.
     """
+    buckets = _join_buckets(buckets, size_hint, left, right)
     lcols = left.schema().names
     rcols = [key, ts] + right_value_columns
     all_cols = list(dict.fromkeys(lcols + rcols))

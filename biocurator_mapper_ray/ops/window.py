@@ -22,6 +22,18 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from .join import derive_buckets
+
+
+def _window_buckets(ds, buckets, size_hint) -> int:
+    """Resolve the per-key bucket count: explicit wins; else size_hint;
+    else ``ds.count()`` (metadata-free on reads, an extra execution on
+    lazy transformed inputs — hot-path callers pass ``size_hint`` from
+    the raw read's metadata count)."""
+    if buckets is not None:
+        return buckets
+    return derive_buckets(size_hint if size_hint is not None else ds.count())
+
 
 def _with_key_bucket(ds, key: str, buckets: int):
     """Append __kb = hash(key) % buckets (Arrow batch path)."""
@@ -50,15 +62,29 @@ def _per_bucket(fn):
     return run
 
 
-def tumbling_window(ds, *, key: str, ts: str, freq: str, agg: dict):
+_TUMBLING_MERGE = {"size": "sum", "count": "sum", "sum": "sum",
+                   "min": "min", "max": "max"}
+
+
+def tumbling_window(ds, *, key: str, ts: str, freq: str, agg: dict,
+                    partials_only: bool = False,
+                    buckets: int | None = None,
+                    size_hint: int | None = None):
     """Fixed windows per key: ``agg`` like {"n": ("value", "size"), ...}.
 
-    Two-level: vectorized in-batch partial aggregation (map_batches) then
-    a small groupby — same shape as the pricing-summary pattern, exposed
-    through __ray_entry__.hourly_events.  This helper exists for ad-hoc
-    frequencies; see that query for the scale-tuned version.
+    Two-level: vectorized in-batch partial aggregation (map_batches),
+    then one salted (key, window)-bucket exchange that merges the
+    partials into FINAL per-(key, window) rows — so the helper alone
+    returns finished windows.  ``partials_only=True`` skips the merge
+    and returns the raw per-batch partials (the escape hatch for fused
+    query paths like __ray_entry__.hourly_events that fold the merge
+    into their own downstream exchange).  Aggregations must be
+    partial-mergeable (size/count/sum/min/max); mean etc. need a
+    sum+count decomposition by the caller.
     """
     import pyarrow as pa
+
+    from ..functions.hashing import hash64_column
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -66,11 +92,38 @@ def tumbling_window(ds, *, key: str, ts: str, freq: str, agg: dict):
         g = df.groupby([key, "__w"], sort=False).agg(**agg).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    return ds.map_batches(partial, batch_format="pyarrow")
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    if partials_only:
+        return partials
+
+    bad = [fn for (_, fn) in agg.values() if fn not in _TUMBLING_MERGE]
+    if bad:
+        raise ValueError(
+            f"tumbling_window cannot merge partials for {bad}; use "
+            "partials_only=True and combine downstream, or decompose "
+            "(e.g. mean -> sum + size)")
+    merge_agg = {name: (name, _TUMBLING_MERGE[fn])
+                 for name, (_, fn) in agg.items()}
+    n_buckets = _window_buckets(ds, buckets, size_hint)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        hk = hash64_column(batch.column(key))
+        hw = hash64_column(batch.column("__w").cast(pa.int64()))
+        h = ((hk << np.uint64(13)) | (hk >> np.uint64(51))) ^ hw
+        return batch.append_column(
+            "__kb", pa.array((h % np.uint64(n_buckets)).astype(np.int32)))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__kb")
+        return g.groupby([key, "__w"], sort=False).agg(**merge_agg).reset_index()
+
+    return (partials.map_batches(tag, batch_format="pyarrow")
+            .groupby("__kb")
+            .map_groups(combine, batch_format="pandas"))
 
 
 def session_windows(ds, *, key: str, ts: str, tiebreak: str, gap: pd.Timedelta,
-                    buckets: int = 64):
+                    buckets: int | None = None, size_hint: int | None = None):
     """Session assignment per key: rows sorted by (ts, tiebreak); a gap
     > ``gap`` starts a new session.  Emits the input plus ``session_id``
     (0-based per key) — the general form of the n_sessions count query."""
@@ -82,13 +135,14 @@ def session_windows(ds, *, key: str, ts: str, tiebreak: str, gap: pd.Timedelta,
         g["session_id"] = new.groupby(g[key], sort=False).cumsum().astype(np.int32)
         return g
 
-    return _with_key_bucket(ds, key, buckets).groupby("__kb").map_groups(
-        _per_bucket(per_bucket), batch_format="pandas"
-    )
+    return _with_key_bucket(ds, key, _window_buckets(ds, buckets, size_hint)) \
+        .groupby("__kb").map_groups(_per_bucket(per_bucket),
+                                    batch_format="pandas")
 
 
 def running_aggregate(ds, *, key: str, ts: str, tiebreak: str,
-                      value: str, out: str = "running_sum", buckets: int = 64):
+                      value: str, out: str = "running_sum",
+                      buckets: int | None = None, size_hint: int | None = None):
     """Cumulative sum of ``value`` per key in (ts, tiebreak) order."""
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -96,14 +150,16 @@ def running_aggregate(ds, *, key: str, ts: str, tiebreak: str,
         g[out] = g.groupby(key, sort=False)[value].cumsum()
         return g
 
-    return _with_key_bucket(ds, key, buckets).groupby("__kb").map_groups(
-        _per_bucket(per_bucket), batch_format="pandas"
-    )
+    return _with_key_bucket(ds, key, _window_buckets(ds, buckets, size_hint)) \
+        .groupby("__kb").map_groups(_per_bucket(per_bucket),
+                                    batch_format="pandas")
 
 
 def rolling_time_aggregate(ds, *, key: str, ts: str, tiebreak: str,
                            value: str, window: str = "1h",
-                           out: str = "rolling_sum", buckets: int = 64):
+                           out: str = "rolling_sum",
+                           buckets: int | None = None,
+                           size_hint: int | None = None):
     """Trailing time-window sum per key: for each row, the sum of
     ``value`` over this key's rows with ``ts`` in ``[row.ts - window,
     row.ts]`` (both ends inclusive — SQL ``RANGE BETWEEN <window>
@@ -121,6 +177,6 @@ def rolling_time_aggregate(ds, *, key: str, ts: str, tiebreak: str,
         g[out] = rolled.to_numpy().astype(g[value].dtype)
         return g
 
-    return _with_key_bucket(ds, key, buckets).groupby("__kb").map_groups(
-        _per_bucket(per_bucket), batch_format="pandas"
-    )
+    return _with_key_bucket(ds, key, _window_buckets(ds, buckets, size_hint)) \
+        .groupby("__kb").map_groups(_per_bucket(per_bucket),
+                                    batch_format="pandas")
