@@ -19,10 +19,13 @@ LSH near-dup family in :mod:`~biocurator_mapper_ray.ops.similarity`:
   to single clusters (k sized so corpus/k fits a task), shipped through
   one ``groupby(cluster)`` exchange.
 
-Both are iterative / data-dependent algorithms with no SQL equivalent —
-their driver-contract entries are rows-only by design; correctness is
-pinned by planted-cluster and planted-duplicate tests
-(``tests/test_ops.py``).
+:func:`kmeans_exact` is the ORACLE-PARITY twin of
+:func:`kmeans_embeddings` (the minhash fast/md5 split, ops/dedup.py):
+quantized int64 vectors, floor-division centroid updates, md5-order
+init — every step exact integer or reproducible double arithmetic, so
+an unrolled-Lloyd DuckDB SQL query computes bit-identical assignments.
+``kmeans_embeddings`` (float, k-means++) stays the scale path; its
+correctness is pinned by planted-cluster tests (``tests/test_ops.py``).
 
 Reference parity note: the reference's vector side is a Weaviate kNN
 index (``/root/reference/app/ontology_manager.py``); it has no
@@ -167,6 +170,149 @@ def kmeans_embeddings(
 
     assignments = vecs.map_batches(assign_final, batch_format="pyarrow")
     return assignments, cents
+
+
+def kmeans_exact(
+    ds,
+    *,
+    k: int = 8,
+    iters: int = 4,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+    seed: int = 42,
+    scale_bits: int = 20,
+):
+    """Integer-exact distributed Lloyd k-means → assignments Dataset
+    ``(id_column, cluster:int32)``, bit-reproducible by a DuckDB SQL
+    oracle (see ``__ray_entry__._kmeans_exact_oracle``).
+
+    Exactness contract (each step has a literal SQL equivalent):
+
+    * quantize: ``q = floor(float64(v) * 2^scale_bits + 0.5)`` as int64
+      (parquet float32 → double is exact on both sides; multiply and
+      add stay separate operations, never FMA-fused);
+    * init: centroids are the vectors of the k rows with the smallest
+      ``(md5('{seed}:'||id)[:15], id)`` — a distributed per-batch top-k
+      whose driver state is k×batches lean rows; cluster label =
+      ascending rank of that key;
+    * assign: argmin of the exact int64 squared L2 distance, ties to
+      the lowest cluster index (sums bounded by d·2^(2·scale_bits+2) —
+      int64-safe for d ≤ 2^19 at the default scale);
+    * update: elementwise FLOOR division ``sum // count`` (exact
+      integer; the SQL mirror uses the sign-safe
+      ``(s - ((s%n)+n)%n) // n`` since DuckDB ``//`` truncates);
+      empty clusters keep their previous centroid.
+
+    Same scale shape as :func:`kmeans_embeddings`: one streaming pass +
+    one k-row exchange per iteration, k×d int64 driver state.  This is
+    the correctness-gate mode; use the float path when the corpus is
+    the point.
+    """
+    import ray
+
+    from ..functions.hashing import md5_prefix_u64
+
+    scale = float(1 << scale_bits)
+
+    def quant(batch: pa.Table) -> pa.Table:
+        mat = _as_matrix(batch.column(vec_column))
+        q = np.floor(mat.astype(np.float64) * scale + 0.5).astype(np.int64)
+        return pa.table({id_column: batch.column(id_column),
+                         "q": pa.array(list(q))})
+
+    qds = ds.select_columns([id_column, vec_column]).map_batches(
+        quant, batch_format="pyarrow").materialize()
+
+    def _q_matrix(col) -> np.ndarray:
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        return flat.reshape(len(arr), -1).astype(np.int64, copy=False)
+
+    # distributed init top-k: each batch ships its k smallest keys
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        keys = md5_prefix_u64(batch.column(id_column), 15,
+                              prefix=f"{seed}:").astype(np.int64)
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, keys))[:k]
+        return pa.table({"key": pa.array(keys[order]),
+                         "id": pa.array(ids[order]),
+                         "q": batch.column("q").take(pa.array(order))})
+
+    head = (qds.map_batches(batch_topk, batch_format="pyarrow")
+            .to_pandas()  # ≤ k × batches lean rows
+            .sort_values(["key", "id"]).head(k))
+    if head.empty:
+        return qds.map_batches(
+            lambda b: pa.table({id_column: b.column(id_column),
+                                "cluster": pa.array(
+                                    np.zeros(len(b), np.int32))}),
+            batch_format="pyarrow")
+    cents = np.asarray(head["q"].tolist(), dtype=np.int64)
+    kk = len(cents)
+
+    def assign_of(cent: np.ndarray, q: np.ndarray) -> np.ndarray:
+        # exact int64 squared L2; np.argmin returns the FIRST min index
+        # (lowest cluster on ties), matching ORDER BY (d, cluster)
+        d2 = (
+            (q * q).sum(axis=1)[:, None]
+            - 2 * (q @ cent.T)
+            + (cent * cent).sum(axis=1)[None, :]
+        )
+        return np.argmin(d2, axis=1)
+
+    def partials_fn(cent_ref):
+        def partials(batch: pa.Table) -> pa.Table:
+            cent = ray.get(cent_ref)
+            if not len(batch):
+                return pa.table({"cluster": pa.array([], pa.int32()),
+                                 "n": pa.array([], pa.int64()),
+                                 "vsum": pa.array([], pa.list_(pa.int64()))})
+            q = _q_matrix(batch.column("q"))
+            assign = assign_of(cent, q)
+            sums = np.zeros((kk, q.shape[1]), dtype=np.int64)
+            np.add.at(sums, assign, q)
+            counts = np.bincount(assign, minlength=kk).astype(np.int64)
+            live = counts > 0
+            return pa.table({
+                "cluster": pa.array(np.flatnonzero(live).astype(np.int32)),
+                "n": pa.array(counts[live]),
+                "vsum": pa.array(list(sums[live])),
+            })
+        return partials
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        vs = np.stack(group["vsum"].to_numpy()).sum(axis=0)
+        return pd.DataFrame({
+            "cluster": [int(group["cluster"].iloc[0])],
+            "n": [int(group["n"].sum())],
+            "vsum": [vs],
+        })
+
+    for _ in range(iters):
+        cent_ref = ray.put(cents)
+        combined = (
+            qds.map_batches(partials_fn(cent_ref), batch_format="pyarrow")
+            .groupby("cluster")
+            .map_groups(combine, batch_format="pandas")
+            .to_pandas()  # exactly k rows
+        )
+        nxt = cents.copy()
+        for _, row in combined.iterrows():
+            if row["n"] > 0:
+                nxt[int(row["cluster"])] = \
+                    np.asarray(row["vsum"], dtype=np.int64) // int(row["n"])
+        cents = nxt
+
+    cent_ref = ray.put(cents)
+
+    def assign_final(batch: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        cl = (assign_of(cent, _q_matrix(batch.column("q"))).astype(np.int32)
+              if len(batch) else np.zeros(0, np.int32))
+        return pa.table({id_column: batch.column(id_column),
+                         "cluster": pa.array(cl)})
+
+    return qds.map_batches(assign_final, batch_format="pyarrow")
 
 
 def semdedup_embeddings(

@@ -990,6 +990,42 @@ class TestKMeansEmbeddings:
         # centroids are unit-normalized
         np.testing.assert_allclose(np.linalg.norm(cents, axis=1), 1.0, atol=1e-5)
 
+    def test_kmeans_exact_matches_local_reference(self, ray_session):
+        # the oracle-parity mode must equal a straight local replay of
+        # its spec: md5-rank init, int64 distances, floor-div updates
+        import ray.data as rd
+
+        from biocurator_mapper_ray.functions.hashing import md5_prefix_u64
+        from biocurator_mapper_ray.ops.cluster import kmeans_exact
+
+        rng = np.random.default_rng(3)
+        mat = rng.normal(0, 1, (200, 8)).astype(np.float32)
+        ids = np.arange(200, dtype=np.int64)
+        items = [{"vec_id": int(i), "embedding": mat[i].tolist()}
+                 for i in ids]
+        k, iters, scale = 4, 3, float(1 << 20)
+
+        q = np.floor(mat.astype(np.float64) * scale + 0.5).astype(np.int64)
+        keys = md5_prefix_u64(ids, 15, prefix="42:").astype(np.int64)
+        cents = q[np.lexsort((ids, keys))[:k]].copy()
+        for _ in range(iters):
+            d2 = ((q * q).sum(1)[:, None] - 2 * (q @ cents.T)
+                  + (cents * cents).sum(1)[None, :])
+            a = np.argmin(d2, axis=1)
+            for c in range(k):
+                m = a == c
+                if m.any():
+                    cents[c] = q[m].sum(0) // int(m.sum())
+        d2 = ((q * q).sum(1)[:, None] - 2 * (q @ cents.T)
+              + (cents * cents).sum(1)[None, :])
+        want = np.argmin(d2, axis=1)
+
+        for parts in (1, 5):
+            out = (kmeans_exact(rd.from_items(items).repartition(parts),
+                                k=k, iters=iters)
+                   .to_pandas().sort_values("vec_id"))
+            assert (out["cluster"].to_numpy() == want).all()
+
     def test_empty_input_returns_empty(self, ray_session):
         # ADVICE r3: empty input must not die inside numpy init
         import ray.data as rd
