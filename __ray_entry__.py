@@ -857,40 +857,42 @@ def _q_near_dup_embeddings(sf_dir: str):
 
 
 def _q_multimodal_features(sf_dir: str):
-    """Synthetic media through the decode/feature plumbing (rows-only)."""
+    """REAL image decode → features: binary-PPM payloads through the
+    pure-numpy codec (nearest-neighbor resize 16×16→8×8) in the
+    actor-pool decode stage — no fake decoder anywhere in this path
+    (rows-only: synthesized media, not a driver table)."""
     import ray.data as rd
 
     from biocurator_mapper_ray.ops.multimodal import (
-        ImageDecodeStage, ImageFeatureStage, suggest_batch_size, synth_media_batch,
+        ImageDecodeStage, ImageFeatureStage, suggest_batch_size, synth_ppm_batch,
     )
 
     n = max(50, int(1000 * float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.001)))
-    ds = rd.from_arrow(synth_media_batch(n))
+    ds = rd.from_arrow(synth_ppm_batch(n, hw=(16, 16)))
     out = ds.map_batches(
-        ImageDecodeStage, fn_constructor_kwargs={"fake": True},
-        batch_format="pyarrow", batch_size=suggest_batch_size(4096),
+        ImageDecodeStage, fn_constructor_kwargs={"out_hw": (8, 8)},
+        batch_format="pyarrow", batch_size=suggest_batch_size(16 * 16 * 3),
         concurrency=(1, 4),
     ).map_batches(ImageFeatureStage, batch_format="pyarrow", concurrency=(1, 4))
     return out.select_columns(["media_id", "features"]).sort("media_id")
 
 
 def _q_multimodal_audio(sf_dir: str):
-    """Audio path: PCM decode (fake=raw-L16 reinterpretation) →
+    """Audio path: REAL RIFF/WAVE decode (stdlib codec, no fake) →
     REAL linear-interp resample 16k→8k → RMS/ZCR/peak features
     (rows-only: synthesized media, not a driver table)."""
     import ray.data as rd
 
     from biocurator_mapper_ray.ops.multimodal import (
         AudioDecodeStage, AudioFeatureStage, AudioResampleStage,
-        suggest_batch_size, synth_media_batch,
+        suggest_batch_size, synth_wav_batch,
     )
 
     n = max(50, int(1000 * float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.001)))
-    ds = rd.from_arrow(synth_media_batch(n, kind="audio", payload_bytes=8192))
+    ds = rd.from_arrow(synth_wav_batch(n, rate=16000, n_samples=4096))
     out = (
         ds.map_batches(
             AudioDecodeStage,
-            fn_constructor_kwargs={"fake": True, "sample_rate": 16000},
             batch_format="pyarrow", batch_size=suggest_batch_size(8192),
             concurrency=(1, 4),
         )

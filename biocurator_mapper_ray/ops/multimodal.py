@@ -1,9 +1,14 @@
 """Multimodal column plumbing (image/audio/video as opaque binary).
 
-The decode kernels themselves are STUBS — the image/audio libraries are
-not in this container — but the Ray-side plumbing is real and tested:
-schemas, actor-pool signatures, batch sizing for large binary payloads,
-and deterministic fake decoders so pipelines exercise end-to-end.
+Codec resolution is layered: an optional library (Pillow / soundfile)
+when installed → a REAL stdlib/pure-numpy codec for the formats this
+container can genuinely decode (RIFF/WAVE 16-bit PCM via the stdlib
+``wave`` module; binary PPM "P6" images with nearest-neighbor resize)
+→ a deterministic fake decoder for everything else.  Compressed
+formats (JPEG/PNG/MP3/FLAC) still need the optional library — that is
+the one remaining stub boundary — but the real-mode dispatch, schemas,
+actor-pool signatures and batch sizing are exercised end-to-end on
+genuine WAV/PPM payloads with pinned-bytes golden tests.
 
 Design rules encoded here:
 * payloads travel as Arrow ``large_binary`` with typed metadata columns
@@ -56,14 +61,137 @@ def synth_media_batch(n: int, kind: str = "image", payload_bytes: int = 4096,
     )
 
 
-def default_image_decoder(out_hw: tuple[int, int]):
-    """→ a ``payload_bytes → (h, w, 3) uint8 ndarray`` callable backed by
-    the first available codec library (optional import), or None.
+def decode_ppm(payload: bytes, out_hw: tuple[int, int] | None = None) -> np.ndarray:
+    """REAL binary-PPM (``P6``) decoder in pure numpy: header parse
+    (magic, width, height, maxval; ``#`` comments allowed), raw RGB
+    read, optional nearest-neighbor resize to ``out_hw``.  No external
+    dependency — the genuinely decodable image format in this
+    container."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    # header: three whitespace-separated ints after the magic, with
+    # '#'-to-EOL comments permitted between tokens
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace byte after maxval, then raw pixels
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 PPM supported, got {maxval}")
+    pix = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    img = pix.reshape(h, w, 3)
+    if out_hw is not None and (h, w) != out_hw:
+        oh, ow = out_hw
+        ri = (np.arange(oh) * h) // oh
+        ci = (np.arange(ow) * w) // ow
+        img = img[ri][:, ci]
+    return np.ascontiguousarray(img)
 
-    The decode itself is the ONLY stubbed step of the multimodal path —
-    when Pillow (or a caller-supplied decoder) is present the real
-    branch runs; this container ships no codec, so tests exercise the
-    real-mode dispatch with an injected decoder."""
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL RIFF/WAVE decoder via the stdlib ``wave`` module → (int16
+    mono samples, rate).  16-bit PCM only; multi-channel is averaged to
+    mono (ties round half-to-even via np.rint, documented)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as f:
+        if f.getsampwidth() != 2:
+            raise ValueError("only 16-bit PCM WAV supported")
+        n_ch = f.getnchannels()
+        rate = f.getframerate()
+        raw = f.readframes(f.getnframes())
+    data = np.frombuffer(raw, dtype="<i2")
+    if n_ch > 1:
+        data = np.rint(
+            data.reshape(-1, n_ch).mean(axis=1)
+        ).astype(np.int16)
+    return data, rate
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """int16 mono PCM → RIFF/WAVE bytes (stdlib ``wave``) — the synth
+    side of the real-codec round-trip tests and queries."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary-PPM bytes."""
+    h, w, _ = img.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+        img, dtype=np.uint8).tobytes()
+
+
+def synth_wav_batch(n: int, rate: int = 16000, n_samples: int = 4096,
+                    seed: int = 42) -> pa.Table:
+    """Media table with REAL RIFF/WAVE payloads: per-clip deterministic
+    int16 ramps + sign flips derived from (seed, media_id)."""
+    payloads = []
+    for i in range(n):
+        t = np.arange(n_samples, dtype=np.int64)
+        s = (((t * (seed + 3 + i)) % 4001) - 2000).astype(np.int16)
+        payloads.append(encode_wav(s, rate))
+    dur = int(1000 * n_samples / rate)
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "kind": pa.array(["audio"] * n),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "mime": pa.array(["audio/wav"] * n),
+            "width": pa.array(np.full(n, -1, dtype=np.int32)),
+            "height": pa.array(np.full(n, -1, dtype=np.int32)),
+            "duration_ms": pa.array(np.full(n, dur, dtype=np.int32)),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def synth_ppm_batch(n: int, hw: tuple[int, int] = (16, 16),
+                    seed: int = 42) -> pa.Table:
+    """Media table with REAL binary-PPM payloads, pixels deterministic
+    from (seed, media_id)."""
+    h, w = hw
+    payloads = []
+    for i in range(n):
+        idx = np.arange(h * w * 3, dtype=np.int64)
+        img = ((idx * (seed + 7 + i)) % 251).astype(np.uint8).reshape(h, w, 3)
+        payloads.append(encode_ppm(img))
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "kind": pa.array(["image"] * n),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "mime": pa.array(["image/x-portable-pixmap"] * n),
+            "width": pa.array(np.full(n, w, dtype=np.int32)),
+            "height": pa.array(np.full(n, h, dtype=np.int32)),
+            "duration_ms": pa.array(np.full(n, -1, dtype=np.int32)),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def default_image_decoder(out_hw: tuple[int, int]):
+    """→ a ``payload_bytes → (h, w, 3) uint8 ndarray`` callable: Pillow
+    when installed (any format), else the pure-numpy PPM codec (real,
+    always available).  Compressed formats without Pillow raise inside
+    the decode with a clear message."""
     try:  # optional dependency — not in this container
         import io
 
@@ -76,7 +204,14 @@ def default_image_decoder(out_hw: tuple[int, int]):
 
         return decode
     except ImportError:
-        return None
+        def decode(payload: bytes) -> np.ndarray:
+            if payload[:2] != b"P6":
+                raise NotImplementedError(
+                    "only binary PPM decodes without Pillow; install "
+                    "Pillow for JPEG/PNG or pass decoder=")
+            return decode_ppm(payload, out_hw)
+
+        return decode
 
 
 class ImageDecodeStage:
@@ -89,9 +224,10 @@ class ImageDecodeStage:
     * ``fake=False, decoder=<callable>`` — REAL mode with an injected
       ``payload → (h, w, 3) uint8`` codec (how a user plugs Pillow/cv2/
       turbojpeg in; also how tests prove the real-mode plumbing);
-    * ``fake=False`` — auto-detects an installed codec
-      (:func:`default_image_decoder`) and raises ``NotImplementedError``
-      loudly at construction when none exists (this container).
+    * ``fake=False`` — auto-detects a codec
+      (:func:`default_image_decoder`): Pillow when installed, else the
+      always-available pure-numpy PPM codec (non-PPM payloads then
+      raise a clear ``NotImplementedError`` inside the decode).
     """
 
     def __init__(self, fake: bool = False, out_hw: tuple[int, int] = (8, 8),
@@ -151,8 +287,10 @@ class ImageFeatureStage:
 
 
 def default_audio_decoder():
-    """→ ``payload_bytes → (int16 samples, rate)`` via an optional audio
-    library, or None when absent (this container)."""
+    """→ ``payload_bytes → (int16 samples, rate)``: soundfile when
+    installed (any format), else the stdlib :func:`decode_wav` (real,
+    always available).  Compressed formats without soundfile raise
+    inside the decode with a clear message."""
     try:  # optional dependency — not in this container
         import io
 
@@ -166,18 +304,25 @@ def default_audio_decoder():
 
         return decode
     except ImportError:
-        return None
+        def decode(payload: bytes):
+            if payload[:4] != b"RIFF":
+                raise NotImplementedError(
+                    "only RIFF/WAVE decodes without soundfile; install "
+                    "soundfile for mp3/ogg/flac or pass decoder=")
+            return decode_wav(payload)
+
+        return decode
 
 
 class AudioDecodeStage:
     """payload → int16 PCM sample column.
 
-    Real mode (compressed codecs: mp3/ogg/flac) requires an audio
-    library not in this container and raises ``NotImplementedError`` at
-    construction.  Fake mode reinterprets the payload bytes as raw
+    Real mode decodes RIFF/WAVE via the stdlib codec (always
+    available); compressed codecs (mp3/ogg/flac) additionally need
+    soundfile and raise a clear ``NotImplementedError`` inside the
+    decode without it.  Fake mode reinterprets the payload bytes as raw
     little-endian int16 PCM — which is also the REAL decode for
-    ``audio/L16`` payloads, so the downstream resample/feature stages
-    are exercised on genuine PCM semantics.
+    ``audio/L16`` payloads.
     """
 
     def __init__(self, fake: bool = False, sample_rate: int = 16000,
