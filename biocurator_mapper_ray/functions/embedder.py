@@ -109,6 +109,81 @@ def classify_retryable(status_code: int | None, error_text: str = "") -> bool:
     return True
 
 
+class RemoteEmbedderError(Exception):
+    """HTTP failure from a remote embedding endpoint; carries
+    ``status_code`` for :func:`classify_retryable`."""
+
+    def __init__(self, message: str, status_code: int | None = None):
+        super().__init__(message)
+        self.status_code = status_code
+
+
+class RemoteEmbedder:
+    """Concrete OpenAI-compatible ``/v1/embeddings`` REST client
+    (reference parity: ``/root/reference/app/openai_client.py:40-118``
+    lazy client + batched ``embeddings.create`` ``:224-301``), stdlib
+    ``urllib`` only — no SDK dependency.
+
+    Construct once per ACTOR (``__init__`` of a map_batches class) and
+    wrap in :class:`RetryingEmbedder` for the retry/backoff contract;
+    errors surface with ``status_code`` so the shared
+    :func:`classify_retryable` decides retryability.  Requests above
+    ``max_batch`` texts are split client-side (the reference caps
+    batches the same way) and results are re-ordered by the response's
+    ``index`` field, never by arrival order.
+    """
+
+    def __init__(self, endpoint: str, *, model: str,
+                 api_key: str | None = None, max_batch: int = 256,
+                 timeout: float = 30.0):
+        self.endpoint = endpoint.rstrip("/")
+        self.model = model
+        self.api_key = api_key
+        self.max_batch = max_batch
+        self.timeout = timeout
+        self.model_name = f"remote:{model}"
+
+    def _post(self, texts: list[str]) -> np.ndarray:
+        import json
+        import urllib.error
+        import urllib.request
+
+        body = json.dumps({"model": self.model, "input": texts}).encode()
+        req = urllib.request.Request(
+            f"{self.endpoint}/v1/embeddings", data=body, method="POST",
+            headers={"Content-Type": "application/json",
+                     **({"Authorization": f"Bearer {self.api_key}"}
+                        if self.api_key else {})})
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                payload = json.loads(resp.read())
+        except urllib.error.HTTPError as exc:
+            detail = ""
+            try:
+                detail = exc.read().decode("utf-8", "replace")[:500]
+            except Exception:  # noqa: BLE001 — body is best-effort
+                pass
+            raise RemoteEmbedderError(
+                f"embeddings endpoint returned {exc.code}: {detail}",
+                status_code=exc.code) from exc
+        except urllib.error.URLError as exc:
+            raise RemoteEmbedderError(
+                f"embeddings endpoint unreachable: {exc.reason}") from exc
+        rows = sorted(payload["data"], key=lambda d: d["index"])
+        if len(rows) != len(texts):
+            raise RemoteEmbedderError(
+                f"endpoint returned {len(rows)} embeddings for "
+                f"{len(texts)} inputs")
+        return np.asarray([r["embedding"] for r in rows], dtype=np.float32)
+
+    def embed_texts(self, texts: list[str]) -> np.ndarray:
+        if not texts:
+            return np.zeros((0, 0), dtype=np.float32)
+        chunks = [self._post(list(texts[i:i + self.max_batch]))
+                  for i in range(0, len(texts), self.max_batch)]
+        return chunks[0] if len(chunks) == 1 else np.vstack(chunks)
+
+
 class RetryingEmbedder:
     """Wraps a pluggable (possibly remote) embedder with the reference's
     retry contract: per-call retry ≤ max_retries with exponential backoff

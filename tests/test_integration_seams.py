@@ -330,3 +330,100 @@ class TestRecordedClientSeam:
             candidates,
         )
         assert "invalid ID" in bad["error"]
+
+
+@pytest.fixture()
+def embeddings_server():
+    """Local OpenAI-compatible /v1/embeddings endpoint (VERDICT r3 #7):
+    fails the first request per configured plan, records auth headers
+    and batch sizes, then returns deterministic vectors
+    [len(text), global_index]."""
+    import json
+
+    state = {"fail_first": 0, "requests": [], "auth": [], "status_once": None}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def do_POST(self):
+            body = json.loads(self.rfile.read(
+                int(self.headers["Content-Length"])))
+            state["auth"].append(self.headers.get("Authorization"))
+            texts = body["input"]
+            state["requests"].append(len(texts))
+            if state["fail_first"] > 0:
+                state["fail_first"] -= 1
+                self.send_response(429)
+                self.end_headers()
+                self.wfile.write(b'{"error": "rate limit"}')
+                return
+            if state["status_once"] is not None:
+                code = state.pop("status_once")
+                self.send_response(code)
+                self.end_headers()
+                self.wfile.write(b'{"error": "nope"}')
+                return
+            data = [{"index": i, "embedding": [float(len(t)), float(i)]}
+                    for i, t in enumerate(texts)]
+            # deliberately scrambled order: the client must re-sort by
+            # the response's index field
+            data = data[::-1]
+            out = json.dumps({"data": data}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(out)
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", state
+    srv.shutdown()
+
+
+class TestRemoteEmbedder:
+    def test_retry_then_success_through_http_seam(self, embeddings_server):
+        from biocurator_mapper_ray.functions.embedder import (
+            RemoteEmbedder, RetryingEmbedder,
+        )
+
+        base, state = embeddings_server
+        state["fail_first"] = 2  # two 429s, then 200
+        sleeps = []
+        emb = RetryingEmbedder(
+            RemoteEmbedder(base, model="test-model", api_key="sk-test"),
+            max_retries=3, base_delay=0.01, sleep=sleeps.append)
+        out = emb.embed_texts(["ab", "cdef", "g"])
+        assert out.shape == (3, 2)
+        # index-sorted despite the server scrambling response order
+        assert out.tolist() == [[2.0, 0.0], [4.0, 1.0], [1.0, 2.0]]
+        assert emb.retry_count == 2 and sleeps == [0.01, 0.02]
+        assert all(a == "Bearer sk-test" for a in state["auth"])
+
+    def test_non_retryable_auth_error_raises_immediately(
+            self, embeddings_server):
+        from biocurator_mapper_ray.functions.embedder import (
+            RemoteEmbedder, RemoteEmbedderError, RetryingEmbedder,
+        )
+
+        base, state = embeddings_server
+        state["status_once"] = 401
+        emb = RetryingEmbedder(RemoteEmbedder(base, model="m"),
+                               max_retries=3, base_delay=0.01,
+                               sleep=lambda s: None)
+        with pytest.raises(RemoteEmbedderError) as ei:
+            emb.embed_texts(["x"])
+        assert ei.value.status_code == 401
+        assert emb.retry_count == 0 and emb.failed_count == 1
+        assert len(state["requests"]) == 1  # no retry attempts
+
+    def test_client_side_batch_split(self, embeddings_server):
+        from biocurator_mapper_ray.functions.embedder import RemoteEmbedder
+
+        base, state = embeddings_server
+        emb = RemoteEmbedder(base, model="m", max_batch=4)
+        out = emb.embed_texts([f"t{i}" for i in range(10)])
+        assert out.shape == (10, 2)
+        assert state["requests"] == [4, 4, 2]
+        assert state["auth"][0] is None  # no key -> no header
