@@ -562,19 +562,28 @@ class TestAudioOps:
         out2 = AudioResampleStage(target_rate=16000)(batch)
         assert out2.column("samples").to_pylist()[0] == x.tolist()
 
-    def test_real_decode_raises_loudly(self):
+    def test_real_decode_non_riff_raises_loudly(self):
+        # real mode now always has the stdlib WAV codec; non-RIFF
+        # payloads (compressed codecs without soundfile) fail loudly
+        # inside the decode
         import pytest
 
-        from biocurator_mapper_ray.ops.multimodal import AudioDecodeStage
+        from biocurator_mapper_ray.ops.multimodal import (
+            AudioDecodeStage, synth_media_batch,
+        )
 
-        with pytest.raises(NotImplementedError):
-            AudioDecodeStage(fake=False)
+        stage = AudioDecodeStage(fake=False)
+        with pytest.raises(Exception, match="RIFF|soundfile|WAV"):
+            stage(synth_media_batch(1, kind="audio"))
 
 
 class TestMultimodal:
-    def test_decode_stub_raises_without_fake(self):
-        with pytest.raises(NotImplementedError):
-            ImageDecodeStage()
+    def test_decode_non_ppm_raises_without_fake(self):
+        # real mode now always has the pure-numpy PPM codec; non-PPM
+        # payloads (compressed formats without Pillow) fail in decode
+        stage = ImageDecodeStage()
+        with pytest.raises(Exception, match="PPM|Pillow"):
+            stage(synth_media_batch(1))
 
     def test_fake_decode_pipeline(self, ray_session):
         import ray.data as rd
