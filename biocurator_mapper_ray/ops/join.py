@@ -112,6 +112,13 @@ def hash_join(
 ):
     """Partitioned hash join of two Datasets on equality of keys.
 
+    ``how`` accepts pandas' equality modes plus ``"semi"`` / ``"anti"``:
+    left rows WITH / WITHOUT a key match on the right, left columns
+    only, never duplicated by multiple right matches (SQL
+    EXISTS / NOT EXISTS).  The right side of a semi/anti join should be
+    projected to its key column (``right_columns=[right_on]``) so the
+    exchange ships keys, not payloads.
+
     ``bucket_postprocess`` (optional ``DataFrame → DataFrame``) runs on
     each bucket's merged output inside the join task.  Because buckets
     partition by join key, EVERY row of a given key is in the frame it
@@ -144,7 +151,11 @@ def hash_join(
             l = l.astype(l_dtypes)
         if r_dtypes:
             r = r.astype(r_dtypes)
-        out = l.merge(r, left_on=left_on, right_on=right_on, how=how)
+        if how in ("semi", "anti"):
+            mask = l[left_on].isin(r[right_on].unique())
+            out = l[mask if how == "semi" else ~mask]
+        else:
+            out = l.merge(r, left_on=left_on, right_on=right_on, how=how)
         if bucket_postprocess is not None:
             out = bucket_postprocess(out)
         return out

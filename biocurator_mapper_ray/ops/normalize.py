@@ -1,0 +1,151 @@
+"""Text normalization / cleaning operators.
+
+Standard pre-training curation stages with no reference equivalent
+(biocurator_mapper's only text shaping is the " | " searchable-text
+join, ``app/go_parser.py`` — covered by ``ontology/text.py``); these
+are the general corpus-cleaning forms: canonical whitespace/case
+normalization, HTML/markup stripping, URL→domain extraction, and
+within-document paragraph dedup.
+
+Exactness contract: every kernel here is a pure Arrow RE2 / vectorized
+transform whose DuckDB mirror evaluates the SAME RE2 patterns (both
+engines use RE2), so the driver hash check verifies byte-identical
+output strings — the same device as ``ops/pii.py``.
+
+Scale notes: all four operators are embarrassingly parallel batch-local
+``map_batches`` transforms — no exchange, no driver state, streaming-
+safe at any corpus size.  ``domain_counts`` adds one lean
+(domain, count) exchange that is distinct-domain-scale, with map-side
+partial aggregation so the shuffle never carries corpus rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---------------------------------------------------------------- case/ws
+
+_WS_RE = r"\s+"
+
+
+def normalize_text(batch: pa.Table, text_column: str = "text",
+                   out_column: str = "text_norm") -> pa.Table:
+    """Lowercase, collapse every whitespace run to one space, trim.
+
+    Oracle: ``lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))`` —
+    after the collapse, edges are plain spaces, so ASCII ``trim`` and
+    Arrow's unicode trim agree.
+    """
+    x = pc.utf8_lower(batch.column(text_column))
+    x = pc.replace_substring_regex(x, _WS_RE, " ")
+    x = pc.utf8_trim_whitespace(x)
+    return batch.append_column(out_column, x)
+
+
+# ---------------------------------------------------------------- markup
+
+# literal entity unescapes, FIXED order with &amp; last (a single
+# unescape pass, not a recursive one — '&amp;lt;' becomes '&lt;', never
+# '<'; both sides apply the same ordered chain so outputs are identical)
+ENTITY_MAP: list[tuple[str, str]] = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+]
+
+_TAG_RE = r"<[^>]*>"
+
+
+def strip_markup(batch: pa.Table, text_column: str = "text",
+                 out_column: str = "text_plain") -> pa.Table:
+    """Drop ``<...>`` tags (replaced by one space, so adjacent words
+    don't fuse), unescape the five standard entities in fixed order,
+    collapse whitespace, trim."""
+    x = pc.replace_substring_regex(batch.column(text_column), _TAG_RE, " ")
+    for ent, ch in ENTITY_MAP:
+        x = pc.replace_substring(x, ent, ch)
+    x = pc.replace_substring_regex(x, _WS_RE, " ")
+    x = pc.utf8_trim_whitespace(x)
+    return batch.append_column(out_column, x)
+
+
+# ---------------------------------------------------------------- urls
+
+URL_DOMAIN_RE = r"https?://([A-Za-z0-9.-]+)"
+
+
+def extract_domain(batch: pa.Table, text_column: str = "text",
+                   out_column: str = "domain") -> pa.Table:
+    """Domain of the FIRST URL in each document ('' when none — matches
+    DuckDB ``regexp_extract``'s no-match value so the hash check can
+    compare the column directly)."""
+    m = pc.extract_regex(batch.column(text_column),
+                         r"https?://(?P<d>[A-Za-z0-9.-]+)")
+    dom = pc.coalesce(pc.struct_field(m, "d"), pa.scalar("", pa.string()))
+    return batch.append_column(out_column, dom)
+
+
+def domain_counts(ds, *, text_column: str = "text"):
+    """Documents per first-URL domain, docs without a URL excluded.
+
+    Map-side partial count per batch, then a distinct-domain-scale
+    ``groupby().sum()`` — the exchange never carries document rows.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        t = extract_domain(batch, text_column)
+        df = (t.select(["domain"]).to_pandas().value_counts("domain")
+              .reset_index(name="n_docs"))
+        df = df[df["domain"] != ""]
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "domain").sum("n_docs")
+    return out.map_batches(
+        lambda t: t.rename_columns(["domain", "n_docs"]),
+        batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- paras
+
+def dedup_paragraphs(batch: pa.Table, text_column: str = "text",
+                     out_column: str = "text_dedup",
+                     sep: str = "\n") -> pa.Table:
+    """Remove duplicate paragraphs WITHIN each document, preserving
+    first-occurrence order (the classic within-page boilerplate pass).
+
+    Fully vectorized: split → explode via offsets → first-occurrence
+    mask (hash-based ``duplicated`` over (row, paragraph)) → rebuild the
+    list array from the kept mask → ``binary_join``.  No Python loop.
+    """
+    col = batch.column(text_column)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    split = pc.split_pattern(col, sep)
+    if isinstance(split, pa.ChunkedArray):
+        split = split.combine_chunks()
+    offsets = split.offsets.to_numpy()
+    counts = np.diff(offsets)
+    values = split.values
+    row_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    dup = pd.DataFrame({
+        "r": row_idx,
+        "p": values.to_pandas().to_numpy(),
+    }).duplicated(["r", "p"]).to_numpy()
+    keep = ~dup
+    new_counts = np.bincount(row_idx[keep], minlength=len(counts))
+    new_offsets = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(new_counts, out=new_offsets[1:])
+    kept_values = values.filter(pa.array(keep))
+    if new_offsets[-1] < 2**31:
+        lst = pa.ListArray.from_arrays(
+            pa.array(new_offsets, pa.int32()), kept_values)
+    else:  # 64-bit offset spill, same guard as ops/pack.chunk_spans
+        lst = pa.LargeListArray.from_arrays(
+            pa.array(new_offsets, pa.int64()), kept_values)
+    joined = pc.binary_join(lst, sep)
+    return batch.append_column(out_column, joined)

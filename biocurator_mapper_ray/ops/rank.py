@@ -61,3 +61,104 @@ def top_k_per_group(
         .groupby("__s")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def _sample_boundaries(ds, value_col: str, shards: int,
+                       sample_cap: int = 65536) -> np.ndarray:
+    """Deterministic value-range shard boundaries from a bounded sample.
+
+    The sample is the first ``sample_cap`` values in block order (cheap,
+    deterministic for a fixed input layout); boundaries are its sample
+    quantiles.  Boundaries only steer BALANCE — correctness never
+    depends on them because shard assignment is a pure function of the
+    value (equal values always co-shard), so even a pathological sample
+    just skews shard sizes.
+    """
+    from .quantile import _encode_keys
+
+    vals = ds.select_columns([value_col]).limit(sample_cap).to_pandas()
+    keys = _encode_keys(vals[value_col].to_numpy())
+    if len(keys) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    qs = np.linspace(0, 1, shards + 1)[1:-1]
+    return np.unique(np.quantile(keys, qs).astype(np.uint64))
+
+
+def value_ranks(
+    ds,
+    *,
+    value_col: str,
+    group_col: str,
+    shards: int | None = None,
+):
+    """Exact SQL ``RANK()`` / ``PERCENT_RANK()`` over ``value_col``
+    ascending, partitioned by ``group_col``, for EVERY row — fully
+    distributed (no reference equivalent; the general windowed-rank
+    form a curation pipeline needs for score-percentile filtering).
+
+    Three-phase plan (the ``sequence_pack`` offset pattern generalized
+    to value ranges):
+
+    1. Sampled value-range boundaries (driver state: ≤64k sample keys).
+       Shard = ``searchsorted(boundaries, key)`` — a pure function of
+       the value, so ties NEVER straddle a shard boundary and per-shard
+       min-ranks are exact.
+    2. Lean partial counts per (group, shard) → driver offset table of
+       groups × shards rows (bounded: document groups must be modest —
+       priorities, languages, sources; NOT user ids).  Exclusive prefix
+       over shards within each group gives each shard's rank offset;
+       group totals give the ``PERCENT_RANK`` denominator.
+    3. Full rows exchange ONCE by shard; within a shard, pandas
+       ``rank(method="min")`` per group + the shard offset is the exact
+       global rank.  One shard's frame is corpus/shards rows — shards
+       derive from input size (``derive_buckets`` rule).
+
+    Returns the input columns plus ``rnk`` (int64, 1-based) and
+    ``pct_rank`` (double, ``(rnk-1)/(n_group-1)``, 0.0 for singleton
+    groups — SQL semantics).
+    """
+    from .join import derive_buckets
+    from .quantile import _encode_keys
+
+    n = ds.count()
+    if shards is None:
+        shards = derive_buckets(n)
+    bounds = _sample_boundaries(ds, value_col, shards)
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        keys = _encode_keys(batch.column(value_col).to_numpy())
+        s = np.searchsorted(bounds, keys, side="right").astype(np.int32)
+        return batch.append_column("__s", pa.array(s))
+
+    sharded = ds.map_batches(add_shard, batch_format="pyarrow").materialize()
+
+    # lean per-(group, shard) counts -> exclusive shard offsets per group
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        df = (batch.select([group_col, "__s"]).to_pandas()
+              .value_counts([group_col, "__s"]).reset_index(name="__c"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    counts = (sharded.map_batches(partial_counts, batch_format="pyarrow")
+              .groupby([group_col, "__s"]).sum("__c").to_pandas())
+    counts = counts.sort_values([group_col, "__s"])
+    grp = counts.groupby(group_col, sort=False)["sum(__c)"]
+    counts["__off"] = grp.cumsum() - counts["sum(__c)"]
+    counts["__n_grp"] = grp.transform("sum")
+    off_map = {(g, s): (int(o), int(t)) for g, s, o, t in zip(
+        counts[group_col], counts["__s"], counts["__off"], counts["__n_grp"])}
+
+    def rank_shard(group: pd.DataFrame) -> pd.DataFrame:
+        s = int(group["__s"].iloc[0])
+        local = group[value_col].groupby(
+            group[group_col], sort=False).rank(method="min").astype(np.int64)
+        meta = group[group_col].map(lambda g: off_map[(g, s)])
+        group = group.drop(columns="__s").copy()
+        group["rnk"] = local + np.fromiter(
+            (m[0] for m in meta), dtype=np.int64, count=len(meta))
+        n_grp = np.fromiter((m[1] for m in meta), dtype=np.int64,
+                            count=len(meta))
+        group["pct_rank"] = np.where(
+            n_grp > 1, (group["rnk"].to_numpy() - 1) / (n_grp - 1), 0.0)
+        return group
+
+    return sharded.groupby("__s").map_groups(rank_shard, batch_format="pandas")

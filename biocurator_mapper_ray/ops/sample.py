@@ -210,3 +210,26 @@ def quota_sample(ds, *, group_column: str, quota: int,
         ascending=True, tiebreak_col=key_column, shards=shards,
     )
     return out.drop_columns(["__qkey"])
+
+
+def hash_top_k(ds, *, key_column: str = "doc_id", k: int = 100,
+               seed: int = 42):
+    """Exact-k deterministic global sample: the k rows with the
+    smallest md5(seed:key) — the distributed, partition-invariant
+    equivalent of reservoir sampling (``ORDER BY md5(...) LIMIT k``).
+
+    Combiner push-down: each batch keeps only ITS k smallest keys, so
+    the final sort+limit sees ≤ batches×k rows, never the corpus.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        h = md5_prefix_u64(batch.column(key_column), 16, prefix=f"{seed}:")
+        batch = batch.append_column("__mk", pa.array(h))
+        if len(batch) > k:
+            idx = np.lexsort((batch.column(key_column).to_numpy(
+                zero_copy_only=False), h))[:k]
+            batch = batch.take(pa.array(np.sort(idx)))
+        return batch
+
+    out = ds.map_batches(partial, batch_format="pyarrow")
+    return (out.sort(["__mk", key_column]).limit(k)
+            .drop_columns(["__mk"]))

@@ -114,3 +114,103 @@ def hll_estimate(registers: pd.DataFrame, m: int = 256) -> float:
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)
     return float(est)
+
+
+class CountMinTokenStage:
+    """documents batch → partial count-min registers over the text's
+    whitespace token OCCURRENCES: ≤ depth×width lean (row, bucket,
+    count) rows per batch regardless of batch size — the exchange is
+    register-scale, never token-scale.
+
+    Same SQL-checkability device as HLL: row ``j``'s hash of token
+    ``t`` is the first 16 md5 hex chars of ``"j:t"`` mod ``width``,
+    byte-identical to DuckDB's
+    ``CAST('0x' || substr(md5(j || ':' || t), 1, 16) AS UBIGINT) % w``.
+    """
+
+    def __init__(self, text_column: str = "text", depth: int = 4,
+                 width: int = 512):
+        self.text_column = text_column
+        self.depth = depth
+        self.width = width
+        self._cache: dict[str, np.ndarray] = {}
+
+    def _hash_tokens(self, toks: np.ndarray) -> np.ndarray:
+        """(len(toks), depth) uint64 of md5('j:tok') prefixes."""
+        cache = self._cache
+        if len(cache) > 500_000:
+            cache.clear()
+        out = np.empty((len(toks), self.depth), dtype=np.uint64)
+        for i, t in enumerate(toks):
+            v = cache.get(t)
+            if v is None:
+                b = t.encode("utf-8")
+                v = np.array(
+                    [int(hashlib.md5(b"%d:%s" % (j, b)).hexdigest()[:16], 16)
+                     for j in range(self.depth)], dtype=np.uint64)
+                cache[t] = v
+            out[i] = v
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(
+                pc.utf8_lower(batch.column(self.text_column)), r"\s+"
+            )
+        )
+        toks = toks.filter(pc.not_equal(toks, ""))
+        if not len(toks):
+            return pa.table({"row": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64()),
+                             "count": pa.array([], pa.int64())})
+        vc = toks.value_counts()
+        uniq = vc.field("values").to_numpy(zero_copy_only=False)
+        occ = vc.field("counts").to_numpy()
+        h = self._hash_tokens(uniq) % np.uint64(self.width)
+        # batch-local register sums: ≤ depth×width rows leave the task
+        grid = np.zeros((self.depth, self.width), dtype=np.int64)
+        for j in range(self.depth):
+            np.add.at(grid[j], h[:, j].astype(np.int64), occ)
+        row, bucket = np.nonzero(grid)
+        return pa.table({"row": pa.array(row.astype(np.int64)),
+                         "bucket": pa.array(bucket.astype(np.int64)),
+                         "count": pa.array(grid[row, bucket])})
+
+
+def cms_registers(ds, *, text_column: str = "text", depth: int = 4,
+                  width: int = 512):
+    """Distributed count-min sketch (row, bucket, count — ≤ depth×width
+    rows) over the corpus's whitespace token occurrences.  Published
+    algorithm: Cormode & Muthukrishnan 2005, "An improved data stream
+    summary: the count-min sketch and its applications".  One
+    register-keyed exchange of ≤ batches×depth×width partial rows."""
+    partials = ds.map_batches(
+        CountMinTokenStage,
+        fn_constructor_kwargs={"text_column": text_column, "depth": depth,
+                               "width": width},
+        batch_format="pyarrow", concurrency=(1, 8),
+    )
+    agg = partials.groupby(["row", "bucket"]).sum("count")
+    return agg.map_batches(
+        lambda t: t.rename_columns(["row", "bucket", "count"]),
+        batch_format="pyarrow",
+    ).sort(["row", "bucket"])
+
+
+def cms_query(registers: pd.DataFrame, tokens: list[str], *,
+              depth: int = 4, width: int = 512) -> dict[str, int]:
+    """Point-frequency estimates (the min-over-rows rule) from an exact
+    register table, driver-side."""
+    grid = np.zeros((depth, width), dtype=np.int64)
+    grid[registers["row"].to_numpy(), registers["bucket"].to_numpy()] = (
+        registers["count"].to_numpy())
+    out = {}
+    for t in tokens:
+        b = t.encode("utf-8")
+        est = min(
+            grid[j, int(hashlib.md5(b"%d:%s" % (j, b)).hexdigest()[:16], 16)
+                 % width]
+            for j in range(depth)
+        )
+        out[t] = int(est)
+    return out

@@ -1,0 +1,192 @@
+"""Round-4 operators: text normalization/cleaning, distributed rank,
+count-min sketch, semi/anti join, pivot, exact-k hash sample."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from biocurator_mapper_ray.ops.normalize import (
+    dedup_paragraphs,
+    domain_counts,
+    extract_domain,
+    normalize_text,
+    strip_markup,
+)
+from biocurator_mapper_ray.ops.rank import value_ranks
+from biocurator_mapper_ray.ops.reshape import pivot_counts
+from biocurator_mapper_ray.ops.sample import hash_top_k
+from biocurator_mapper_ray.ops.sketch import cms_query, cms_registers
+
+
+class TestNormalizeKernels:
+    def test_normalize_lower_collapse_trim(self):
+        b = pa.table({"text": ["  Hello   WORLD \t x ", "", "A\nB", "  "]})
+        out = normalize_text(b).column("text_norm").to_pylist()
+        assert out == ["hello world x", "", "a b", ""]
+
+    def test_strip_markup_tags_and_entities(self):
+        b = pa.table({"text": [
+            "<p>Hi &amp; bye</p><b>Z</b>",
+            "no markup",
+            "&amp;lt; stays escaped once",  # single unescape pass
+            "<a href='x\" y'>t</a>",
+        ]})
+        out = strip_markup(b).column("text_plain").to_pylist()
+        assert out == ["Hi & bye Z", "no markup",
+                       "&lt; stays escaped once", "t"]
+
+    def test_extract_domain_first_url_and_empty(self):
+        b = pa.table({"text": [
+            "see http://a.example.com/x and http://b.com",
+            "no url here",
+            "go https://B-2.org/y",
+        ]})
+        assert extract_domain(b).column("domain").to_pylist() == [
+            "a.example.com", "", "B-2.org"]
+
+    def test_dedup_paragraphs_first_occurrence_order(self):
+        b = pa.table({"text": ["a\nb\na\nb\nc", "x", "", "\n\n", "q\nq"]})
+        out = dedup_paragraphs(b).column("text_dedup").to_pylist()
+        # '' paragraphs dedup too: '\n\n' = ['', '', ''] -> ['']
+        assert out == ["a\nb\nc", "x", "", "", "q"]
+
+    def test_dedup_paragraphs_empty_batch(self):
+        b = pa.table({"text": pa.array([], pa.string())})
+        assert len(dedup_paragraphs(b)) == 0
+
+    def test_domain_counts_excludes_no_url(self, ray_session):
+        import ray.data as rd
+
+        df = pd.DataFrame({"text": [
+            "http://a.com/x", "http://a.com/y", "plain", "https://b.org"]})
+        got = (domain_counts(rd.from_pandas(df).repartition(2))
+               .to_pandas().sort_values("domain").reset_index(drop=True))
+        assert got["domain"].tolist() == ["a.com", "b.org"]
+        assert got["n_docs"].tolist() == [2, 1]
+
+
+class TestValueRanks:
+    def test_matches_duckdb_rank_with_ties_and_negatives(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        rng = np.random.default_rng(7)
+        df = pd.DataFrame({
+            "k": np.arange(3000),
+            "g": rng.choice(["a", "b", "c", "solo"], 3000,
+                            p=[0.4, 0.4, 0.199, 0.001]),
+            "v": np.round(rng.normal(0, 50, 3000), 1),
+        })
+        df.loc[::5, "v"] = -3.5  # heavy tie block, negative
+        got = value_ranks(rd.from_pandas(df).repartition(5),
+                          value_col="v", group_col="g", shards=7).to_pandas()
+        con = duckdb.connect()
+        con.register("t", df)
+        want = con.execute(
+            "SELECT k, g, v, CAST(RANK() OVER w AS BIGINT) rnk, "
+            "PERCENT_RANK() OVER w pct_rank FROM t "
+            "WINDOW w AS (PARTITION BY g ORDER BY v)").df()
+        g = (got[["k", "g", "v", "rnk", "pct_rank"]]
+             .sort_values("k").reset_index(drop=True))
+        w = want.sort_values("k").reset_index(drop=True)
+        pd.testing.assert_frame_equal(g, w, check_dtype=False,
+                                      check_exact=True)
+
+    def test_singleton_group_pct_rank_zero(self, ray_session):
+        import ray.data as rd
+
+        df = pd.DataFrame({"k": [1], "g": ["only"], "v": [9.0]})
+        got = value_ranks(rd.from_pandas(df), value_col="v",
+                          group_col="g", shards=4).to_pandas()
+        assert got["rnk"].tolist() == [1]
+        assert got["pct_rank"].tolist() == [0.0]
+
+
+class TestCountMin:
+    def test_register_totals_and_point_queries(self, ray_session):
+        import ray.data as rd
+
+        df = pd.DataFrame({"text": [
+            "the cat sat", "THE the dog", "", "cat  cat cat", "x y z"]})
+        regs = cms_registers(rd.from_pandas(df).repartition(3),
+                             depth=4, width=64).to_pandas()
+        # each row of the sketch sums ALL token occurrences
+        totals = regs.groupby("row")["count"].sum()
+        assert (totals == 12).all() and len(totals) == 4
+        est = cms_query(regs, ["the", "cat", "zzz"], depth=4, width=64)
+        # CMS never underestimates; at this tiny scale it is exact
+        assert est["the"] == 3 and est["cat"] == 4 and est["zzz"] == 0
+
+
+class TestSemiAntiJoin:
+    def test_semi_anti_partition_and_no_duplication(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.join import hash_join
+
+        left = pd.DataFrame({"k": [1, 2, 3, 4, 5], "x": list("abcde")})
+        # duplicate matching keys on the right must NOT duplicate output
+        right = pd.DataFrame({"k": [2, 2, 4, 9]})
+        l_ds = rd.from_pandas(left).repartition(2)
+        r_ds = rd.from_pandas(right)
+        semi = hash_join(l_ds, r_ds, "k", "k", how="semi",
+                         buckets=4).to_pandas().sort_values("k")
+        anti = hash_join(l_ds, r_ds, "k", "k", how="anti",
+                         buckets=4).to_pandas().sort_values("k")
+        assert semi["k"].tolist() == [2, 4]
+        assert anti["k"].tolist() == [1, 3, 5]
+        assert list(semi.columns) == ["k", "x"]
+        # disjoint + exhaustive
+        assert sorted(semi["k"].tolist() + anti["k"].tolist()) == [1, 2, 3, 4, 5]
+
+
+class TestPivot:
+    def test_counts_match_conditional_agg(self, ray_session):
+        import ray.data as rd
+
+        df = pd.DataFrame({
+            "p": ["hi", "hi", "lo", "lo", "lo"],
+            "s": ["F", "O", "F", "F", "P"],
+        })
+        out = pivot_counts(rd.from_pandas(df).repartition(3),
+                           row_key="p", col_key="s", values=["F", "O", "P"])
+        assert out["p"].tolist() == ["hi", "lo"]
+        assert out["n_F"].tolist() == [1, 2]
+        assert out["n_O"].tolist() == [1, 0]
+        assert out["n_P"].tolist() == [0, 1]
+
+    def test_unseen_value_raises(self, ray_session):
+        import ray.data as rd
+
+        df = pd.DataFrame({"p": ["a"], "s": ["X"]})
+        with pytest.raises(ValueError, match="unseen"):
+            pivot_counts(rd.from_pandas(df), row_key="p", col_key="s",
+                         values=["F"])
+
+
+class TestHashTopK:
+    def test_exact_k_and_partition_invariance(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.functions.hashing import md5_prefix_u64
+
+        ids = pd.DataFrame({"doc_id": np.arange(1000)})
+        a = (hash_top_k(rd.from_pandas(ids).repartition(2),
+                        key_column="doc_id", k=25)
+             .to_pandas()["doc_id"].sort_values().tolist())
+        b = (hash_top_k(rd.from_pandas(ids).repartition(13),
+                        key_column="doc_id", k=25)
+             .to_pandas()["doc_id"].sort_values().tolist())
+        assert a == b and len(a) == 25
+        h = md5_prefix_u64(pa.array(np.arange(1000)), 16, prefix="42:")
+        want = sorted(np.argsort(h, kind="stable")[:25].tolist())
+        assert a == want
+
+    def test_k_larger_than_input(self, ray_session):
+        import ray.data as rd
+
+        ids = pd.DataFrame({"doc_id": [3, 1, 2]})
+        got = hash_top_k(rd.from_pandas(ids), key_column="doc_id",
+                         k=10).to_pandas()
+        assert sorted(got["doc_id"].tolist()) == [1, 2, 3]
