@@ -1,4 +1,4 @@
-"""Sketch operators: HyperLogLog approximate distinct counting.
+"""Sketch operators: HyperLogLog / count-min / Bloom filters.
 
 No reference equivalent; the standard cardinality sketch for 100-TB
 corpora (distinct tokens / users / URLs) where an exact distinct is a
@@ -214,3 +214,144 @@ def cms_query(registers: pd.DataFrame, tokens: list[str], *,
         )
         out[t] = int(est)
     return out
+
+
+class BloomKeyStage:
+    """batch → DISTINCT set-bit positions of a Bloom filter over a key
+    column: ≤ ``m_bits`` lean single-column rows per batch regardless of
+    batch size — the exchange is bit-scale, never key-scale.
+
+    Same SQL-checkability device as HLL/CMS: hash ``j`` of key ``x`` is
+    the first 16 md5 hex chars of ``"j:" || CAST(x AS VARCHAR)`` mod
+    ``m_bits``, byte-identical to DuckDB's
+    ``CAST('0x' || substr(md5(j || ':' || CAST(x AS VARCHAR)), 1, 16) AS
+    UBIGINT) % m``.  Keys must be integer or string columns (float
+    VARCHAR formatting is not portable across engines).
+    """
+
+    def __init__(self, key_column: str, k: int = 4, m_bits: int = 8192):
+        self.key_column = key_column
+        self.k = k
+        self.m_bits = m_bits
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from biocurator_mapper_ray.functions.hashing import md5_prefix_u64
+
+        col = batch.column(self.key_column)
+        if pa.types.is_floating(col.type):
+            raise TypeError("bloom keys must be integer or string columns")
+        keys = pc.unique(pc.cast(col, pa.string()))
+        keys = keys.filter(pc.is_valid(keys))
+        if not len(keys):
+            return pa.table({"bit": pa.array([], pa.int64())})
+        bits = np.concatenate([
+            (md5_prefix_u64(keys, prefix=f"{j}:") % np.uint64(self.m_bits))
+            .astype(np.int64)
+            for j in range(self.k)
+        ])
+        return pa.table({"bit": pa.array(np.unique(bits))})
+
+
+def bloom_bits(ds, *, key_column: str, k: int = 4, m_bits: int = 8192):
+    """Distributed Bloom filter over a key column, as its exact sorted
+    set-bit table (bit int64, ≤ m_bits rows).  Published algorithm:
+    Bloom 1970, "Space/time trade-offs in hash coding with allowable
+    errors".  One bit-keyed exchange of ≤ batches×m_bits partial rows;
+    the register table has an exact DuckDB oracle (see module doc)."""
+    partials = ds.map_batches(
+        BloomKeyStage,
+        fn_constructor_kwargs={"key_column": key_column, "k": k,
+                               "m_bits": m_bits},
+        batch_format="pyarrow", concurrency=(1, 8),
+    )
+    agg = partials.groupby("bit").count()
+    return agg.select_columns(["bit"]).sort("bit")
+
+
+def bloom_contains(bits: pd.DataFrame, keys: list, *, k: int = 4,
+                   m_bits: int = 8192) -> dict:
+    """Driver-side membership probe of an exact set-bit table: True
+    means POSSIBLY present (false-positive rate ~(1-e^{-kn/m})^k),
+    False means definitely absent."""
+    from biocurator_mapper_ray.functions.hashing import md5_prefix_u64
+
+    arr = np.zeros(m_bits, dtype=bool)
+    arr[bits["bit"].to_numpy()] = True
+    out = {}
+    for key in keys:
+        hs = [int(md5_prefix_u64([str(key)], prefix=f"{j}:")[0]) % m_bits
+              for j in range(k)]
+        out[key] = bool(all(arr[h] for h in hs))
+    return out
+
+
+class _BloomPrefilter:
+    """Map-side candidate filter: keep rows whose key hits all k bits of
+    a broadcast Bloom filter (the packed bool array ships once per actor
+    via ray.put, never per batch)."""
+
+    def __init__(self, bits_ref, key_column: str, k: int, m_bits: int):
+        import ray
+
+        self.arr = ray.get(bits_ref)  # (m_bits,) bool
+        self.key_column = key_column
+        self.k = k
+        self.m_bits = m_bits
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from biocurator_mapper_ray.functions.hashing import md5_prefix_u64
+
+        keys = pc.cast(batch.column(self.key_column), pa.string())
+        mask = np.ones(len(batch), dtype=bool)
+        mask &= pc.is_valid(keys).to_numpy(zero_copy_only=False)
+        for j in range(self.k):
+            h = (md5_prefix_u64(keys, prefix=f"{j}:")
+                 % np.uint64(self.m_bits)).astype(np.int64)
+            mask &= self.arr[h]
+            if not mask.any():
+                break
+        return batch.filter(pa.array(mask))
+
+
+def bloom_semi_join(left, right, left_on: str, right_on: str, *,
+                    k: int = 4, m_bits: int = 1 << 20,
+                    left_columns: list[str] | None = None,
+                    recheck: bool = True):
+    """Semi join accelerated by a broadcast Bloom prefilter: build a
+    Bloom filter over the right side's keys (bit-scale exchange, packed
+    to m_bits/8 bytes on the driver), drop non-matching left rows
+    MAP-SIDE, then exact-recheck the surviving candidates with a
+    partitioned semi ``hash_join``.
+
+    At 100 TB this is the scale path for "big table ∩ big-ish key set":
+    the all-to-all exchange ships only true matches plus the Bloom
+    false-positive tail (~0.05% at k=4, m/n=16) instead of every left
+    row — the filter itself is a constant-size broadcast no matter how
+    many keys the right side holds.  With ``recheck=False`` the result
+    may contain false positives (useful as a pre-pass feeding another
+    exact operator)."""
+    import ray
+
+    from biocurator_mapper_ray.ops.join import hash_join
+
+    bits = bloom_bits(right, key_column=right_on, k=k, m_bits=m_bits)
+    # exact set-bit table is ≤ m_bits rows by construction — the ONLY
+    # driver-side collect, bounded by the filter size, not the data
+    arr = np.zeros(m_bits, dtype=bool)
+    bits_pd = bits.to_pandas()
+    if len(bits_pd):  # empty right side → empty frame may lose its schema
+        arr[bits_pd["bit"].to_numpy()] = True
+    ref = ray.put(arr)
+    cand = left.map_batches(
+        _BloomPrefilter,
+        fn_constructor_kwargs={"bits_ref": ref, "key_column": left_on,
+                               "k": k, "m_bits": m_bits},
+        batch_format="pyarrow", concurrency=(1, 8),
+    )
+    if left_columns:
+        cand = cand.select_columns(left_columns)
+    if not recheck:
+        return cand
+    return hash_join(cand, right, left_on, right_on, how="semi",
+                     left_columns=left_columns,
+                     right_columns=[right_on])

@@ -1,0 +1,117 @@
+"""Bloom filter sketch + bloom-prefiltered semi join (ops/sketch.py)."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _expected_bits(keys, k=4, m_bits=8192):
+    bits = set()
+    for key in keys:
+        for j in range(k):
+            h = int(hashlib.md5(f"{j}:{key}".encode()).hexdigest()[:16], 16)
+            bits.add(h % m_bits)
+    return sorted(bits)
+
+
+class TestBloomBits:
+    def test_register_parity_with_hashlib(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.sketch import bloom_bits
+
+        keys = [3, 17, 99, 1234, 888888]
+        ds = rd.from_items([{"k": v} for v in keys]).repartition(3)
+        got = bloom_bits(ds, key_column="k", k=4, m_bits=8192).to_pandas()
+        assert got["bit"].tolist() == _expected_bits(keys)
+
+    def test_string_keys_and_duplicates(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.sketch import bloom_bits
+
+        ds = rd.from_items([{"k": s} for s in ["a", "b", "a", "a", "b"]])
+        got = bloom_bits(ds, key_column="k", k=3, m_bits=1024).to_pandas()
+        assert got["bit"].tolist() == _expected_bits(["a", "b"], k=3,
+                                                     m_bits=1024)
+
+    def test_float_keys_rejected(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.sketch import bloom_bits
+
+        ds = rd.from_items([{"k": 1.5}])
+        with pytest.raises(Exception, match="integer or string"):
+            bloom_bits(ds, key_column="k").count()
+
+    def test_contains_no_false_negatives(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.sketch import bloom_bits, bloom_contains
+
+        keys = list(range(100))
+        ds = rd.from_items([{"k": v} for v in keys])
+        bits = bloom_bits(ds, key_column="k", k=4, m_bits=8192).to_pandas()
+        probe = bloom_contains(bits, keys + [10_000 + i for i in range(200)],
+                               k=4, m_bits=8192)
+        assert all(probe[v] for v in keys)  # never a false negative
+        # at k=4, m/n≈20 the fp rate is ~0.1%; 200 absent probes should
+        # be overwhelmingly False (deterministic given the md5 hash)
+        fp = sum(probe[10_000 + i] for i in range(200))
+        assert fp <= 2
+
+
+class TestBloomSemiJoin:
+    def test_matches_exact_semi_join(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.sketch import bloom_semi_join
+
+        rng = np.random.default_rng(7)
+        left = pd.DataFrame({
+            "lk": rng.integers(0, 500, 3000),
+            "payload": rng.integers(0, 10**6, 3000),
+        })
+        right = pd.DataFrame({"rk": rng.choice(500, 120, replace=False)})
+        out = bloom_semi_join(
+            rd.from_pandas(left).repartition(4),
+            rd.from_pandas(right).repartition(2),
+            "lk", "rk", k=4, m_bits=4096,
+            left_columns=["lk", "payload"],
+        ).to_pandas().sort_values(["lk", "payload"]).reset_index(drop=True)
+        want = (left[left["lk"].isin(set(right["rk"]))]
+                .sort_values(["lk", "payload"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(out[["lk", "payload"]], want,
+                                      check_dtype=False)
+
+    def test_prefilter_only_is_superset(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.sketch import bloom_semi_join
+
+        rng = np.random.default_rng(11)
+        left = pd.DataFrame({"lk": rng.integers(0, 2000, 4000)})
+        right = pd.DataFrame({"rk": rng.choice(2000, 50, replace=False)})
+        cand = bloom_semi_join(
+            rd.from_pandas(left), rd.from_pandas(right), "lk", "rk",
+            k=4, m_bits=2048, recheck=False,
+        ).to_pandas()
+        true_keys = set(right["rk"])
+        n_true = int(left["lk"].isin(true_keys).sum())
+        # superset of true matches, with a small false-positive tail
+        assert len(cand) >= n_true
+        assert set(left[left["lk"].isin(true_keys)]["lk"]) <= set(cand["lk"])
+        assert len(cand) <= n_true + 0.05 * len(left)
+
+    def test_empty_right_side(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.sketch import bloom_semi_join
+
+        left = pd.DataFrame({"lk": [1, 2, 3]})
+        right = pd.DataFrame({"rk": pd.array([], dtype="int64")})
+        out = bloom_semi_join(rd.from_pandas(left), rd.from_pandas(right),
+                              "lk", "rk", m_bits=1024)
+        assert out.count() == 0
