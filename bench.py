@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -159,6 +160,26 @@ def run_bench() -> dict:
         if hasattr(res, "count"):
             res.count()
         queries[name] = round(time.time() - t0, 3)
+
+    if not os.environ.get("RAY_GRAFT_HEADLINE_ONLY"):
+        # flagship variant: the conv-contiguous parquet sink
+        # (pipelines/kg.extract_triples_to_parquet) — hot actors write
+        # interior conversations' triples directly and the exchange
+        # carries only block-boundary partials (~2 convs per block).
+        # Locally the sort-exchange default above wins (one plasma
+        # store); on a multi-node cluster this variant removes the
+        # network all-to-all, so both numbers are recorded side by side.
+        from biocurator_mapper_ray.pipelines.kg import extract_triples_to_parquet
+
+        sink_dir = f"/tmp/bmr_bench/triples_sink_{NUM_CPUS}"
+        shutil.rmtree(sink_dir, ignore_errors=True)
+        t0 = time.time()
+        extract_triples_to_parquet(
+            rd.read_parquet(tdir, override_num_blocks=n_blocks), terms,
+            sink_dir, snapshot_hash="bench",
+            concurrency=(concurrency, concurrency),  # same fixed pool as above
+        )
+        queries["kg_triples_parquet_sink"] = round(time.time() - t0, 3)
 
     if "dedup_minhash_documents" in queries:
         # the queries() entry runs hash_mode='md5' (the exact-oracle
