@@ -1,0 +1,106 @@
+"""Text-format sources/sinks: JSONL and CSV, plain or gzip.
+
+Reference parity: the reference engine reads its ontology snapshots as
+one JSON document (`sources/ontology_json.py`); bulk corpora in the
+wild arrive as JSON-Lines and CSV, usually gzipped per shard.  These
+wrappers put a stable, projection-aware face on Ray Data's native
+readers so pipelines can swap parquet <-> jsonl <-> csv without
+touching operator code:
+
+- column projection is applied IN the reader where the format supports
+  pushdown (CSV via ``pyarrow.csv.ConvertOptions.include_columns``),
+  else immediately after as a ``select_columns`` so downstream stages
+  never see dropped fields;
+- gzip is auto-detected from the ``.gz`` suffix; a mixed list of plain
+  and gzipped shards is split into one read per compression mode and
+  unioned (Arrow's open-stream compression is per-read, not per-file),
+  each mode decompressing streaming in its read tasks;
+- writers shard output one file per block (resumable-output contract:
+  a partial run leaves complete files that a re-run can skip).
+
+JSONL/CSV shards should be sized like parquet row-groups (tens to
+hundreds of MB): a single giant .gz file is ONE task (gzip is not
+splittable) — at 100 TB ship many shards, not one archive.
+"""
+
+from __future__ import annotations
+
+import ray.data as rd
+
+
+def _split_by_compression(paths) -> list[tuple[list[str], str | None]]:
+    """[(paths, compression)] groups — one Ray read per group."""
+    ps = [paths] if isinstance(paths, str) else list(paths)
+    gz = [p for p in ps if str(p).endswith(".gz")]
+    plain = [p for p in ps if not str(p).endswith(".gz")]
+    groups: list[tuple[list[str], str | None]] = []
+    if plain:
+        groups.append((plain, None))
+    if gz:
+        groups.append((gz, "gzip"))
+    return groups
+
+
+def _read_grouped(read_one, paths):
+    parts = [
+        read_one(group,
+                 {"compression": comp} if comp else None)
+        for group, comp in _split_by_compression(paths)
+    ]
+    if not parts:
+        raise ValueError("no input paths")
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    return ds
+
+
+def read_jsonl(paths, *, columns: list[str] | None = None, **kwargs):
+    """JSON-Lines → Dataset.  ``columns`` projects immediately after
+    parse (json has no byte-range pushdown); ``.gz`` inputs decompress
+    streaming in the read tasks, and plain/gz shards may be mixed."""
+
+    def read_one(group, open_args):
+        return rd.read_json(
+            group,
+            arrow_open_stream_args=open_args,
+            file_extensions=None,  # accept .jsonl/.json/.gz alike
+            **kwargs,
+        )
+
+    ds = _read_grouped(read_one, paths)
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds
+
+
+def read_csv(paths, *, columns: list[str] | None = None, **kwargs):
+    """CSV → Dataset with column projection pushed into the Arrow
+    reader (unprojected columns are never materialized); plain/gz
+    shards may be mixed."""
+    from pyarrow import csv as pacsv
+
+    if columns and "convert_options" not in kwargs:
+        kwargs["convert_options"] = pacsv.ConvertOptions(
+            include_columns=columns)
+
+    def read_one(group, open_args):
+        return rd.read_csv(
+            group,
+            arrow_open_stream_args=open_args,
+            file_extensions=None,
+            **kwargs,
+        )
+
+    return _read_grouped(read_one, paths)
+
+
+def write_jsonl(ds, path: str, **kwargs) -> None:
+    """Dataset → JSON-Lines directory, one file per block (resumable
+    sharded layout, same contract as the parquet sinks)."""
+    ds.write_json(path, **kwargs)
+
+
+def write_csv(ds, path: str, **kwargs) -> None:
+    """Dataset → CSV directory, one file per block."""
+    ds.write_csv(path, **kwargs)
