@@ -1323,10 +1323,161 @@ def duplicate_spans(ds, *, text_column: str = "text",
         c = g["__h"].value_counts()
         out = g.loc[g["__h"].map(c) >= 2, [id_column, "start"]]
         if not len(out):  # typed empty: Ray's size estimator chokes on
-            return pd.DataFrame({  # object-dtype empties (join.py note)
-                id_column: pd.Series(dtype=np.int64),
-                "start": pd.Series(dtype=np.int64)})
+            return pa.table({  # object-dtype empties (join.py note)
+                id_column: pa.array([], pa.int64()),
+                "start": pa.array([], pa.int64())})
         return out
 
     return spans.groupby("__bucket").map_groups(
         dups_in_bucket, batch_format="pandas")
+
+
+def _scrub_spans_kernel(texts: pa.Array, starts_per_doc: list, n: int) -> pa.Array:
+    """Rebuild each text with the tokens of its deletion spans removed:
+    token positions (1-based, empty-filtered) covered by any
+    ``[s, s+n-1]`` window in the doc's start list are dropped, the rest
+    re-joined with single spaces (lowercased — tokenization is the
+    normalization, same contract as the SQL oracle's string_agg).
+    Vectorized rebuild: repeat/ramp window expansion → global bool mask
+    → ListArray from kept counts → binary_join (the dedup_paragraphs
+    pattern, ops/normalize.py)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    toks = pc.split_pattern_regex(pc.utf8_lower(texts),
+                                  r"[ \t\n\r\f\x0b]+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.values
+    offsets = toks.offsets.to_numpy()
+    counts = np.diff(offsets)
+    parents = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    # position of each kept token within its doc's FILTERED list (1-based)
+    kept_parents = parents[keep]
+    first_occ = np.searchsorted(kept_parents, kept_parents, side="left")
+    pos = np.arange(len(kept_parents)) - first_occ + 1
+
+    # expand deletion windows into (doc, pos) pairs
+    del_docs, del_pos = [], []
+    for d, starts in enumerate(starts_per_doc):
+        if starts is None or not len(starts):
+            continue
+        s = np.asarray(starts, dtype=np.int64)
+        del_docs.append(np.full(len(s) * n, d, dtype=np.int64))
+        del_pos.append((np.repeat(s, n)
+                        + np.tile(np.arange(n, dtype=np.int64), len(s))))
+    if del_docs:
+        dd = np.concatenate(del_docs)
+        dp = np.concatenate(del_pos)
+        # membership test via a sorted composite key (doc << 32 | pos
+        # overflows on giant docs; use lexsorted pair search instead)
+        key_del = np.unique(dd * (pos.max() + 2 if len(pos) else 1) + dp)
+        key_tok = kept_parents * (pos.max() + 2 if len(pos) else 1) + pos
+        idx = np.minimum(np.searchsorted(key_del, key_tok),
+                         len(key_del) - 1)
+        deleted = key_del[idx] == key_tok
+    else:
+        deleted = np.zeros(len(kept_parents), dtype=bool)
+
+    final_keep = keep.copy()
+    final_keep[np.flatnonzero(keep)[deleted]] = False
+    new_counts = np.bincount(parents[final_keep], minlength=len(counts))
+    new_offsets = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(new_counts, out=new_offsets[1:])
+    kept_values = flat.filter(pa.array(final_keep))
+    if new_offsets[-1] < 2**31:
+        lst = pa.ListArray.from_arrays(
+            pa.array(new_offsets, pa.int32()), kept_values)
+    else:
+        lst = pa.LargeListArray.from_arrays(
+            pa.array(new_offsets, pa.int64()), kept_values)
+    return pc.binary_join(lst, " ")
+
+
+def remove_duplicate_spans(ds, *, text_column: str = "text",
+                           id_column: str = "doc_id", n: int = 8,
+                           buckets: int | None = None,
+                           size_hint: int | None = None):
+    """ExactSubstr SCRUB: rewrite every document with its duplicated
+    n-token spans removed, keeping only the canonical occurrence — the
+    corpus-wide first (min ``(doc_id, start)``) position of each
+    duplicated shingle.  Deletion is token-granular: any token covered
+    by a NON-canonical duplicated window is dropped (where a repeat
+    overlaps its own canonical copy — ``"p p p p p"`` — the overlap is
+    dropped too; the contract is deterministic and SQL-checkable, not
+    byte-identical to suffix-array ExactSubstr).  Output is
+    ``(id_column, text_dedup)`` with ``text_dedup`` lowercased and
+    single-space joined (tokenization IS the normalization).
+
+    Two exchanges, both lean: the position-scale shingle exchange of
+    :func:`duplicate_spans`, then a doc-bucketed exchange where each
+    bucket carries its docs' text ONCE plus their deletion positions —
+    never text × deletions.  Scale shape: everything bucket-bounded,
+    text bytes move once."""
+    from biocurator_mapper_ray.ops.join import derive_buckets
+
+    n_docs = ds.count()
+    if buckets is None:
+        est = size_hint if size_hint is not None else n_docs * 128
+        buckets = derive_buckets(est)
+    doc_buckets = derive_buckets(n_docs, rows_per_bucket=1 << 15)
+
+    spans = ds.map_batches(
+        SpanShingleStage,
+        fn_constructor_kwargs={"text_column": text_column,
+                               "id_column": id_column, "n": n,
+                               "buckets": buckets},
+        batch_format="pyarrow", concurrency=(1, 8),
+    )
+
+    def noncanon_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["__h"].value_counts()
+        dup = g[g["__h"].map(c) >= 2]
+        dup = dup.sort_values(["__h", id_column, "start"], kind="mergesort")
+        out = dup.loc[dup.duplicated("__h", keep="first"),
+                      [id_column, "start"]]
+        if not len(out):
+            # typed empty Arrow table: an empty object-dtype frame makes
+            # Ray's size estimator spam per bucket (ops/join.py note)
+            return pa.table({id_column: pa.array([], pa.int64()),
+                             "start": pa.array([], pa.int64())})
+        return out
+
+    dels = spans.groupby("__bucket").map_groups(
+        noncanon_in_bucket, batch_format="pandas")
+
+    def tag_doc(batch: pa.Table, side: int) -> pa.Table:
+        h = hash64_column(batch.column(id_column))
+        cols = {
+            id_column: batch.column(id_column),
+            "__text": (batch.column(text_column) if side == 0
+                       else pa.nulls(len(batch), pa.string())),
+            "start": (batch.column("start") if side == 1
+                      else pa.nulls(len(batch), pa.int64())),
+            "__side": pa.array(np.full(len(batch), side, dtype=np.int8)),
+            "__dbucket": pa.array(
+                (h % np.uint64(doc_buckets)).astype(np.int32)),
+        }
+        return pa.table(cols)
+
+    docs_t = ds.map_batches(tag_doc, fn_kwargs={"side": 0},
+                            batch_format="pyarrow")
+    dels_t = dels.map_batches(tag_doc, fn_kwargs={"side": 1},
+                              batch_format="pyarrow")
+
+    def scrub_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        docs = g[g["__side"] == 0]
+        if not len(docs):
+            return pa.table({id_column: pa.array([], pa.int64()),
+                             "text_dedup": pa.array([], pa.string())})
+        starts_by_id = (g[g["__side"] == 1]
+                        .groupby(id_column)["start"].apply(np.asarray))
+        ids = docs[id_column].to_numpy()
+        starts = [starts_by_id.get(i) for i in ids]
+        out = _scrub_spans_kernel(
+            pa.array(docs["__text"].to_numpy(), pa.string()), starts, n)
+        return pd.DataFrame({id_column: ids,
+                             "text_dedup": out.to_pandas().to_numpy()})
+
+    return docs_t.union(dels_t).groupby("__dbucket").map_groups(
+        scrub_bucket, batch_format="pandas")

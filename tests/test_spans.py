@@ -85,3 +85,56 @@ class TestDuplicateSpans:
         assert len(out) == 25
         assert sorted(out["doc_id"].unique()) == [0, 10, 20, 30, 40]
         assert set(out["start"]) == {21, 22, 23, 24, 25}
+
+
+class TestRemoveDuplicateSpans:
+    def test_scrub_matches_hand_computation(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.dedup import remove_duplicate_spans
+
+        docs = [
+            {"doc_id": 1, "text": "a b c d e f"},
+            {"doc_id": 2, "text": "x y a b c d q"},
+            {"doc_id": 3, "text": "zz"},
+            {"doc_id": 4, "text": ""},
+            {"doc_id": 5, "text": "p p p p p"},  # self-overlap: repeat
+        ]                                         # eats into canonical
+        out = (remove_duplicate_spans(rd.from_items(docs).repartition(2),
+                                      n=4, buckets=8)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert out["text_dedup"].tolist() == [
+            "a b c d e f",  # canonical occurrence untouched
+            "x y q",        # non-canonical 'a b c d' removed
+            "zz",
+            "",
+            "p",            # windows at 2..5 deleted, token 1 survives
+        ]
+
+    def test_no_duplicates_only_normalizes(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.dedup import remove_duplicate_spans
+
+        docs = [{"doc_id": 0, "text": "Mixed\tCASE   and spacing here ok"}]
+        out = remove_duplicate_spans(rd.from_items(docs), n=4,
+                                     buckets=4).to_pandas()
+        assert out["text_dedup"].iloc[0] == "mixed case and spacing here ok"
+
+    def test_canonical_is_corpus_min_doc_start(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.dedup import remove_duplicate_spans
+
+        shared = "s1 s2 s3 s4"
+        docs = [
+            {"doc_id": 9, "text": f"tail9 {shared}"},
+            {"doc_id": 2, "text": f"{shared} tail2"},   # min doc_id wins
+            {"doc_id": 5, "text": f"pre5 {shared} post5"},
+        ]
+        out = (remove_duplicate_spans(rd.from_items(docs).repartition(3),
+                                      n=4, buckets=8)
+               .to_pandas().set_index("doc_id")["text_dedup"])
+        assert out[2] == f"{shared} tail2"
+        assert out[5] == "pre5 post5"
+        assert out[9] == "tail9"
