@@ -1461,6 +1461,28 @@ def _q_remove_spans(sf_dir: str):
     return remove_duplicate_spans(ds, n=8).sort("doc_id")
 
 
+def _q_novel_documents(sf_dir: str):
+    """Incremental corpus update: the doc_id%4==0 quarter of documents
+    treated as a new crawl shard, kept only where its text is absent
+    from the other three quarters (the standing corpus) — the shard's
+    Bloom filter broadcasts to the base scan, base keys never exchange
+    in full (ops/dedup.novel_against)."""
+    from biocurator_mapper_ray.ops.dedup import novel_against
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def part(batch: pa.Table, keep_new: bool) -> pa.Table:
+        is_new = pc.equal(
+            pc.bit_wise_and(batch.column("doc_id"), pa.scalar(3)), 0)
+        return batch.filter(is_new if keep_new else pc.invert(is_new))
+
+    new = ds.map_batches(part, fn_kwargs={"keep_new": True},
+                         batch_format="pyarrow")
+    base = ds.map_batches(part, fn_kwargs={"keep_new": False},
+                          batch_format="pyarrow")
+    return novel_against(new, base).sort("doc_id")
+
+
 def _q_classify_documents(sf_dir: str):
     """Hashed linear (fastText-style) classifier scores per document —
     the md5-derived integer weight table makes the batched-inference
@@ -1595,6 +1617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "classify_documents": _q_classify_documents,
         "duplicate_spans_documents": _q_duplicate_spans,
         "remove_spans_documents": _q_remove_spans,
+        "novel_documents": _q_novel_documents,
         # relational operators
         "pricing_summary": _q_pricing_summary,
         "customer_by_region": _q_customer_by_region,
@@ -1621,8 +1644,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_documents": _q_dedup_minhash,
         "dedup_simhash_documents": _q_dedup_simhash,
         "ngram_jaccard_documents": _q_ngram_jaccard,
-        "decontam_documents": _q_decontam,
         # --- slot 51+ (past the driver's 50-entry snapshot) ---
+        "decontam_documents": _q_decontam,    # r03 green
         "knn_embeddings": _q_knn_embeddings,  # r03 green (ivf variant too)
         "ivf_knn_embeddings": _q_ivf_knn_embeddings,  # ≈ knn (r03 green)
         # hash-green in CORRECTNESS_r03 (driver-certified last round) and
@@ -2737,6 +2760,15 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT row, bucket, CAST(sum(c) AS BIGINT) AS count
             FROM g GROUP BY row, bucket ORDER BY row, bucket
+        """,
+        "novel_documents": """
+            SELECT n.doc_id, n.text
+            FROM documents n
+            WHERE n.doc_id % 4 = 0
+              AND NOT EXISTS (
+                SELECT 1 FROM documents b
+                WHERE b.doc_id % 4 <> 0 AND b.text = n.text)
+            ORDER BY n.doc_id
         """,
         "remove_spans_documents": f"""
             WITH arr AS (

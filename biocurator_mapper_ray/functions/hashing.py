@@ -169,3 +169,14 @@ def md5_u128(strings) -> tuple[np.ndarray, np.ndarray]:
     ).arrow()
     return (out.column("hi").to_numpy(zero_copy_only=False).astype(np.uint64),
             out.column("lo").to_numpy(zero_copy_only=False).astype(np.uint64))
+
+
+def md5_hex(strings) -> list[str]:
+    """Full 32-hex-char md5 of each string (DuckDB-vectorized, null →
+    hash of empty string) — the lean cross-corpus content key."""
+    arr = _as_string_array(strings)
+    if len(arr) == 0:
+        return []
+    tbl = pa.table({"s": pc.fill_null(arr, "")})  # noqa: F841
+    out = _duck().execute("SELECT md5(s) AS h FROM tbl").arrow()
+    return out.column("h").to_pylist()

@@ -1481,3 +1481,70 @@ def remove_duplicate_spans(ds, *, text_column: str = "text",
 
     return docs_t.union(dels_t).groupby("__dbucket").map_groups(
         scrub_bucket, batch_format="pandas")
+
+
+# -------------------------------------------------- incremental update
+
+
+def novel_against(new, base, *, column: str = "text",
+                  id_column: str = "doc_id", k: int = 4,
+                  m_bits: int | None = None, buckets: int | None = None):
+    """Rows of ``new`` whose ``column`` content does not already appear
+    in ``base`` — the incremental corpus-update primitive (ingest a new
+    crawl shard against the standing corpus, keep only novel documents).
+
+    Scale design for the incremental scenario (new shard ≪ base): a
+    Bloom filter of the NEW side's content keys — constant-size, ~2
+    bytes/new-row — broadcasts to the base scan, so the 100-TB base
+    ships only keys that might collide with the shard (true matches +
+    the ~0.2% fp tail) instead of its whole key set.  Candidates meet
+    the shard's lean (id, md5) rows in one bucketed semi ``hash_join``;
+    matched ids leave the shard via the broadcast anti
+    :func:`semi_join_ids`, so shard text is read once from source and
+    base text never moves at all.  Content equality = full-128-bit md5
+    equality (the :func:`exact_dedup_ids` rationale).
+    """
+    from biocurator_mapper_ray.functions.hashing import md5_hex
+    from biocurator_mapper_ray.ops.join import hash_join
+    from biocurator_mapper_ray.ops.sketch import bloom_bits, _BloomPrefilter
+
+    import ray as _ray
+
+    n_new = new.count()
+    if m_bits is None:
+        # ~16 bits/key → fp ≈ 0.24% at k=4; power of two for cheap mod
+        m_bits = 1 << max(16, int(max(1, n_new) * 16 - 1).bit_length())
+
+    def lean_keys(batch: pa.Table, with_id: bool) -> pa.Table:
+        cols = {"__k": pa.array(md5_hex(batch.column(column)), pa.string())}
+        if with_id:
+            cols[id_column] = batch.column(id_column)
+        return pa.table(cols)
+
+    new_lean = new.map_batches(lean_keys, fn_kwargs={"with_id": True},
+                               batch_format="pyarrow")
+
+    # constant-size filter of the shard's keys (bit-scale exchange)
+    bits = bloom_bits(new_lean, key_column="__k", k=k, m_bits=m_bits)
+    arr = np.zeros(m_bits, dtype=bool)
+    bits_pd = bits.to_pandas()
+    if len(bits_pd):
+        arr[bits_pd["bit"].to_numpy()] = True
+    ref = _ray.put(arr)
+
+    # base streams map-side: only possibly-shared keys leave the scan
+    base_cand = base.map_batches(
+        lean_keys, fn_kwargs={"with_id": False}, batch_format="pyarrow",
+    ).map_batches(
+        _BloomPrefilter,
+        fn_constructor_kwargs={"bits_ref": ref, "key_column": "__k",
+                               "k": k, "m_bits": m_bits},
+        batch_format="pyarrow", concurrency=(1, 8),
+    )
+
+    dup_ids = hash_join(new_lean, base_cand, "__k", "__k", how="semi",
+                        left_columns=[id_column, "__k"],
+                        right_columns=["__k"],
+                        buckets=buckets,
+                        size_hint=n_new).select_columns([id_column])
+    return semi_join_ids(new, dup_ids, id_column=id_column, anti=True)

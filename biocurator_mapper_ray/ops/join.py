@@ -158,6 +158,27 @@ def hash_join(
             out = l.merge(r, left_on=left_on, right_on=right_on, how=how)
         if bucket_postprocess is not None:
             out = bucket_postprocess(out)
+        if out.empty and len(out.columns):
+            # typed empty Arrow table: an empty object-dtype frame makes
+            # Ray's block size estimator np.vectorize() each column and
+            # log an error per no-match bucket — the common case for
+            # selective semi/anti joins (diff_bucket note).  Types come
+            # from the empty frame's own non-object dtypes, else from
+            # the group's actual non-null rows; if any column stays
+            # untypeable, fall back to the pandas empty (correct, noisy)
+            fields = []
+            for c in out.columns:
+                if str(out[c].dtype) != "object":
+                    fields.append(pa.field(c, pa.from_numpy_dtype(out[c].dtype)))
+                    continue
+                s = group[c].dropna() if c in group.columns else None
+                if s is not None and len(s):
+                    fields.append(pa.field(
+                        c, pa.Array.from_pandas(s.head(1)).type))
+                else:
+                    break
+            if len(fields) == len(out.columns):
+                return pa.schema(fields).empty_table()
         return out
 
     return unioned.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")

@@ -115,3 +115,50 @@ class TestBloomSemiJoin:
         out = bloom_semi_join(rd.from_pandas(left), rd.from_pandas(right),
                               "lk", "rk", m_bits=1024)
         assert out.count() == 0
+
+
+class TestNovelAgainst:
+    def test_only_novel_content_survives(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.dedup import novel_against
+
+        base = rd.from_items(
+            [{"doc_id": i, "text": f"base doc {i}"} for i in range(50)]
+            + [{"doc_id": 100, "text": "shared text one"},
+               {"doc_id": 101, "text": "shared text two"}]).repartition(3)
+        new = rd.from_items([
+            {"doc_id": 200, "text": "novel alpha"},
+            {"doc_id": 201, "text": "shared text one"},
+            {"doc_id": 202, "text": "novel beta"},
+            {"doc_id": 203, "text": "shared text two"},
+            {"doc_id": 204, "text": "base doc 7"},
+        ]).repartition(2)
+        out = (novel_against(new, base).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        assert out["doc_id"].tolist() == [200, 202]
+        assert out["text"].tolist() == ["novel alpha", "novel beta"]
+
+    def test_empty_base_keeps_everything(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.dedup import novel_against
+
+        new = rd.from_items([{"doc_id": 1, "text": "a"},
+                             {"doc_id": 2, "text": "b"}])
+        base = rd.from_pandas(pd.DataFrame(
+            {"doc_id": pd.array([], dtype="int64"),
+             "text": pd.array([], dtype="string")}))
+        assert novel_against(new, base).count() == 2
+
+    def test_duplicate_within_shard_both_kept(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.dedup import novel_against
+
+        # novelty is vs BASE only; intra-shard dedup is exact_dedup's job
+        new = rd.from_items([{"doc_id": 1, "text": "same"},
+                             {"doc_id": 2, "text": "same"}])
+        base = rd.from_items([{"doc_id": 9, "text": "other"}])
+        assert novel_against(new, base).count() == 2
