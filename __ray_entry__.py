@@ -1461,6 +1461,18 @@ def _q_remove_spans(sf_dir: str):
     return remove_duplicate_spans(ds, n=8).sort("doc_id")
 
 
+def _q_pca_embeddings(sf_dir: str):
+    """Distributed PCA projection of the embeddings table onto its top-2
+    principal components (ops/cluster.pca_fit/pca_project — one
+    sufficient-statistics pass, driver holds d²; rows-only by design:
+    eigendecomposition is float/iterative, correctness pinned by
+    planted-axis recovery + partition-invariance tests)."""
+    from biocurator_mapper_ray.ops.cluster import pca_project
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return pca_project(ds, dim=2).sort("vec_id")
+
+
 def _q_novel_documents(sf_dir: str):
     """Incremental corpus update: the doc_id%4==0 quarter of documents
     treated as a new crawl shard, kept only where its text is absent
@@ -1675,6 +1687,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_candidates_ns": _q_kg_candidates_ns,
         "kg_parse_terms": _q_kg_parse_terms,
         "kg_term_vectors": _q_kg_term_vectors,
+        # rows-only embedding analytics (iterative/float — test-pinned):
+        "pca_embeddings": _q_pca_embeddings,
         # rows-only multimodal plumbing (codec boundary documented):
         "multimodal_features": _q_multimodal_features,
         "multimodal_audio": _q_multimodal_audio,

@@ -387,3 +387,90 @@ def semdedup_embeddings(
         .groupby("cluster")
         .map_groups(dedup_group, batch_format="pandas")
     )
+
+
+def pca_fit(ds, *, vec_column: str = "embedding", dim: int = 2):
+    """Distributed PCA fit: (mean, components) from exact full-corpus
+    second moments.
+
+    One ``map_batches`` pass emits a single lean row per batch — count,
+    the d-vector feature sum and the FLATTENED d×d outer-product sum —
+    so the driver holds batches×(d²+d+1) floats (d is the embedding
+    width, e.g. 32-1024: kilobytes per batch, size-invariant in corpus
+    rows, the kmeans-partials shape).  The covariance eigendecomposition
+    runs driver-side on the d×d matrix; component signs are fixed
+    deterministically (largest-|entry| coordinate made positive) so the
+    fit is reproducible across partitionings.
+
+    Published algorithm: standard batch PCA via moment accumulation
+    (Pearson 1901); the distributed shape is the classic one-pass
+    sufficient-statistics reduction.
+    """
+
+    def moments(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({
+                "n": pa.array([0], pa.int64()),
+                "d": pa.array([0], pa.int64()),
+                "s1": pa.array([[]], pa.list_(pa.float64())),
+                "s2": pa.array([[]], pa.list_(pa.float64())),
+            })
+        x = _as_matrix(batch.column(vec_column))
+        s1 = x.sum(axis=0, dtype=np.float64)
+        s2 = (x.T.astype(np.float64) @ x.astype(np.float64)).ravel()
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "d": pa.array([x.shape[1]], pa.int64()),
+            "s1": pa.array([s1.tolist()], pa.list_(pa.float64())),
+            "s2": pa.array([s2.tolist()], pa.list_(pa.float64())),
+        })
+
+    parts = ds.map_batches(moments, batch_format="pyarrow").to_pandas()
+    if not len(parts) or "n" not in parts.columns:
+        # empty input produces no partial blocks (and a schemaless frame)
+        return np.zeros(0, dtype=np.float64), np.zeros((0, dim))
+    parts = parts[parts["n"] > 0]
+    if not len(parts):
+        return np.zeros(0, dtype=np.float64), np.zeros((0, dim))
+    d = int(parts["d"].max())
+    n = int(parts["n"].sum())
+    s1 = np.sum([np.asarray(v) for v in parts["s1"]], axis=0)
+    s2 = np.sum([np.asarray(v) for v in parts["s2"]], axis=0).reshape(d, d)
+    mean = s1 / n
+    cov = (s2 - n * np.outer(mean, mean)) / max(n - 1, 1)
+    vals, vecs = np.linalg.eigh(cov)          # ascending eigenvalues
+    comp = vecs[:, ::-1][:, :dim]             # top-`dim` columns
+    # deterministic sign: the largest-|entry| coordinate is positive
+    flips = np.sign(comp[np.abs(comp).argmax(axis=0), np.arange(comp.shape[1])])
+    flips[flips == 0] = 1.0
+    return mean, comp * flips
+
+
+def pca_project(ds, *, vec_column: str = "embedding",
+                id_column: str = "vec_id", dim: int = 2,
+                fitted: tuple | None = None):
+    """Project every embedding onto its corpus's top principal
+    components: (id_column, proj list<float64>).  The (mean,
+    components) pair — fitted here unless passed in — broadcasts once
+    per actor via ``ray.put``; projection is a zero-exchange map
+    (one matmul per batch)."""
+    import ray as _ray
+
+    mean, comp = fitted if fitted is not None else pca_fit(
+        ds, vec_column=vec_column, dim=dim)
+    ref = _ray.put((mean, comp))
+
+    def project(batch: pa.Table, r=None) -> pa.Table:
+        m, c = _ray.get(r) if not isinstance(r, tuple) else r
+        x = _as_matrix(batch.column(vec_column)).astype(np.float64)
+        if not len(m):
+            proj = np.zeros((len(x), 0), dtype=np.float64)
+        else:
+            proj = (x - m) @ c
+        return pa.table({
+            id_column: batch.column(id_column),
+            "proj": pa.array(proj.tolist(), pa.list_(pa.float64())),
+        })
+
+    return ds.map_batches(project, fn_kwargs={"r": ref},
+                          batch_format="pyarrow")

@@ -65,3 +65,53 @@ class TestHashedLinearScorer:
         assert out["weight_sum"].iloc[0] == 0
         assert out["n_tokens"].iloc[0] == 0
         assert not bool(out["label"].iloc[0])
+
+
+class TestPCA:
+    def test_recovers_planted_principal_axis(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.cluster import pca_fit, pca_project
+
+        rng = np.random.default_rng(3)
+        axis = np.array([3.0, 4.0, 0.0]) / 5.0  # unit planted direction
+        t = rng.normal(0, 10, 500)
+        x = np.outer(t, axis) + rng.normal(0, 0.01, (500, 3)) + [1, 2, 3]
+        rows = [{"vec_id": i, "embedding": x[i].astype(np.float32).tolist()}
+                for i in range(500)]
+        ds = rd.from_items(rows).repartition(4)
+        mean, comp = pca_fit(ds, dim=1)
+        assert np.allclose(mean, [1, 2, 3], atol=0.5)
+        assert abs(abs(comp[:, 0] @ axis) - 1.0) < 1e-3  # axis recovered
+        proj = (pca_project(ds, dim=1, fitted=(mean, comp))
+                .to_pandas().sort_values("vec_id"))
+        got = np.array(proj["proj"].tolist())[:, 0]
+        # projections reproduce the planted coordinates up to sign/noise
+        s = np.sign(got[np.abs(t).argmax()] * t[np.abs(t).argmax()])
+        assert np.corrcoef(got * s, t)[0, 1] > 0.9999
+
+    def test_partition_invariant_fit(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.cluster import pca_fit
+
+        rng = np.random.default_rng(9)
+        x = rng.normal(0, 1, (300, 4)).astype(np.float32)
+        rows = [{"vec_id": i, "embedding": x[i].tolist()}
+                for i in range(300)]
+        m1, c1 = pca_fit(rd.from_items(rows).repartition(2), dim=2)
+        m2, c2 = pca_fit(rd.from_items(rows).repartition(7), dim=2)
+        assert np.allclose(m1, m2, atol=1e-9)
+        assert np.allclose(c1, c2, atol=1e-7)  # deterministic signs
+
+    def test_empty_input(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.cluster import pca_fit
+
+        ds = rd.from_pandas(pd.DataFrame(
+            {"vec_id": pd.array([], dtype="int64"),
+             "embedding": pd.Series([], dtype=object)}))
+        mean, comp = pca_fit(ds, dim=2)
+        assert len(mean) == 0 and comp.shape == (0, 2)
