@@ -1461,6 +1461,21 @@ def _q_remove_spans(sf_dir: str):
     return remove_duplicate_spans(ds, n=8).sort("doc_id")
 
 
+def _q_weighted_sample(sf_dir: str):
+    """Deterministic weighted Bernoulli sample: documents kept with
+    probability n_tokens_ws/400 (longer docs kept more — the mixture
+    up-weighting primitive, ops/sample.weighted_sample); all-integer
+    keep rule with an exact SQL oracle."""
+    from biocurator_mapper_ray.ops.sample import weighted_sample
+    from biocurator_mapper_ray.ops.textstats import token_counts
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    tc = ds.map_batches(token_counts, batch_format="pyarrow")
+    out = weighted_sample(tc, weight_column="n_tokens_ws",
+                          key_column="doc_id", denominator=400, seed=7)
+    return out.select_columns(["doc_id", "n_tokens_ws"]).sort("doc_id")
+
+
 def _q_pca_embeddings(sf_dir: str):
     """Distributed PCA projection of the embeddings table onto its top-2
     principal components (ops/cluster.pca_fit/pca_project — one
@@ -1630,6 +1645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_spans_documents": _q_duplicate_spans,
         "remove_spans_documents": _q_remove_spans,
         "novel_documents": _q_novel_documents,
+        "weighted_sample_documents": _q_weighted_sample,
         # relational operators
         "pricing_summary": _q_pricing_summary,
         "customer_by_region": _q_customer_by_region,
@@ -1655,8 +1671,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_quality_documents": _q_lang_quality,
         "dedup_minhash_documents": _q_dedup_minhash,
         "dedup_simhash_documents": _q_dedup_simhash,
-        "ngram_jaccard_documents": _q_ngram_jaccard,
         # --- slot 51+ (past the driver's 50-entry snapshot) ---
+        "ngram_jaccard_documents": _q_ngram_jaccard,  # r03 green
         "decontam_documents": _q_decontam,    # r03 green
         "knn_embeddings": _q_knn_embeddings,  # r03 green (ivf variant too)
         "ivf_knn_embeddings": _q_ivf_knn_embeddings,  # ≈ knn (r03 green)
@@ -2774,6 +2790,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT row, bucket, CAST(sum(c) AS BIGINT) AS count
             FROM g GROUP BY row, bucket ORDER BY row, bucket
+        """,
+        "weighted_sample_documents": """
+            WITH tc AS (
+                SELECT doc_id,
+                       CASE WHEN length(regexp_replace(
+                                 text, '^\\s+|\\s+$', '', 'g')) = 0
+                            THEN 0
+                            ELSE array_length(regexp_split_to_array(
+                                 regexp_replace(text, '^\\s+|\\s+$', '',
+                                                'g'), '\\s+'))
+                       END AS n_tokens_ws
+                FROM documents
+            )
+            SELECT doc_id, n_tokens_ws
+            FROM tc
+            WHERE CAST('0x' || substr(
+                      md5('7:' || CAST(doc_id AS VARCHAR)), 1, 16)
+                   AS UBIGINT) % 400 < n_tokens_ws
+            ORDER BY doc_id
         """,
         "novel_documents": """
             SELECT n.doc_id, n.text

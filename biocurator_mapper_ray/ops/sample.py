@@ -233,3 +233,27 @@ def hash_top_k(ds, *, key_column: str = "doc_id", k: int = 100,
     out = ds.map_batches(partial, batch_format="pyarrow")
     return (out.sort(["__mk", key_column]).limit(k)
             .drop_columns(["__mk"]))
+
+
+def weighted_sample(ds, *, weight_column: str, key_column: str = "doc_id",
+                    denominator: int = 1000, seed: int = 42):
+    """Deterministic weighted Bernoulli sample: keep each row with
+    probability ``weight/denominator`` exactly — the source up/down-
+    weighting primitive of a mixture-curation pipeline (keep probability
+    ∝ a per-row quality/priority weight).
+
+    Keep rule: ``md5_u64(seed:key) % denominator < weight`` (weights
+    clamped to [0, denominator]) — all-integer, so the decision is
+    reproducible on any engine/partitioning and has an exact SQL
+    oracle; rows with weight ≥ denominator are always kept, weight ≤ 0
+    never.  Pure map-side filter: ZERO exchange, streams at any scale.
+    """
+
+    def keep(batch: pa.Table) -> pa.Table:
+        h = md5_prefix_u64(batch.column(key_column), 16, prefix=f"{seed}:")
+        draw = (h % np.uint64(denominator)).astype(np.int64)
+        w = pc.cast(batch.column(weight_column), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return batch.filter(pa.array(draw < w))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -115,3 +115,36 @@ class TestPCA:
              "embedding": pd.Series([], dtype=object)}))
         mean, comp = pca_fit(ds, dim=2)
         assert len(mean) == 0 and comp.shape == (0, 2)
+
+
+class TestWeightedSample:
+    def test_keep_rule_matches_hashlib(self, ray_session):
+        import hashlib
+
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.sample import weighted_sample
+
+        rows = [{"doc_id": i, "w": (i * 37) % 120} for i in range(300)]
+        out = weighted_sample(
+            rd.from_items(rows).repartition(3), weight_column="w",
+            key_column="doc_id", denominator=100, seed=5,
+        ).to_pandas().sort_values("doc_id")
+        want = []
+        for r in rows:
+            h = int(hashlib.md5(f"5:{r['doc_id']}".encode())
+                    .hexdigest()[:16], 16)
+            if h % 100 < r["w"]:
+                want.append(r["doc_id"])
+        assert out["doc_id"].tolist() == want
+        # weight >= denominator rows are always kept
+        assert all(r["doc_id"] in want for r in rows if r["w"] >= 100)
+
+    def test_zero_weight_never_kept(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.sample import weighted_sample
+
+        rows = [{"doc_id": i, "w": 0} for i in range(50)]
+        assert weighted_sample(rd.from_items(rows), weight_column="w",
+                               denominator=10).count() == 0
