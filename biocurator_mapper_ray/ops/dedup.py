@@ -1506,7 +1506,7 @@ def novel_against(new, base, *, column: str = "text",
     """
     from biocurator_mapper_ray.functions.hashing import md5_hex
     from biocurator_mapper_ray.ops.join import hash_join
-    from biocurator_mapper_ray.ops.sketch import bloom_bits, _BloomPrefilter
+    from biocurator_mapper_ray.ops.sketch import bloom_bits, _bloom_prefilter
 
     import ray as _ray
 
@@ -1525,7 +1525,8 @@ def novel_against(new, base, *, column: str = "text",
                                batch_format="pyarrow")
 
     # constant-size filter of the shard's keys (bit-scale exchange)
-    bits = bloom_bits(new_lean, key_column="__k", k=k, m_bits=m_bits)
+    bits = bloom_bits(new_lean, key_column="__k", k=k, m_bits=m_bits,
+                      sort=False)
     arr = np.zeros(m_bits, dtype=bool)
     bits_pd = bits.to_pandas()
     if len(bits_pd):
@@ -1536,10 +1537,10 @@ def novel_against(new, base, *, column: str = "text",
     base_cand = base.map_batches(
         lean_keys, fn_kwargs={"with_id": False}, batch_format="pyarrow",
     ).map_batches(
-        _BloomPrefilter,
-        fn_constructor_kwargs={"bits_ref": ref, "key_column": "__k",
-                               "k": k, "m_bits": m_bits},
-        batch_format="pyarrow", concurrency=(1, 8),
+        _bloom_prefilter,
+        fn_kwargs={"bits_ref": ref, "key_column": "__k",
+                   "k": k, "m_bits": m_bits},
+        batch_format="pyarrow",
     )
 
     dup_ids = hash_join(new_lean, base_cand, "__k", "__k", how="semi",

@@ -216,10 +216,13 @@ def cms_query(registers: pd.DataFrame, tokens: list[str], *,
     return out
 
 
-class BloomKeyStage:
+def _bloom_key_bits(batch: pa.Table, *, key_column: str, k: int,
+                    m_bits: int) -> pa.Table:
     """batch → DISTINCT set-bit positions of a Bloom filter over a key
     column: ≤ ``m_bits`` lean single-column rows per batch regardless of
-    batch size — the exchange is bit-scale, never key-scale.
+    batch size — the exchange is bit-scale, never key-scale.  A plain
+    task-pool function (no per-batch state worth an actor pool — the
+    md5 kernel is process-global).
 
     Same SQL-checkability device as HLL/CMS: hash ``j`` of key ``x`` is
     the first 16 md5 hex chars of ``"j:" || CAST(x AS VARCHAR)`` mod
@@ -228,44 +231,39 @@ class BloomKeyStage:
     UBIGINT) % m``.  Keys must be integer or string columns (float
     VARCHAR formatting is not portable across engines).
     """
+    from biocurator_mapper_ray.functions.hashing import md5_prefix_u64
 
-    def __init__(self, key_column: str, k: int = 4, m_bits: int = 8192):
-        self.key_column = key_column
-        self.k = k
-        self.m_bits = m_bits
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        from biocurator_mapper_ray.functions.hashing import md5_prefix_u64
-
-        col = batch.column(self.key_column)
-        if pa.types.is_floating(col.type):
-            raise TypeError("bloom keys must be integer or string columns")
-        keys = pc.unique(pc.cast(col, pa.string()))
-        keys = keys.filter(pc.is_valid(keys))
-        if not len(keys):
-            return pa.table({"bit": pa.array([], pa.int64())})
-        bits = np.concatenate([
-            (md5_prefix_u64(keys, prefix=f"{j}:") % np.uint64(self.m_bits))
-            .astype(np.int64)
-            for j in range(self.k)
-        ])
-        return pa.table({"bit": pa.array(np.unique(bits))})
+    col = batch.column(key_column)
+    if pa.types.is_floating(col.type):
+        raise TypeError("bloom keys must be integer or string columns")
+    keys = pc.unique(pc.cast(col, pa.string()))
+    keys = keys.filter(pc.is_valid(keys))
+    if not len(keys):
+        return pa.table({"bit": pa.array([], pa.int64())})
+    bits = np.concatenate([
+        (md5_prefix_u64(keys, prefix=f"{j}:") % np.uint64(m_bits))
+        .astype(np.int64)
+        for j in range(k)
+    ])
+    return pa.table({"bit": pa.array(np.unique(bits))})
 
 
-def bloom_bits(ds, *, key_column: str, k: int = 4, m_bits: int = 8192):
-    """Distributed Bloom filter over a key column, as its exact sorted
-    set-bit table (bit int64, ≤ m_bits rows).  Published algorithm:
+def bloom_bits(ds, *, key_column: str, k: int = 4, m_bits: int = 8192,
+               sort: bool = True):
+    """Distributed Bloom filter over a key column, as its exact set-bit
+    table (bit int64, ≤ m_bits rows; sorted unless ``sort=False`` — the
+    internal consumers pack it into a bool array where order is noise
+    and the extra all-to-all is pure fixed cost).  Published algorithm:
     Bloom 1970, "Space/time trade-offs in hash coding with allowable
     errors".  One bit-keyed exchange of ≤ batches×m_bits partial rows;
     the register table has an exact DuckDB oracle (see module doc)."""
     partials = ds.map_batches(
-        BloomKeyStage,
-        fn_constructor_kwargs={"key_column": key_column, "k": k,
-                               "m_bits": m_bits},
-        batch_format="pyarrow", concurrency=(1, 8),
+        _bloom_key_bits,
+        fn_kwargs={"key_column": key_column, "k": k, "m_bits": m_bits},
+        batch_format="pyarrow",
     )
-    agg = partials.groupby("bit").count()
-    return agg.select_columns(["bit"]).sort("bit")
+    agg = partials.groupby("bit").count().select_columns(["bit"])
+    return agg.sort("bit") if sort else agg
 
 
 def bloom_contains(bits: pd.DataFrame, keys: list, *, k: int = 4,
@@ -285,38 +283,35 @@ def bloom_contains(bits: pd.DataFrame, keys: list, *, k: int = 4,
     return out
 
 
-class _BloomPrefilter:
+def _bloom_prefilter(batch: pa.Table, *, bits_ref, key_column: str,
+                     k: int, m_bits: int) -> pa.Table:
     """Map-side candidate filter: keep rows whose key hits all k bits of
-    a broadcast Bloom filter (the packed bool array ships once per actor
-    via ray.put, never per batch)."""
+    a broadcast Bloom filter.  ``ray.get`` of the packed bool array is
+    zero-copy from the local object store, so a plain task-pool
+    function beats an actor pool (no setup worth amortizing, no ramp
+    latency, fuses with the upstream read)."""
+    import ray
 
-    def __init__(self, bits_ref, key_column: str, k: int, m_bits: int):
-        import ray
+    arr = ray.get(bits_ref) if not isinstance(bits_ref, np.ndarray) else bits_ref
+    from biocurator_mapper_ray.functions.hashing import md5_prefix_u64
 
-        self.arr = ray.get(bits_ref)  # (m_bits,) bool
-        self.key_column = key_column
-        self.k = k
-        self.m_bits = m_bits
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        from biocurator_mapper_ray.functions.hashing import md5_prefix_u64
-
-        keys = pc.cast(batch.column(self.key_column), pa.string())
-        mask = np.ones(len(batch), dtype=bool)
-        mask &= pc.is_valid(keys).to_numpy(zero_copy_only=False)
-        for j in range(self.k):
-            h = (md5_prefix_u64(keys, prefix=f"{j}:")
-                 % np.uint64(self.m_bits)).astype(np.int64)
-            mask &= self.arr[h]
-            if not mask.any():
-                break
-        return batch.filter(pa.array(mask))
+    keys = pc.cast(batch.column(key_column), pa.string())
+    mask = np.ones(len(batch), dtype=bool)
+    mask &= pc.is_valid(keys).to_numpy(zero_copy_only=False)
+    for j in range(k):
+        h = (md5_prefix_u64(keys, prefix=f"{j}:")
+             % np.uint64(m_bits)).astype(np.int64)
+        mask &= arr[h]
+        if not mask.any():
+            break
+    return batch.filter(pa.array(mask))
 
 
 def bloom_semi_join(left, right, left_on: str, right_on: str, *,
                     k: int = 4, m_bits: int = 1 << 20,
                     left_columns: list[str] | None = None,
-                    recheck: bool = True):
+                    recheck: bool = True,
+                    size_hint: int | None = None):
     """Semi join accelerated by a broadcast Bloom prefilter: build a
     Bloom filter over the right side's keys (bit-scale exchange, packed
     to m_bits/8 bytes on the driver), drop non-matching left rows
@@ -334,7 +329,8 @@ def bloom_semi_join(left, right, left_on: str, right_on: str, *,
 
     from biocurator_mapper_ray.ops.join import hash_join
 
-    bits = bloom_bits(right, key_column=right_on, k=k, m_bits=m_bits)
+    bits = bloom_bits(right, key_column=right_on, k=k, m_bits=m_bits,
+                      sort=False)
     # exact set-bit table is ≤ m_bits rows by construction — the ONLY
     # driver-side collect, bounded by the filter size, not the data
     arr = np.zeros(m_bits, dtype=bool)
@@ -343,15 +339,24 @@ def bloom_semi_join(left, right, left_on: str, right_on: str, *,
         arr[bits_pd["bit"].to_numpy()] = True
     ref = ray.put(arr)
     cand = left.map_batches(
-        _BloomPrefilter,
-        fn_constructor_kwargs={"bits_ref": ref, "key_column": left_on,
-                               "k": k, "m_bits": m_bits},
-        batch_format="pyarrow", concurrency=(1, 8),
+        _bloom_prefilter,
+        fn_kwargs={"bits_ref": ref, "key_column": left_on,
+                   "k": k, "m_bits": m_bits},
+        batch_format="pyarrow",
     )
     if left_columns:
         cand = cand.select_columns(left_columns)
     if not recheck:
         return cand
+    if size_hint is None:
+        # derive the join's bucket count from the filter occupancy
+        # (≈ k keys per distinct set bit is an upper-ish bound on the
+        # right side; candidates are match-scale): an explicit hint
+        # stops hash_join from count()ing its LAZY sides, which would
+        # re-execute the whole prefilter plan a second time just to
+        # size buckets
+        size_hint = max(64, (len(bits_pd) // max(1, k)) * 8)
     return hash_join(cand, right, left_on, right_on, how="semi",
                      left_columns=left_columns,
-                     right_columns=[right_on])
+                     right_columns=[right_on],
+                     size_hint=size_hint)
