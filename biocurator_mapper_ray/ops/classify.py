@@ -9,11 +9,11 @@ for Efficient Text Classification" (fastText); Weinberger et al. 2009,
 "Feature Hashing for Large Scale Multitask Learning".
 
 The Ray-side plumbing is real batched model inference: the weight table
-is built (or received via ``ray.put``) ONCE per actor in ``__init__``,
-each ``__call__`` scores a whole Arrow batch vectorized (unique-token
-md5 via the DuckDB-backed kernel + np.add.at scatter per doc), and no
-exchange happens at all — per-document scoring is embarrassingly
-parallel.  Swapping in a trained model = passing its weights array.
+ships once through the object store (zero-copy ``ray.get`` per task),
+each batch scores vectorized (unique-token md5 via the DuckDB-backed
+kernel + np.add.at scatter per doc), and no exchange happens at all —
+per-document scoring is embarrassingly parallel.  Swapping in a trained
+model = passing its weights array via ``ray.put``.
 
 SQL-checkability: the default weight of token ``t`` is
 ``(md5_u64(t) % 2001) - 1000`` — byte-identical to DuckDB's
@@ -34,70 +34,66 @@ _WEIGHT_MOD = 2001
 _WEIGHT_OFF = 1000
 
 
-class HashedLinearScorer:
+def hashed_linear_score(batch: pa.Table, *, text_column: str = "text",
+                        weights_ref=None) -> pa.Table:
     """documents batch → (id cols…, weight_sum, n_tokens, label): the
     integer score of a hashed linear model over whitespace tokens.
 
     ``weights_ref``: optional ``ray.ObjectRef`` of a ``(table_size,)``
-    float/int weight array for a real trained model — resolved once per
-    actor, tokens indexed by ``md5_u64(tok) % table_size``.  Without it
+    float/int weight array for a real trained model — ``ray.get`` is
+    zero-copy from the local object store, so a plain task function
+    beats an actor pool (no setup worth amortizing, fuses with the
+    read); tokens index by ``md5_u64(tok) % table_size``.  Without it
     the deterministic md5-derived weights are used (exact SQL oracle).
     """
+    weights = None
+    if weights_ref is not None:
+        import ray
 
-    def __init__(self, text_column: str = "text",
-                 weights_ref=None, table_size: int | None = None):
-        self.text_column = text_column
-        self.weights = None
-        self.table_size = table_size
-        if weights_ref is not None:
-            import ray
+        weights = np.asarray(
+            ray.get(weights_ref)
+            if not isinstance(weights_ref, np.ndarray) else weights_ref)
 
-            self.weights = np.asarray(ray.get(weights_ref))
-            self.table_size = len(self.weights)
-        self._cache: dict[str, int] = {}
-
-    def _token_weights(self, uniq: pa.Array) -> np.ndarray:
+    def _token_weights(uniq: pa.Array) -> np.ndarray:
         from biocurator_mapper_ray.functions.hashing import md5_prefix_u64
 
         h = md5_prefix_u64(uniq)
-        if self.weights is not None:
-            return self.weights[(h % np.uint64(self.table_size)).astype(np.int64)]
+        if weights is not None:
+            return weights[(h % np.uint64(len(weights))).astype(np.int64)]
         return ((h % np.uint64(_WEIGHT_MOD)).astype(np.int64) - _WEIGHT_OFF)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        text = batch.column(self.text_column)
-        toks = pc.split_pattern_regex(pc.utf8_lower(text), r"\s+")
-        flat = pc.list_flatten(toks)
-        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        flat_np = flat.to_numpy(zero_copy_only=False)[keep]
-        parents = parents[keep]
+    text = batch.column(text_column)
+    toks = pc.split_pattern_regex(pc.utf8_lower(text), r"\s+")
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat_np = flat.to_numpy(zero_copy_only=False)[keep]
+    parents = parents[keep]
 
-        n_tokens = np.zeros(len(batch), dtype=np.int64)
-        weight_sum = np.zeros(len(batch), dtype=np.int64)
-        if len(flat_np):
-            # weight per DISTINCT token once (heavy-tailed vocabulary),
-            # then scatter-add occurrences back to their documents
-            uniq, inv = np.unique(flat_np, return_inverse=True)
-            w = self._token_weights(pa.array(uniq)).astype(np.int64)
-            np.add.at(n_tokens, parents, 1)
-            np.add.at(weight_sum, parents, w[inv])
-        return (
-            batch.drop_columns([self.text_column])
-            .append_column("weight_sum", pa.array(weight_sum))
-            .append_column("n_tokens", pa.array(n_tokens))
-            .append_column("label", pa.array(weight_sum > 0))
-        )
+    n_tokens = np.zeros(len(batch), dtype=np.int64)
+    weight_sum = np.zeros(len(batch), dtype=np.int64)
+    if len(flat_np):
+        # weight per DISTINCT token once (heavy-tailed vocabulary),
+        # then scatter-add occurrences back to their documents
+        uniq, inv = np.unique(flat_np, return_inverse=True)
+        w = _token_weights(pa.array(uniq)).astype(np.int64)
+        np.add.at(n_tokens, parents, 1)
+        np.add.at(weight_sum, parents, w[inv])
+    return (
+        batch.drop_columns([text_column])
+        .append_column("weight_sum", pa.array(weight_sum))
+        .append_column("n_tokens", pa.array(n_tokens))
+        .append_column("label", pa.array(weight_sum > 0))
+    )
 
 
 def classify_documents(ds, *, text_column: str = "text",
-                       weights_ref=None, table_size: int | None = None):
+                       weights_ref=None):
     """Score every document with the hashed linear model — a pure
-    actor-pool map, zero exchange (model broadcast once per actor)."""
+    task-pool map, zero exchange (the model ships through the object
+    store and resolves zero-copy per task)."""
     return ds.map_batches(
-        HashedLinearScorer,
-        fn_constructor_kwargs={"text_column": text_column,
-                               "weights_ref": weights_ref,
-                               "table_size": table_size},
-        batch_format="pyarrow", concurrency=(1, 8),
+        hashed_linear_score,
+        fn_kwargs={"text_column": text_column, "weights_ref": weights_ref},
+        batch_format="pyarrow",
     )

@@ -1215,12 +1215,15 @@ def ngram_jaccard_pairs(
 # ----------------------------------------------------- duplicate spans
 
 
-class SpanShingleStage:
+def _span_shingle_rows(batch: pa.Table, *, text_column: str = "text",
+                       id_column: str = "doc_id", n: int = 8,
+                       buckets: int = 64) -> pa.Table:
     """documents batch → one lean (doc_id, start, __h, __bucket) row per
     n-token shingle POSITION: the map side of exact duplicated-span
     detection (Lee et al. 2022, "Deduplicating Training Data Makes
     Language Models Better" — the ExactSubstr signal, here at fixed
-    token granularity instead of suffix arrays).
+    token granularity instead of suffix arrays).  A stateless task-pool
+    function: it fuses with the upstream read, no actor ramp.
 
     Vectorized: one Arrow split per batch, empties masked out of the
     flat token array, the n-gram strings built by n-1 elementwise
@@ -1231,56 +1234,46 @@ class SpanShingleStage:
     oracle's ``unnest(range(...))`` convention; docs with < n tokens
     contribute nothing.
     """
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(batch.column(text_column)),
+        r"[ \t\n\r\f\x0b]+")
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    toks_np = flat.to_numpy(zero_copy_only=False)[keep]
+    parents = parents[keep]
 
-    def __init__(self, text_column: str = "text", id_column: str = "doc_id",
-                 n: int = 8, buckets: int = 64):
-        self.text_column = text_column
-        self.id_column = id_column
-        self.n = n
-        self.buckets = buckets
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        n = self.n
-        toks = pc.split_pattern_regex(
-            pc.utf8_lower(batch.column(self.text_column)),
-            r"[ \t\n\r\f\x0b]+")
-        flat = pc.list_flatten(toks)
-        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        toks_np = flat.to_numpy(zero_copy_only=False)[keep]
-        parents = parents[keep]
-
-        empty = pa.table({
-            self.id_column: pa.array([], batch.column(self.id_column).type),
-            "start": pa.array([], pa.int64()),
-            "__h": pa.array([], pa.int64()),
-            "__bucket": pa.array([], pa.int32()),
-        })
-        if len(toks_np) < n:
-            return empty
-        # windows fully inside one doc: same parent at both ends
-        m = len(toks_np) - n + 1
-        valid = parents[:m] == parents[n - 1:]
-        if not valid.any():
-            return empty
-        sh = toks_np[:m].copy()
-        for j in range(1, n):
-            sh = sh + " "
-            sh = sh + toks_np[j:m + j]
-        sh = sh[valid]
-        # 1-based position within the doc's filtered token list
-        first_occ = np.searchsorted(parents, parents, side="left")
-        start = (np.arange(len(parents)) - first_occ + 1)[:m][valid]
-        ids = batch.column(self.id_column).take(
-            pa.array(parents[:m][valid]))
-        h = md5_prefix_u64(sh)
-        return pa.table({
-            self.id_column: ids,
-            "start": pa.array(start.astype(np.int64)),
-            "__h": pa.array(h.view(np.int64)),
-            "__bucket": pa.array(
-                (h % np.uint64(self.buckets)).astype(np.int32)),
-        })
+    empty = pa.table({
+        id_column: pa.array([], batch.column(id_column).type),
+        "start": pa.array([], pa.int64()),
+        "__h": pa.array([], pa.int64()),
+        "__bucket": pa.array([], pa.int32()),
+    })
+    if len(toks_np) < n:
+        return empty
+    # windows fully inside one doc: same parent at both ends
+    m = len(toks_np) - n + 1
+    valid = parents[:m] == parents[n - 1:]
+    if not valid.any():
+        return empty
+    sh = toks_np[:m].copy()
+    for j in range(1, n):
+        sh = sh + " "
+        sh = sh + toks_np[j:m + j]
+    sh = sh[valid]
+    # 1-based position within the doc's filtered token list
+    first_occ = np.searchsorted(parents, parents, side="left")
+    start = (np.arange(len(parents)) - first_occ + 1)[:m][valid]
+    ids = batch.column(id_column).take(
+        pa.array(parents[:m][valid]))
+    h = md5_prefix_u64(sh)
+    return pa.table({
+        id_column: ids,
+        "start": pa.array(start.astype(np.int64)),
+        "__h": pa.array(h.view(np.int64)),
+        "__bucket": pa.array(
+            (h % np.uint64(buckets)).astype(np.int32)),
+    })
 
 
 def duplicate_spans(ds, *, text_column: str = "text",
@@ -1312,11 +1305,10 @@ def duplicate_spans(ds, *, text_column: str = "text",
         buckets = derive_buckets(est)
 
     spans = ds.map_batches(
-        SpanShingleStage,
-        fn_constructor_kwargs={"text_column": text_column,
-                               "id_column": id_column, "n": n,
-                               "buckets": buckets},
-        batch_format="pyarrow", concurrency=(1, 8),
+        _span_shingle_rows,
+        fn_kwargs={"text_column": text_column, "id_column": id_column,
+                   "n": n, "buckets": buckets},
+        batch_format="pyarrow",
     )
 
     def dups_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -1423,11 +1415,10 @@ def remove_duplicate_spans(ds, *, text_column: str = "text",
     doc_buckets = derive_buckets(n_docs, rows_per_bucket=1 << 15)
 
     spans = ds.map_batches(
-        SpanShingleStage,
-        fn_constructor_kwargs={"text_column": text_column,
-                               "id_column": id_column, "n": n,
-                               "buckets": buckets},
-        batch_format="pyarrow", concurrency=(1, 8),
+        _span_shingle_rows,
+        fn_kwargs={"text_column": text_column, "id_column": id_column,
+                   "n": n, "buckets": buckets},
+        batch_format="pyarrow",
     )
 
     def noncanon_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
