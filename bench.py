@@ -151,6 +151,11 @@ def run_bench() -> dict:
         "fingerprint_documents",
         "sequence_pack_documents",
         "boilerplate_documents",
+        # round-4 additions
+        "classify_documents",
+        "remove_spans_documents",
+        "novel_documents",
+        "bloom_join_orders",
     ]
     qs = entry.queries()
     for name in bench_queries:
