@@ -1320,8 +1320,16 @@ def duplicate_spans(ds, *, text_column: str = "text",
                 "start": pa.array([], pa.int64())})
         return out
 
-    return spans.groupby("__bucket").map_groups(
+    out = spans.groupby("__bucket").map_groups(
         dups_in_bucket, batch_format="pandas")
+    # union a 0-row typed block so an all-unique corpus still yields a
+    # schema'd (id, start) dataset instead of a schemaless empty
+    import ray.data as _rd
+
+    anchor = _rd.from_arrow(pa.table({
+        id_column: pa.array([], pa.int64()),
+        "start": pa.array([], pa.int64())}))
+    return out.union(anchor)
 
 
 def _scrub_spans_kernel(texts: pa.Array, starts_per_doc: list, n: int) -> pa.Array:
@@ -1470,8 +1478,14 @@ def remove_duplicate_spans(ds, *, text_column: str = "text",
         return pd.DataFrame({id_column: ids,
                              "text_dedup": out.to_pandas().to_numpy()})
 
-    return docs_t.union(dels_t).groupby("__dbucket").map_groups(
+    out = docs_t.union(dels_t).groupby("__dbucket").map_groups(
         scrub_bucket, batch_format="pandas")
+    import ray.data as _rd
+
+    anchor = _rd.from_arrow(pa.table({
+        id_column: pa.array([], pa.int64()),
+        "text_dedup": pa.array([], pa.string())}))
+    return out.union(anchor)
 
 
 # -------------------------------------------------- incremental update

@@ -73,6 +73,13 @@ QUERIES = [
     "chunk_spans_documents",
     "boilerplate_documents",
     "corpus_freq_documents",
+    # round-4 text ops (doc_id/text only)
+    "classify_documents",
+    "duplicate_spans_documents",
+    "remove_spans_documents",
+    "weighted_sample_documents",
+    "normalize_text_documents",
+    "dedup_paragraphs_documents",
 ]
 
 
@@ -80,9 +87,21 @@ QUERIES = [
 def test_nasty_corpus_matches_oracle(name, nasty_dir, ray_session):
     import __ray_entry__ as entry
 
-    got = entry.queries()[name](nasty_dir)
-    got = got if isinstance(got, pd.DataFrame) else got.to_pandas()
+    res = entry.queries()[name](nasty_dir)
+    got = res if isinstance(res, pd.DataFrame) else res.to_pandas()
     want = _oracle(entry.oracle_sql()[name], nasty_dir)
+    if len(want) == 0 and len(got) == 0:
+        # Ray's to_pandas() drops columns for 0-row datasets even when
+        # the Dataset schema is valid — verify the schema directly
+        if not isinstance(res, pd.DataFrame):
+            sch = res.schema()
+            # a sort over an all-empty dataset erases even the Dataset
+            # schema (returns None) — rows-only equality is the check
+            if sch is not None:
+                names = set(sch.names)
+                assert set(want.columns) <= names, (sorted(names),
+                                                    sorted(want.columns))
+        return
     g, w = _norm(got), _norm(want)
     assert list(g.columns) == list(w.columns)
     assert len(g) == len(w), f"{name}: {len(g)} engine vs {len(w)} oracle rows"
