@@ -1476,6 +1476,18 @@ def _q_weighted_sample(sf_dir: str):
     return out.select_columns(["doc_id", "n_tokens_ws"]).sort("doc_id")
 
 
+def _q_compression_ratio(sf_dir: str):
+    """zlib compressibility per document (ops/textstats.compression_ratio)
+    — rows-only: DuckDB has no zlib; values pinned by construction tests
+    against stdlib zlib."""
+    from biocurator_mapper_ray.ops.textstats import compression_ratio
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(compression_ratio, batch_format="pyarrow")
+    return out.select_columns(
+        ["doc_id", "n_bytes", "n_bytes_zlib", "zlib_ratio"]).sort("doc_id")
+
+
 def _q_pca_embeddings(sf_dir: str):
     """Distributed PCA projection of the embeddings table onto its top-2
     principal components (ops/cluster.pca_fit/pca_project — one
@@ -1705,6 +1717,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_term_vectors": _q_kg_term_vectors,
         # rows-only embedding analytics (iterative/float — test-pinned):
         "pca_embeddings": _q_pca_embeddings,
+        # rows-only compressibility signal (no zlib in SQL — test-pinned):
+        "compression_ratio_documents": _q_compression_ratio,
         # rows-only multimodal plumbing (codec boundary documented):
         "multimodal_features": _q_multimodal_features,
         "multimodal_audio": _q_multimodal_audio,

@@ -462,3 +462,29 @@ def fingerprints(batch: pa.Table, text_column: str = "text") -> pa.Table:
     return batch.append_column("fp_md5", pa.array(md5s, pa.string())).append_column(
         "fp_sim64", pa.array(sim)
     )
+
+
+def compression_ratio(batch: pa.Table, text_column: str = "text",
+                      level: int = 6) -> pa.Table:
+    """(id cols…) + n_bytes / n_bytes_zlib / zlib_ratio (rounded 6):
+    the compressibility quality signal — highly repetitive or templated
+    text compresses far below natural prose (used by Gopher-family
+    filters as `symbol-to-word`'s blunt cousin; see also C4's heuristic
+    family).  Rows-only (no zlib in SQL): pinned by construction tests.
+
+    zlib is stdlib C — the per-row loop spends its time inside the
+    codec, not the interpreter (same dispensation as the compiled-regex
+    loop in token_counts)."""
+    import zlib
+
+    texts = batch.column(text_column).to_pylist()
+    n_bytes = np.empty(len(texts), dtype=np.int64)
+    n_comp = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        b = (t or "").encode("utf-8")
+        n_bytes[i] = len(b)
+        n_comp[i] = len(zlib.compress(b, level))
+    ratio = np.round(n_comp / np.maximum(n_bytes, 1), 6)
+    return (batch.append_column("n_bytes", pa.array(n_bytes))
+            .append_column("n_bytes_zlib", pa.array(n_comp))
+            .append_column("zlib_ratio", pa.array(ratio)))

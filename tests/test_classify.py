@@ -148,3 +148,31 @@ class TestWeightedSample:
         rows = [{"doc_id": i, "w": 0} for i in range(50)]
         assert weighted_sample(rd.from_items(rows), weight_column="w",
                                denominator=10).count() == 0
+
+
+class TestCompressionRatio:
+    def test_repetitive_text_compresses_more(self, ray_session):
+        import zlib
+
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.textstats import compression_ratio
+
+        docs = [
+            {"doc_id": 0, "text": "spam " * 400},                # templated
+            {"doc_id": 1, "text": "x"},
+            {"doc_id": 2, "text": ""},
+        ]
+        rng = np.random.default_rng(2)
+        natural = " ".join(
+            "".join(chr(97 + c) for c in rng.integers(0, 26, 7))
+            for _ in range(400))
+        docs.append({"doc_id": 3, "text": natural})
+        out = (rd.from_items(docs)
+               .map_batches(compression_ratio, batch_format="pyarrow")
+               .to_pandas().set_index("doc_id"))
+        assert out.loc[0, "zlib_ratio"] < 0.05       # repetition collapses
+        assert out.loc[3, "zlib_ratio"] > 0.5        # random stays big
+        assert out.loc[2, "n_bytes"] == 0 and out.loc[2, "n_bytes_zlib"] > 0
+        b = ("spam " * 400).encode()
+        assert out.loc[0, "n_bytes_zlib"] == len(zlib.compress(b, 6))
