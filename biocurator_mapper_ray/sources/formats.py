@@ -104,3 +104,29 @@ def write_jsonl(ds, path: str, **kwargs) -> None:
 def write_csv(ds, path: str, **kwargs) -> None:
     """Dataset → CSV directory, one file per block."""
     ds.write_csv(path, **kwargs)
+
+
+def write_parquet_partitioned(ds, path: str, *, by: list[str], **kwargs) -> None:
+    """Dataset → hive-partitioned parquet (``path/col=value/…``), one
+    directory per key combination.  This is the resumable-output layout
+    the 100-TB contract asks for: a failed run leaves whole partitions
+    complete, a re-run skips them, and any downstream read that knows
+    its keys prunes to the matching directories without touching the
+    rest (see :func:`read_parquet_partition` and the IVF probed-cell
+    read in ops/similarity.py, which uses the same layout)."""
+    ds.write_parquet(path, partition_cols=by, **kwargs)
+
+
+def read_parquet_partition(path: str, *, partitions: dict,
+                           columns: list[str] | None = None, **kwargs):
+    """Read ONLY the hive partitions matching ``partitions`` (a
+    {col: value} dict in the same order the data was partitioned by) —
+    unmatched partitions never leave storage.  Values are URL-quoted
+    the way the Arrow writer encodes them."""
+    import os
+    from urllib.parse import quote
+
+    sub = path
+    for k, v in partitions.items():
+        sub = os.path.join(sub, f"{k}={quote(str(v))}")
+    return rd.read_parquet(sub, columns=columns, **kwargs)

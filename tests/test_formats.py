@@ -68,3 +68,37 @@ class TestFormats:
         assert len(os.listdir(out_j)) == 3  # one file per block (resumable)
         assert read_jsonl(out_j).count() == 30
         assert read_csv(out_c).count() == 30
+
+
+class TestPartitionedParquet:
+    def test_write_then_pruned_read(self, ray_session, tmp_path):
+        import os
+
+        import ray.data as rd
+
+        from biocurator_mapper_ray.sources.formats import (
+            read_parquet_partition, write_parquet_partitioned)
+
+        rows = [{"k": ["a", "b", "c"][i % 3], "v": i} for i in range(90)]
+        out = str(tmp_path / "part")
+        write_parquet_partitioned(rd.from_items(rows).repartition(3),
+                                  out, by=["k"])
+        assert sorted(os.listdir(out)) == ["k=a", "k=b", "k=c"]
+        got = read_parquet_partition(out, partitions={"k": "b"}).to_pandas()
+        assert len(got) == 30
+        assert set(got["k"]) == {"b"}
+        assert sorted(got["v"]) == sorted(i for i in range(90) if i % 3 == 1)
+
+    def test_quoted_partition_values(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.sources.formats import (
+            read_parquet_partition, write_parquet_partitioned)
+
+        rows = [{"k": "NOT SPECIFIED" if i % 2 else "OK", "v": i}
+                for i in range(20)]
+        out = str(tmp_path / "part2")
+        write_parquet_partitioned(rd.from_items(rows), out, by=["k"])
+        got = read_parquet_partition(
+            out, partitions={"k": "NOT SPECIFIED"}).to_pandas()
+        assert len(got) == 10
