@@ -356,7 +356,14 @@ def bloom_semi_join(left, right, left_on: str, right_on: str, *,
         # re-execute the whole prefilter plan a second time just to
         # size buckets
         size_hint = max(64, (len(bits_pd) // max(1, k)) * 8)
+    # resolve the left column list from the ORIGINAL input: a fully
+    # filtered-out candidate stream has no blocks and a None schema,
+    # which would crash hash_join's projection setup
+    lcols = left_columns
+    if lcols is None:
+        lsch = left.schema()
+        lcols = lsch.names if lsch is not None else [left_on]
     return hash_join(cand, right, left_on, right_on, how="semi",
-                     left_columns=left_columns,
+                     left_columns=lcols,
                      right_columns=[right_on],
                      size_hint=size_hint)

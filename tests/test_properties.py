@@ -298,3 +298,51 @@ def test_parent_csr_expand_matches_per_node_lists(edges, probe):
         node = int(csr.ids[dense])
         want = sorted(p for c, p in edges if c == node)
         assert sorted(got.get(i, [])) == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.lists(st.sampled_from(["a", "b", "c", "d"]),
+                         min_size=0, max_size=12),
+                min_size=1, max_size=12),
+       st.integers(min_value=2, max_value=4))
+def test_duplicate_spans_matches_bruteforce(docs_toks, n):
+    """duplicate_spans ≡ brute-force shingle positions on random tiny
+    corpora over a 4-letter alphabet (heavy collisions by construction)."""
+    import ray.data as rd
+
+    from biocurator_mapper_ray.ops.dedup import duplicate_spans
+
+    docs = [{"doc_id": i, "text": " ".join(t)} for i, t in enumerate(docs_toks)]
+    got = duplicate_spans(rd.from_items(docs), n=n, buckets=4).to_pandas()
+    got_set = (set(zip(got["doc_id"], got["start"]))
+               if len(got.columns) else set())
+
+    from collections import Counter
+    spans = []
+    for i, toks in enumerate(docs_toks):
+        for s in range(len(toks) - n + 1):
+            spans.append((i, s + 1, " ".join(toks[s:s + n])))
+    counts = Counter(sh for _, _, sh in spans)
+    want = {(i, s) for i, s, sh in spans if counts[sh] >= 2}
+    assert got_set == want
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=50),
+                min_size=0, max_size=40),
+       st.lists(st.integers(min_value=0, max_value=50),
+                min_size=0, max_size=40))
+def test_bloom_semi_join_equals_set_intersection(left_keys, right_keys):
+    import pandas as pd
+    import ray.data as rd
+
+    from biocurator_mapper_ray.ops.sketch import bloom_semi_join
+
+    left = pd.DataFrame({"lk": pd.array(left_keys, dtype="int64")})
+    right = pd.DataFrame({"rk": pd.array(sorted(set(right_keys)),
+                                         dtype="int64")})
+    out = bloom_semi_join(rd.from_pandas(left), rd.from_pandas(right),
+                          "lk", "rk", m_bits=1024).to_pandas()
+    got = sorted(out["lk"]) if len(out.columns) else []
+    want = sorted(k for k in left_keys if k in set(right_keys))
+    assert got == want
