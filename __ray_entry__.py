@@ -1461,6 +1461,18 @@ def _q_remove_spans(sf_dir: str):
     return remove_duplicate_spans(ds, n=8).sort("doc_id")
 
 
+def _q_count_distinct_custkeys(sf_dir: str):
+    """Exact distinct customers per order priority — grouped
+    COUNT(DISTINCT) with a pair-cardinality exchange
+    (ops/reshape.grouped_count_distinct)."""
+    from biocurator_mapper_ray.ops.reshape import grouped_count_distinct
+
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_custkey"])
+    out = grouped_count_distinct(ds, key="o_orderpriority",
+                                 value="o_custkey")
+    return out.sort("o_orderpriority")
+
+
 def _q_weighted_sample(sf_dir: str):
     """Deterministic weighted Bernoulli sample: documents kept with
     probability n_tokens_ws/400 (longer docs kept more — the mixture
@@ -1658,6 +1670,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "remove_spans_documents": _q_remove_spans,
         "novel_documents": _q_novel_documents,
         "weighted_sample_documents": _q_weighted_sample,
+        "count_distinct_custkeys": _q_count_distinct_custkeys,
         # relational operators
         "pricing_summary": _q_pricing_summary,
         "customer_by_region": _q_customer_by_region,
@@ -1682,8 +1695,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_documents": _q_fingerprints,
         "lang_quality_documents": _q_lang_quality,
         "dedup_minhash_documents": _q_dedup_minhash,
-        "dedup_simhash_documents": _q_dedup_simhash,
         # --- slot 51+ (past the driver's 50-entry snapshot) ---
+        "dedup_simhash_documents": _q_dedup_simhash,  # r03 green
         "ngram_jaccard_documents": _q_ngram_jaccard,  # r03 green
         "decontam_documents": _q_decontam,    # r03 green
         "knn_embeddings": _q_knn_embeddings,  # r03 green (ivf variant too)
@@ -2804,6 +2817,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT row, bucket, CAST(sum(c) AS BIGINT) AS count
             FROM g GROUP BY row, bucket ORDER BY row, bucket
+        """,
+        "count_distinct_custkeys": """
+            SELECT o_orderpriority,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+            FROM orders
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
         """,
         "weighted_sample_documents": """
             WITH tc AS (

@@ -45,3 +45,35 @@ def pivot_counts(ds, *, row_key: str, col_key: str, values: list[str],
         )
         out[f"{prefix}{v}"] = out[f"{prefix}{v}"].astype("int64")
     return out.sort_values(row_key).reset_index(drop=True)
+
+
+def grouped_count_distinct(ds, *, key: str, value: str):
+    """Exact COUNT(DISTINCT value) per key — the standard cardinality
+    aggregate (distinct users per segment, distinct domains per source).
+
+    Scale shape: the map side reduces each batch to its DISTINCT
+    (key, value) pairs — the exchange ships pair-cardinality, never row
+    count — then ONE key-grouped exchange counts unique values per key
+    vectorized (np.unique over the bucket's pairs).  A corpus-scale
+    row stream with a bounded pair universe costs a bounded exchange;
+    for UNbounded value universes at 100 TB, switch to the HLL register
+    path (ops/sketch.py) and trade exactness for a constant-size state.
+    """
+    import numpy as np
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        return batch.select([key, value]).group_by(
+            [key, value]).aggregate([])
+
+    def count_in_group(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            key: [g[key].iloc[0]],
+            "n_distinct": [int(g[value].nunique())],
+        })
+
+    pairs = ds.map_batches(distinct_pairs, batch_format="pyarrow")
+    # second map-side distinct across batch boundaries is free inside
+    # the groupby; the exchange already carries only per-batch-distinct
+    # pairs
+    return pairs.groupby(key).map_groups(count_in_group,
+                                         batch_format="pandas")

@@ -190,3 +190,24 @@ class TestHashTopK:
         got = hash_top_k(rd.from_pandas(ids), key_column="doc_id",
                          k=10).to_pandas()
         assert sorted(got["doc_id"].tolist()) == [1, 2, 3]
+
+
+class TestGroupedCountDistinct:
+    def test_matches_pandas_nunique(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.reshape import grouped_count_distinct
+
+        rng = np.random.default_rng(13)
+        df = pd.DataFrame({
+            "k": rng.choice(["p", "q", "r"], 5000),
+            "v": rng.integers(0, 200, 5000),
+        })
+        got = (grouped_count_distinct(rd.from_pandas(df).repartition(6),
+                                      key="k", value="v")
+               .to_pandas().sort_values("k").reset_index(drop=True))
+        want = (df.groupby("k")["v"].nunique().reset_index(name="n_distinct")
+                .sort_values("k").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
