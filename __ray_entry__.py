@@ -1461,6 +1461,30 @@ def _q_remove_spans(sf_dir: str):
     return remove_duplicate_spans(ds, n=8).sort("doc_id")
 
 
+def _q_explode_tokens(sf_dir: str):
+    """Generic UNNEST: documents split to (doc_id, pos, token) long form
+    via ops/reshape.explode_list — pure offsets arithmetic, zero
+    exchange; oracle is SQL unnest-with-position."""
+    from biocurator_mapper_ray.ops.reshape import explode_list
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def toks(batch: pa.Table) -> pa.Table:
+        t = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text")), _WS_CLASS)
+        return pa.table({"doc_id": batch.column("doc_id"), "toks": t})
+
+    def drop_empty(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.not_equal(batch.column("token"), ""))
+
+    out = (ds.map_batches(toks, batch_format="pyarrow")
+           .map_batches(explode_list,
+                        fn_kwargs={"column": "toks", "out_value": "token"},
+                        batch_format="pyarrow")
+           .map_batches(drop_empty, batch_format="pyarrow"))
+    return out.sort(["doc_id", "pos"])
+
+
 def _q_count_distinct_custkeys(sf_dir: str):
     """Exact distinct customers per order priority — grouped
     COUNT(DISTINCT) with a pair-cardinality exchange
@@ -1671,6 +1695,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "novel_documents": _q_novel_documents,
         "weighted_sample_documents": _q_weighted_sample,
         "count_distinct_custkeys": _q_count_distinct_custkeys,
+        "explode_tokens_documents": _q_explode_tokens,
         # relational operators
         "pricing_summary": _q_pricing_summary,
         "customer_by_region": _q_customer_by_region,
@@ -1694,8 +1719,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_counts_documents": _q_quality_counts,
         "fingerprint_documents": _q_fingerprints,
         "lang_quality_documents": _q_lang_quality,
-        "dedup_minhash_documents": _q_dedup_minhash,
         # --- slot 51+ (past the driver's 50-entry snapshot) ---
+        "dedup_minhash_documents": _q_dedup_minhash,  # r03 green
         "dedup_simhash_documents": _q_dedup_simhash,  # r03 green
         "ngram_jaccard_documents": _q_ngram_jaccard,  # r03 green
         "decontam_documents": _q_decontam,    # r03 green
@@ -2817,6 +2842,22 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT row, bucket, CAST(sum(c) AS BIGINT) AS count
             FROM g GROUP BY row, bucket ORDER BY row, bucket
+        """,
+        "explode_tokens_documents": f"""
+            WITH arr AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(text),
+                                             '{_WS_CLASS}') AS toks
+                FROM documents
+            ),
+            t AS (
+                SELECT doc_id, CAST(r.i AS BIGINT) AS pos,
+                       toks[CAST(r.i AS BIGINT)] AS token
+                FROM arr, unnest(range(1, len(toks) + 1)) AS r(i)
+            )
+            SELECT doc_id, pos, token FROM t
+            WHERE token <> ''
+            ORDER BY doc_id, pos
         """,
         "count_distinct_custkeys": """
             SELECT o_orderpriority,

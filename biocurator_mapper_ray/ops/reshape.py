@@ -77,3 +77,38 @@ def grouped_count_distinct(ds, *, key: str, value: str):
     # pairs
     return pairs.groupby(key).map_groups(count_in_group,
                                          batch_format="pandas")
+
+
+def explode_list(batch: pa.Table, *, column: str, out_value: str = "value",
+                 out_pos: str = "pos") -> pa.Table:
+    """Generic UNNEST: one output row per list element, all other
+    columns repeated, plus the element's 1-based position — the
+    long-form primitive under tokens/paragraphs/spans tables.
+
+    Pure Arrow offsets arithmetic (values buffer reused zero-copy, other
+    columns expanded with one ``take``); batch-local, no exchange — at
+    any scale the cost is the output's own size.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    col = batch.column(column)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    parents = pc.list_parent_indices(col).to_numpy(zero_copy_only=False)
+    counts = pc.list_value_length(col).fill_null(0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    total = int(counts.sum()) if len(counts) else 0
+    # vectorized within-list ramp: global index minus each list's start
+    starts = np.repeat(np.cumsum(counts) - counts, counts)
+    pos = (np.arange(total, dtype=np.int64) - starts + 1
+           if total else np.zeros(0, dtype=np.int64))
+    out = {}
+    idx = pa.array(parents)
+    for name in batch.schema.names:
+        if name == column:
+            continue
+        out[name] = batch.column(name).take(idx)
+    out[out_pos] = pa.array(pos.astype(np.int64))
+    out[out_value] = pc.list_flatten(col)
+    return pa.table(out)

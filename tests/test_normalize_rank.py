@@ -211,3 +211,37 @@ class TestGroupedCountDistinct:
         want = (df.groupby("k")["v"].nunique().reset_index(name="n_distinct")
                 .sort_values("k").reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestExplodeList:
+    def test_positions_and_passthrough(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.reshape import explode_list
+
+        rows = [
+            {"id": 1, "xs": ["a", "b", "c"], "tag": "t1"},
+            {"id": 2, "xs": [], "tag": "t2"},
+            {"id": 3, "xs": ["z"], "tag": "t3"},
+        ]
+        out = (rd.from_items(rows)
+               .map_batches(explode_list, fn_kwargs={"column": "xs"},
+                            batch_format="pyarrow")
+               .to_pandas().sort_values(["id", "pos"])
+               .reset_index(drop=True))
+        assert out["id"].tolist() == [1, 1, 1, 3]     # empty list → no rows
+        assert out["pos"].tolist() == [1, 2, 3, 1]
+        assert out["value"].tolist() == ["a", "b", "c", "z"]
+        assert out["tag"].tolist() == ["t1", "t1", "t1", "t3"]
+
+    def test_null_list_drops(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.reshape import explode_list
+
+        df = pd.DataFrame({"id": [1, 2], "xs": [["a"], None]})
+        out = (rd.from_pandas(df)
+               .map_batches(explode_list, fn_kwargs={"column": "xs"},
+                            batch_format="pyarrow").to_pandas())
+        assert out["id"].tolist() == [1]
