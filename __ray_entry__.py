@@ -1485,6 +1485,46 @@ def _q_explode_tokens(sf_dir: str):
     return out.sort(["doc_id", "pos"])
 
 
+def _q_group_concat(sf_dir: str):
+    """Ordered string_agg of customer keys per market segment
+    (ops/reshape.ordered_group_concat) — one key-bucketed exchange,
+    vectorized ListArray+binary_join rebuild; lexicographic order on
+    the stringified value on BOTH sides."""
+    from biocurator_mapper_ray.ops.reshape import ordered_group_concat
+
+    ds = _read(sf_dir, "customer", columns=["c_mktsegment", "c_custkey"])
+    out = ordered_group_concat(ds, key="c_mktsegment", value="c_custkey")
+    return out.sort("c_mktsegment")
+
+
+def _q_json_field(sf_dir: str):
+    """Semi-structured extraction: a deterministic planted JSON column
+    (the strip_markup planted-construct device) parsed with
+    ops/normalize.json_field — nested path, DuckDB-kernel vectorized,
+    byte-identical oracle expression."""
+    from biocurator_mapper_ray.ops.normalize import json_field
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.string())
+        buck = pc.cast(
+            pc.bit_wise_and(batch.column("doc_id"), pa.scalar(7)),
+            pa.string())
+        n = len(batch)
+        js = pc.binary_join_element_wise(
+            pa.array(['{"id": '] * n, pa.string()), ids,
+            pa.array([', "meta": {"bucket": '] * n, pa.string()), buck,
+            pa.array(["}}"] * n, pa.string()), "")
+        return pa.table({"doc_id": batch.column("doc_id"), "js": js})
+
+    out = ds.map_batches(plant, batch_format="pyarrow").map_batches(
+        json_field, fn_kwargs={"column": "js", "path": "$.meta.bucket",
+                               "out_column": "bucket"},
+        batch_format="pyarrow")
+    return out.select_columns(["doc_id", "bucket"]).sort("doc_id")
+
+
 def _q_count_distinct_custkeys(sf_dir: str):
     """Exact distinct customers per order priority — grouped
     COUNT(DISTINCT) with a pair-cardinality exchange
@@ -1696,6 +1736,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_documents": _q_weighted_sample,
         "count_distinct_custkeys": _q_count_distinct_custkeys,
         "explode_tokens_documents": _q_explode_tokens,
+        "json_field_documents": _q_json_field,
+        "group_concat_customers": _q_group_concat,
         # relational operators
         "pricing_summary": _q_pricing_summary,
         "customer_by_region": _q_customer_by_region,
@@ -1717,9 +1759,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data ops
         "dedup_exact_documents": _q_dedup_exact,
         "quality_counts_documents": _q_quality_counts,
-        "fingerprint_documents": _q_fingerprints,
-        "lang_quality_documents": _q_lang_quality,
         # --- slot 51+ (past the driver's 50-entry snapshot) ---
+        "fingerprint_documents": _q_fingerprints,     # r03 green
+        "lang_quality_documents": _q_lang_quality,    # r03 green
         "dedup_minhash_documents": _q_dedup_minhash,  # r03 green
         "dedup_simhash_documents": _q_dedup_simhash,  # r03 green
         "ngram_jaccard_documents": _q_ngram_jaccard,  # r03 green
@@ -2858,6 +2900,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, pos, token FROM t
             WHERE token <> ''
             ORDER BY doc_id, pos
+        """,
+        "group_concat_customers": """
+            SELECT c_mktsegment,
+                   string_agg(CAST(c_custkey AS VARCHAR), ','
+                              ORDER BY CAST(c_custkey AS VARCHAR))
+                       AS concat
+            FROM customer
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment
+        """,
+        "json_field_documents": """
+            WITH planted AS (
+                SELECT doc_id,
+                       '{"id": ' || CAST(doc_id AS VARCHAR)
+                       || ', "meta": {"bucket": '
+                       || CAST(doc_id % 8 AS VARCHAR) || '}}' AS js
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN json_valid(js)
+                        THEN json_extract_string(js, '$.meta.bucket')
+                   END AS bucket
+            FROM planted
+            ORDER BY doc_id
         """,
         "count_distinct_custkeys": """
             SELECT o_orderpriority,

@@ -149,3 +149,31 @@ def dedup_paragraphs(batch: pa.Table, text_column: str = "text",
             pa.array(new_offsets, pa.int64()), kept_values)
     joined = pc.binary_join(lst, sep)
     return batch.append_column(out_column, joined)
+
+
+def json_field(batch: pa.Table, *, column: str, path: str,
+               out_column: str | None = None) -> pa.Table:
+    """Extract a JSON path from a string column as text (semi-structured
+    log/event parsing): appends ``out_column`` (default ``column_path``)
+    with ``json_extract_string`` semantics — nested paths like
+    ``$.a.b`` supported, malformed JSON and missing fields → null.
+
+    Vectorized through the process-global DuckDB kernel (same device as
+    the md5 kernels in functions/hashing.py — one C call per batch, no
+    per-row Python); byte-identical to the SQL oracle expression
+    ``CASE WHEN json_valid(s) THEN json_extract_string(s, path) END``.
+    """
+    from biocurator_mapper_ray.functions.hashing import _duck
+
+    if out_column is None:
+        out_column = f"{column}_{path.strip('$.').replace('.', '_')}"
+    col = batch.column(column)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    tbl = pa.table({"s": col})  # noqa: F841 (duckdb scan)
+    lit = path.replace("'", "''")
+    out = _duck().execute(
+        f"SELECT CASE WHEN s IS NOT NULL AND json_valid(s) "
+        f"THEN json_extract_string(s, '{lit}') END AS v FROM tbl"
+    ).arrow()
+    return batch.append_column(out_column, out.column("v").combine_chunks())

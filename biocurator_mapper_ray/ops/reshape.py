@@ -112,3 +112,54 @@ def explode_list(batch: pa.Table, *, column: str, out_value: str = "value",
     out[out_pos] = pa.array(pos.astype(np.int64))
     out[out_value] = pc.list_flatten(col)
     return pa.table(out)
+
+
+def ordered_group_concat(ds, *, key: str, value: str, sep: str = ",",
+                         buckets: int | None = None,
+                         size_hint: int | None = None):
+    """SQL ``string_agg(value, sep ORDER BY value)`` per key: one
+    key-bucketed exchange (each key's rows co-locate), then a fully
+    vectorized per-bucket rebuild — sort, group-boundary offsets, one
+    ListArray + ``binary_join`` — no per-group Python.
+
+    Output strings are key-group-sized by construction; a key whose
+    concat would not fit a task does not fit the downstream consumer
+    either (same contract as pivot's result-scale note)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from biocurator_mapper_ray.functions.hashing import hash64_column
+    from biocurator_mapper_ray.ops.join import derive_buckets
+
+    if buckets is None:
+        n = size_hint if size_hint is not None else ds.count()
+        buckets = derive_buckets(n)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        h = hash64_column(batch.column(key))
+        return pa.table({
+            key: batch.column(key),
+            value: pc.cast(batch.column(value), pa.string()),
+            "__bucket": pa.array((h % np.uint64(buckets)).astype(np.int32)),
+        })
+
+    def concat_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values([key, value], kind="mergesort")
+        keys = g[key].to_numpy()
+        first = np.concatenate([[True], keys[1:] != keys[:-1]])
+        counts = np.diff(np.append(np.flatnonzero(first), len(keys)))
+        offsets = np.zeros(len(counts) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        vals = pa.array(g[value].to_numpy(), pa.string())
+        lst = (pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), vals)
+               if offsets[-1] < 2**31 else
+               pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()),
+                                             vals))
+        return pa.table({
+            key: pa.array(keys[first]),
+            "concat": pc.binary_join(lst, sep),
+        })
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(concat_bucket, batch_format="pandas"))

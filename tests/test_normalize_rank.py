@@ -245,3 +245,27 @@ class TestExplodeList:
                .map_batches(explode_list, fn_kwargs={"column": "xs"},
                             batch_format="pyarrow").to_pandas())
         assert out["id"].tolist() == [1]
+
+
+class TestOrderedGroupConcat:
+    def test_matches_pandas_reference(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.reshape import ordered_group_concat
+
+        rng = np.random.default_rng(21)
+        df = pd.DataFrame({
+            "k": rng.choice(["a", "b", "c", "d"], 2000),
+            "v": rng.integers(0, 500, 2000),
+        })
+        got = (ordered_group_concat(rd.from_pandas(df).repartition(5),
+                                    key="k", value="v", sep="|")
+               .to_pandas().sort_values("k").reset_index(drop=True))
+        want = (df.assign(s=df["v"].astype(str)).sort_values(["k", "s"])
+                .groupby("k")["s"].agg("|".join)
+                .reset_index(name="concat")
+                .sort_values("k").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got[["k", "concat"]], want,
+                                      check_dtype=False)
