@@ -1485,6 +1485,20 @@ def _q_explode_tokens(sf_dir: str):
     return out.sort(["doc_id", "pos"])
 
 
+def _q_profile_orders(sf_dir: str):
+    """One-pass data profile of the orders table (null counts + typed
+    extrema, ops/profile.profile_columns) — the first-contact operator
+    for an unseen corpus; exact oracle over int/string columns."""
+    from biocurator_mapper_ray.ops.profile import profile_columns
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                        "o_orderpriority"])
+    out = profile_columns(ds, columns=["o_orderkey", "o_custkey",
+                                       "o_orderstatus", "o_orderpriority"])
+    return out.sort("column")
+
+
 def _q_group_concat(sf_dir: str):
     """Ordered string_agg of customer keys per market segment
     (ops/reshape.ordered_group_concat) — one key-bucketed exchange,
@@ -1738,6 +1752,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "explode_tokens_documents": _q_explode_tokens,
         "json_field_documents": _q_json_field,
         "group_concat_customers": _q_group_concat,
+        "profile_orders": _q_profile_orders,
         # relational operators
         "pricing_summary": _q_pricing_summary,
         "customer_by_region": _q_customer_by_region,
@@ -1758,8 +1773,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms_documents": _q_tfidf_top_terms,
         # training-data ops
         "dedup_exact_documents": _q_dedup_exact,
-        "quality_counts_documents": _q_quality_counts,
         # --- slot 51+ (past the driver's 50-entry snapshot) ---
+        "quality_counts_documents": _q_quality_counts,  # r03 green
         "fingerprint_documents": _q_fingerprints,     # r03 green
         "lang_quality_documents": _q_lang_quality,    # r03 green
         "dedup_minhash_documents": _q_dedup_minhash,  # r03 green
@@ -2900,6 +2915,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, pos, token FROM t
             WHERE token <> ''
             ORDER BY doc_id, pos
+        """,
+        "profile_orders": """
+            WITH cols AS (
+                SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+                       count(*) - count(o_orderkey) AS n_nulls,
+                       CAST(min(o_orderkey) AS VARCHAR) AS min_v,
+                       CAST(max(o_orderkey) AS VARCHAR) AS max_v
+                FROM orders
+                UNION ALL
+                SELECT 'o_custkey', count(*),
+                       count(*) - count(o_custkey),
+                       CAST(min(o_custkey) AS VARCHAR),
+                       CAST(max(o_custkey) AS VARCHAR)
+                FROM orders
+                UNION ALL
+                SELECT 'o_orderstatus', count(*),
+                       count(*) - count(o_orderstatus),
+                       min(o_orderstatus), max(o_orderstatus)
+                FROM orders
+                UNION ALL
+                SELECT 'o_orderpriority', count(*),
+                       count(*) - count(o_orderpriority),
+                       min(o_orderpriority), max(o_orderpriority)
+                FROM orders
+            )
+            SELECT "column", CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST(n_nulls AS BIGINT) AS n_nulls, min_v, max_v
+            FROM cols ORDER BY "column"
         """,
         "group_concat_customers": """
             SELECT c_mktsegment,

@@ -269,3 +269,27 @@ class TestOrderedGroupConcat:
                 .sort_values("k").reset_index(drop=True))
         pd.testing.assert_frame_equal(got[["k", "concat"]], want,
                                       check_dtype=False)
+
+
+class TestProfileColumns:
+    def test_counts_nulls_and_typed_extrema(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.profile import profile_columns
+
+        df = pd.DataFrame({
+            "i": pd.array([5, None, -3, 9_000_000_000_000_000_000], # > 2^53
+                          dtype="Int64"),
+            "s": ["b", "a", None, "z"],
+            "all_null": pd.array([None] * 4, dtype="Int64"),
+        })
+        got = (profile_columns(rd.from_pandas(df).repartition(2),
+                               columns=["i", "s", "all_null"])
+               .to_pandas().set_index("column"))
+        assert got.loc["i", "n_rows"] == 4 and got.loc["i", "n_nulls"] == 1
+        assert got.loc["i", "min_v"] == "-3"
+        assert got.loc["i", "max_v"] == "9000000000000000000"  # int-exact
+        assert got.loc["s", "min_v"] == "a" and got.loc["s", "max_v"] == "z"
+        assert got.loc["all_null", "n_nulls"] == 4
+        assert got.loc["all_null", "min_v"] is None
