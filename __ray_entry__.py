@@ -1485,6 +1485,34 @@ def _q_explode_tokens(sf_dir: str):
     return out.sort(["doc_id", "pos"])
 
 
+def _q_lag_lead_events(sf_dir: str):
+    """Per-user LAG/LEAD of the event value (cents) in (ts, event_id)
+    order — ops/window.lag_lead, one key-bucketed exchange + C-level
+    groupby shifts; integer cents so the oracle hashes bit-exactly."""
+    from biocurator_mapper_ray.ops.window import lag_lead
+
+    events = _read(sf_dir, "events",
+                   columns=["event_id", "user_id", "ts", "value"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("value"), 100.0), ndigits=0),
+            pa.int64())
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "ts": batch.column("ts"),
+            "cents": cents,
+        })
+
+    out = lag_lead(events.map_batches(to_cents, batch_format="pyarrow"),
+                   key="user_id", order_by=["ts", "event_id"],
+                   value="cents")
+    return out.select_columns(
+        ["event_id", "user_id", "cents", "lag_cents", "lead_cents"]
+    ).sort("event_id")
+
+
 def _q_profile_orders(sf_dir: str):
     """One-pass data profile of the orders table (null counts + typed
     extrema, ops/profile.profile_columns) — the first-contact operator
@@ -1753,6 +1781,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_field_documents": _q_json_field,
         "group_concat_customers": _q_group_concat,
         "profile_orders": _q_profile_orders,
+        "lag_lead_events": _q_lag_lead_events,
         # relational operators
         "pricing_summary": _q_pricing_summary,
         "customer_by_region": _q_customer_by_region,
@@ -1771,9 +1800,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles_by_priority": _q_price_quantiles_by_priority,
         "hll_tokens_documents": _q_hll_tokens,
         "tfidf_top_terms_documents": _q_tfidf_top_terms,
-        # training-data ops
-        "dedup_exact_documents": _q_dedup_exact,
         # --- slot 51+ (past the driver's 50-entry snapshot) ---
+        # training-data ops
+        "dedup_exact_documents": _q_dedup_exact,      # r03 green
         "quality_counts_documents": _q_quality_counts,  # r03 green
         "fingerprint_documents": _q_fingerprints,     # r03 green
         "lang_quality_documents": _q_lang_quality,    # r03 green
@@ -2915,6 +2944,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, pos, token FROM t
             WHERE token <> ''
             ORDER BY doc_id, pos
+        """,
+        "lag_lead_events": """
+            WITH cents AS (
+                SELECT event_id, user_id, ts,
+                       CAST(round(value * 100.0, 0) AS BIGINT) AS cents
+                FROM events
+            )
+            SELECT event_id, user_id, cents,
+                   LAG(cents) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS lag_cents,
+                   LEAD(cents) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS lead_cents
+            FROM cents
+            ORDER BY event_id
         """,
         "profile_orders": """
             WITH cols AS (

@@ -180,3 +180,32 @@ def rolling_time_aggregate(ds, *, key: str, ts: str, tiebreak: str,
     return _with_key_bucket(ds, key, _window_buckets(ds, buckets, size_hint)) \
         .groupby("__kb").map_groups(_per_bucket(per_bucket),
                                     batch_format="pandas")
+
+
+def lag_lead(ds, *, key: str, order_by: list[str], value: str, n: int = 1,
+             buckets: int | None = None, size_hint: int | None = None):
+    """SQL ``LAG(value, n)`` / ``LEAD(value, n)`` per key: the input plus
+    ``lag_{value}`` and ``lead_{value}`` columns (null at the partition
+    edges) — the delta/feature-shift primitive of event pipelines.
+
+    Same bucket-then-vectorize shape as the sibling windows: one
+    key-bucketed exchange (every row of a key co-locates), then a
+    per-bucket pandas sort and two C-level ``groupby(...).shift`` calls
+    — no per-key Python."""
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, *order_by], kind="mergesort")
+        grp = g.groupby(key, sort=False)[value]
+        lag, lead = grp.shift(n), grp.shift(-n)
+        if pd.api.types.is_integer_dtype(g[value]):
+            # keep SQL's BIGINT-with-NULL semantics: a plain shift of an
+            # int column silently floats it (NaN), which hash-mismatches
+            # an integer oracle
+            lag, lead = lag.astype("Int64"), lead.astype("Int64")
+        g[f"lag_{value}"] = lag
+        g[f"lead_{value}"] = lead
+        return g
+
+    return _with_key_bucket(ds, key, _window_buckets(ds, buckets, size_hint)) \
+        .groupby("__kb").map_groups(_per_bucket(per_bucket),
+                                    batch_format="pandas")

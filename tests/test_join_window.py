@@ -177,3 +177,44 @@ class TestLeftJoin:
         assert sorted(matched["rv"]) == [101, 103]
         unmatched = out[~out["k"].isin([1, 3])]
         assert unmatched["rv"].isna().all()
+
+
+class TestLagLead:
+    def test_matches_pandas_reference(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.window import lag_lead
+
+        rng = np.random.default_rng(31)
+        df = pd.DataFrame({
+            "k": rng.integers(0, 20, 1000),
+            "t": rng.permutation(1000),
+            "v": rng.integers(-100, 100, 1000),
+        })
+        got = (lag_lead(rd.from_pandas(df).repartition(4), key="k",
+                        order_by=["t"], value="v")
+               .to_pandas().sort_values(["k", "t"]).reset_index(drop=True))
+        ref = df.sort_values(["k", "t"]).reset_index(drop=True)
+        grp = ref.groupby("k", sort=False)["v"]
+        want_lag = grp.shift(1)
+        want_lead = grp.shift(-1)
+        assert got["lag_v"].astype("float64").equals(
+            want_lag.astype("float64"))
+        assert got["lead_v"].astype("float64").equals(
+            want_lead.astype("float64"))
+        # nullable Int64, not floated
+        assert str(got["lag_v"].dtype) in ("Int64", "int64", "object")
+
+    def test_n_greater_than_group(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.window import lag_lead
+
+        df = pd.DataFrame({"k": [1, 1], "t": [1, 2], "v": [10, 20]})
+        got = (lag_lead(rd.from_pandas(df), key="k", order_by=["t"],
+                        value="v", n=5)
+               .to_pandas())
+        assert got["lag_v"].isna().all() and got["lead_v"].isna().all()
