@@ -1516,6 +1516,8 @@ def novel_against(new, base, *, column: str = "text",
     import ray as _ray
 
     n_new = new.count()
+    if n_new == 0:
+        return new  # nothing to ingest; avoids a schemaless empty join
     if m_bits is None:
         # ~16 bits/key → fp ≈ 0.24% at k=4; power of two for cheap mod
         m_bits = 1 << max(16, int(max(1, n_new) * 16 - 1).bit_length())
