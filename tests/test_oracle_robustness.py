@@ -80,6 +80,8 @@ QUERIES = [
     "weighted_sample_documents",
     "normalize_text_documents",
     "dedup_paragraphs_documents",
+    "explode_tokens_documents",
+    "strip_markup_documents",
 ]
 
 
