@@ -1485,6 +1485,20 @@ def _q_explode_tokens(sf_dir: str):
     return out.sort(["doc_id", "pos"])
 
 
+def _q_first_last_events(sf_dir: str):
+    """First and last event type per user in (ts, event_id) order plus
+    the row count (ops/window.grouped_first_last) — keys×batches lean
+    candidate exchange, never row-scale."""
+    from biocurator_mapper_ray.ops.window import grouped_first_last
+
+    events = _read(sf_dir, "events",
+                   columns=["event_id", "user_id", "ts", "event_type"])
+    out = grouped_first_last(events, key="user_id",
+                             order_by=["ts", "event_id"],
+                             value="event_type")
+    return out.sort("user_id")
+
+
 def _q_lag_lead_events(sf_dir: str):
     """Per-user LAG/LEAD of the event value (cents) in (ts, event_id)
     order — ops/window.lag_lead, one key-bucketed exchange + C-level
@@ -1782,6 +1796,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_concat_customers": _q_group_concat,
         "profile_orders": _q_profile_orders,
         "lag_lead_events": _q_lag_lead_events,
+        "first_last_events": _q_first_last_events,
         # relational operators
         "pricing_summary": _q_pricing_summary,
         "customer_by_region": _q_customer_by_region,
@@ -1799,8 +1814,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_priority": _q_top_orders_per_priority,
         "price_quantiles_by_priority": _q_price_quantiles_by_priority,
         "hll_tokens_documents": _q_hll_tokens,
-        "tfidf_top_terms_documents": _q_tfidf_top_terms,
         # --- slot 51+ (past the driver's 50-entry snapshot) ---
+        "tfidf_top_terms_documents": _q_tfidf_top_terms,  # r03 green
         # training-data ops
         "dedup_exact_documents": _q_dedup_exact,      # r03 green
         "quality_counts_documents": _q_quality_counts,  # r03 green
@@ -2944,6 +2959,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, pos, token FROM t
             WHERE token <> ''
             ORDER BY doc_id, pos
+        """,
+        "first_last_events": """
+            WITH ranked AS (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rf,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC,
+                                                   event_id DESC) AS rl
+                FROM events
+            )
+            SELECT user_id,
+                   max(CASE WHEN rf = 1 THEN event_type END)
+                       AS first_event_type,
+                   max(CASE WHEN rl = 1 THEN event_type END)
+                       AS last_event_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM ranked GROUP BY user_id ORDER BY user_id
         """,
         "lag_lead_events": """
             WITH cents AS (

@@ -209,3 +209,65 @@ def lag_lead(ds, *, key: str, order_by: list[str], value: str, n: int = 1,
     return _with_key_bucket(ds, key, _window_buckets(ds, buckets, size_hint)) \
         .groupby("__kb").map_groups(_per_bucket(per_bucket),
                                     batch_format="pandas")
+
+
+def grouped_first_last(ds, *, key: str, order_by: list[str], value: str,
+                       buckets: int | None = None,
+                       size_hint: int | None = None):
+    """Per-key FIRST_VALUE / LAST_VALUE in a total (order_by) order plus
+    the row count — "first and last event per user" analytics — as
+    (key, first_{value}, last_{value}, n) rows.
+
+    Scale shape: each batch reduces to ONE candidate row per key it saw
+    (lexicographic first and last by ``order_by`` + a partial count),
+    so the exchange is keys×batches lean rows, never row-scale; the
+    key-bucketed combine replays the same sort over candidates only."""
+
+    def partial(batch):
+        import pyarrow as pa
+
+        df = batch.to_pandas().sort_values([key, *order_by],
+                                           kind="mergesort")
+        f = df.drop_duplicates(key, keep="first")
+        l = df.drop_duplicates(key, keep="last")
+        n = df.groupby(key, sort=False).size().reset_index(name="__n")
+        out = f[[key, *order_by, value]].rename(
+            columns={value: "__fv", **{c: f"__f_{c}" for c in order_by}})
+        out = out.merge(
+            l[[key, *order_by, value]].rename(
+                columns={value: "__lv",
+                         **{c: f"__l_{c}" for c in order_by}}),
+            on=key).merge(n, on=key)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        f_cols = [f"__f_{c}" for c in order_by]
+        l_cols = [f"__l_{c}" for c in order_by]
+        f = (g.sort_values([key, *f_cols], kind="mergesort")
+             .drop_duplicates(key, keep="first")[[key, "__fv"]])
+        l = (g.sort_values([key, *l_cols], kind="mergesort")
+             .drop_duplicates(key, keep="last")[[key, "__lv"]])
+        n = g.groupby(key, sort=False)["__n"].sum().reset_index()
+        out = f.merge(l, on=key).merge(n, on=key)
+        return out.rename(columns={"__fv": f"first_{value}",
+                                   "__lv": f"last_{value}",
+                                   "__n": "n"})
+
+    n_buckets = _window_buckets(ds, buckets, size_hint)
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .map_batches(  # key-bucket the lean candidate rows
+                lambda t, b=n_buckets: _with_key_bucket_table(t, key, b),
+                batch_format="pyarrow")
+            .groupby("__kb").map_groups(_per_bucket(combine),
+                                        batch_format="pandas"))
+
+
+def _with_key_bucket_table(batch, key: str, buckets: int):
+    """Arrow-table form of :func:`_with_key_bucket`'s tag step."""
+    import pyarrow as pa
+
+    from ..functions.hashing import hash64_column
+
+    h = hash64_column(batch.column(key))
+    return batch.append_column(
+        "__kb", pa.array((h % np.uint64(buckets)).astype(np.int32)))

@@ -218,3 +218,34 @@ class TestLagLead:
                         value="v", n=5)
                .to_pandas())
         assert got["lag_v"].isna().all() and got["lead_v"].isna().all()
+
+
+class TestGroupedFirstLast:
+    def test_matches_pandas_reference(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.window import grouped_first_last
+
+        rng = np.random.default_rng(41)
+        df = pd.DataFrame({
+            "k": rng.integers(0, 15, 800),
+            "t": rng.permutation(800),
+            "v": [f"v{i}" for i in rng.integers(0, 50, 800)],
+        })
+        got = (grouped_first_last(rd.from_pandas(df).repartition(5),
+                                  key="k", order_by=["t"], value="v")
+               .to_pandas().sort_values("k").reset_index(drop=True))
+        ref = df.sort_values(["k", "t"], kind="mergesort")
+        want = pd.DataFrame({
+            "k": sorted(df["k"].unique()),
+        })
+        firsts = ref.drop_duplicates("k", keep="first").set_index("k")["v"]
+        lasts = ref.drop_duplicates("k", keep="last").set_index("k")["v"]
+        counts = df.groupby("k").size()
+        want["first_v"] = want["k"].map(firsts)
+        want["last_v"] = want["k"].map(lasts)
+        want["n"] = want["k"].map(counts)
+        pd.testing.assert_frame_equal(
+            got[["k", "first_v", "last_v", "n"]], want, check_dtype=False)
