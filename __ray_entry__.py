@@ -1499,6 +1499,45 @@ def _q_first_last_events(sf_dir: str):
     return out.sort("user_id")
 
 
+def _q_fuzzy_pairs_documents(sf_dir: str):
+    """Character-level near-dup pairs: levenshtein ≤ 8 over lowercased
+    48-char prefixes, candidates blocked by length(text)//32
+    (ops/editdist.fuzzy_pairs_edit_distance) — lean prefix exchange,
+    DuckDB's C++ levenshtein as the in-task kernel, i.e. the SAME
+    function the oracle evaluates."""
+    from biocurator_mapper_ray.ops.editdist import fuzzy_pairs_edit_distance
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = fuzzy_pairs_edit_distance(docs, max_dist=8, prefix_len=48,
+                                    length_bucket=32)
+    return out.sort(["a", "b"])
+
+
+def _q_mode_event_type(sf_dir: str):
+    """Deterministic per-user MODE of event_type (ties → smallest
+    value, the pinned SQL row_number tiebreak) —
+    ops/reshape.grouped_mode, pair-cardinality exchange."""
+    from biocurator_mapper_ray.ops.reshape import grouped_mode
+
+    events = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    return grouped_mode(events, key="user_id",
+                        value="event_type").sort("user_id")
+
+
+def _q_rollup_orders(sf_dir: str):
+    """GROUP BY ROLLUP(o_orderpriority, o_orderstatus) totals in one
+    corpus pass — ops/reshape.rollup_sum; integer-cents sums
+    (pricing_summary convention) so the hash is engine-independent."""
+    from biocurator_mapper_ray.ops.reshape import rollup_sum
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderpriority", "o_orderstatus",
+                            "o_totalprice"])
+    return rollup_sum(orders, keys=["o_orderpriority", "o_orderstatus"],
+                      value="o_totalprice", sum_name="sum_price_cents",
+                      count_name="n_rows")
+
+
 def _q_lag_lead_events(sf_dir: str):
     """Per-user LAG/LEAD of the event value (cents) in (ts, event_id)
     order — ops/window.lag_lead, one key-bucketed exchange + C-level
@@ -1797,6 +1836,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_orders": _q_profile_orders,
         "lag_lead_events": _q_lag_lead_events,
         "first_last_events": _q_first_last_events,
+        "fuzzy_pairs_documents": _q_fuzzy_pairs_documents,
+        "mode_event_type": _q_mode_event_type,
+        "rollup_orders": _q_rollup_orders,
         # relational operators
         "pricing_summary": _q_pricing_summary,
         "customer_by_region": _q_customer_by_region,
@@ -1811,10 +1853,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clicks_before_purchase": _q_clicks_before_purchase,
         "customer_urgent_orders": _q_customer_urgent_orders,
         # ranking / sketches / grouped order statistics
-        "top_orders_per_priority": _q_top_orders_per_priority,
-        "price_quantiles_by_priority": _q_price_quantiles_by_priority,
-        "hll_tokens_documents": _q_hll_tokens,
         # --- slot 51+ (past the driver's 50-entry snapshot) ---
+        "top_orders_per_priority": _q_top_orders_per_priority,   # r03 green
+        "price_quantiles_by_priority": _q_price_quantiles_by_priority,  # r03 green
+        "hll_tokens_documents": _q_hll_tokens,            # r03 green
         "tfidf_top_terms_documents": _q_tfidf_top_terms,  # r03 green
         # training-data ops
         "dedup_exact_documents": _q_dedup_exact,      # r03 green
@@ -2959,6 +3001,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, pos, token FROM t
             WHERE token <> ''
             ORDER BY doc_id, pos
+        """,
+        "fuzzy_pairs_documents": """
+            SELECT a, b, dist FROM (
+                SELECT l.doc_id AS a, r.doc_id AS b,
+                       CAST(levenshtein(substr(lower(l.text), 1, 48),
+                                        substr(lower(r.text), 1, 48))
+                            AS BIGINT) AS dist
+                FROM documents l JOIN documents r
+                  ON l.doc_id < r.doc_id
+                 AND CAST(floor(length(l.text) / 32) AS BIGINT)
+                     = CAST(floor(length(r.text) / 32) AS BIGINT)
+            ) WHERE dist <= 8
+            ORDER BY a, b
+        """,
+        "mode_event_type": """
+            SELECT user_id, event_type AS mode_value,
+                   CAST(c AS BIGINT) AS mode_count
+            FROM (
+                SELECT user_id, event_type, count(*) AS c,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY count(*) DESC,
+                                                   event_type) AS rn
+                FROM events GROUP BY user_id, event_type
+            ) WHERE rn = 1
+            ORDER BY user_id
+        """,
+        "rollup_orders": """
+            SELECT o_orderpriority, o_orderstatus,
+                   CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                        AS BIGINT) AS sum_price_cents,
+                   count(*) AS n_rows
+            FROM orders
+            GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+            ORDER BY o_orderpriority NULLS LAST, o_orderstatus NULLS LAST
         """,
         "first_last_events": """
             WITH ranked AS (

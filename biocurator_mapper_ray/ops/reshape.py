@@ -163,3 +163,110 @@ def ordered_group_concat(ds, *, key: str, value: str, sep: str = ",",
     return (ds.map_batches(tag, batch_format="pyarrow")
             .groupby("__bucket")
             .map_groups(concat_bucket, batch_format="pandas"))
+
+
+def grouped_mode(ds, *, key: str, value: str, buckets: int | None = None,
+                 size_hint: int | None = None):
+    """Deterministic MODE per key: the most frequent ``value``, ties
+    broken by the SMALLEST value — exactly SQL's
+    ``row_number() OVER (PARTITION BY key ORDER BY count(*) DESC, value)
+    = 1`` (DuckDB's bare ``mode()`` is tie-nondeterministic, so the
+    pinned tiebreak IS the contract).
+
+    Scale shape (same as :func:`grouped_count_distinct`): the map side
+    reduces each batch to its (key, value, count) triples — the
+    exchange ships pair-cardinality, never row count — then ONE
+    key-bucketed exchange merges the partial counts and takes each
+    key's argmax vectorized (sort + head(1) per key, no per-group
+    Python).  Returns (key, mode_value, mode_count:int64).
+    """
+    from biocurator_mapper_ray.functions.hashing import hash64_column
+    from biocurator_mapper_ray.ops.join import derive_buckets
+
+    if buckets is None:
+        n = size_hint if size_hint is not None else ds.count()
+        buckets = derive_buckets(n)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = (batch.select([key, value]).to_pandas()
+              .value_counts([key, value]).reset_index(name="__c"))
+        t = pa.Table.from_pandas(df, preserve_index=False)
+        import numpy as np
+
+        h = hash64_column(t.column(key))
+        return t.append_column(
+            "__bucket", pa.array((h % np.uint64(buckets)).astype(np.int32)))
+
+    def mode_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = (g.groupby([key, value], sort=False)["__c"].sum().reset_index()
+             .sort_values([key, "__c", value],
+                          ascending=[True, False, True], kind="mergesort"))
+        first = m.groupby(key, sort=False).head(1)
+        return pd.DataFrame({
+            key: first[key].to_numpy(),
+            "mode_value": first[value].to_numpy(),
+            "mode_count": first["__c"].to_numpy().astype("int64"),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(mode_bucket, batch_format="pandas"))
+
+
+def rollup_sum(ds, *, keys: list[str], value: str, cents: bool = True,
+               sum_name: str = "sum_cents", count_name: str = "n_rows"):
+    """SQL ``GROUP BY ROLLUP(k1, k2, …)`` in ONE corpus pass: sums and
+    counts at every key-prefix granularity, coarser levels NULL-filling
+    the trailing keys (the (k1,), () subtotal rows a reporting rollup
+    emits).
+
+    Monetary convention (``cents=True``): the value is rounded to
+    integer cents per ROW before summation — float64 sums are
+    summation-order-dependent across engines at ULP level
+    (``pricing_summary`` note); integer sums are exact.
+
+    Scale shape: one map-side partial aggregate at the FINEST level
+    (the only pass over the corpus), a small multi-key groupby exchange
+    to finalize it, then every coarser level is re-aggregated from the
+    finest RESULT-SCALE frame on the driver (distinct key combos ×
+    levels rows — a rollup whose finest level is corpus-scale is a
+    different query, same contract as :func:`pivot_counts`).
+    Returns a pandas DataFrame sorted by ``keys`` (NULLs last).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(value)
+        if cents:
+            v = pc.cast(pc.round(pc.multiply(v, 100.0), ndigits=0),
+                        pa.int64())
+        else:
+            v = pc.cast(v, pa.int64())
+        t = pa.table({**{k: batch.column(k) for k in keys}, "__v": v})
+        g = t.group_by(keys, use_threads=False).aggregate(
+            [("__v", "sum"), ("__v", "count")])
+        return g.rename_columns(keys + ["__s", "__c"])
+
+    finest = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(keys).sum(["__s", "__c"]).to_pandas()
+              .rename(columns={"sum(__s)": sum_name, "sum(__c)": count_name}))
+
+    levels = [finest]
+    for depth in range(len(keys) - 1, -1, -1):
+        kept = keys[:depth]
+        if kept:
+            lvl = (finest.groupby(kept, sort=False)[[sum_name, count_name]]
+                   .sum().reset_index())
+        else:
+            lvl = pd.DataFrame({sum_name: [finest[sum_name].sum()],
+                                count_name: [finest[count_name].sum()]})
+        for k in keys[depth:]:
+            lvl[k] = None
+        levels.append(lvl[keys + [sum_name, count_name]])
+
+    out = pd.concat(levels, ignore_index=True)
+    out[sum_name] = out[sum_name].astype("int64")
+    out[count_name] = out[count_name].astype("int64")
+    return (out.sort_values(keys, na_position="last", kind="mergesort")
+            .reset_index(drop=True))

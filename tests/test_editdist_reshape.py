@@ -1,0 +1,156 @@
+"""Edit-distance fuzzy pairs + grouped mode + rollup aggregates."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from biocurator_mapper_ray.ops.editdist import (
+    fuzzy_pairs_edit_distance,
+    verify_pairs_edit_distance,
+)
+from biocurator_mapper_ray.ops.reshape import grouped_mode, rollup_sum
+
+
+def _docs_ds(texts):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+
+
+class TestFuzzyPairsEditDistance:
+    def test_exact_dup_and_near_variant(self, ray_session):
+        base = "the quick brown fox jumps over the lazy dog again"
+        texts = [
+            base,                       # 0
+            base,                       # 1: exact dup → dist 0
+            base.replace("quick", "quack"),  # 2: 1 edit in the prefix
+            "completely different content that shares nothing at all!!",  # 3
+        ]
+        got = fuzzy_pairs_edit_distance(
+            _docs_ds(texts), max_dist=3, prefix_len=48, length_bucket=32
+        ).to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+        pairs = {(r.a, r.b): r.dist for r in got.itertuples()}
+        assert pairs[(0, 1)] == 0
+        assert pairs[(0, 2)] == 1 and pairs[(1, 2)] == 1
+        assert not any(3 in p for p in pairs)
+
+    def test_blocking_is_part_of_the_contract(self, ray_session):
+        # two near-identical docs whose lengths straddle a block
+        # boundary are NOT candidates — the documented miss
+        a = "x" * 31
+        b = "x" * 33
+        got = fuzzy_pairs_edit_distance(
+            _docs_ds([a, b]), max_dist=3, prefix_len=48, length_bucket=32
+        ).to_pandas()
+        assert len(got) == 0
+
+    def test_case_insensitive_prefix_kernel(self, ray_session):
+        texts = ["HELLO WORLD " * 4, "hello world " * 4]
+        got = fuzzy_pairs_edit_distance(
+            _docs_ds(texts), max_dist=0, prefix_len=48, length_bucket=32
+        ).to_pandas()
+        assert len(got) == 1 and got["dist"].iloc[0] == 0
+
+    def test_verify_path_matches_blocked_exact(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(7)
+        base = "some sentence about data pipelines at scale number"
+        texts = []
+        for i in range(40):
+            t = f"{base} {i % 5}"
+            if i % 3 == 0:
+                t = t.replace("data", "dsta")
+            texts.append(t)
+        ds = _docs_ds(texts)
+        exact = fuzzy_pairs_edit_distance(
+            ds, max_dist=4, prefix_len=48, length_bucket=1 << 30
+        ).to_pandas()
+        # candidate set = ALL pairs → verify path must reproduce exact
+        ids = np.arange(len(texts), dtype=np.int64)
+        a, b = np.meshgrid(ids, ids)
+        keep = a.ravel() < b.ravel()
+        cands = rd.from_arrow(pa.table({
+            "a": pa.array(a.ravel()[keep]), "b": pa.array(b.ravel()[keep])
+        }))
+        verified = verify_pairs_edit_distance(
+            ds, cands, max_dist=4, prefix_len=48
+        ).to_pandas()
+        key = lambda df: sorted(map(tuple, df[["a", "b", "dist"]].to_numpy()))
+        assert key(verified) == key(exact)
+
+    def test_empty_input(self, ray_session):
+        got = fuzzy_pairs_edit_distance(_docs_ds([])).to_pandas()
+        assert len(got) == 0
+
+
+class TestGroupedMode:
+    def test_mode_with_deterministic_tiebreak(self, ray_session):
+        import ray.data as rd
+
+        df = pd.DataFrame({
+            "k": ["a"] * 5 + ["b"] * 4 + ["c"] * 1,
+            "v": ["x", "x", "y", "y", "z",   # a: x/y tie 2-2 → "x"
+                  "q", "q", "q", "p",        # b: q wins 3-1
+                  "solo"],                   # c: singleton
+        })
+        got = grouped_mode(rd.from_pandas(df), key="k", value="v") \
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        assert list(got["mode_value"]) == ["x", "q", "solo"]
+        assert list(got["mode_count"]) == [2, 3, 1]
+
+    def test_counts_merge_across_batches(self, ray_session):
+        import ray.data as rd
+
+        # split so each batch alone would pick the WRONG mode
+        df = pd.DataFrame({"k": ["g"] * 9,
+                           "v": ["a", "a", "b", "b", "b",
+                                 "a", "a", "a", "b"]})
+        ds = rd.from_pandas(df).repartition(3)
+        got = grouped_mode(ds, key="k", value="v").to_pandas()
+        assert got["mode_value"].iloc[0] == "a"  # 5 a vs 4 b overall
+        assert got["mode_count"].iloc[0] == 5
+
+    def test_empty(self, ray_session):
+        import ray.data as rd
+
+        ds = rd.from_arrow(pa.table({"k": pa.array([], pa.string()),
+                                     "v": pa.array([], pa.string())}))
+        assert grouped_mode(ds, key="k", value="v").count() == 0
+
+
+class TestRollupSum:
+    def test_matches_manual_levels(self, ray_session):
+        import ray.data as rd
+
+        df = pd.DataFrame({
+            "k1": ["p", "p", "p", "q"],
+            "k2": ["a", "a", "b", "a"],
+            "val": [1.0, 2.0, 3.5, 10.0],
+        })
+        got = rollup_sum(rd.from_pandas(df), keys=["k1", "k2"], value="val")
+        # finest: (p,a)=300c/2, (p,b)=350c/1, (q,a)=1000c/1
+        # level1: (p,·)=650c/3, (q,·)=1000c/1 ; total: 1650c/4
+        assert len(got) == 3 + 2 + 1
+        finest = got.dropna(subset=["k2"]).set_index(["k1", "k2"])
+        assert finest.loc[("p", "a"), "sum_cents"] == 300
+        assert finest.loc[("p", "b"), "sum_cents"] == 350
+        lvl1 = got[got["k2"].isna() & got["k1"].notna()].set_index("k1")
+        assert lvl1.loc["p", "sum_cents"] == 650
+        assert lvl1.loc["p", "n_rows"] == 3
+        total = got[got["k1"].isna()]
+        assert total["sum_cents"].iloc[0] == 1650
+        assert total["n_rows"].iloc[0] == 4
+
+    def test_single_key_rollup(self, ray_session):
+        import ray.data as rd
+
+        df = pd.DataFrame({"k": ["a", "b", "a"], "val": [1.0, 2.0, 3.0]})
+        got = rollup_sum(rd.from_pandas(df), keys=["k"], value="val",
+                         cents=False)
+        assert len(got) == 3  # a, b, total
+        assert got[got["k"].isna()]["sum_cents"].iloc[0] == 6
