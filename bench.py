@@ -156,6 +156,9 @@ def run_bench() -> dict:
         "remove_spans_documents",
         "novel_documents",
         "bloom_join_orders",
+        "fuzzy_pairs_documents",
+        "mode_event_type",
+        "rollup_orders",
     ]
     qs = entry.queries()
     for name in bench_queries:
