@@ -1538,6 +1538,46 @@ def _q_rollup_orders(sf_dir: str):
                       count_name="n_rows")
 
 
+def _q_winsorize_events(sf_dir: str):
+    """Exact [p5, p95] quantile CLAMP of the event value — keeps every
+    row, outliers pinned to the discrete quantile thresholds
+    (ops/quantile.winsorize_by_quantile); thresholds are data values so
+    floats hash bit-exactly."""
+    from biocurator_mapper_ray.ops.quantile import winsorize_by_quantile
+
+    events = _read(sf_dir, "events", columns=["event_id", "value"])
+    out = winsorize_by_quantile(events, "value", lo_q=0.05, hi_q=0.95)
+    return out.map_batches(lambda t: t.select(["event_id", "value_w"]),
+                           batch_format="pyarrow").sort("event_id")
+
+
+def _q_regex_extract_documents(sf_dir: str):
+    """First capture of 'table (\\w+)' per document —
+    ops/normalize.regex_extract, the vectorized RE2 field puller (the
+    regex sibling of json_field); no match → null."""
+    from biocurator_mapper_ray.ops.normalize import regex_extract
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = docs.map_batches(
+        regex_extract,
+        fn_kwargs={"column": "text", "pattern": r"table (\w+)",
+                   "out_column": "after_table"},
+        batch_format="pyarrow",
+    )
+    return out.map_batches(lambda t: t.select(["doc_id", "after_table"]),
+                           batch_format="pyarrow").sort("doc_id")
+
+
+def _q_cumulative_users_events(sf_dir: str):
+    """First-seen growth curve: new users per day + running distinct-
+    user total (ops/window.cumulative_new_keys) — one distinct-pair
+    pass, period-scale driver merge."""
+    from biocurator_mapper_ray.ops.window import cumulative_new_keys
+
+    events = _read(sf_dir, "events", columns=["user_id", "ts"])
+    return cumulative_new_keys(events, key="user_id", ts="ts", unit="day")
+
+
 def _q_lag_lead_events(sf_dir: str):
     """Per-user LAG/LEAD of the event value (cents) in (ts, event_id)
     order — ops/window.lag_lead, one key-bucketed exchange + C-level
@@ -1839,6 +1879,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_pairs_documents": _q_fuzzy_pairs_documents,
         "mode_event_type": _q_mode_event_type,
         "rollup_orders": _q_rollup_orders,
+        "winsorize_events": _q_winsorize_events,
+        "regex_extract_documents": _q_regex_extract_documents,
+        "cumulative_users_events": _q_cumulative_users_events,
         # relational operators
         "pricing_summary": _q_pricing_summary,
         "customer_by_region": _q_customer_by_region,
@@ -1848,12 +1891,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_user_value": _q_running_user_value,
         "rolling_user_value": _q_rolling_user_value,
         "asof_purchase_click": _q_asof_purchase_click,
-        # joins
+        # --- slot 51+ (past the driver's 50-entry snapshot) ---
+        # joins (r03 green, demoted for the round-4 additions above)
         "revenue_by_priority": _q_revenue_by_priority,
         "clicks_before_purchase": _q_clicks_before_purchase,
         "customer_urgent_orders": _q_customer_urgent_orders,
-        # ranking / sketches / grouped order statistics
-        # --- slot 51+ (past the driver's 50-entry snapshot) ---
+        # ranking / sketches / grouped order statistics (r03 green)
         "top_orders_per_priority": _q_top_orders_per_priority,   # r03 green
         "price_quantiles_by_priority": _q_price_quantiles_by_priority,  # r03 green
         "hll_tokens_documents": _q_hll_tokens,            # r03 green
@@ -3035,6 +3078,33 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
             ORDER BY o_orderpriority NULLS LAST, o_orderstatus NULLS LAST
+        """,
+        "winsorize_events": """
+            WITH q AS (SELECT quantile_disc(value, 0.05) AS lo,
+                              quantile_disc(value, 0.95) AS hi FROM events)
+            SELECT event_id, least(greatest(value, q.lo), q.hi) AS value_w
+            FROM events, q ORDER BY event_id
+        """,
+        "regex_extract_documents": r"""
+            SELECT doc_id,
+                   CASE WHEN regexp_matches(text, 'table (\w+)')
+                        THEN regexp_extract(text, 'table (\w+)', 1)
+                   END AS after_table
+            FROM documents ORDER BY doc_id
+        """,
+        "cumulative_users_events": """
+            WITH fs AS (SELECT user_id, min(date_trunc('day', ts)) AS d
+                        FROM events GROUP BY user_id),
+                 nk AS (SELECT d, CAST(count(*) AS BIGINT) AS c
+                        FROM fs GROUP BY d),
+                 days AS (SELECT DISTINCT date_trunc('day', ts) AS d
+                          FROM events)
+            SELECT days.d AS period,
+                   CAST(coalesce(nk.c, 0) AS BIGINT) AS new_keys,
+                   CAST(sum(coalesce(nk.c, 0)) OVER (ORDER BY days.d)
+                        AS BIGINT) AS cum_keys
+            FROM days LEFT JOIN nk ON days.d = nk.d
+            ORDER BY period
         """,
         "first_last_events": """
             WITH ranked AS (

@@ -177,3 +177,32 @@ def json_field(batch: pa.Table, *, column: str, path: str,
         f"THEN json_extract_string(s, '{lit}') END AS v FROM tbl"
     ).arrow()
     return batch.append_column(out_column, out.column("v").combine_chunks())
+
+
+def regex_extract(batch: pa.Table, *, column: str, pattern: str,
+                  group: int = 1, out_column: str | None = None) -> pa.Table:
+    """Extract a regex capture group from a string column (structured
+    field pull from logs/markup — the regex sibling of
+    :func:`json_field`): appends ``out_column`` (default
+    ``column_re``) with the ``group``-th capture of the FIRST match;
+    no match (or null input) → null.
+
+    Vectorized through the process-global DuckDB kernel — one C call
+    per batch, RE2 semantics, byte-identical to the SQL oracle
+    expression ``CASE WHEN regexp_matches(s, pat) THEN
+    regexp_extract(s, pat, group) END`` because it IS that expression.
+    """
+    from biocurator_mapper_ray.functions.hashing import _duck
+
+    if out_column is None:
+        out_column = f"{column}_re"
+    col = batch.column(column)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    tbl = pa.table({"s": col})  # noqa: F841 (duckdb scan)
+    lit = pattern.replace("'", "''")
+    out = _duck().execute(
+        f"SELECT CASE WHEN s IS NOT NULL AND regexp_matches(s, '{lit}') "
+        f"THEN regexp_extract(s, '{lit}', {int(group)}) END AS v FROM tbl"
+    ).arrow()
+    return batch.append_column(out_column, out.column("v").combine_chunks())

@@ -330,3 +330,38 @@ def filter_by_quantile(ds, column: str, *, lo_q: float = 0.05,
         return batch.filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def winsorize_by_quantile(ds, column: str, *, lo_q: float = 0.05,
+                          hi_q: float = 0.95, coarse_bits: int = 16,
+                          out_column: str | None = None):
+    """CLAMP ``column`` to the exact [lo_q, hi_q] quantile band (the
+    outlier treatment that keeps every row, where
+    :func:`filter_by_quantile` drops them): values below the lo_q
+    quantile become that quantile, above hi_q become that one.
+
+    Thresholds come from :func:`exact_quantiles` (driver state: two
+    scalars) and are DISCRETE data values (``quantile_disc``), so every
+    output value appears verbatim in the input — no arithmetic, the
+    clamp is bit-exact across engines on floats too.  Appends
+    ``out_column`` (default ``column_w``); same-name overwrite
+    supported.
+    """
+    if out_column is None:
+        out_column = f"{column}_w"
+    qdf = exact_quantiles(ds, column, [lo_q, hi_q], coarse_bits=coarse_bits)
+
+    def clamp(batch: pa.Table) -> pa.Table:
+        v = batch.column(column)
+        if not qdf.empty:
+            lo_v = qdf["value"].iloc[0]
+            hi_v = qdf["value"].iloc[-1]
+            w = pc.min_element_wise(pc.max_element_wise(v, lo_v), hi_v)
+        else:
+            w = v  # empty input: nothing to clamp
+        if out_column in batch.schema.names:
+            return batch.set_column(
+                batch.schema.get_field_index(out_column), out_column, w)
+        return batch.append_column(out_column, w)
+
+    return ds.map_batches(clamp, batch_format="pyarrow")

@@ -271,3 +271,47 @@ def _with_key_bucket_table(batch, key: str, buckets: int):
     h = hash64_column(batch.column(key))
     return batch.append_column(
         "__kb", pa.array((h % np.uint64(buckets)).astype(np.int32)))
+
+
+def cumulative_new_keys(ds, *, key: str, ts: str, unit: str = "day"):
+    """First-seen analysis: per period (``floor_temporal(ts, unit)``),
+    how many keys appear for the FIRST time, and the running distinct-
+    key total — the "cumulative unique users by day" growth curve that
+    plain per-period aggregates cannot express (a key active in many
+    periods must count once, at its first).
+
+    ONE corpus pass reduces each batch to its distinct (key, period)
+    pairs (pair-cardinality exchange, never row count); the lean pair
+    table is materialized once and consumed twice — ``groupby(key).min``
+    for first-seen periods, ``groupby(period)`` for the period
+    universe — then the two RESULT-SCALE frames (periods × 1 rows)
+    merge on the driver with a cumulative sum.  Periods with no new
+    keys still appear (new_keys = 0, flat curve).
+
+    Returns a pandas DataFrame (period, new_keys:int64, cum_keys:int64)
+    sorted by period.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        d = pc.floor_temporal(batch.column(ts), unit=unit)
+        t = pa.table({key: batch.column(key), "period": d})
+        return t.group_by([key, "period"], use_threads=False).aggregate([])
+
+    pairs = ds.map_batches(distinct_pairs, batch_format="pyarrow").materialize()
+
+    # (key → first period) stays distributed (distinct-key-scale); only
+    # the per-period COUNT of first-seen keys reaches the driver
+    new_per = (pairs.groupby(key).min("period")
+               .groupby("min(period)").count().to_pandas()
+               .rename(columns={"min(period)": "period",
+                                "count()": "new_keys"}))
+    periods = (pairs.groupby("period").count().to_pandas()[["period"]]
+               .drop_duplicates())
+
+    out = periods.merge(new_per, on="period", how="left").fillna({"new_keys": 0})
+    out = out.sort_values("period").reset_index(drop=True)
+    out["new_keys"] = out["new_keys"].astype("int64")
+    out["cum_keys"] = out["new_keys"].cumsum().astype("int64")
+    return out

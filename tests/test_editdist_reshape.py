@@ -154,3 +154,88 @@ class TestRollupSum:
                          cents=False)
         assert len(got) == 3  # a, b, total
         assert got[got["k"].isna()]["sum_cents"].iloc[0] == 6
+
+
+class TestWinsorize:
+    def test_clamps_to_discrete_quantiles(self, ray_session):
+        import ray.data as rd
+        from biocurator_mapper_ray.ops.quantile import winsorize_by_quantile
+
+        vals = list(range(1, 101))  # 1..100
+        ds = rd.from_pandas(pd.DataFrame({"x": [float(v) for v in vals]}))
+        got = winsorize_by_quantile(ds, "x", lo_q=0.05, hi_q=0.95) \
+            .to_pandas().sort_values("x").reset_index(drop=True)
+        assert got["x_w"].min() == 5.0   # quantile_disc(.05) of 1..100
+        assert got["x_w"].max() == 95.0
+        # interior values untouched
+        mid = got[(got["x"] >= 5.0) & (got["x"] <= 95.0)]
+        assert (mid["x_w"] == mid["x"]).all()
+
+    def test_empty_input(self, ray_session):
+        import ray.data as rd
+        from biocurator_mapper_ray.ops.quantile import winsorize_by_quantile
+
+        ds = rd.from_arrow(pa.table({"x": pa.array([], pa.float64())}))
+        assert winsorize_by_quantile(ds, "x").count() == 0
+
+
+class TestRegexExtract:
+    def test_match_and_no_match(self, ray_session):
+        import ray.data as rd
+        from biocurator_mapper_ray.ops.normalize import regex_extract
+
+        ds = rd.from_pandas(pd.DataFrame({
+            "doc_id": [0, 1, 2],
+            "text": ["a table scan here", "no keyword", None],
+        }))
+        got = ds.map_batches(
+            regex_extract,
+            fn_kwargs={"column": "text", "pattern": r"table (\w+)",
+                       "out_column": "g"},
+            batch_format="pyarrow",
+        ).to_pandas().sort_values("doc_id")
+        assert got["g"].tolist()[0] == "scan"
+        assert pd.isna(got["g"].tolist()[1])
+        assert pd.isna(got["g"].tolist()[2])
+
+    def test_group_selection(self, ray_session):
+        import ray.data as rd
+        from biocurator_mapper_ray.ops.normalize import regex_extract
+
+        ds = rd.from_pandas(pd.DataFrame({"text": ["k=v1;k2=v2"]}))
+        got = ds.map_batches(
+            regex_extract,
+            fn_kwargs={"column": "text", "pattern": r"(\w+)=(\w+)",
+                       "group": 2, "out_column": "g"},
+            batch_format="pyarrow",
+        ).to_pandas()
+        assert got["g"].iloc[0] == "v1"
+
+
+class TestCumulativeNewKeys:
+    def test_growth_curve_counts_first_appearance_once(self, ray_session):
+        import ray.data as rd
+        from biocurator_mapper_ray.ops.window import cumulative_new_keys
+
+        ts = pd.to_datetime([
+            "2024-01-01 10:00", "2024-01-01 11:00",  # u1, u2 first
+            "2024-01-02 09:00",                       # u1 again (no new)
+            "2024-01-03 09:00", "2024-01-03 10:00",  # u3 first, u2 again
+        ])
+        ds = rd.from_pandas(pd.DataFrame({
+            "k": ["u1", "u2", "u1", "u3", "u2"], "ts": ts}))
+        got = cumulative_new_keys(ds, key="k", ts="ts", unit="day")
+        assert got["new_keys"].tolist() == [2, 0, 1]
+        assert got["cum_keys"].tolist() == [2, 2, 3]
+
+    def test_batch_split_does_not_double_count(self, ray_session):
+        import ray.data as rd
+        from biocurator_mapper_ray.ops.window import cumulative_new_keys
+
+        ts = pd.to_datetime(["2024-01-01"] * 4 + ["2024-01-02"] * 4)
+        ds = rd.from_pandas(pd.DataFrame({
+            "k": ["a", "a", "b", "b", "a", "b", "c", "c"], "ts": ts})
+        ).repartition(4)
+        got = cumulative_new_keys(ds, key="k", ts="ts", unit="day")
+        assert got["new_keys"].tolist() == [2, 1]
+        assert got["cum_keys"].tolist() == [2, 3]
