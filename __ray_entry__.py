@@ -1578,6 +1578,29 @@ def _q_cumulative_users_events(sf_dir: str):
     return cumulative_new_keys(events, key="user_id", ts="ts", unit="day")
 
 
+def _q_moments_events(sf_dir: str):
+    """Per-event-type n/sum/mean/variance via exact integer sums and a
+    float64 closed-form finish that mirrors the SQL expression order —
+    bit-equal floats across engines (ops/moments.grouped_moments)."""
+    from biocurator_mapper_ray.ops.moments import grouped_moments
+
+    events = _read(sf_dir, "events", columns=["event_type", "value"])
+    return grouped_moments(events, key="event_type",
+                           value="value").sort("event_type")
+
+
+def _q_covariance_lineitem(sf_dir: str):
+    """Per-returnflag sample covariance of quantity and extended price,
+    same exact-integer-sums construction
+    (ops/moments.grouped_covariance)."""
+    from biocurator_mapper_ray.ops.moments import grouped_covariance
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    return grouped_covariance(li, key="l_returnflag", x="l_quantity",
+                              y="l_extendedprice").sort("l_returnflag")
+
+
 def _q_lag_lead_events(sf_dir: str):
     """Per-user LAG/LEAD of the event value (cents) in (ts, event_id)
     order — ops/window.lag_lead, one key-bucketed exchange + C-level
@@ -1882,6 +1905,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorize_events": _q_winsorize_events,
         "regex_extract_documents": _q_regex_extract_documents,
         "cumulative_users_events": _q_cumulative_users_events,
+        "moments_events": _q_moments_events,
+        "covariance_lineitem": _q_covariance_lineitem,
         # relational operators
         "pricing_summary": _q_pricing_summary,
         "customer_by_region": _q_customer_by_region,
@@ -1889,9 +1914,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_events": _q_hourly_events,
         "sessionize_events": _q_sessionize_events,
         "running_user_value": _q_running_user_value,
-        "rolling_user_value": _q_rolling_user_value,
-        "asof_purchase_click": _q_asof_purchase_click,
         # --- slot 51+ (past the driver's 50-entry snapshot) ---
+        "rolling_user_value": _q_rolling_user_value,   # r03 green
+        "asof_purchase_click": _q_asof_purchase_click,  # r03 green
         # joins (r03 green, demoted for the round-4 additions above)
         "revenue_by_priority": _q_revenue_by_priority,
         "clicks_before_purchase": _q_clicks_before_purchase,
@@ -3105,6 +3130,45 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS cum_keys
             FROM days LEFT JOIN nk ON days.d = nk.d
             ORDER BY period
+        """,
+        "moments_events": """
+            WITH s AS (
+                SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                            AS BIGINT) AS sx,
+                       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)
+                                * CAST(round(value * 100, 0) AS BIGINT))
+                            AS BIGINT) AS sxx
+                FROM events GROUP BY event_type)
+            SELECT event_type, n, sx AS sum_cents,
+                   CAST(sx AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0) AS mean,
+                   CASE WHEN n > 1 THEN
+                       (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))
+                       / 10000.0
+                   END AS var
+            FROM s ORDER BY event_type
+        """,
+        "covariance_lineitem": """
+            WITH s AS (
+                SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT))
+                            AS BIGINT) AS sx,
+                       CAST(sum(CAST(round(l_extendedprice * 100, 0)
+                                     AS BIGINT)) AS BIGINT) AS sy,
+                       CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)
+                                * CAST(round(l_extendedprice * 100, 0)
+                                       AS BIGINT)) AS BIGINT) AS sxy
+                FROM lineitem GROUP BY l_returnflag)
+            SELECT l_returnflag, n,
+                   CASE WHEN n > 1 THEN
+                       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))
+                       / 10000.0
+                   END AS cov
+            FROM s ORDER BY l_returnflag
         """,
         "first_last_events": """
             WITH ranked AS (

@@ -1,0 +1,136 @@
+"""Distributed numeric moments: grouped count / mean / variance (and
+covariance) that hash IDENTICALLY across engines.
+
+No reference equivalent (biocurator_mapper aggregates only counts); the
+standard statistical profile every curation dashboard needs — but done
+so the float outputs are bit-exact against SQL: float64 running
+aggregates (DuckDB's ``var_samp``, Welford-style) are summation-order-
+dependent, so instead BOTH sides compute the same closed-form
+expression over EXACT int64 sums (values → integer cents per row,
+then Σx, Σx², Σxy as overflow-checked int64).  Integer sums are
+order-independent; the final expression is the same float64 arithmetic
+on both engines, hence bit-equal.
+
+Overflow bound: the int64 state is the SUMS only (the n·Σx² finish
+runs in float64), so with |x| ≤ X cents a group overflows Σx² at
+n·X² ≥ 2⁶³ — e.g. X = 10⁵ cents allows ~9·10⁸ rows per group; use
+coarser units (``cents=False`` on pre-scaled ints) for hotter groups.
+Per-row squares use ``multiply_checked`` (raise, never wrap).
+
+Scale shape: one map-side partial per batch (groups × 5 lean columns),
+a small key groupby exchange, the closed-form finish vectorized on the
+ALREADY AGGREGATED frame.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _to_cents(col, cents: bool):
+    if cents:
+        return pc.cast(pc.round(pc.multiply(col, 100.0), ndigits=0),
+                       pa.int64())
+    return pc.cast(col, pa.int64())
+
+
+def grouped_moments(ds, *, key: str, value: str, cents: bool = True,
+                    ddof: int = 1):
+    """Per-key n, Σx (cents), mean and variance — the SQL mirror is
+
+    ``(n*Sxx - Sx*Sx) / (n * (n - ddof))`` over the same BIGINT sums.
+
+    Returns a Dataset of (key, n:int64, sum_cents:int64, mean:float64,
+    var:float64); groups with n ≤ ddof get var = NULL (SQL var_samp
+    semantics).
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        x = _to_cents(batch.column(value), cents)
+        xx = pc.multiply_checked(x, x)
+        t = pa.table({key: batch.column(key), "__x": x, "__xx": xx})
+        g = t.group_by([key], use_threads=False).aggregate(
+            [("__x", "sum"), ("__xx", "sum"), ("__x", "count")])
+        return g.rename_columns([key, "__sx", "__sxx", "__n"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(key, sort=False)[["__sx", "__sxx", "__n"]].sum()
+        n = g["__n"].to_numpy().astype(np.int64)
+        sx = g["__sx"].to_numpy().astype(np.int64)
+        sxx = g["__sxx"].to_numpy().astype(np.int64)
+        # the finish runs ENTIRELY in float64 with the same expression
+        # order as the SQL mirror — IEEE ops on identical operands are
+        # bit-equal, and float64 can't overflow where n·Σx² would
+        nf, sxf, sxxf = (a.astype(np.float64) for a in (n, sx, sxx))
+        mean = sxf / (nf * 100.0) if cents else sxf / nf
+        denom = nf * (nf - float(ddof))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            var = np.where(denom > 0,
+                           (nf * sxxf - sxf * sxf)
+                           / np.where(denom > 0, denom, 1.0),
+                           np.nan)
+        if cents:
+            var = var / 10000.0
+        return pa.table({
+            key: pa.array(g.index.to_numpy()),
+            "n": pa.array(n),
+            "sum_cents" if cents else "sum_int": pa.array(sx),
+            "mean": pa.array(mean, pa.float64()),
+            "var": pa.array(np.where(np.isnan(var), None, var),
+                            pa.float64(), from_pandas=True),
+        })
+
+    # partials are groups×batches lean rows; ONE salted exchange would
+    # also work, but the frame is result-scale so a single groupby-key
+    # map_groups keeps per-task memory at one group's partials
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(key)
+            .map_groups(finish, batch_format="pyarrow"))
+
+
+def grouped_covariance(ds, *, key: str, x: str, y: str, cents: bool = True,
+                       ddof: int = 1):
+    """Per-key sample covariance of two numeric columns, same exact-
+    integer-sums construction: ``(n*Sxy - Sx*Sy) / (n * (n - ddof))``.
+
+    Returns (key, n:int64, cov:float64); n ≤ ddof → NULL.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        xi = _to_cents(batch.column(x), cents)
+        yi = _to_cents(batch.column(y), cents)
+        t = pa.table({key: batch.column(key), "__x": xi, "__y": yi,
+                      "__xy": pc.multiply_checked(xi, yi)})
+        g = t.group_by([key], use_threads=False).aggregate(
+            [("__x", "sum"), ("__y", "sum"), ("__xy", "sum"),
+             ("__x", "count")])
+        return g.rename_columns([key, "__sx", "__sy", "__sxy", "__n"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(key, sort=False)[["__sx", "__sy", "__sxy", "__n"]].sum()
+        n = g["__n"].to_numpy().astype(np.int64)
+        nf = n.astype(np.float64)
+        sxf = g["__sx"].to_numpy().astype(np.float64)
+        syf = g["__sy"].to_numpy().astype(np.float64)
+        sxyf = g["__sxy"].to_numpy().astype(np.float64)
+        denom = nf * (nf - float(ddof))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cov = np.where(denom > 0,
+                           (nf * sxyf - sxf * syf)
+                           / np.where(denom > 0, denom, 1.0),
+                           np.nan)
+        if cents:
+            cov = cov / 10000.0
+        return pa.table({
+            key: pa.array(g.index.to_numpy()),
+            "n": pa.array(n),
+            "cov": pa.array(np.where(np.isnan(cov), None, cov),
+                            pa.float64(), from_pandas=True),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(key)
+            .map_groups(finish, batch_format="pyarrow"))

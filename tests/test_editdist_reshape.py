@@ -239,3 +239,45 @@ class TestCumulativeNewKeys:
         got = cumulative_new_keys(ds, key="k", ts="ts", unit="day")
         assert got["new_keys"].tolist() == [2, 1]
         assert got["cum_keys"].tolist() == [2, 3]
+
+
+class TestGroupedMoments:
+    def test_variance_matches_numpy(self, ray_session):
+        import ray.data as rd
+        from biocurator_mapper_ray.ops.moments import grouped_moments
+
+        vals = [1.0, 2.0, 3.0, 4.0, 10.0]
+        ds = rd.from_pandas(pd.DataFrame({"k": ["g"] * 5, "v": vals}))
+        got = grouped_moments(ds, key="k", value="v").to_pandas()
+        assert got["n"].iloc[0] == 5
+        assert got["sum_cents"].iloc[0] == 2000
+        assert got["mean"].iloc[0] == pytest.approx(4.0)
+        assert got["var"].iloc[0] == pytest.approx(np.var(vals, ddof=1))
+
+    def test_singleton_group_null_var(self, ray_session):
+        import ray.data as rd
+        from biocurator_mapper_ray.ops.moments import grouped_moments
+
+        ds = rd.from_pandas(pd.DataFrame({"k": ["a"], "v": [5.0]}))
+        got = grouped_moments(ds, key="k", value="v").to_pandas()
+        assert pd.isna(got["var"].iloc[0])
+
+    def test_partials_merge_across_batches(self, ray_session):
+        import ray.data as rd
+        from biocurator_mapper_ray.ops.moments import grouped_moments
+
+        vals = list(map(float, range(100)))
+        ds = rd.from_pandas(pd.DataFrame({"k": ["g"] * 100, "v": vals})) \
+            .repartition(7)
+        got = grouped_moments(ds, key="k", value="v").to_pandas()
+        assert got["var"].iloc[0] == pytest.approx(np.var(vals, ddof=1))
+
+    def test_covariance(self, ray_session):
+        import ray.data as rd
+        from biocurator_mapper_ray.ops.moments import grouped_covariance
+
+        x = [1.0, 2.0, 3.0, 4.0]
+        y = [2.0, 4.0, 6.0, 8.0]  # perfectly linear: cov = 2*var(x)
+        ds = rd.from_pandas(pd.DataFrame({"k": ["g"] * 4, "x": x, "y": y}))
+        got = grouped_covariance(ds, key="k", x="x", y="y").to_pandas()
+        assert got["cov"].iloc[0] == pytest.approx(np.cov(x, y, ddof=1)[0, 1])
