@@ -1601,6 +1601,17 @@ def _q_covariance_lineitem(sf_dir: str):
                               y="l_extendedprice").sort("l_returnflag")
 
 
+def _q_price_quantiles_cont(sf_dir: str):
+    """Interpolated PERCENTILE_CONT of o_totalprice — the rank-bracket
+    refinement core of exact_quantiles plus one mirrored float64
+    interpolation over two exact data values
+    (ops/quantile.quantiles_cont); bit-equal to the SQL expression."""
+    from biocurator_mapper_ray.ops.quantile import quantiles_cont
+
+    orders = _read(sf_dir, "orders", columns=["o_totalprice"])
+    return quantiles_cont(orders, "o_totalprice", [0.25, 0.5, 0.9])
+
+
 def _q_lag_lead_events(sf_dir: str):
     """Per-user LAG/LEAD of the event value (cents) in (ts, event_id)
     order — ops/window.lag_lead, one key-bucketed exchange + C-level
@@ -1907,14 +1918,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cumulative_users_events": _q_cumulative_users_events,
         "moments_events": _q_moments_events,
         "covariance_lineitem": _q_covariance_lineitem,
+        "price_quantiles_cont": _q_price_quantiles_cont,
         # relational operators
         "pricing_summary": _q_pricing_summary,
         "customer_by_region": _q_customer_by_region,
         # streaming-shaped / windows
         "hourly_events": _q_hourly_events,
         "sessionize_events": _q_sessionize_events,
-        "running_user_value": _q_running_user_value,
         # --- slot 51+ (past the driver's 50-entry snapshot) ---
+        "running_user_value": _q_running_user_value,   # r03 green
         "rolling_user_value": _q_rolling_user_value,   # r03 green
         "asof_purchase_click": _q_asof_purchase_click,  # r03 green
         # joins (r03 green, demoted for the round-4 additions above)
@@ -3169,6 +3181,27 @@ def oracle_sql() -> dict[str, str]:
                        / 10000.0
                    END AS cov
             FROM s ORDER BY l_returnflag
+        """,
+        "price_quantiles_cont": """
+            WITH p AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+                 v AS (SELECT o_totalprice AS v,
+                              row_number() OVER (ORDER BY o_totalprice) AS r
+                       FROM orders)
+            SELECT q,
+                   CAST((SELECT v FROM v WHERE r = least((SELECT n FROM p),
+                        CAST(floor(CAST((SELECT n FROM p) - 1 AS DOUBLE) * q)
+                             AS BIGINT) + 1)) AS DOUBLE)
+                   + (CAST((SELECT n FROM p) - 1 AS DOUBLE) * q
+                      - floor(CAST((SELECT n FROM p) - 1 AS DOUBLE) * q))
+                     * (CAST((SELECT v FROM v WHERE r = least((SELECT n FROM p),
+                          CAST(floor(CAST((SELECT n FROM p) - 1 AS DOUBLE) * q)
+                               AS BIGINT) + 2)) AS DOUBLE)
+                        - CAST((SELECT v FROM v WHERE r = least((SELECT n FROM p),
+                            CAST(floor(CAST((SELECT n FROM p) - 1 AS DOUBLE) * q)
+                                 AS BIGINT) + 1)) AS DOUBLE))
+                   AS value
+            FROM (SELECT unnest([0.25, 0.5, 0.9]) AS q)
+            ORDER BY q
         """,
         "first_last_events": """
             WITH ranked AS (

@@ -110,9 +110,28 @@ def exact_quantiles(ds, column: str, qs: list[float], *,
     span = int(mm["hi"].max()) - lo
     n = int(mm["n"].sum())
 
-    # per-q residual rank within its current needed bucket; the bucket
+    ranks = [min(n, max(1, int(np.ceil(q * n)))) for q in qs]
+    keys_by_rank = _keys_at_ranks(ds, column, ranks, lo=lo, span=span,
+                                  coarse_bits=coarse_bits)
+    keys = [keys_by_rank[r] for r in ranks]
+    return (
+        pd.DataFrame({"q": np.asarray(list(qs), dtype=np.float64),
+                      "value": _value_series(keys, arrow_type)})
+        .sort_values("q")
+        .reset_index(drop=True)
+    )
+
+
+def _keys_at_ranks(ds, column: str, ranks: list[int], *, lo: int, span: int,
+                   coarse_bits: int) -> dict:
+    """Rank-parameterized histogram refinement: the encoded key of the
+    r-th smallest value (1-based) for each requested rank — the shared
+    core under both the discrete and the interpolated quantile forms.
+    Driver state per level: one (needed bucket, residual rank) pair per
+    distinct rank."""
+    # per-rank residual within its current needed bucket; the bucket
     # itself is tracked at prev_shift granularity (None = whole span)
-    state = {q: [None, min(n, max(1, int(np.ceil(q * n))))] for q in qs}
+    state = {r: [None, int(r)] for r in sorted(set(ranks))}
     shift = max(0, span.bit_length() - coarse_bits)
     prev_shift: int | None = None
 
@@ -153,7 +172,7 @@ def exact_quantiles(ds, column: str, qs: list[float], *,
         counts = hist["cnt"].to_numpy()
 
         width = ps - s if ps is not None else None
-        for q, st in state.items():
+        for _r, st in state.items():
             if ps is None:
                 sel = np.ones(len(buckets), dtype=bool)
             else:
@@ -168,13 +187,7 @@ def exact_quantiles(ds, column: str, qs: list[float], *,
             break
         prev_shift, shift = shift, max(0, shift - coarse_bits)
 
-    keys = [lo + int(st[0]) for st in state.values()]
-    return (
-        pd.DataFrame({"q": np.asarray(list(state), dtype=np.float64),
-                      "value": _value_series(keys, arrow_type)})
-        .sort_values("q")
-        .reset_index(drop=True)
-    )
+    return {r: lo + int(st[0]) for r, st in state.items()}
 
 
 def grouped_exact_quantiles(ds, column: str, group_col: str, qs: list[float], *,
@@ -365,3 +378,56 @@ def winsorize_by_quantile(ds, column: str, *, lo_q: float = 0.05,
         return batch.append_column(out_column, w)
 
     return ds.map_batches(clamp, batch_format="pyarrow")
+
+
+def quantiles_cont(ds, column: str, qs: list[float], *,
+                   coarse_bits: int = 16) -> pd.DataFrame:
+    """Interpolated (``quantile_cont`` / PERCENTILE_CONT) quantiles →
+    DataFrame (q float64, value float64): with h = (n-1)·q, linear
+    interpolation between the floor(h)+1-th and floor(h)+2-th smallest
+    values.
+
+    Built on the SAME rank-refinement core as :func:`exact_quantiles`
+    (both bracket ranks refine together — one extra rank per q, no
+    extra passes); the interpolation itself is one float64 expression
+    over two EXACT data values, mirrored verbatim by the SQL oracle, so
+    the result hashes bit-equal across engines.
+    """
+    arrow_type = _column_type(ds, column)
+
+    def minmax(batch: pa.Table) -> pa.Table:
+        v = batch.column(column).to_numpy()
+        if not len(v):
+            return pa.table({"lo": pa.array([], pa.uint64()),
+                             "hi": pa.array([], pa.uint64()),
+                             "n": pa.array([], pa.int64())})
+        k = _encode_keys(v)
+        return pa.table({"lo": pa.array([k.min()], pa.uint64()),
+                         "hi": pa.array([k.max()], pa.uint64()),
+                         "n": pa.array([len(v)])})
+
+    mm = ds.map_batches(minmax, batch_format="pyarrow").to_pandas()
+    if mm.empty or mm["n"].sum() == 0:
+        return pd.DataFrame({"q": pd.Series(dtype=np.float64),
+                             "value": pd.Series(dtype=np.float64)})
+    lo = int(mm["lo"].min())
+    span = int(mm["hi"].max()) - lo
+    n = int(mm["n"].sum())
+
+    # bracket ranks per q (1-based); h floors in float64 exactly as the
+    # SQL mirror computes them
+    hs = [float(n - 1) * float(q) for q in qs]
+    lo_ranks = [min(n, int(np.floor(h)) + 1) for h in hs]
+    hi_ranks = [min(n, int(np.floor(h)) + 2) for h in hs]
+    keys = _keys_at_ranks(ds, column, sorted(set(lo_ranks + hi_ranks)),
+                          lo=lo, span=span, coarse_bits=coarse_bits)
+
+    vals = []
+    for q, h, rl, rh in zip(qs, hs, lo_ranks, hi_ranks):
+        vl = float(_decode_key(keys[rl], arrow_type))
+        vh = float(_decode_key(keys[rh], arrow_type))
+        frac = h - np.floor(h)
+        vals.append(vl + frac * (vh - vl))
+    return (pd.DataFrame({"q": np.asarray(qs, dtype=np.float64),
+                          "value": np.asarray(vals, dtype=np.float64)})
+            .sort_values("q").reset_index(drop=True))

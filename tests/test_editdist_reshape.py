@@ -281,3 +281,30 @@ class TestGroupedMoments:
         ds = rd.from_pandas(pd.DataFrame({"k": ["g"] * 4, "x": x, "y": y}))
         got = grouped_covariance(ds, key="k", x="x", y="y").to_pandas()
         assert got["cov"].iloc[0] == pytest.approx(np.cov(x, y, ddof=1)[0, 1])
+
+
+class TestQuantilesCont:
+    def test_interpolated_matches_numpy_linear(self, ray_session):
+        import ray.data as rd
+        from biocurator_mapper_ray.ops.quantile import quantiles_cont
+
+        vals = [float(v) for v in range(1, 101)]
+        ds = rd.from_pandas(pd.DataFrame({"x": vals})).repartition(5)
+        got = quantiles_cont(ds, "x", [0.25, 0.5, 0.9])
+        want = np.quantile(vals, [0.25, 0.5, 0.9])  # linear interpolation
+        assert got["value"].to_numpy() == pytest.approx(want)
+
+    def test_exact_at_data_points(self, ray_session):
+        import ray.data as rd
+        from biocurator_mapper_ray.ops.quantile import quantiles_cont
+
+        ds = rd.from_pandas(pd.DataFrame({"x": [10.0, 20.0, 30.0]}))
+        got = quantiles_cont(ds, "x", [0.0, 0.5, 1.0])
+        assert got["value"].tolist() == [10.0, 20.0, 30.0]
+
+    def test_empty(self, ray_session):
+        import ray.data as rd
+        from biocurator_mapper_ray.ops.quantile import quantiles_cont
+
+        ds = rd.from_arrow(pa.table({"x": pa.array([], pa.float64())}))
+        assert len(quantiles_cont(ds, "x", [0.5])) == 0
