@@ -1612,6 +1612,33 @@ def _q_price_quantiles_cont(sf_dir: str):
     return quantiles_cont(orders, "o_totalprice", [0.25, 0.5, 0.9])
 
 
+def _q_zscore_events(sf_dir: str):
+    """Per-row z-score against the row's event-type moments — phase-1
+    grouped_moments broadcast + map-side standardize
+    (ops/moments.zscore_by_group); the float64 expression mirrors the
+    SQL, so z hashes bit-exactly."""
+    from biocurator_mapper_ray.ops.moments import zscore_by_group
+
+    events = _read(sf_dir, "events",
+                   columns=["event_id", "event_type", "value"])
+    out = zscore_by_group(events, key="event_type", value="value")
+    return out.map_batches(lambda t: t.select(["event_id", "z"]),
+                           batch_format="pyarrow").sort("event_id")
+
+
+def _q_debounce_events(sf_dir: str):
+    """Per-user 30-minute debounce: keep an event only when ≥30 min
+    passed since the user's previous event (ops/window.debounce) —
+    first event always kept; LAG-based gap semantics."""
+    from biocurator_mapper_ray.ops.window import debounce
+
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    out = debounce(events, key="user_id", ts="ts", tiebreak="event_id",
+                   min_gap=pd.Timedelta(minutes=30))
+    return out.map_batches(lambda t: t.select(["event_id"]),
+                           batch_format="pyarrow").sort("event_id")
+
+
 def _q_lag_lead_events(sf_dir: str):
     """Per-user LAG/LEAD of the event value (cents) in (ts, event_id)
     order — ops/window.lag_lead, one key-bucketed exchange + C-level
@@ -1919,13 +1946,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "moments_events": _q_moments_events,
         "covariance_lineitem": _q_covariance_lineitem,
         "price_quantiles_cont": _q_price_quantiles_cont,
+        "zscore_events": _q_zscore_events,
+        "debounce_events": _q_debounce_events,
         # relational operators
         "pricing_summary": _q_pricing_summary,
         "customer_by_region": _q_customer_by_region,
         # streaming-shaped / windows
-        "hourly_events": _q_hourly_events,
-        "sessionize_events": _q_sessionize_events,
         # --- slot 51+ (past the driver's 50-entry snapshot) ---
+        "hourly_events": _q_hourly_events,             # r03 green
+        "sessionize_events": _q_sessionize_events,     # r03 green
         "running_user_value": _q_running_user_value,   # r03 green
         "rolling_user_value": _q_rolling_user_value,   # r03 green
         "asof_purchase_click": _q_asof_purchase_click,  # r03 green
@@ -3202,6 +3231,40 @@ def oracle_sql() -> dict[str, str]:
                    AS value
             FROM (SELECT unnest([0.25, 0.5, 0.9]) AS q)
             ORDER BY q
+        """,
+        "zscore_events": """
+            WITH s AS (
+                SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                            AS BIGINT) AS sx,
+                       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)
+                                * CAST(round(value * 100, 0) AS BIGINT))
+                            AS BIGINT) AS sxx
+                FROM events GROUP BY event_type),
+            m AS (SELECT event_type,
+                       CAST(sx AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0)
+                           AS mean,
+                       CASE WHEN n > 1 THEN
+                           (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))
+                           / 10000.0
+                       END AS var
+                  FROM s)
+            SELECT e.event_id,
+                   (CAST(CAST(round(e.value * 100, 0) AS BIGINT) AS DOUBLE)
+                    / 100.0 - m.mean) / sqrt(m.var) AS z
+            FROM events e JOIN m USING (event_type)
+            ORDER BY e.event_id
+        """,
+        "debounce_events": """
+            SELECT event_id FROM (
+                SELECT event_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS pts
+                FROM events)
+            WHERE pts IS NULL OR ts - pts > INTERVAL 30 MINUTE
+            ORDER BY event_id
         """,
         "first_last_events": """
             WITH ranked AS (

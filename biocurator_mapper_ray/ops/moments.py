@@ -134,3 +134,46 @@ def grouped_covariance(ds, *, key: str, x: str, y: str, cents: bool = True,
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby(key)
             .map_groups(finish, batch_format="pyarrow"))
+
+
+def zscore_by_group(ds, *, key: str, value: str, cents: bool = True,
+                    ddof: int = 1, out_column: str = "z"):
+    """Per-row standardization against the row's GROUP moments:
+    ``z = (x − mean_g) / sqrt(var_g)`` — the outlier/quality score a
+    curation pipeline computes per source or language before a global
+    threshold.
+
+    Two-phase broadcast pattern (the corpus_freq_scores shape): phase 1
+    is :func:`grouped_moments` (exact integer sums → bit-stable group
+    moments, a groups-scale frame); phase 2 broadcasts that frame via
+    ``ray.put`` and standardizes map-side — no second exchange, the
+    corpus streams once per phase.  The float64 expression order is the
+    SQL mirror's (x_cents/100 − mean)/sqrt(var), so z hashes bit-equal.
+    Groups with NULL variance (n ≤ ddof) or zero variance emit NULL z.
+    """
+    import ray
+
+    mom = grouped_moments(ds, key=key, value=value, cents=cents,
+                          ddof=ddof).to_pandas()
+    mean_map = pd.Series(mom["mean"].to_numpy(), index=mom[key])
+    var_map = pd.Series(mom["var"].to_numpy(), index=mom[key])
+    moments_ref = ray.put((mean_map, var_map))
+
+    def standardize(batch: pa.Table, moments_ref=None) -> pa.Table:
+        mm, vm = (ray.get(moments_ref) if not isinstance(moments_ref, tuple)
+                  else moments_ref)
+        x = _to_cents(batch.column(value), cents).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        if cents:
+            x = x / 100.0
+        keys_s = pd.Series(batch.column(key).to_numpy(zero_copy_only=False))
+        means = keys_s.map(mm).to_numpy(np.float64)  # C-level probe
+        variances = keys_s.map(vm).to_numpy(np.float64)
+        with np.errstate(invalid="ignore"):
+            z = (x - means) / np.sqrt(variances)
+        z = np.where(np.isfinite(z), z, np.nan)
+        return batch.append_column(
+            out_column, pa.array(z, pa.float64(), from_pandas=True))
+
+    return ds.map_batches(standardize, fn_kwargs={"moments_ref": moments_ref},
+                          batch_format="pyarrow")

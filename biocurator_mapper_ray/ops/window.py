@@ -315,3 +315,34 @@ def cumulative_new_keys(ds, *, key: str, ts: str, unit: str = "day"):
     out["new_keys"] = out["new_keys"].astype("int64")
     out["cum_keys"] = out["new_keys"].cumsum().astype("int64")
     return out
+
+
+def debounce(ds, *, key: str, ts: str, tiebreak: str,
+             min_gap: pd.Timedelta, buckets: int | None = None,
+             size_hint: int | None = None):
+    """Per-key event throttle: keep a row only when at least ``min_gap``
+    has passed since the key's PREVIOUS event (in (ts, tiebreak) order)
+    — the repeated-fire suppressor for noisy emitters (duplicate
+    webhooks, retry storms, double-clicks).  A key's first event always
+    survives.
+
+    Gap semantics are LAG-based (vs the previous event, kept or not) —
+    exactly SQL's ``lag(ts) OVER (PARTITION BY key ORDER BY ts,
+    tiebreak) IS NULL OR ts - lag > gap``, which keeps the op one
+    vectorized shift; suppress-until-quiet (vs the previous KEPT event)
+    is a sequential per-key scan — a different, rarely-needed op.
+
+    Same bucket-then-vectorize shape as :func:`lag_lead`.
+    """
+    gap_us = np.int64(min_gap // pd.Timedelta(microseconds=1))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts, tiebreak], kind="mergesort")
+        prev = g.groupby(key, sort=False)[ts].shift(1)
+        delta = (g[ts] - prev).dt.total_seconds() * 1e6
+        keep = prev.isna() | (delta > float(gap_us))
+        return g[keep.to_numpy()]
+
+    return _with_key_bucket(ds, key, _window_buckets(ds, buckets, size_hint)) \
+        .groupby("__kb").map_groups(_per_bucket(per_bucket),
+                                    batch_format="pandas")

@@ -308,3 +308,60 @@ class TestQuantilesCont:
 
         ds = rd.from_arrow(pa.table({"x": pa.array([], pa.float64())}))
         assert len(quantiles_cont(ds, "x", [0.5])) == 0
+
+
+class TestZscoreByGroup:
+    def test_standardizes_per_group(self, ray_session):
+        import ray.data as rd
+        from biocurator_mapper_ray.ops.moments import zscore_by_group
+
+        df = pd.DataFrame({
+            "k": ["a"] * 4 + ["b"] * 4,
+            "v": [1.0, 2.0, 3.0, 4.0, 100.0, 200.0, 300.0, 400.0],
+        })
+        got = zscore_by_group(rd.from_pandas(df), key="k", value="v") \
+            .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+        for grp in ["a", "b"]:
+            z = got[got["k"] == grp]["z"].to_numpy()
+            v = df[df["k"] == grp]["v"].to_numpy()
+            want = (v - v.mean()) / v.std(ddof=1)
+            assert z == pytest.approx(want)
+
+    def test_singleton_group_null_z(self, ray_session):
+        import ray.data as rd
+        from biocurator_mapper_ray.ops.moments import zscore_by_group
+
+        df = pd.DataFrame({"k": ["solo"], "v": [5.0]})
+        got = zscore_by_group(rd.from_pandas(df), key="k", value="v") \
+            .to_pandas()
+        assert pd.isna(got["z"].iloc[0])
+
+
+class TestDebounce:
+    def test_keeps_first_and_gapped_events(self, ray_session):
+        import ray.data as rd
+        from biocurator_mapper_ray.ops.window import debounce
+
+        ts = pd.to_datetime([
+            "2024-01-01 10:00:00",  # u1 first -> keep
+            "2024-01-01 10:00:30",  # u1 +30s  -> drop (gap <= 60s)
+            "2024-01-01 10:02:00",  # u1 +90s since PREVIOUS -> keep
+            "2024-01-01 10:00:10",  # u2 first -> keep
+        ])
+        ds = rd.from_pandas(pd.DataFrame({
+            "eid": [1, 2, 3, 4], "u": ["u1", "u1", "u1", "u2"], "ts": ts}))
+        got = debounce(ds, key="u", ts="ts", tiebreak="eid",
+                       min_gap=pd.Timedelta(seconds=60)).to_pandas()
+        assert sorted(got["eid"].tolist()) == [1, 3, 4]
+
+    def test_exact_gap_is_dropped(self, ray_session):
+        import ray.data as rd
+        from biocurator_mapper_ray.ops.window import debounce
+
+        ts = pd.to_datetime(["2024-01-01 10:00:00", "2024-01-01 10:01:00"])
+        ds = rd.from_pandas(pd.DataFrame({
+            "eid": [1, 2], "u": ["u", "u"], "ts": ts}))
+        got = debounce(ds, key="u", ts="ts", tiebreak="eid",
+                       min_gap=pd.Timedelta(seconds=60)).to_pandas()
+        # strict >: exactly 60s is NOT enough (SQL ts - pts > INTERVAL)
+        assert sorted(got["eid"].tolist()) == [1]
