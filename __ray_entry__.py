@@ -1639,6 +1639,70 @@ def _q_debounce_events(sf_dir: str):
                            batch_format="pyarrow").sort("event_id")
 
 
+def _q_funnel_events(sf_dir: str):
+    """Ordered funnel signup→view→click→purchase over users: stage k+1
+    must happen STRICTLY after the user first reached stage k
+    (ops/funnel.funnel_counts) — one lean key-bucketed exchange, tiny
+    global sum; oracle is the iterated min-ts JOIN CTE chain."""
+    from biocurator_mapper_ray.ops.funnel import funnel_counts
+
+    events = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    return funnel_counts(events, key="user_id", ts="ts",
+                         type_col="event_type",
+                         stages=["signup", "view", "click", "purchase"]) \
+        .sort("stage")
+
+
+def _q_cohort_retention_events(sf_dir: str):
+    """Cohort-retention matrix: users bucketed by first-seen day,
+    counted once per whole-week offset of later activity
+    (ops/funnel.cohort_retention) — per-user state stays inside the
+    user's bucket, integer day arithmetic so the oracle hashes
+    bit-exactly."""
+    from biocurator_mapper_ray.ops.funnel import cohort_retention
+
+    events = _read(sf_dir, "events", columns=["user_id", "ts"])
+    return cohort_retention(events, key="user_id", ts="ts") \
+        .sort(["cohort_day", "week_offset"])
+
+
+def _q_ntile_orders(sf_dir: str):
+    """Exact NTILE(4) + ROW_NUMBER over o_totalprice per priority
+    (ops/rank.ntile) — value-range shards with lean count offsets;
+    deterministic (price, orderkey) composite order so the oracle
+    matches row-for-row."""
+    from biocurator_mapper_ray.ops.rank import ntile
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+    return ntile(orders, value_col="o_totalprice",
+                 group_col="o_orderpriority", tiebreak_col="o_orderkey",
+                 n=4).sort("o_orderkey")
+
+
+def _q_mad_filter_events(sf_dir: str):
+    """Robust outlier trim: keep events within 3 MADs of the median
+    value (ops/quantile.mad_filter) — two exact interpolated medians
+    (driver state: two scalars), map-side float64 band identical to the
+    SQL expression."""
+    from biocurator_mapper_ray.ops.quantile import mad_filter
+
+    events = _read(sf_dir, "events", columns=["event_id", "value"])
+    return mad_filter(events, "value", k=3.0).sort("event_id")
+
+
+def _q_rare_bigrams_documents(sf_dir: str):
+    """Per-document rare-bigram counts (corpus bigram frequency < 30) —
+    the integer evidence behind an OOV/perplexity-style novelty signal
+    (ops/lm.rare_bigram_stats): one all-to-all on lean (doc_id, bigram)
+    pairs bucketed BY BIGRAM so in-bucket counts are corpus-global,
+    then a groupby-as-join union with map-side totals."""
+    from biocurator_mapper_ray.ops.lm import rare_bigram_stats
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return rare_bigram_stats(docs, min_count=30).sort("doc_id")
+
+
 def _q_lag_lead_events(sf_dir: str):
     """Per-user LAG/LEAD of the event value (cents) in (ts, event_id)
     order — ops/window.lag_lead, one key-bucketed exchange + C-level
@@ -1931,9 +1995,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "novel_documents": _q_novel_documents,
         "weighted_sample_documents": _q_weighted_sample,
         "count_distinct_custkeys": _q_count_distinct_custkeys,
-        "explode_tokens_documents": _q_explode_tokens,
-        "json_field_documents": _q_json_field,
-        "group_concat_customers": _q_group_concat,
         "profile_orders": _q_profile_orders,
         "lag_lead_events": _q_lag_lead_events,
         "first_last_events": _q_first_last_events,
@@ -1948,11 +2009,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles_cont": _q_price_quantiles_cont,
         "zscore_events": _q_zscore_events,
         "debounce_events": _q_debounce_events,
-        # relational operators
+        "funnel_events": _q_funnel_events,
+        "cohort_retention_events": _q_cohort_retention_events,
+        "ntile_orders": _q_ntile_orders,
+        "mad_filter_events": _q_mad_filter_events,
+        "rare_bigrams_documents": _q_rare_bigrams_documents,
+        # --- slot 51+ (past the driver's 50-entry snapshot) ---
+        # relational operators (r03 green)
         "pricing_summary": _q_pricing_summary,
         "customer_by_region": _q_customer_by_region,
+        # thin wrappers over repeatedly-verified primitives, demoted to
+        # make window room for the new round-4 ops; re-window in r5
+        "explode_tokens_documents": _q_explode_tokens,
+        "json_field_documents": _q_json_field,
+        "group_concat_customers": _q_group_concat,
         # streaming-shaped / windows
-        # --- slot 51+ (past the driver's 50-entry snapshot) ---
         "hourly_events": _q_hourly_events,             # r03 green
         "sessionize_events": _q_sessionize_events,     # r03 green
         "running_user_value": _q_running_user_value,   # r03 green
@@ -3265,6 +3336,76 @@ def oracle_sql() -> dict[str, str]:
                 FROM events)
             WHERE pts IS NULL OR ts - pts > INTERVAL 30 MINUTE
             ORDER BY event_id
+        """,
+        "funnel_events": """
+            WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                        WHERE event_type = 'signup' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t
+                   FROM events e JOIN s1 p USING (user_id)
+                   WHERE e.event_type = 'view' AND e.ts > p.t
+                   GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t
+                   FROM events e JOIN s2 p USING (user_id)
+                   WHERE e.event_type = 'click' AND e.ts > p.t
+                   GROUP BY e.user_id),
+            s4 AS (SELECT e.user_id, min(e.ts) AS t
+                   FROM events e JOIN s3 p USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts > p.t
+                   GROUP BY e.user_id)
+            SELECT 1::BIGINT AS stage, 'signup' AS event_type,
+                   (SELECT count(*) FROM s1) AS users
+            UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+            UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
+            UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)
+            ORDER BY stage
+        """,
+        "cohort_retention_events": """
+            WITH f AS (SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+                       FROM events GROUP BY user_id)
+            SELECT f.cohort_day,
+                   (datediff('day', f.cohort_day,
+                             date_trunc('day', e.ts)) // 7)::BIGINT
+                       AS week_offset,
+                   count(DISTINCT e.user_id) AS active_users
+            FROM events e JOIN f USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "ntile_orders": """
+            SELECT o_orderkey, o_orderpriority, o_totalprice,
+                   row_number() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice, o_orderkey)
+                       AS rn,
+                   ntile(4) OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey)
+                       AS tile
+            FROM orders ORDER BY o_orderkey
+        """,
+        "mad_filter_events": """
+            WITH m AS (SELECT median(value) AS med FROM events),
+            d AS (SELECT median(abs(value - m.med)) AS mad
+                  FROM events, m)
+            SELECT event_id, value FROM events, m, d
+            WHERE abs(value - m.med) <= 3.0 * d.mad
+            ORDER BY event_id
+        """,
+        "rare_bigrams_documents": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text),
+                                 '{_WS_CLASS}'), w -> w <> '') AS ws
+              FROM documents),
+            bg AS (
+              SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bigram
+              FROM toks, UNNEST(range(1, len(ws))) AS t(i)),
+            cnt AS (SELECT bigram, count(*) AS c FROM bg GROUP BY bigram),
+            rare AS (SELECT bg.doc_id, count(*) AS rare_bigrams
+                     FROM bg JOIN cnt USING (bigram)
+                     WHERE cnt.c < 30 GROUP BY bg.doc_id)
+            SELECT t.doc_id,
+                   greatest(len(t.ws) - 1, 0)::BIGINT AS total_bigrams,
+                   coalesce(r.rare_bigrams, 0)::BIGINT AS rare_bigrams
+            FROM toks t LEFT JOIN rare r USING (doc_id)
+            ORDER BY t.doc_id
         """,
         "first_last_events": """
             WITH ranked AS (

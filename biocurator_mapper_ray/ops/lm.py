@@ -1,0 +1,128 @@
+"""N-gram language-model-style scoring signals.
+
+No reference equivalent (biocurator_mapper scores candidates with an
+LLM, ``app/openai_matcher.py``); this is the corpus-statistics analog a
+pretraining-data pipeline uses to flag low-likelihood text: per-document
+counts of bigrams that are RARE in the whole corpus (the integer
+evidence behind an OOV-rate / perplexity proxy — integers so the oracle
+hashes exactly; a float log-prob sum would be summation-order-dependent
+across engines).
+
+Plan — ONE all-to-all on lean (doc_id, bigram) pairs:
+
+1. map: tokenize (lower + whitespace split, empties dropped — the
+   repo-wide oracle tokenizer), build consecutive-token bigrams with
+   Arrow's ``binary_join_element_wise`` (zero per-row Python), emit
+   (doc_id, bigram, bucket=hash(bigram)%B).  Per-doc TOTAL bigram
+   counts are computed map-side (a row is a whole document) and never
+   shuffled with the text.
+2. groupby(bucket): a bigram's every occurrence co-locates, so its
+   in-bucket count IS its corpus count; keep occurrences of bigrams
+   with count < min_count and reduce to per-doc partial rare-counts.
+3. union the (doc_id, total, 0) and (doc_id, 0, rare) partials and sum
+   per doc — a join expressed as a groupby, no second exchange of wide
+   rows.
+
+Buckets follow ``derive_buckets`` so one bucket's pandas frame stays
+bounded at corpus scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import hash64_column
+from .join import derive_buckets
+
+# must match __ray_entry__._WS_CLASS / the DuckDB regexp_split oracles
+WS_CLASS = "[ \\t\\n\\r\\f\\x0b]+"
+
+
+def _doc_bigrams(batch: pa.Table, *, id_column: str, text_column: str):
+    """(parent_idx, bigram StringArray, nonempty-token count per row)."""
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(batch.column(text_column)), WS_CLASS)
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    flat = toks.flatten()
+    offs = toks.offsets.to_numpy()
+    parent = np.repeat(np.arange(len(toks), dtype=np.int64), np.diff(offs))
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat = flat.filter(pa.array(nonempty))
+    parent = parent[nonempty]
+    tok_counts = np.bincount(parent, minlength=len(toks)).astype(np.int64)
+    if len(parent) < 2:
+        return parent[:0], pa.array([], pa.string()), tok_counts
+    same = parent[:-1] == parent[1:]
+    bigrams = pc.binary_join_element_wise(
+        flat.slice(0, len(flat) - 1), flat.slice(1), " ").filter(
+            pa.array(same))
+    return parent[:-1][same], bigrams, tok_counts
+
+
+def rare_bigram_stats(ds, *, id_column: str = "doc_id",
+                      text_column: str = "text", min_count: int = 5,
+                      buckets: int | None = None,
+                      size_hint: int | None = None):
+    """Per-document (total_bigrams, rare_bigrams) where a bigram is rare
+    when its CORPUS occurrence count is below ``min_count``.  Documents
+    with fewer than two tokens come back with (0, 0).
+    """
+    n_buckets = buckets if buckets is not None else derive_buckets(
+        size_hint if size_hint is not None else ds.count())
+
+    def explode(batch: pa.Table) -> pa.Table:
+        parent, bigrams, _ = _doc_bigrams(
+            batch, id_column=id_column, text_column=text_column)
+        ids = batch.column(id_column).take(pa.array(parent))
+        kb = (hash64_column(bigrams) % np.uint64(n_buckets)).astype(np.int32)
+        return pa.table({id_column: ids, "bigram": bigrams,
+                         "__kb": pa.array(kb)})
+
+    def totals(batch: pa.Table) -> pa.Table:
+        _, _, tok_counts = _doc_bigrams(
+            batch, id_column=id_column, text_column=text_column)
+        return pa.table({
+            id_column: batch.column(id_column),
+            "total_bigrams": pa.array(np.maximum(tok_counts - 1, 0)),
+            "rare_bigrams": pa.array(np.zeros(len(batch), dtype=np.int64)),
+        })
+
+    def rare_in_bucket(g: pd.DataFrame) -> pa.Table:
+        # typed Arrow output: the union side is Arrow-blocked, and an
+        # empty pandas frame would both mismatch block types and lose
+        # the id dtype
+        id_type = (pa.string() if g[id_column].dtype == object
+                   else pa.from_numpy_dtype(g[id_column].dtype))
+        empty = pa.table({id_column: pa.array([], id_type),
+                          "total_bigrams": pa.array([], pa.int64()),
+                          "rare_bigrams": pa.array([], pa.int64())})
+        if g.empty:
+            return empty
+        cnt = g["bigram"].map(g["bigram"].value_counts())
+        rare = g.loc[cnt.to_numpy() < min_count, id_column] \
+                .value_counts().reset_index()
+        if not len(rare):
+            return empty
+        return pa.table({
+            id_column: pa.array(rare[id_column], id_type),
+            "total_bigrams": pa.array(
+                np.zeros(len(rare), dtype=np.int64)),
+            "rare_bigrams": pa.array(
+                rare["count"].to_numpy(dtype=np.int64)),
+        })
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    rare_partials = exploded.groupby("__kb").map_groups(
+        lambda g: rare_in_bucket(g.drop(columns="__kb")),
+        batch_format="pandas")
+    per_doc = ds.map_batches(totals, batch_format="pyarrow") \
+                .union(rare_partials)
+    out = per_doc.groupby(id_column).sum(
+        ["total_bigrams", "rare_bigrams"])
+    return out.map_batches(
+        lambda t: t.rename_columns([id_column, "total_bigrams",
+                                    "rare_bigrams"]),
+        batch_format="pyarrow")

@@ -431,3 +431,37 @@ def quantiles_cont(ds, column: str, qs: list[float], *,
     return (pd.DataFrame({"q": np.asarray(qs, dtype=np.float64),
                           "value": np.asarray(vals, dtype=np.float64)})
             .sort_values("q").reset_index(drop=True))
+
+
+def mad_filter(ds, column: str, *, k: float = 3.0,
+               coarse_bits: int = 16):
+    """Keep rows within ``k`` median-absolute-deviations of the median —
+    the robust outlier trim (immune to the heavy tails that wreck a
+    z-score band).
+
+    Two exact interpolated medians (:func:`quantiles_cont`, driver
+    state: one scalar each): med = median(column), then
+    mad = median(abs(column - med)) over a map-side derived column; the
+    keep predicate ``abs(v - med) <= k * mad`` is one float64 expression
+    mirrored verbatim by the SQL oracle (DuckDB ``median`` on numerics
+    IS percentile_cont 0.5), so the surviving row set matches
+    bit-exactly.  Both passes stream; nothing materializes.
+    """
+    med_df = quantiles_cont(ds, column, [0.5], coarse_bits=coarse_bits)
+    if med_df.empty:
+        return ds
+    med = float(med_df["value"].iloc[0])
+
+    def dev(batch: pa.Table) -> pa.Table:
+        v = pc.cast(batch.column(column), pa.float64())
+        return pa.table({"__dev": pc.abs(pc.subtract(v, med))})
+
+    mad_df = quantiles_cont(ds.map_batches(dev, batch_format="pyarrow"),
+                            "__dev", [0.5], coarse_bits=coarse_bits)
+    lim = float(k) * float(mad_df["value"].iloc[0])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        v = pc.cast(batch.column(column), pa.float64())
+        return batch.filter(pc.less_equal(pc.abs(pc.subtract(v, med)), lim))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

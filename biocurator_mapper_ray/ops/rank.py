@@ -162,3 +162,90 @@ def value_ranks(
         return group
 
     return sharded.groupby("__s").map_groups(rank_shard, batch_format="pandas")
+
+
+def ntile(
+    ds,
+    *,
+    value_col: str,
+    group_col: str,
+    tiebreak_col: str,
+    n: int,
+    shards: int | None = None,
+):
+    """Exact SQL ``NTILE(n) OVER (PARTITION BY group ORDER BY value,
+    tiebreak)`` for every row — the quantile-bucket assignment used to
+    stratify a corpus into equal-population quality bands.
+
+    Same three-phase plan as :func:`value_ranks` (sampled value-range
+    shards → lean per-(group, shard) count offsets → one full exchange),
+    but the in-shard rank is a ROW_NUMBER over the deterministic
+    (value, tiebreak) composite: shard assignment is a pure function of
+    ``value_col`` alone, so all rows tying on the value co-shard and the
+    in-shard sort settles the composite order exactly.  The tile then
+    follows SQL's big-buckets-first rule: with ``c`` group rows,
+    ``q, r = divmod(c, n)``, the first ``r`` tiles hold ``q+1`` rows.
+
+    Returns the input columns plus ``rn`` (int64 row number, 1-based)
+    and ``tile`` (int64, 1-based).
+    """
+    from .join import derive_buckets
+    from .quantile import _encode_keys
+
+    if n < 1:
+        raise ValueError("ntile n must be >= 1")
+    n_rows = ds.count()
+    if shards is None:
+        shards = derive_buckets(n_rows)
+    bounds = _sample_boundaries(ds, value_col, shards)
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        keys = _encode_keys(batch.column(value_col).to_numpy())
+        s = np.searchsorted(bounds, keys, side="right").astype(np.int32)
+        return batch.append_column("__s", pa.array(s))
+
+    sharded = ds.map_batches(add_shard, batch_format="pyarrow").materialize()
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        df = (batch.select([group_col, "__s"]).to_pandas()
+              .value_counts([group_col, "__s"]).reset_index(name="__c"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    counts = (sharded.map_batches(partial_counts, batch_format="pyarrow")
+              .groupby([group_col, "__s"]).sum("__c").to_pandas())
+    counts = counts.sort_values([group_col, "__s"])
+    grp = counts.groupby(group_col, sort=False)["sum(__c)"]
+    counts["__off"] = grp.cumsum() - counts["sum(__c)"]
+    counts["__n_grp"] = grp.transform("sum")
+    off_map = {(g, s): (int(o), int(t)) for g, s, o, t in zip(
+        counts[group_col], counts["__s"], counts["__off"], counts["__n_grp"])}
+
+    big = np.int64(n)
+
+    def tile_shard(group: pd.DataFrame) -> pd.DataFrame:
+        s = int(group["__s"].iloc[0])
+        group = group.sort_values([group_col, value_col, tiebreak_col],
+                                  kind="mergesort")
+        meta = group[group_col].map(lambda g: off_map[(g, s)])
+        off = np.fromiter((m[0] for m in meta), dtype=np.int64,
+                          count=len(meta))
+        c = np.fromiter((m[1] for m in meta), dtype=np.int64,
+                        count=len(meta))
+        rn = group.groupby(group_col, sort=False).cumcount() \
+                  .to_numpy(dtype=np.int64) + 1 + off
+        q, r = c // big, c % big
+        in_big = rn <= r * (q + 1)
+        # past the first r big tiles, the remaining rows split into
+        # tiles of q rows each (q>0 there: r*(q+1) >= c iff q==0)
+        tile = np.where(
+            in_big,
+            (rn - 1) // np.maximum(q + 1, 1),
+            r + (rn - 1 - r * (q + 1)) // np.maximum(q, 1),
+        ) + 1
+        group = group.drop(columns="__s").copy()
+        group["rn"] = rn
+        group["tile"] = tile.astype(np.int64)
+        return group
+
+    return sharded.groupby("__s").map_groups(tile_shard,
+                                             batch_format="pandas")
