@@ -52,9 +52,11 @@ def _init_centroids(ds, k: int, *, vec_column: str, sample_size: int,
         # empty input: (0, 0) centroids — callers short-circuit to an
         # empty assignments dataset instead of an obscure numpy error
         return np.zeros((0, 0), dtype=np.float32)
-    sample = _normalize(
+    from .similarity import _canonical_rows
+
+    sample = _canonical_rows(_normalize(
         np.asarray(sample_tbl[vec_column].tolist(), dtype=np.float32)
-    )
+    ))
     rng = np.random.default_rng(seed)
     k = min(k, len(sample))
     cents = np.empty((k, sample.shape[1]), dtype=np.float32)

@@ -93,6 +93,21 @@ def knn_search(ds, queries: np.ndarray, k: int = 10,
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
+def _canonical_rows(mat: np.ndarray) -> np.ndarray:
+    """Sort sample rows into a canonical (lexicographic) order.
+
+    ``ds.limit(n).to_pandas()`` returns blocks in whatever order the
+    streaming executor finished them, so the SAME sample set can arrive
+    in a different row order run-to-run — and a seeded k-means init that
+    indexes into the sample then trains different centroids.  Lexsorting
+    the (bounded, driver-side) sample makes index training a pure
+    function of the sample SET.  O(n log n) on ≤ sample_size rows."""
+    if len(mat) <= 1:
+        return mat
+    order = np.lexsort(mat.T[::-1])
+    return mat[order]
+
+
 def _kmeans(sample: np.ndarray, n_cells: int, iters: int, seed: int) -> np.ndarray:
     """Deterministic Lloyd k-means on a normalized sample (IVF training)."""
     rng = np.random.default_rng(seed)
@@ -133,9 +148,9 @@ def ivf_partition(
     import ray
 
     sample_tbl = ds.limit(sample_size).select_columns([vec_column]).to_pandas()
-    sample = _normalize(
+    sample = _canonical_rows(_normalize(
         np.asarray(sample_tbl[vec_column].tolist(), dtype=np.float32)
-    )
+    ))
     centroids = _kmeans(sample, n_cells, kmeans_iters, seed)
     cent_ref = ray.put(centroids)
 
