@@ -315,3 +315,173 @@ def cooccur_edges(ds, *, text_column: str = "text", min_count: int = 1,
     return (ds.map_batches(partial, batch_format="pyarrow")
               .groupby("__s")
               .map_groups(combine, batch_format="pandas"))
+
+
+def pagerank(edges, *, src: str = "src", dst: str = "dst",
+             damping: float = 0.85, iters: int = 10,
+             buckets: int | None = None):
+    """Distributed PageRank over an edge list — the canonical iterative
+    graph rank (link-quality weighting for web corpora, centrality over
+    the co-occurrence KG).
+
+    Fully distributed: ranks never collect on the driver (the only
+    driver scalars are N and the per-iteration dangling mass).  Each
+    iteration is
+
+    1. a salted key-hash union exchange colocating every edge with its
+       source's current rank (lean rows: key, dst, 1/out_deg, r), with
+       an IN-BUCKET partial sum per destination (combiner), then
+    2. a destination groupby folding the partials with a zero row per
+       node (so rank-sinks keep a row) while carrying the dangling flag
+       through a max — a join expressed as a groupby,
+
+    with the standard update ``r' = (1-d)/N + d·(Σ_in contrib +
+    dangling_mass/N)``.  Ranks materialize per iteration (node-sized —
+    tiny next to edges) to cut lineage.  The edge table is re-sharded by
+    the groupby each iteration; a long-running deployment would pin edge
+    shards in an actor pool and ship only ranks — noted, not needed for
+    correctness.
+
+    Returns (node, rank float64).  Rows-only semantics (iterative float
+    sums are summation-order-dependent; pinned by planted-graph tests).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max as _Max, Sum as _Sum
+
+    from ..functions.hashing import hash64_column
+    from .join import derive_buckets, hash_join
+
+    n_edges = edges.count()
+    B = buckets if buckets is not None else derive_buckets(n_edges)
+
+    lean = edges.map_batches(
+        lambda t: t.select([src, dst]).rename_columns(["__src", "__dst"]),
+        batch_format="pyarrow")
+
+    # ONE exchange yields nodes, out-degree and the dangling flag at
+    # once: each batch emits (node, out-count partial) for srcs and
+    # (node, 0) for dsts; after the sum, deg==0 ⇔ the node never
+    # appears as a source ⇔ dangling.
+    def node_partial(batch: pa.Table) -> pa.Table:
+        srcs = batch.column("__src").combine_chunks()
+        dsts = batch.column("__dst").combine_chunks()
+        t = pa.table({
+            "node": pa.concat_arrays([srcs, dsts]),
+            "__c": pa.array(np.concatenate([
+                np.ones(len(srcs), dtype=np.int64),
+                np.zeros(len(dsts), dtype=np.int64)])),
+        })
+        return t.group_by(["node"]).aggregate([("__c", "sum")]) \
+                .rename_columns(["node", "__c"])
+
+    node_deg = lean.map_batches(node_partial, batch_format="pyarrow") \
+                   .groupby("node").sum("__c") \
+                   .map_batches(lambda t: t.rename_columns(["node", "deg"]),
+                                batch_format="pyarrow").materialize()
+    n_nodes = node_deg.count()
+    if n_nodes == 0:
+        return node_deg.map_batches(
+            lambda t: pa.table({
+                "node": t.column("node"),
+                "rank": pa.nulls(len(t), pa.float64())}),
+            batch_format="pyarrow")
+
+    out_deg = node_deg.map_batches(
+        lambda t: t.filter(pc.greater(t.column("deg"), 0)),
+        batch_format="pyarrow")
+
+    # edges weighted by 1/out_deg, pre-tagged with the source's bucket
+    def weigh(batch: pa.Table) -> pa.Table:
+        w = pc.divide(1.0, pc.cast(batch.column("deg"), pa.float64()))
+        kb = (hash64_column(batch.column("__src"))
+              % np.uint64(B)).astype(np.int32)
+        key_type = batch.schema.field("__src").type
+        return pa.table({
+            "key": batch.column("__src"),
+            "dst": batch.column("__dst"),
+            "w": w,
+            "r": pa.nulls(len(batch), pa.float64()),
+            "__side": pa.array(np.zeros(len(batch), dtype=np.int8)),
+            "__kb": pa.array(kb),
+        })
+
+    edges_w = hash_join(lean, out_deg, "__src", "node",
+                        right_columns=["node", "deg"]) \
+        .map_batches(weigh, batch_format="pyarrow").materialize()
+
+    # dangling flag rides on the rank rows (max-folded each iteration);
+    # it falls straight out of node_deg — no join needed
+    r0 = 1.0 / float(n_nodes)
+
+    def init_ranks(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": batch.column("node"),
+            "dang": pc.cast(pc.equal(batch.column("deg"), 0), pa.int8()),
+            "rank": pa.array(np.full(len(batch), r0, dtype=np.float64)),
+        })
+
+    ranks = node_deg.map_batches(init_ranks,
+                                 batch_format="pyarrow").materialize()
+
+    def tag_ranks(batch: pa.Table) -> pa.Table:
+        key_type = batch.schema.field("node").type
+        kb = (hash64_column(batch.column("node"))
+              % np.uint64(B)).astype(np.int32)
+        return pa.table({
+            "key": batch.column("node"),
+            "dst": pa.nulls(len(batch), key_type),
+            "w": pa.nulls(len(batch), pa.float64()),
+            "r": batch.column("rank"),
+            "__side": pa.array(np.ones(len(batch), dtype=np.int8)),
+            "__kb": pa.array(kb),
+        })
+
+    def contrib_bucket(g: pd.DataFrame) -> pa.Table:
+        key_type = (pa.string() if g["key"].dtype == object
+                    else pa.from_numpy_dtype(g["key"].dtype))
+        empty = pa.table({"node": pa.array([], key_type),
+                          "c": pa.array([], pa.float64()),
+                          "dang": pa.array([], pa.int8())})
+        e = g[g["__side"] == 0]
+        if e.empty:
+            return empty
+        rmap = g.loc[g["__side"] == 1].set_index("key")["r"]
+        r = e["key"].map(rmap).to_numpy(dtype=np.float64)
+        out = pd.DataFrame({"node": e["dst"].to_numpy(),
+                            "c": r * e["w"].to_numpy(dtype=np.float64)})
+        out = out.groupby("node", sort=False)["c"].sum().reset_index()
+        return pa.table({"node": pa.array(out["node"].to_numpy(), key_type),
+                         "c": pa.array(out["c"].to_numpy(), pa.float64()),
+                         "dang": pa.array(
+                             np.zeros(len(out), dtype=np.int8))})
+
+    for _ in range(iters):
+        dang_mass = ranks.map_batches(
+            lambda t: t.filter(pc.equal(t.column("dang"), 1))
+                       .select(["rank"]),
+            batch_format="pyarrow").sum("rank") or 0.0
+        base = (1.0 - damping) / n_nodes \
+            + damping * dang_mass / n_nodes
+        tagged = ranks.map_batches(tag_ranks, batch_format="pyarrow")
+        contribs = edges_w.union(tagged).groupby("__kb").map_groups(
+            lambda g: contrib_bucket(g.drop(columns="__kb")),
+            batch_format="pandas")
+        zeros = ranks.map_batches(
+            lambda t: pa.table({
+                "node": t.column("node"),
+                "c": pa.array(np.zeros(len(t), dtype=np.float64)),
+                "dang": t.column("dang")}),
+            batch_format="pyarrow")
+        folded = contribs.union(zeros).groupby("node") \
+            .aggregate(_Sum("c"), _Max("dang"))
+        ranks = folded.map_batches(
+            lambda t, _b=base: pa.table({
+                "node": t.column("node"),
+                "dang": pc.cast(t.column("max(dang)"), pa.int8()),
+                "rank": pc.add(_b, pc.multiply(
+                    damping, pc.cast(t.column("sum(c)"), pa.float64()))),
+            }),
+            batch_format="pyarrow").materialize()
+
+    return ranks.map_batches(lambda t: t.select(["node", "rank"]),
+                             batch_format="pyarrow")

@@ -438,3 +438,51 @@ def asof_join(
         return out
 
     return unioned.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
+
+
+def distinct_set_op(left, right, *, left_on: str, right_on: str | None = None,
+                    op: str = "intersect", buckets: int | None = None,
+                    size_hint: int | None = None):
+    """Distributed SQL ``INTERSECT`` / ``EXCEPT`` on DISTINCT keys — the
+    set algebra between two corpora a curation pipeline uses to audit
+    coverage ("which ids appear in both crawls", "which vanished").
+
+    Both sides reduce map-side to per-batch distinct keys (the combiner:
+    at most |batch distinct| rows ship), then ONE salted key-hash
+    exchange colocates every occurrence of a key; a key survives when
+    both sides saw it (intersect) or only the left did (except).
+    Returns a single-column dataset named ``left_on``.
+    """
+    if op not in ("intersect", "except"):
+        raise ValueError(f"unknown set op {op!r}")
+    right_on = right_on if right_on is not None else left_on
+    n_buckets = _join_buckets(buckets, size_hint, left, right)
+
+    def lean(ds, col, side):
+        def prep(batch: pa.Table) -> pa.Table:
+            keys = batch.select([col]).rename_columns([left_on])
+            keys = keys.group_by([left_on]).aggregate([])  # batch distinct
+            h = hash64_column(keys.column(left_on))
+            return pa.table({
+                left_on: keys.column(left_on),
+                "__kb": pa.array((h % np.uint64(n_buckets)).astype(np.int32)),
+                "__side": pa.array(
+                    np.full(len(keys), side, dtype=np.int8)),
+            })
+
+        return ds.map_batches(prep, batch_format="pyarrow")
+
+    want_right = op == "intersect"
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        key_type = (pa.string() if g[left_on].dtype == object
+                    else pa.from_numpy_dtype(g[left_on].dtype))
+        sides = g.groupby(left_on, sort=False)["__side"].agg(["min", "max"])
+        keep = sides.index[(sides["min"] == 0)
+                           & ((sides["max"] == 1) == want_right)]
+        return pa.table({left_on: pa.array(keep.to_numpy(), key_type)})
+
+    both = lean(left, left_on, 0).union(lean(right, right_on, 1))
+    return both.groupby("__kb").map_groups(
+        lambda g: per_bucket(g.drop(columns="__kb")),
+        batch_format="pandas")

@@ -177,3 +177,60 @@ def zscore_by_group(ds, *, key: str, value: str, cents: bool = True,
 
     return ds.map_batches(standardize, fn_kwargs={"moments_ref": moments_ref},
                           batch_format="pyarrow")
+
+
+def grouped_linfit(ds, *, key: str, x: str, y: str, cents: bool = True):
+    """Per-key ordinary-least-squares line y = slope·x + intercept from
+    the same exact int64 sums (Σx, Σy, Σxy, Σx², n):
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σx² − Σx²ᵗᵒᵗ)
+        intercept = (Σy − slope·Σx) / n        [/100 in cents mode]
+
+    Slope is scale-invariant under the cents encoding (the 100² factors
+    cancel), the intercept divides back once; both finish expressions
+    are single float64 formulas mirrored verbatim in SQL, so results
+    hash bit-exactly (DuckDB's ``regr_slope`` would NOT — it accumulates
+    floats in scan order).  Returns (key, n:int64, slope:float64,
+    intercept:float64); a key with zero x-variance or n < 2 → NULLs.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        xi = _to_cents(batch.column(x), cents)
+        yi = _to_cents(batch.column(y), cents)
+        t = pa.table({key: batch.column(key), "__x": xi, "__y": yi,
+                      "__xy": pc.multiply_checked(xi, yi),
+                      "__xx": pc.multiply_checked(xi, xi)})
+        g = t.group_by([key], use_threads=False).aggregate(
+            [("__x", "sum"), ("__y", "sum"), ("__xy", "sum"),
+             ("__xx", "sum"), ("__x", "count")])
+        return g.rename_columns([key, "__sx", "__sy", "__sxy", "__sxx",
+                                 "__n"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(key, sort=False)[
+            ["__sx", "__sy", "__sxy", "__sxx", "__n"]].sum()
+        n = g["__n"].to_numpy().astype(np.int64)
+        nf = n.astype(np.float64)
+        sxf = g["__sx"].to_numpy().astype(np.float64)
+        syf = g["__sy"].to_numpy().astype(np.float64)
+        sxyf = g["__sxy"].to_numpy().astype(np.float64)
+        sxxf = g["__sxx"].to_numpy().astype(np.float64)
+        denom = nf * sxxf - sxf * sxf
+        ok = (n >= 2) & (denom != 0.0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            slope = (nf * sxyf - sxf * syf) / np.where(ok, denom, 1.0)
+            intercept = (syf - slope * sxf) / nf
+        if cents:
+            intercept = intercept / 100.0
+        return pa.table({
+            key: pa.array(g.index.to_numpy()),
+            "n": pa.array(n),
+            "slope": pa.array(np.where(ok, slope, None), pa.float64(),
+                              from_pandas=True),
+            "intercept": pa.array(np.where(ok, intercept, None),
+                                  pa.float64(), from_pandas=True),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(key)
+            .map_groups(finish, batch_format="pyarrow"))

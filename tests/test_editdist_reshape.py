@@ -365,3 +365,40 @@ class TestDebounce:
                        min_gap=pd.Timedelta(seconds=60)).to_pandas()
         # strict >: exactly 60s is NOT enough (SQL ts - pts > INTERVAL)
         assert sorted(got["eid"].tolist()) == [1]
+
+
+class TestGroupedLinfit:
+    def test_matches_numpy_polyfit(self, ray_session):
+        import ray.data as rd
+        from biocurator_mapper_ray.ops.moments import grouped_linfit
+
+        df = pd.DataFrame({
+            "g": ["x"] * 4 + ["y"] * 3,
+            "a": [1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0],
+            "b": [2.0, 4.1, 6.0, 8.2, 3.0, 4.0, 5.0],
+        })
+        got = grouped_linfit(rd.from_pandas(df), key="g", x="a",
+                             y="b").to_pandas().set_index("g")
+        for g, sub in df.groupby("g"):
+            # cents quantization: compare against the fit of rounded data
+            xa = np.round(sub["a"] * 100) / 100
+            ya = np.round(sub["b"] * 100) / 100
+            slope, intercept = np.polyfit(xa, ya, 1)
+            assert abs(got.loc[g, "slope"] - slope) < 1e-9
+            assert abs(got.loc[g, "intercept"] - intercept) < 1e-9
+            assert got.loc[g, "n"] == len(sub)
+
+    def test_degenerate_groups_null(self, ray_session):
+        import ray.data as rd
+        from biocurator_mapper_ray.ops.moments import grouped_linfit
+
+        df = pd.DataFrame({
+            "g": ["one", "zerovar", "zerovar"],
+            "a": [1.0, 5.0, 5.0],   # n=1; zero x-variance
+            "b": [2.0, 1.0, 9.0],
+        })
+        got = grouped_linfit(rd.from_pandas(df), key="g", x="a",
+                             y="b").to_pandas().set_index("g")
+        assert pd.isna(got.loc["one", "slope"])
+        assert pd.isna(got.loc["one", "intercept"])
+        assert pd.isna(got.loc["zerovar", "slope"])

@@ -156,3 +156,64 @@ class TestCooccurEdges:
         ds = rd.from_arrow(pa.table({"doc_id": [0], "text": ["a b c d"]}))
         got = cooccur_edges(ds, vocab=["a", "c"]).to_pandas()
         assert set(map(tuple, got[["tok_a", "tok_b"]].values)) == {("a", "c")}
+
+
+class TestPagerank:
+    def _numpy_pagerank(self, E, iters, d=0.85):
+        import collections
+
+        nodes = sorted({x for e in E for x in e})
+        idx = {n: i for i, n in enumerate(nodes)}
+        outd = collections.Counter(s for s, _ in E)
+        N = len(nodes)
+        r = np.full(N, 1.0 / N)
+        for _ in range(iters):
+            nr = np.zeros(N)
+            dang = sum(r[idx[n]] for n in nodes if outd[n] == 0)
+            for s, t in E:
+                nr[idx[t]] += r[idx[s]] / outd[s]
+            r = (1 - d) / N + d * (nr + dang / N)
+        return {n: r[idx[n]] for n in nodes}
+
+    def test_matches_power_iteration_with_dangling(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.graph import pagerank
+
+        # a: hub, e: dangling sink, d: source-only
+        E = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+             ("d", "c"), ("a", "e")]
+        got = pagerank(rd.from_items(
+            [{"src": s, "dst": t} for s, t in E]), iters=3).to_pandas()
+        ref = self._numpy_pagerank(E, 3)
+        assert len(got) == len(ref)
+        for _, row in got.iterrows():
+            assert abs(row["rank"] - ref[row["node"]]) < 1e-12, row["node"]
+        # probability mass is conserved (dangling redistribution works)
+        assert abs(got["rank"].sum() - 1.0) < 1e-9
+
+    def test_rank_order_and_sum_on_integer_graph(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.graph import pagerank
+
+        # 0 <- everyone, 0 -> 1, 1 dangling (rank mass oscillates
+        # between 0 and 1 across iterations — parity-sensitive, so the
+        # only stable claims are numpy parity and mass conservation)
+        E = [(2, 0), (3, 0), (4, 0), (5, 0), (0, 1)]
+        got = pagerank(rd.from_items(
+            [{"src": s, "dst": t} for s, t in E]),
+            iters=5).to_pandas().set_index("node")["rank"]
+        assert abs(got.sum() - 1.0) < 1e-9
+        ref = self._numpy_pagerank(E, 5)
+        for n, r in ref.items():
+            assert abs(got[n] - r) < 1e-12
+
+    def test_empty_edges(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.graph import pagerank
+
+        ds = rd.from_items([{"src": 1, "dst": 2}]).filter(lambda r: False)
+        got = pagerank(ds, iters=2).to_pandas()
+        assert len(got) == 0

@@ -249,3 +249,45 @@ class TestGroupedFirstLast:
         want["n"] = want["k"].map(counts)
         pd.testing.assert_frame_equal(
             got[["k", "first_v", "last_v", "n"]], want, check_dtype=False)
+
+
+class TestDistinctSetOp:
+    def test_intersect_and_except(self, ray_session):
+        import ray.data as rd
+        from biocurator_mapper_ray.ops.join import distinct_set_op
+
+        l = rd.from_items([{"k": v} for v in [1, 2, 2, 3, 4]])
+        r = rd.from_items([{"k": v} for v in [2, 4, 4, 5]])
+        inter = sorted(distinct_set_op(l, r, left_on="k").to_pandas()["k"])
+        exc = sorted(distinct_set_op(l, r, left_on="k",
+                                     op="except").to_pandas()["k"])
+        assert inter == [2, 4]
+        assert exc == [1, 3]
+
+    def test_differing_key_names_and_strings(self, ray_session):
+        import ray.data as rd
+        from biocurator_mapper_ray.ops.join import distinct_set_op
+
+        l = rd.from_items([{"a": v} for v in ["x", "y", "z", "z"]])
+        r = rd.from_items([{"b": v} for v in ["z", "w"]])
+        out = distinct_set_op(l, r, left_on="a", right_on="b").to_pandas()
+        # output column carries the LEFT name
+        assert list(out.columns) == ["a"]
+        assert sorted(out["a"]) == ["z"]
+
+    def test_unknown_op_raises(self, ray_session):
+        import ray.data as rd
+        from biocurator_mapper_ray.ops.join import distinct_set_op
+
+        ds = rd.from_items([{"k": 1}])
+        with pytest.raises(ValueError):
+            distinct_set_op(ds, ds, left_on="k", op="union")
+
+    def test_empty_intersection(self, ray_session):
+        import ray.data as rd
+        from biocurator_mapper_ray.ops.join import distinct_set_op
+
+        l = rd.from_items([{"k": 1}, {"k": 2}])
+        r = rd.from_items([{"k": 3}])
+        out = distinct_set_op(l, r, left_on="k").to_pandas()
+        assert len(out) == 0
