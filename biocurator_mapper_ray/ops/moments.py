@@ -234,3 +234,59 @@ def grouped_linfit(ds, *, key: str, x: str, y: str, cents: bool = True):
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby(key)
             .map_groups(finish, batch_format="pyarrow"))
+
+
+def grouped_corr(ds, *, key: str, x: str, y: str, cents: bool = True):
+    """Per-key Pearson correlation from exact int64 sums
+    (Σx, Σy, Σxy, Σx², Σy², n):
+
+        r = (n·Σxy − Σx·Σy) / sqrt(n·Σx² − (Σx)²) / sqrt(n·Σy² − (Σy)²)
+
+    Unit-free: the cents scale factors cancel, so the finish is one
+    float64 expression mirrored verbatim in SQL — bit-exact across
+    engines, unlike DuckDB's native ``corr`` (scan-order float
+    accumulation).  Returns (key, n:int64, corr:float64); a key with
+    n < 2 or zero variance on either side → NULL.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        xi = _to_cents(batch.column(x), cents)
+        yi = _to_cents(batch.column(y), cents)
+        t = pa.table({key: batch.column(key), "__x": xi, "__y": yi,
+                      "__xy": pc.multiply_checked(xi, yi),
+                      "__xx": pc.multiply_checked(xi, xi),
+                      "__yy": pc.multiply_checked(yi, yi)})
+        g = t.group_by([key], use_threads=False).aggregate(
+            [("__x", "sum"), ("__y", "sum"), ("__xy", "sum"),
+             ("__xx", "sum"), ("__yy", "sum"), ("__x", "count")])
+        return g.rename_columns([key, "__sx", "__sy", "__sxy", "__sxx",
+                                 "__syy", "__n"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(key, sort=False)[
+            ["__sx", "__sy", "__sxy", "__sxx", "__syy", "__n"]].sum()
+        n = g["__n"].to_numpy().astype(np.int64)
+        nf = n.astype(np.float64)
+        sxf = g["__sx"].to_numpy().astype(np.float64)
+        syf = g["__sy"].to_numpy().astype(np.float64)
+        sxyf = g["__sxy"].to_numpy().astype(np.float64)
+        sxxf = g["__sxx"].to_numpy().astype(np.float64)
+        syyf = g["__syy"].to_numpy().astype(np.float64)
+        vx = nf * sxxf - sxf * sxf
+        vy = nf * syyf - syf * syf
+        ok = (n >= 2) & (vx > 0.0) & (vy > 0.0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            # mirror the SQL literally: divide by each sqrt separately
+            r = (nf * sxyf - sxf * syf) \
+                / np.sqrt(np.where(ok, vx, 1.0)) \
+                / np.sqrt(np.where(ok, vy, 1.0))
+        return pa.table({
+            key: pa.array(g.index.to_numpy()),
+            "n": pa.array(n),
+            "corr": pa.array(np.where(ok, r, None), pa.float64(),
+                             from_pandas=True),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(key)
+            .map_groups(finish, batch_format="pyarrow"))

@@ -206,3 +206,29 @@ def regex_extract(batch: pa.Table, *, column: str, pattern: str,
         f"THEN regexp_extract(s, '{lit}', {int(group)}) END AS v FROM tbl"
     ).arrow()
     return batch.append_column(out_column, out.column("v").combine_chunks())
+
+
+def unicode_nfc(batch: pa.Table, *, column: str,
+                out_column: str | None = None) -> pa.Table:
+    """Unicode NFC canonical composition of a string column — the
+    normalization multilingual corpora need BEFORE any hash-based dedup
+    (the same text with composed vs combining accents must hash equal).
+    Appends ``out_column`` (default ``column_nfc``).
+
+    Vectorized through the process-global DuckDB kernel (the
+    :func:`json_field` device — one C call per batch, no per-row
+    Python); byte-identical to the SQL oracle expression
+    ``nfc_normalize(s)`` because it IS that expression.  Nulls pass
+    through.
+    """
+    from biocurator_mapper_ray.functions.hashing import _duck
+
+    if out_column is None:
+        out_column = f"{column}_nfc"
+    col = batch.column(column)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    tbl = pa.table({"s": col})  # noqa: F841 (duckdb scan)
+    out = _duck().execute(
+        "SELECT nfc_normalize(s) AS v FROM tbl").arrow()
+    return batch.append_column(out_column, out.column("v").combine_chunks())

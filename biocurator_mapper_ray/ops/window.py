@@ -346,3 +346,41 @@ def debounce(ds, *, key: str, ts: str, tiebreak: str,
     return _with_key_bucket(ds, key, _window_buckets(ds, buckets, size_hint)) \
         .groupby("__kb").map_groups(_per_bucket(per_bucket),
                                     batch_format="pandas")
+
+
+def keep_best_per_key(ds, *, key: str, score: str, tiebreak: str,
+                      ascending: bool = False,
+                      buckets: int | None = None,
+                      size_hint: int | None = None):
+    """Keep exactly ONE row per key: the one with the best ``score``
+    (max by default; ``ascending=True`` keeps the min) — the
+    "keep the highest-quality duplicate" curation primitive (dedup
+    groups, per-user best order, per-domain canonical page).  Ties
+    break on the smallest ``tiebreak``, making the winner total and
+    deterministic (SQL ``row_number() OVER (PARTITION BY key ORDER BY
+    score [DESC], tiebreak) = 1``).
+
+    Scale shape: each batch first reduces to one candidate row per key
+    it saw (the combiner), so the exchange ships keys×batches rows with
+    ALL their columns — never the full row-scale input; the key-bucketed
+    combine replays the same argmax over candidates only."""
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, score, tiebreak],
+                            ascending=[True, ascending, True],
+                            kind="mergesort")
+        return df.drop_duplicates(key, keep="first")
+
+    def partial(batch):
+        import pyarrow as pa
+
+        return pa.Table.from_pandas(best(batch.to_pandas()),
+                                    preserve_index=False)
+
+    n_buckets = _window_buckets(ds, buckets, size_hint)
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .map_batches(
+                lambda t, b=n_buckets: _with_key_bucket_table(t, key, b),
+                batch_format="pyarrow")
+            .groupby("__kb").map_groups(_per_bucket(best),
+                                        batch_format="pandas"))

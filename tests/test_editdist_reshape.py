@@ -402,3 +402,37 @@ class TestGroupedLinfit:
         assert pd.isna(got.loc["one", "slope"])
         assert pd.isna(got.loc["one", "intercept"])
         assert pd.isna(got.loc["zerovar", "slope"])
+
+
+class TestGroupedCorr:
+    def test_matches_numpy_corrcoef(self, ray_session):
+        import ray.data as rd
+        from biocurator_mapper_ray.ops.moments import grouped_corr
+
+        rng = np.random.default_rng(3)
+        df = pd.DataFrame({
+            "g": np.repeat(["a", "b"], 50),
+            "x": np.round(rng.normal(10, 2, 100), 2),
+        })
+        df["y"] = np.round(df["x"] * 1.5 + rng.normal(0, 1, 100), 2)
+        got = grouped_corr(rd.from_pandas(df), key="g", x="x",
+                           y="y").to_pandas().set_index("g")
+        for g, sub in df.groupby("g"):
+            ref = np.corrcoef(sub["x"], sub["y"])[0, 1]
+            assert abs(got.loc[g, "corr"] - ref) < 1e-9
+            assert got.loc[g, "n"] == 50
+
+    def test_perfect_and_degenerate(self, ray_session):
+        import ray.data as rd
+        from biocurator_mapper_ray.ops.moments import grouped_corr
+
+        df = pd.DataFrame({
+            "g": ["lin", "lin", "lin", "const", "const", "single"],
+            "x": [1.0, 2.0, 3.0, 7.0, 7.0, 1.0],
+            "y": [2.0, 4.0, 6.0, 1.0, 2.0, 1.0],
+        })
+        got = grouped_corr(rd.from_pandas(df), key="g", x="x",
+                           y="y").to_pandas().set_index("g")
+        assert abs(got.loc["lin", "corr"] - 1.0) < 1e-12
+        assert pd.isna(got.loc["const", "corr"])   # zero x-variance
+        assert pd.isna(got.loc["single", "corr"])  # n = 1

@@ -291,3 +291,41 @@ class TestDistinctSetOp:
         r = rd.from_items([{"k": 3}])
         out = distinct_set_op(l, r, left_on="k").to_pandas()
         assert len(out) == 0
+
+
+class TestKeepBestPerKey:
+    def test_max_with_tiebreak(self, ray_session):
+        import ray.data as rd
+        from biocurator_mapper_ray.ops.window import keep_best_per_key
+
+        df = pd.DataFrame({
+            "k": ["a", "a", "a", "b", "b"],
+            "s": [3.0, 5.0, 5.0, 1.0, 1.0],
+            "id": [10, 12, 11, 20, 21],
+            "payload": ["p0", "p1", "p2", "p3", "p4"],
+        })
+        got = keep_best_per_key(rd.from_pandas(df), key="k", score="s",
+                                tiebreak="id").to_pandas()
+        got = got.sort_values("k").reset_index(drop=True)
+        # a: score 5 tie -> smallest id 11; b: tie -> id 20
+        assert got["id"].tolist() == [11, 20]
+        assert got["payload"].tolist() == ["p2", "p3"]
+
+    def test_min_mode_and_partition_invariance(self, ray_session):
+        import ray.data as rd
+        from biocurator_mapper_ray.ops.window import keep_best_per_key
+
+        rng = np.random.default_rng(5)
+        df = pd.DataFrame({
+            "k": rng.integers(0, 20, 500),
+            "s": rng.integers(0, 50, 500),
+            "id": np.arange(500),
+        })
+        ref = (df.sort_values(["k", "s", "id"])
+                 .drop_duplicates("k", keep="first"))
+        for nblocks in (1, 17):
+            ds = rd.from_pandas(df).repartition(nblocks)
+            got = keep_best_per_key(ds, key="k", score="s", tiebreak="id",
+                                    ascending=True).to_pandas()
+            got = got.sort_values("k").reset_index(drop=True)
+            assert got["id"].tolist() == ref["id"].tolist()

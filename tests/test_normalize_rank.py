@@ -293,3 +293,24 @@ class TestProfileColumns:
         assert got.loc["s", "min_v"] == "a" and got.loc["s", "max_v"] == "z"
         assert got.loc["all_null", "n_nulls"] == 4
         assert got.loc["all_null", "min_v"] is None
+
+
+class TestUnicodeNfc:
+    def test_composes_combining_marks(self, ray_session):
+        import ray.data as rd
+        import unicodedata
+        from biocurator_mapper_ray.ops.normalize import unicode_nfc
+
+        raw = ["cafe\u0301", "a\u030a b", "already composed \u00e9", None, ""]
+        ds = rd.from_items([{"i": i, "t": t} for i, t in enumerate(raw)])
+        got = (ds.map_batches(unicode_nfc, fn_kwargs={"column": "t"},
+                              batch_format="pyarrow")
+                 .to_pandas().sort_values("i"))
+        for t, g in zip(raw, got["t_nfc"]):
+            if t is None:
+                assert g is None or (isinstance(g, float) and np.isnan(g))
+            else:
+                assert g == unicodedata.normalize("NFC", t)
+        # bytes actually changed for the decomposed inputs
+        assert got["t_nfc"].iloc[0] == "caf\u00e9"
+        assert len(got["t_nfc"].iloc[0]) < len(raw[0])
