@@ -159,6 +159,14 @@ def run_bench() -> dict:
         "fuzzy_pairs_documents",
         "mode_event_type",
         "rollup_orders",
+        # late round-4 additions
+        "funnel_events",
+        "intersect_custkeys",
+        "linfit_lineitem",
+        "corr_lineitem",
+        "keep_best_orders",
+        "unicode_nfc",
+        "pagerank_parts",
     ]
     qs = entry.queries()
     for name in bench_queries:

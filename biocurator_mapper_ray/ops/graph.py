@@ -319,37 +319,47 @@ def cooccur_edges(ds, *, text_column: str = "text", min_count: int = 1,
 
 def pagerank(edges, *, src: str = "src", dst: str = "dst",
              damping: float = 0.85, iters: int = 10,
-             buckets: int | None = None):
+             buckets: int | None = None, mode: str = "pinned"):
     """Distributed PageRank over an edge list — the canonical iterative
     graph rank (link-quality weighting for web corpora, centrality over
     the co-occurrence KG).
 
-    Fully distributed: ranks never collect on the driver (the only
-    driver scalars are N and the per-iteration dangling mass).  Each
-    iteration is
+    Fully distributed: edge shards and rank shards live in the object
+    store; the driver holds only refs and two scalars (N, the
+    per-iteration dangling mass).  The update is the standard
+    ``r' = (1-d)/N + d·(Σ_in contrib + dangling_mass/N)``.
 
-    1. a salted key-hash union exchange colocating every edge with its
-       source's current rank (lean rows: key, dst, 1/out_deg, r), with
-       an IN-BUCKET partial sum per destination (combiner), then
-    2. a destination groupby folding the partials with a zero row per
-       node (so rank-sinks keep a row) while carrying the dangling flag
-       through a max — a join expressed as a groupby,
+    Two execution modes (the custom-operator rule of SURVEY §2 —
+    iterative fixpoints are the one shape Ray Data's dataflow cannot
+    express without re-shuffling static state every round):
 
-    with the standard update ``r' = (1-d)/N + d·(Σ_in contrib +
-    dangling_mass/N)``.  Ranks materialize per iteration (node-sized —
-    tiny next to edges) to cut lineage.  The edge table is re-sharded by
-    the groupby each iteration; a long-running deployment would pin edge
-    shards in an actor pool and ship only ranks — noted, not needed for
-    correctness.
+    * ``mode='pinned'`` (default): the edge table is exchanged ONCE
+      into S src-hash buckets pinned in the object store; each
+      iteration is 2·S raw Ray tasks — bucket b joins its edges to
+      rank shard b map-side (same hash ⇒ the srcs it needs are exactly
+      shard b) and emits per-dst-shard partial sums; shard b' folds its
+      S incoming pieces.  No sort, no edge movement, node-scale traffic
+      only.  The S×S piece matrix caps S (≤ 64 here), so one bucket
+      holds edges/S rows — fine up to ~10⁹-edge graphs per job; beyond
+      that use ``mode='shuffle'``.
+    * ``mode='shuffle'``: pure Ray Data — per iteration one salted
+      union exchange colocating edges with their source's rank (with
+      an in-bucket per-destination combiner) and one destination
+      groupby fold.  Re-ships edges every iteration but has no S×S
+      term: the unbounded-scale path.
 
     Returns (node, rank float64).  Rows-only semantics (iterative float
-    sums are summation-order-dependent; pinned by planted-graph tests).
+    sums are summation-order-dependent; pinned by planted-graph tests
+    asserting numpy power-iteration parity to 1e-12).
     """
     import pyarrow.compute as pc
     from ray.data.aggregate import Max as _Max, Sum as _Sum
 
     from ..functions.hashing import hash64_column
     from .join import derive_buckets, hash_join
+
+    if mode not in ("pinned", "shuffle"):
+        raise ValueError(f"unknown pagerank mode {mode!r}")
 
     n_edges = edges.count()
     B = buckets if buckets is not None else derive_buckets(n_edges)
@@ -390,12 +400,18 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst",
         lambda t: t.filter(pc.greater(t.column("deg"), 0)),
         batch_format="pyarrow")
 
+    # dangling flag falls straight out of node_deg — no join needed
+    r0 = 1.0 / float(n_nodes)
+
+    if mode == "pinned":
+        return _pagerank_pinned(lean, node_deg, n_nodes, damping, iters,
+                                buckets)
+
     # edges weighted by 1/out_deg, pre-tagged with the source's bucket
     def weigh(batch: pa.Table) -> pa.Table:
         w = pc.divide(1.0, pc.cast(batch.column("deg"), pa.float64()))
         kb = (hash64_column(batch.column("__src"))
               % np.uint64(B)).astype(np.int32)
-        key_type = batch.schema.field("__src").type
         return pa.table({
             "key": batch.column("__src"),
             "dst": batch.column("__dst"),
@@ -408,10 +424,6 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst",
     edges_w = hash_join(lean, out_deg, "__src", "node",
                         right_columns=["node", "deg"]) \
         .map_batches(weigh, batch_format="pyarrow").materialize()
-
-    # dangling flag rides on the rank rows (max-folded each iteration);
-    # it falls straight out of node_deg — no join needed
-    r0 = 1.0 / float(n_nodes)
 
     def init_ranks(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -485,3 +497,170 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst",
 
     return ranks.map_batches(lambda t: t.select(["node", "rank"]),
                              batch_format="pyarrow")
+
+
+def _pagerank_pinned(lean, node_deg, n_nodes: int, damping: float,
+                     iters: int, buckets: int | None):
+    """The pinned-shard PageRank loop (see :func:`pagerank`).
+
+    One exchange builds S edge buckets (by hash(src) % S, weights
+    precomputed, dst shard pre-tagged) and S rank shards (by
+    hash(node) % S) as object-store refs; each iteration is S contrib
+    tasks + S fold tasks.  The driver touches refs and S dangling-mass
+    partials only — never edge- or node-scale data."""
+    import ray
+
+    from ..functions.hashing import hash64_column
+    from .join import derive_buckets, hash_join
+
+    n_edges = lean.count()
+    # S² contrib pieces per iteration caps S; one bucket holds ~edges/S
+    S = buckets if buckets is not None else min(64, derive_buckets(n_edges))
+    S = max(1, S)
+
+    out_deg = node_deg.map_batches(
+        lambda t: t.filter(pc.greater(t.column("deg"), 0)),
+        batch_format="pyarrow")
+
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        w = pc.divide(1.0, pc.cast(batch.column("deg"), pa.float64()))
+        skb = (hash64_column(batch.column("__src"))
+               % np.uint64(S)).astype(np.int32)
+        dkb = (hash64_column(batch.column("__dst"))
+               % np.uint64(S)).astype(np.int32)
+        return pa.table({"src": batch.column("__src"),
+                         "dst": batch.column("__dst"), "w": w,
+                         "skb": pa.array(skb), "dkb": pa.array(dkb)})
+
+    tagged = hash_join(lean, out_deg, "__src", "node",
+                       right_columns=["node", "deg"]) \
+        .map_batches(tag_edges, batch_format="pyarrow").materialize()
+
+    def tag_nodes(batch: pa.Table) -> pa.Table:
+        kb = (hash64_column(batch.column("node"))
+              % np.uint64(S)).astype(np.int32)
+        return pa.table({
+            "node": batch.column("node"),
+            "dang": pc.cast(pc.equal(batch.column("deg"), 0), pa.int8()),
+            "nkb": pa.array(kb)})
+
+    nodes_t = node_deg.map_batches(tag_nodes,
+                                   batch_format="pyarrow").materialize()
+
+    @ray.remote
+    def split_block(tbl: pa.Table, col: str, n: int):
+        # 0-row blocks can arrive with an ERASED schema (Ray drops the
+        # schema of empty map outputs) — nothing to route either way
+        if tbl is None or len(tbl) == 0 or col not in tbl.schema.names:
+            return [None] * n if n > 1 else None
+        out = []
+        kb = tbl.column(col).to_numpy(zero_copy_only=False)
+        for s in range(n):
+            m = kb == s
+            out.append(tbl.filter(pa.array(m)) if m.any() else None)
+        return out if n > 1 else out[0]
+
+    @ray.remote
+    def assemble(*pieces):
+        tbls = [p for p in pieces if p is not None]
+        return pa.concat_tables(tbls) if tbls else None
+
+    def exchange(ds, col):
+        refs = ds.to_arrow_refs()
+        if S == 1:
+            return [assemble.remote(*refs)]
+        # num_returns=S scatters each block's pieces into per-bucket
+        # refs directly — no indexing hop, no whole-list fetches
+        piece_refs = [split_block.options(num_returns=S).remote(r, col, S)
+                      for r in refs]
+        return [assemble.remote(*[pr[s] for pr in piece_refs])
+                for s in range(S)]
+
+    edge_buckets = exchange(tagged, "skb")
+    node_shards = exchange(nodes_t, "nkb")
+
+    r0 = 1.0 / float(n_nodes)
+
+    @ray.remote(num_returns=3)
+    def init_shard(nodes):
+        if nodes is None:
+            return None, 0.0, 0
+        rank = np.full(len(nodes), r0, dtype=np.float64)
+        dang = nodes.column("dang").to_numpy(zero_copy_only=False)
+        shard = pa.table({"node": nodes.column("node"),
+                          "dang": nodes.column("dang"),
+                          "rank": pa.array(rank)})
+        return shard, float(rank[dang == 1].sum()), len(nodes)
+
+    inits = [init_shard.remote(ns) for ns in node_shards]
+    shards = [i[0] for i in inits]
+    dang_mass = float(sum(ray.get([i[1] for i in inits])))
+    # a bucket with zero nodes stays empty forever — drop it from the
+    # final assembly so a None shard can't poison the schema union
+    live = [n > 0 for n in ray.get([i[2] for i in inits])]
+
+    @ray.remote
+    def contrib(edges_tbl, shard, n):
+        if edges_tbl is None or shard is None or len(edges_tbl) == 0:
+            return [None] * n if n > 1 else None
+        rmap = pd.Series(shard.column("rank").to_numpy(),
+                         index=shard.column("node").to_numpy(
+                             zero_copy_only=False))
+        r = pd.Series(edges_tbl.column("src").to_numpy(
+            zero_copy_only=False)).map(rmap).to_numpy(np.float64)
+        c = r * edges_tbl.column("w").to_numpy()
+        df = pd.DataFrame({
+            "dkb": edges_tbl.column("dkb").to_numpy(),
+            "node": edges_tbl.column("dst").to_numpy(zero_copy_only=False),
+            "c": c,
+        }).groupby(["dkb", "node"], sort=False)["c"].sum().reset_index()
+        out = [None] * n
+        for kb, sub in df.groupby("dkb", sort=False):
+            out[int(kb)] = pa.table({
+                "node": pa.array(sub["node"].to_numpy()),
+                "c": pa.array(sub["c"].to_numpy(), pa.float64())})
+        return out if n > 1 else out[0]
+
+    @ray.remote(num_returns=2)
+    def fold(shard, base, d, *pieces):
+        if shard is None:
+            return None, 0.0
+        idx = pd.Index(shard.column("node").to_numpy(zero_copy_only=False))
+        sums = np.zeros(len(idx), dtype=np.float64)
+        for p in pieces:
+            if p is None:
+                continue
+            pos = idx.get_indexer(p.column("node").to_numpy(
+                zero_copy_only=False))
+            np.add.at(sums, pos, p.column("c").to_numpy())
+        rank = base + d * sums
+        dang = shard.column("dang").to_numpy(zero_copy_only=False)
+        new = pa.table({"node": shard.column("node"),
+                        "dang": shard.column("dang"),
+                        "rank": pa.array(rank)})
+        return new, float(rank[dang == 1].sum())
+
+    for _ in range(iters):
+        base = (1.0 - damping) / n_nodes \
+            + damping * dang_mass / n_nodes
+        if S > 1:
+            contrib_refs = [
+                contrib.options(num_returns=S).remote(
+                    edge_buckets[s], shards[s], S)
+                for s in range(S)]
+            piece = [[cr[b] for cr in contrib_refs] for b in range(S)]
+        else:
+            piece = [[contrib.remote(edge_buckets[0], shards[0], S)]]
+        folds = [fold.remote(shards[b], base, damping, *piece[b])
+                 for b in range(S)]
+        shards = [f[0] for f in folds]
+        dang_mass = float(sum(ray.get([f[1] for f in folds])))
+
+    import ray.data as rd
+
+    @ray.remote
+    def project(shard):
+        return shard.select(["node", "rank"])
+
+    return rd.from_arrow_refs(
+        [project.remote(s) for s, ok in zip(shards, live) if ok])

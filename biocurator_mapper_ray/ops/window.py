@@ -384,3 +384,109 @@ def keep_best_per_key(ds, *, key: str, score: str, tiebreak: str,
                 batch_format="pyarrow")
             .groupby("__kb").map_groups(_per_bucket(best),
                                         batch_format="pandas"))
+
+
+def rolling_rows_aggregate(ds, *, key: str, ts: str, tiebreak: str,
+                           value: str, k: int, out: str = "rolling_sum",
+                           cents: bool = True,
+                           buckets: int | None = None,
+                           size_hint: int | None = None):
+    """Trailing ROWS-frame sum per key: for each row (in (ts, tiebreak)
+    order within its key) the sum of ``value`` over the last ``k``
+    preceding rows plus the current one — SQL ``SUM(...) OVER
+    (PARTITION BY key ORDER BY ts, tiebreak ROWS BETWEEN k PRECEDING
+    AND CURRENT ROW)``.
+
+    Exactness: values are cents-quantized to int64 and the window sum
+    is computed as a cumsum DIFFERENCE (cs[i] − cs[i−k−1]) — exact
+    integer arithmetic, then ONE float64 division back to units, so the
+    floats hash bit-equal to the SQL mirror (pandas' own
+    ``rolling(k).sum`` accumulates floats and would not)."""
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts, tiebreak], kind="mergesort").copy()
+        if cents:
+            v = np.round(g[value].to_numpy(dtype=np.float64) * 100.0)
+            v = v.astype(np.int64)
+        else:
+            v = g[value].to_numpy(dtype=np.int64)
+        cs = np.cumsum(v)
+        win = cs.copy()
+        win[k + 1:] = cs[k + 1:] - cs[:-(k + 1)]
+        # reset at key boundaries: rebase each key's frame on its own
+        # prefix (positions within key < k+1 use the key-local cumsum)
+        pos = g.groupby(key, sort=False).cumcount().to_numpy()
+        starts = np.flatnonzero(pos == 0)
+        key_base = np.zeros(len(g), dtype=np.int64)
+        if len(starts):
+            base_vals = np.concatenate([[0], cs[starts[1:] - 1]]) \
+                if len(starts) > 1 else np.array([0], dtype=np.int64)
+            key_base = np.repeat(base_vals,
+                                 np.diff(np.append(starts, len(g))))
+        local_cs = cs - key_base
+        win = local_cs.copy()
+        far = pos > k
+        win[far] = local_cs[far] - (local_cs[np.flatnonzero(far) - (k + 1)])
+        g[out] = win / 100.0 if cents else win
+        return g
+
+    return _with_key_bucket(ds, key, _window_buckets(ds, buckets, size_hint)) \
+        .groupby("__kb").map_groups(_per_bucket(per_bucket),
+                                    batch_format="pandas")
+
+
+def resample_fill(ds, *, ts: str, unit: str = "hour",
+                  value: str | None = None):
+    """Global gap-filled time series: one row per ``unit`` period
+    between the corpus min and max timestamp, with the period's row
+    count (and sum of ``value`` if given) — zero rows for empty periods
+    (the monitoring/throughput view a plain groupby cannot give you,
+    because it drops silent periods).
+
+    Scale shape: map-side per-batch period partials (periods×batches
+    lean rows), one period-scale exchange, then a RESULT-scale driver
+    gap fill (the period axis is bounded by the corpus timespan, not by
+    rows).  Count is exact int; sum is exact int cents divided back
+    once (bit-equal to the SQL mirror).
+    """
+    import pyarrow as pa
+
+    freq = {"hour": "h", "day": "D", "minute": "min"}[unit]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["__p"] = df[ts].dt.floor(freq)
+        if value is not None:
+            df["__v"] = np.round(
+                df[value].to_numpy(dtype=np.float64) * 100.0
+            ).astype(np.int64)
+            g = df.groupby("__p", sort=False).agg(
+                n=("__p", "size"), __s=("__v", "sum")).reset_index()
+        else:
+            g = df.groupby("__p", sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = {"n": ("n", "sum")}
+    if value is not None:
+        agg["__s"] = ("__s", "sum")
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("__p")
+              .map_groups(lambda g: g.groupby("__p", sort=False)
+                          .agg(**agg).reset_index(),
+                          batch_format="pandas")
+              .to_pandas())
+    if merged.empty:
+        cols = {"period": pd.Series([], dtype="datetime64[us]"),
+                "n": pd.Series([], dtype=np.int64)}
+        if value is not None:
+            cols[f"sum_{value}"] = pd.Series([], dtype=np.float64)
+        return pd.DataFrame(cols)
+    full = pd.DataFrame({"period": pd.date_range(
+        merged["__p"].min(), merged["__p"].max(), freq=freq)})
+    out = full.merge(merged.rename(columns={"__p": "period"}),
+                     on="period", how="left")
+    out["n"] = out["n"].fillna(0).astype(np.int64)
+    if value is not None:
+        out[f"sum_{value}"] = out["__s"].fillna(0).astype(np.int64) / 100.0
+        out = out.drop(columns="__s")
+    return out

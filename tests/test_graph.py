@@ -217,3 +217,27 @@ class TestPagerank:
         ds = rd.from_items([{"src": 1, "dst": 2}]).filter(lambda r: False)
         got = pagerank(ds, iters=2).to_pandas()
         assert len(got) == 0
+
+    def test_pinned_matches_shuffle_mode(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.graph import pagerank
+
+        import pandas as pd
+
+        rng = np.random.default_rng(11)
+        E = [(int(s), int(t)) for s, t in
+             zip(rng.integers(0, 40, 200), rng.integers(0, 40, 200))]
+        # from_pandas: ONE block — from_items would fan 200 rows into
+        # 200 blocks and drown the run in per-block task dispatch
+        mk = lambda: rd.from_pandas(pd.DataFrame(
+            {"src": [s for s, _ in E], "dst": [t for _, t in E]}))
+        a = pagerank(mk(), iters=3, mode="pinned") \
+            .to_pandas().set_index("node")["rank"].sort_index()
+        b = pagerank(mk(), iters=3, mode="shuffle") \
+            .to_pandas().set_index("node")["rank"].sort_index()
+        assert len(a) == len(b)
+        assert float((a - b).abs().max()) < 1e-12
+        ref = self._numpy_pagerank(E, 3)
+        for n, r in ref.items():
+            assert abs(a[n] - r) < 1e-12
