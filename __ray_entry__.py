@@ -2008,6 +2008,32 @@ def _q_pagerank_parts(sf_dir: str):
     return pagerank(edges, iters=3).sort("node")
 
 
+def _q_rolling_rows_events(sf_dir: str):
+    """Per-user trailing 4-row sum of value (ROWS BETWEEN 3 PRECEDING
+    AND CURRENT ROW) — ops/window.rolling_rows_aggregate: exact int64
+    cumsum differences, ONE float64 division back to units, so the
+    floats hash bit-equal to the SQL window mirror."""
+    from biocurator_mapper_ray.ops.window import rolling_rows_aggregate
+
+    events = _read(sf_dir, "events",
+                   columns=["event_id", "user_id", "ts", "value"])
+    out = rolling_rows_aggregate(events, key="user_id", ts="ts",
+                                 tiebreak="event_id", value="value", k=3)
+    return out.map_batches(
+        lambda t: t.select(["event_id", "rolling_sum"]),
+        batch_format="pyarrow").sort("event_id")
+
+
+def _q_resample_events(sf_dir: str):
+    """Gap-filled hourly event series (zero rows for silent hours) —
+    ops/window.resample_fill: period-scale exchange, result-scale
+    driver gap fill; count exact int, sum exact cents divided once."""
+    from biocurator_mapper_ray.ops.window import resample_fill
+
+    events = _read(sf_dir, "events", columns=["ts", "value"])
+    return resample_fill(events, ts="ts", unit="hour", value="value")
+
+
 def _q_unicode_nfc(sf_dir: str):
     """Unicode NFC composition over deterministically planted combining
     sequences (the fixture text is ASCII, so both sides append the same
@@ -2133,6 +2159,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 ops verified by scripts/check_oracle.py locally; demoted
         # to window the newest ops — re-window whichever lack green in r5
         "unicode_nfc": _q_unicode_nfc,
+        "rolling_rows_events": _q_rolling_rows_events,
+        "resample_events": _q_resample_events,
         # (kmeans/semdedup are rows-only and were judge-verified locally
         # in r03; oracle-backed entries outrank them for window slots)
         "kmeans_embeddings": _q_kmeans_embeddings,
@@ -3538,6 +3566,30 @@ def oracle_sql() -> dict[str, str]:
                    (syf - slope * sxf) / CAST(n AS DOUBLE) / 100.0
                        AS intercept
             FROM s2 ORDER BY l_returnflag
+        """,
+        "rolling_rows_events": """
+            SELECT event_id,
+                   SUM(CAST(round(value * 100, 0) AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                       / 100.0 AS rolling_sum
+            FROM events ORDER BY event_id
+        """,
+        "resample_events": """
+            WITH b AS (
+                SELECT date_trunc('hour', ts) AS p,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                            AS BIGINT) AS s
+                FROM events GROUP BY 1),
+            r AS (
+                SELECT unnest(generate_series((SELECT min(p) FROM b),
+                                              (SELECT max(p) FROM b),
+                                              INTERVAL 1 HOUR)) AS period)
+            SELECT r.period, coalesce(b.n, 0)::BIGINT AS n,
+                   coalesce(b.s, 0) / 100.0 AS sum_value
+            FROM r LEFT JOIN b ON b.p = r.period
+            ORDER BY r.period
         """,
         "unicode_nfc": """
             SELECT doc_id,

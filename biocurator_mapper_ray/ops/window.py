@@ -411,8 +411,6 @@ def rolling_rows_aggregate(ds, *, key: str, ts: str, tiebreak: str,
         else:
             v = g[value].to_numpy(dtype=np.int64)
         cs = np.cumsum(v)
-        win = cs.copy()
-        win[k + 1:] = cs[k + 1:] - cs[:-(k + 1)]
         # reset at key boundaries: rebase each key's frame on its own
         # prefix (positions within key < k+1 use the key-local cumsum)
         pos = g.groupby(key, sort=False).cumcount().to_numpy()

@@ -329,3 +329,76 @@ class TestKeepBestPerKey:
                                     ascending=True).to_pandas()
             got = got.sort_values("k").reset_index(drop=True)
             assert got["id"].tolist() == ref["id"].tolist()
+
+
+class TestRollingRowsAggregate:
+    def test_matches_pandas_rolling_and_partitions(self, ray_session):
+        import ray.data as rd
+        from biocurator_mapper_ray.ops.window import rolling_rows_aggregate
+
+        rng = np.random.default_rng(2)
+        n = 300
+        df = pd.DataFrame({
+            "u": rng.integers(0, 9, n),
+            "ts": pd.to_datetime("2024-01-01")
+                  + pd.to_timedelta(rng.permutation(n), unit="m"),
+            "id": np.arange(n),
+            "v": np.round(rng.uniform(0, 100, n), 2),
+        })
+        k = 3
+        ref = df.sort_values(["u", "ts", "id"]).copy()
+        cents = np.round(ref["v"] * 100).astype(np.int64)
+        ref["want"] = (cents.groupby(ref["u"])
+                       .rolling(k + 1, min_periods=1).sum()
+                       .reset_index(level=0, drop=True)) / 100.0
+        for nblocks in (1, 5):
+            got = rolling_rows_aggregate(
+                rd.from_pandas(df).repartition(nblocks), key="u", ts="ts",
+                tiebreak="id", value="v", k=k).to_pandas()
+            m = got.merge(ref[["id", "want"]], on="id")
+            assert (m["rolling_sum"] - m["want"]).abs().max() == 0.0
+
+    def test_window_resets_at_key_boundary(self, ray_session):
+        import ray.data as rd
+        from biocurator_mapper_ray.ops.window import rolling_rows_aggregate
+
+        df = pd.DataFrame({
+            "u": ["a", "a", "b"],
+            "ts": pd.to_datetime(["2024-01-01", "2024-01-02", "2024-01-03"]),
+            "id": [1, 2, 3],
+            "v": [10.0, 1.0, 5.0],
+        })
+        got = rolling_rows_aggregate(rd.from_pandas(df), key="u", ts="ts",
+                                     tiebreak="id", value="v",
+                                     k=5).to_pandas().set_index("id")
+        assert got.loc[2, "rolling_sum"] == 11.0   # a: 10 + 1
+        assert got.loc[3, "rolling_sum"] == 5.0    # b starts fresh
+
+
+class TestResampleFill:
+    def test_fills_gaps_with_zero_rows(self, ray_session):
+        import ray.data as rd
+        from biocurator_mapper_ray.ops.window import resample_fill
+
+        df = pd.DataFrame({
+            "ts": pd.to_datetime(["2024-01-01 00:10", "2024-01-01 00:20",
+                                  "2024-01-01 03:05", "2024-01-01 03:50"]),
+            "v": [1.5, 2.25, 4.0, 0.5],
+        })
+        out = resample_fill(rd.from_pandas(df), ts="ts", unit="hour",
+                            value="v")
+        assert len(out) == 4  # 00,01,02,03
+        assert out["n"].tolist() == [2, 0, 0, 2]
+        assert out["sum_v"].tolist() == [3.75, 0.0, 0.0, 4.5]
+
+    def test_count_only_and_empty(self, ray_session):
+        import ray.data as rd
+        from biocurator_mapper_ray.ops.window import resample_fill
+
+        df = pd.DataFrame({"ts": pd.to_datetime(["2024-01-01 00:10"])})
+        out = resample_fill(rd.from_pandas(df), ts="ts", unit="day")
+        assert out["n"].tolist() == [1]
+        empty = resample_fill(
+            rd.from_pandas(df).filter(lambda r: False), ts="ts",
+            unit="day")
+        assert len(empty) == 0 and "n" in empty.columns
