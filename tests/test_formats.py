@@ -5,6 +5,9 @@ import gzip
 import json
 import os
 
+import numpy as np
+import pandas as pd
+
 
 def _write_fixture(tmp_path):
     rows = [{"doc_id": i, "text": f"doc {i}", "score": i * 0.5}
@@ -102,3 +105,29 @@ class TestPartitionedParquet:
         got = read_parquet_partition(
             out, partitions={"k": "NOT SPECIFIED"}).to_pandas()
         assert len(got) == 10
+
+
+class TestOrc:
+    def test_round_trip_and_projection(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.sources.formats import read_orc, write_orc
+
+        df = pd.DataFrame({
+            "a": np.arange(100, dtype=np.int64),
+            "b": [f"s{i}" for i in range(100)],
+            "c": np.linspace(0, 1, 100),
+        })
+        ds = rd.from_pandas(df).repartition(4)
+        out = str(tmp_path / "orc_dir")
+        write_orc(ds, out)
+        import os
+        files = [f for f in os.listdir(out) if f.endswith(".orc")]
+        assert len(files) >= 1  # one file per non-empty block
+
+        back = read_orc(out).to_pandas().sort_values("a").reset_index(drop=True)
+        pd.testing.assert_frame_equal(back, df)
+
+        proj = read_orc(out, columns=["a"]).to_pandas()
+        assert list(proj.columns) == ["a"]
+        assert sorted(proj["a"]) == list(range(100))
