@@ -2008,6 +2008,21 @@ def _q_pagerank_parts(sf_dir: str):
     return pagerank(edges, iters=3).sort("node")
 
 
+def _q_cube_orders(sf_dir: str):
+    """GROUP BY CUBE(o_orderpriority, o_orderstatus) totals in one
+    corpus pass — ops/reshape.cube_sum adds the cross-cut subtotals
+    (per-status across all priorities) that ROLLUP cannot express;
+    integer-cents sums keep the hash engine-independent."""
+    from biocurator_mapper_ray.ops.reshape import cube_sum
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderpriority", "o_orderstatus",
+                            "o_totalprice"])
+    return cube_sum(orders, keys=["o_orderpriority", "o_orderstatus"],
+                    value="o_totalprice", sum_name="sum_price_cents",
+                    count_name="n_rows")
+
+
 def _q_rolling_rows_events(sf_dir: str):
     """Per-user trailing 4-row sum of value (ROWS BETWEEN 3 PRECEDING
     AND CURRENT ROW) — ops/window.rolling_rows_aggregate: exact int64
@@ -2160,6 +2175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # to window the newest ops — re-window whichever lack green in r5
         "unicode_nfc": _q_unicode_nfc,
         "rolling_rows_events": _q_rolling_rows_events,
+        "cube_orders": _q_cube_orders,
         "resample_events": _q_resample_events,
         # (kmeans/semdedup are rows-only and were judge-verified locally
         # in r03; oracle-backed entries outrank them for window slots)
@@ -3566,6 +3582,15 @@ def oracle_sql() -> dict[str, str]:
                    (syf - slope * sxf) / CAST(n AS DOUBLE) / 100.0
                        AS intercept
             FROM s2 ORDER BY l_returnflag
+        """,
+        "cube_orders": """
+            SELECT o_orderpriority, o_orderstatus,
+                   CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                        AS BIGINT) AS sum_price_cents,
+                   count(*) AS n_rows
+            FROM orders
+            GROUP BY CUBE(o_orderpriority, o_orderstatus)
+            ORDER BY o_orderpriority NULLS LAST, o_orderstatus NULLS LAST
         """,
         "rolling_rows_events": """
             SELECT event_id,

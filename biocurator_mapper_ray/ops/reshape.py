@@ -270,3 +270,62 @@ def rollup_sum(ds, *, keys: list[str], value: str, cents: bool = True,
     out[count_name] = out[count_name].astype("int64")
     return (out.sort_values(keys, na_position="last", kind="mergesort")
             .reset_index(drop=True))
+
+
+def cube_sum(ds, *, keys: list[str], value: str, cents: bool = True,
+             sum_name: str = "sum_cents", count_name: str = "n_rows"):
+    """SQL ``GROUP BY CUBE(k1, k2, …)`` in ONE corpus pass: sums and
+    counts at EVERY subset of the keys (2^len(keys) granularities),
+    unused keys NULL-filled — :func:`rollup_sum`'s prefix levels plus
+    the cross-cut subtotals a rollup cannot express (e.g. per-status
+    totals across all priorities).
+
+    Same scale contract as rollup_sum: the corpus is read once at the
+    finest level; every coarser cut re-aggregates the RESULT-scale
+    finest frame on the driver (distinct combos × 2^k rows).  The key
+    count is caller-bounded (2^k cuts) — practical cubes are 2–4 keys.
+    Returns a pandas DataFrame sorted by ``keys`` (NULLs last).
+    """
+    import itertools
+
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(value)
+        if cents:
+            v = pc.cast(pc.round(pc.multiply(v, 100.0), ndigits=0),
+                        pa.int64())
+        else:
+            v = pc.cast(v, pa.int64())
+        t = pa.table({**{k: batch.column(k) for k in keys}, "__v": v})
+        g = t.group_by(keys, use_threads=False).aggregate(
+            [("__v", "sum"), ("__v", "count")])
+        return g.rename_columns(keys + ["__s", "__c"])
+
+    finest = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(keys).sum(["__s", "__c"]).to_pandas()
+              .rename(columns={"sum(__s)": sum_name,
+                               "sum(__c)": count_name}))
+
+    cuts = []
+    for r in range(len(keys), -1, -1):
+        for kept in itertools.combinations(keys, r):
+            if r == len(keys):
+                lvl = finest.copy()
+            elif kept:
+                lvl = (finest.groupby(list(kept), sort=False)
+                       [[sum_name, count_name]].sum().reset_index())
+            else:
+                lvl = pd.DataFrame({
+                    sum_name: [finest[sum_name].sum()],
+                    count_name: [finest[count_name].sum()]})
+            for k in keys:
+                if k not in kept:
+                    lvl[k] = None
+            cuts.append(lvl[keys + [sum_name, count_name]])
+
+    out = pd.concat(cuts, ignore_index=True)
+    out[sum_name] = out[sum_name].astype("int64")
+    out[count_name] = out[count_name].astype("int64")
+    return (out.sort_values(keys, na_position="last", kind="mergesort")
+            .reset_index(drop=True))

@@ -436,3 +436,32 @@ class TestGroupedCorr:
         assert abs(got.loc["lin", "corr"] - 1.0) < 1e-12
         assert pd.isna(got.loc["const", "corr"])   # zero x-variance
         assert pd.isna(got.loc["single", "corr"])  # n = 1
+
+
+class TestCubeSum:
+    def test_all_cuts_match_brute_force(self, ray_session):
+        import ray.data as rd
+        from biocurator_mapper_ray.ops.reshape import cube_sum
+
+        rng = np.random.default_rng(4)
+        df = pd.DataFrame({
+            "a": rng.choice(["x", "y"], 60),
+            "b": rng.choice(["p", "q", "r"], 60),
+            "v": np.round(rng.uniform(0, 10, 60), 2),
+        })
+        got = cube_sum(rd.from_pandas(df).repartition(4),
+                       keys=["a", "b"], value="v")
+        cents = np.round(df["v"] * 100).astype(np.int64)
+        # 4 cuts: (a,b), (a,), (b,), ()
+        n_combos = (df.groupby(["a", "b"]).ngroups
+                    + df["a"].nunique() + df["b"].nunique() + 1)
+        assert len(got) == n_combos
+        total = got[got["a"].isna() & got["b"].isna()]
+        assert total["sum_cents"].iloc[0] == cents.sum()
+        assert total["n_rows"].iloc[0] == 60
+        # the cross-cut rollup can't express: per-b totals
+        for b, sub in df.groupby("b"):
+            row = got[got["a"].isna() & (got["b"] == b)]
+            assert row["sum_cents"].iloc[0] == \
+                np.round(sub["v"] * 100).astype(np.int64).sum()
+            assert row["n_rows"].iloc[0] == len(sub)
