@@ -2008,6 +2008,63 @@ def _q_pagerank_parts(sf_dir: str):
     return pagerank(edges, iters=3).sort("node")
 
 
+def _q_sentence_stats(sf_dir: str):
+    """Sentence/word/char shape features per document
+    (ops/textstats.sentence_stats) — integer counts, one Arrow RE2 pass
+    per feature; the SQL mirror counts terminator runs as
+    split-pieces − 1."""
+    from biocurator_mapper_ray.ops.textstats import sentence_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(sentence_stats, batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "n_sentences", "n_words", "n_chars"]),
+        batch_format="pyarrow").sort("doc_id")
+
+
+def _q_full_join_custkeys(sf_dir: str):
+    """FULL OUTER hash join: BUILDING-segment customers vs per-customer
+    URGENT-order counts — unmatched rows survive on BOTH sides (segment
+    customers with no urgent order, urgent customers outside the
+    segment).  Right side pre-aggregated before the join (combiner
+    push-down); pandas' float64+NaN join keys are cast back to nullable
+    Int64 (the lag_lead device) for BIGINT-with-NULL SQL parity."""
+    from biocurator_mapper_ray.ops.join import hash_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    cust = cust.filter(expr="c_mktsegment == 'BUILDING'") \
+               .map_batches(lambda t: t.select(["c_custkey"]),
+                            batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+
+    def urgent_partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("o_orderpriority"),
+                                  "1-URGENT"))
+        agg = t.group_by("o_custkey").aggregate([("o_custkey", "count")])
+        return pa.table({"o_custkey": agg.column("o_custkey"),
+                         "n": agg.column("o_custkey_count")})
+
+    per_cust = (orders.map_batches(urgent_partial, batch_format="pyarrow")
+                .groupby("o_custkey").sum("n"))
+    joined = hash_join(cust, per_cust, "c_custkey", "o_custkey",
+                       how="outer", size_hint=1 << 12,
+                       left_columns=["c_custkey"],
+                       right_columns=["o_custkey", "sum(n)"],
+                       left_dtypes={"c_custkey": "int64"},
+                       right_dtypes={"o_custkey": "int64",
+                                     "sum(n)": "int64"})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "c_custkey": df["c_custkey"].astype("Int64"),
+            "o_custkey": df["o_custkey"].astype("Int64"),
+            "n_urgent": df["sum(n)"].astype("Int64"),
+        })
+        return out
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
 def _q_cube_orders(sf_dir: str):
     """GROUP BY CUBE(o_orderpriority, o_orderstatus) totals in one
     corpus pass — ops/reshape.cube_sum adds the cross-cut subtotals
@@ -2176,6 +2233,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unicode_nfc": _q_unicode_nfc,
         "rolling_rows_events": _q_rolling_rows_events,
         "cube_orders": _q_cube_orders,
+        "full_join_custkeys": _q_full_join_custkeys,
+        "sentence_stats_documents": _q_sentence_stats,
         "resample_events": _q_resample_events,
         # (kmeans/semdedup are rows-only and were judge-verified locally
         # in r03; oracle-backed entries outrank them for window slots)
@@ -3582,6 +3641,28 @@ def oracle_sql() -> dict[str, str]:
                    (syf - slope * sxf) / CAST(n AS DOUBLE) / 100.0
                        AS intercept
             FROM s2 ORDER BY l_returnflag
+        """,
+        "sentence_stats_documents": """
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(text, '[.!?]+')) - 1
+                        AS BIGINT) AS n_sentences,
+                   CAST(CASE WHEN length(regexp_replace(text,
+                                 '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
+                        ELSE array_length(regexp_split_to_array(
+                             regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                             '\\s+')) END AS BIGINT) AS n_words,
+                   CAST(length(text) AS BIGINT) AS n_chars
+            FROM documents ORDER BY doc_id
+        """,
+        "full_join_custkeys": """
+            SELECT c.c_custkey, o.o_custkey, o.n AS n_urgent
+            FROM (SELECT c_custkey FROM customer
+                  WHERE c_mktsegment = 'BUILDING') c
+            FULL JOIN (SELECT o_custkey, count(*) AS n FROM orders
+                       WHERE o_orderpriority = '1-URGENT'
+                       GROUP BY o_custkey) o
+              ON c.c_custkey = o.o_custkey
+            ORDER BY c.c_custkey NULLS LAST, o.o_custkey NULLS LAST
         """,
         "cube_orders": """
             SELECT o_orderpriority, o_orderstatus,

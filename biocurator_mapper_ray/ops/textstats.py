@@ -488,3 +488,29 @@ def compression_ratio(batch: pa.Table, text_column: str = "text",
     return (batch.append_column("n_bytes", pa.array(n_bytes))
             .append_column("n_bytes_zlib", pa.array(n_comp))
             .append_column("zlib_ratio", pa.array(ratio)))
+
+
+def sentence_stats(batch: pa.Table, text_column: str = "text") -> pa.Table:
+    """Sentence-level shape features (readability/quality signals):
+    appends
+
+    * ``n_sentences`` — count of sentence-terminator RUNS (``[.!?]+``);
+      integer, so it hashes exactly, and it equals
+      ``len(regexp_split_to_array(text, '[.!?]+')) - 1`` in SQL (a split
+      always yields runs+1 pieces, trailing terminator or not);
+    * ``n_words`` — whitespace token count (the token_counts rule);
+    * ``n_chars`` — UTF-8 character length.
+
+    One Arrow RE2 pass per feature, batch-local, no exchange.
+    """
+    text = batch.column(text_column)
+    runs = pc.count_substring_regex(text, r"[.!?]+")
+    ws = pc.list_value_length(pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(text), r"\s+"))
+    empty = pc.equal(pc.utf8_length(pc.utf8_trim_whitespace(text)), 0)
+    ws = pc.if_else(empty, pa.scalar(0, pa.int32()), ws)
+    return (batch
+            .append_column("n_sentences", pc.cast(runs, pa.int64()))
+            .append_column("n_words", pc.cast(ws, pa.int64()))
+            .append_column("n_chars",
+                           pc.cast(pc.utf8_length(text), pa.int64())))

@@ -356,3 +356,20 @@ class TestConfigReload:
         assert out["status"] == "error"
         # old values stay active on a failed reload
         assert cfg.embeddings["model"]["name"] == "ok"
+
+
+class TestSentenceStats:
+    def test_counts_terminator_runs_and_words(self, ray_session):
+        import pyarrow as pa
+
+        from biocurator_mapper_ray.ops.textstats import sentence_stats
+
+        batch = pa.table({
+            "doc_id": [0, 1, 2, 3],
+            "text": ["Hi there. Two!? Three... tail no terminator",
+                     "", "   ", "One sentence."],
+        })
+        out = sentence_stats(batch)
+        assert out.column("n_sentences").to_pylist() == [3, 0, 0, 1]
+        assert out.column("n_words").to_pylist() == [7, 0, 0, 2]
+        assert out.column("n_chars").to_pylist() == [43, 0, 3, 13]
