@@ -2008,6 +2008,17 @@ def _q_pagerank_parts(sf_dir: str):
     return pagerank(edges, iters=3).sort("node")
 
 
+def _q_inverted_index(sf_dir: str):
+    """Token → (doc count, numerically sorted posting list) retrieval
+    index (ops/textstats.inverted_index): per-batch distinct-pair
+    combiner, one salted token-hash exchange, vectorized per-shard
+    binary_join rebuild; min_docs=2 trims hapax tokens."""
+    from biocurator_mapper_ray.ops.textstats import inverted_index
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return inverted_index(ds, min_docs=2).sort("token")
+
+
 def _q_sentence_stats(sf_dir: str):
     """Sentence/word/char shape features per document
     (ops/textstats.sentence_stats) — integer counts, one Arrow RE2 pass
@@ -2235,6 +2246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_orders": _q_cube_orders,
         "full_join_custkeys": _q_full_join_custkeys,
         "sentence_stats_documents": _q_sentence_stats,
+        "inverted_index_documents": _q_inverted_index,
         "resample_events": _q_resample_events,
         # (kmeans/semdedup are rows-only and were judge-verified locally
         # in r03; oracle-backed entries outrank them for window slots)
@@ -3641,6 +3653,23 @@ def oracle_sql() -> dict[str, str]:
                    (syf - slope * sxf) / CAST(n AS DOUBLE) / 100.0
                        AS intercept
             FROM s2 ORDER BY l_returnflag
+        """,
+        "inverted_index_documents": """
+            WITH pairs AS (
+                SELECT DISTINCT doc_id, tok FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(
+                               regexp_replace(lower(text),
+                                              '^\\s+|\\s+$', '', 'g'),
+                               '\\s+')) AS tok
+                    FROM documents) t
+                WHERE tok <> ''
+            )
+            SELECT tok AS token,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   string_agg(doc_id, ',' ORDER BY doc_id) AS doc_ids
+            FROM pairs GROUP BY tok HAVING count(*) >= 2
+            ORDER BY token
         """,
         "sentence_stats_documents": """
             SELECT doc_id,

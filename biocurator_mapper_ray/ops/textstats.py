@@ -514,3 +514,69 @@ def sentence_stats(batch: pa.Table, text_column: str = "text") -> pa.Table:
             .append_column("n_words", pc.cast(ws, pa.int64()))
             .append_column("n_chars",
                            pc.cast(pc.utf8_length(text), pa.int64())))
+
+
+def inverted_index(ds, *, text_column: str = "text",
+                   id_column: str = "doc_id", min_docs: int = 1,
+                   shards: int = 32):
+    """Inverted index: for every token, the count of documents
+    containing it and the NUMERICALLY sorted posting list of their ids
+    (comma-joined) — the retrieval-side artifact a corpus engine
+    materializes next to the forward store.
+
+    Scale shape (the word_counts contract): each batch explodes to its
+    DISTINCT (token, id) pairs — the combiner bound is batch vocabulary
+    × docs, never the token stream — and ONE salted token-hash exchange
+    co-locates each token's postings; the per-shard rebuild is one
+    sort + group-boundary offsets + ``binary_join`` (no per-token
+    Python).  A token's posting list is token-group-sized by
+    construction: the same result-scale contract as group_concat.
+    ``min_docs`` drops the long tail at the source.
+    """
+    import numpy as np
+
+    from ..functions.hashing import hash64_column
+
+    def partial(batch: pa.Table) -> pa.Table:
+        txt = pc.utf8_trim_whitespace(
+            pc.utf8_lower(batch.column(text_column)))
+        toks = pc.split_pattern_regex(txt, r"\s+")
+        n_per_doc = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        ids = np.repeat(batch.column(id_column).to_numpy(
+            zero_copy_only=False), n_per_doc)
+        mask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        t = pa.table({"token": flat.filter(pa.array(mask)),
+                      id_column: pa.array(ids[mask])})
+        g = t.group_by(["token", id_column]).aggregate([])  # distinct
+        salt = (hash64_column(g.column("token"))
+                % np.uint64(shards)).astype(np.int32)
+        return g.append_column("__s", pa.array(salt))
+
+    def combine(g: pd.DataFrame) -> pa.Table:
+        g = g.drop_duplicates(["token", id_column]) \
+             .sort_values(["token", id_column], kind="mergesort")
+        keys = g["token"].to_numpy()
+        first = np.concatenate([[True], keys[1:] != keys[:-1]])
+        counts = np.diff(np.append(np.flatnonzero(first), len(keys)))
+        keep = counts >= min_docs
+        offsets = np.zeros(len(counts) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        vals = pa.array(g[id_column].astype(str).to_numpy(), pa.string())
+        lst = (pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), vals)
+               if offsets[-1] < 2**31 else
+               pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()),
+                                             vals))
+        joined = pc.binary_join(lst, ",")
+        out = pa.table({
+            "token": pa.array(keys[first], pa.string()),
+            "n_docs": pa.array(counts.astype(np.int64)),
+            "doc_ids": joined,
+        })
+        return out.filter(pa.array(keep))
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("__s")
+            .map_groups(lambda g: combine(g.drop(columns="__s")),
+                        batch_format="pandas"))

@@ -373,3 +373,36 @@ class TestSentenceStats:
         assert out.column("n_sentences").to_pylist() == [3, 0, 0, 1]
         assert out.column("n_words").to_pylist() == [7, 0, 0, 2]
         assert out.column("n_chars").to_pylist() == [43, 0, 3, 13]
+
+
+class TestInvertedIndex:
+    def test_matches_brute_force_posting_lists(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.textstats import inverted_index
+
+        docs = ["the cat sat", "the dog", "CAT naps", "", "the the the"]
+        ds = rd.from_arrow(pa.table({
+            "doc_id": [10, 2, 7, 3, 1], "text": docs})).repartition(3)
+        got = inverted_index(ds).to_pandas().set_index("token")
+        expect = {}
+        for i, t in zip([10, 2, 7, 3, 1], docs):
+            for tok in set(t.lower().split()):
+                expect.setdefault(tok, []).append(i)
+        for tok, ids in expect.items():
+            ids = sorted(ids)
+            assert got.loc[tok, "n_docs"] == len(ids)
+            assert got.loc[tok, "doc_ids"] == ",".join(map(str, ids))
+        assert len(got) == len(expect)
+        # numeric order, not lexicographic: 2 < 7 < 10
+        assert got.loc["the", "doc_ids"] == "1,2,10"
+
+    def test_min_docs_filters(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.textstats import inverted_index
+
+        ds = rd.from_arrow(pa.table({
+            "doc_id": [1, 2], "text": ["shared only1", "shared only2"]}))
+        got = inverted_index(ds, min_docs=2).to_pandas()
+        assert got["token"].tolist() == ["shared"]
