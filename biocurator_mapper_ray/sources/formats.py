@@ -190,3 +190,54 @@ def write_orc(ds, path: str) -> None:
     # consume: per-block side-effect tasks, driver sees only row counts
     ds.map_batches(dump, batch_format="pyarrow",
                    batch_size=None).materialize()
+
+
+def union_by_name(*datasets, strict: bool = False):
+    """Union Datasets whose schemas differ in column ORDER or PRESENCE
+    (SQL ``UNION ALL BY NAME``) — the shard-harmonizer for corpora
+    collected over time where later shards grew columns.
+
+    Each input is aligned map-side to the union of all column names
+    (missing columns null-filled with the type observed on the side
+    that has them; same-named columns must agree on type).  With
+    ``strict=True`` a missing column raises instead of null-filling.
+    Pure map work — no exchange; blocks stream straight through.
+    """
+    import pyarrow as pa
+
+    if not datasets:
+        raise ValueError("union_by_name needs at least one dataset")
+    schemas = [ds.schema() for ds in datasets]
+    types: dict[str, pa.DataType] = {}
+    order: list[str] = []
+    for sch in schemas:
+        for name, typ in zip(sch.names, sch.types):
+            if name not in types:
+                types[name] = typ
+                order.append(name)
+            elif types[name] != typ:
+                raise ValueError(
+                    f"union_by_name: column {name!r} has conflicting "
+                    f"types {types[name]} vs {typ}")
+    if strict:
+        for sch in schemas:
+            missing = set(order) - set(sch.names)
+            if missing:
+                raise ValueError(
+                    f"union_by_name(strict): missing columns {sorted(missing)}")
+
+    def align(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for name in order:
+            if name in batch.schema.names:
+                cols[name] = batch.column(name)
+            else:
+                cols[name] = pa.nulls(len(batch), types[name])
+        return pa.table(cols)
+
+    aligned = [ds.map_batches(align, batch_format="pyarrow")
+               for ds in datasets]
+    out = aligned[0]
+    for ds in aligned[1:]:
+        out = out.union(ds)
+    return out

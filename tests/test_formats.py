@@ -131,3 +131,32 @@ class TestOrc:
         proj = read_orc(out, columns=["a"]).to_pandas()
         assert list(proj.columns) == ["a"]
         assert sorted(proj["a"]) == list(range(100))
+
+
+class TestUnionByName:
+    def test_aligns_order_and_fills_missing(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.sources.formats import union_by_name
+
+        a = rd.from_pandas(pd.DataFrame({"x": [1, 2], "y": ["a", "b"]}))
+        b = rd.from_pandas(pd.DataFrame({"y": ["c"], "x": [3],
+                                         "z": [9.5]}))
+        out = union_by_name(a, b).to_pandas().sort_values("x")
+        assert list(out.columns) == ["x", "y", "z"]
+        assert out["x"].tolist() == [1, 2, 3]
+        assert out["z"].isna().tolist() == [True, True, False]
+
+    def test_strict_and_type_conflicts_raise(self, ray_session):
+        import pytest
+        import ray.data as rd
+
+        from biocurator_mapper_ray.sources.formats import union_by_name
+
+        a = rd.from_pandas(pd.DataFrame({"x": [1]}))
+        b = rd.from_pandas(pd.DataFrame({"x": [1], "y": [2]}))
+        with pytest.raises(ValueError, match="missing columns"):
+            union_by_name(a, b, strict=True)
+        c = rd.from_pandas(pd.DataFrame({"x": ["s"]}))
+        with pytest.raises(ValueError, match="conflicting"):
+            union_by_name(a, c)
