@@ -2008,6 +2008,20 @@ def _q_pagerank_parts(sf_dir: str):
     return pagerank(edges, iters=3).sort("node")
 
 
+def _q_group_sample_orders(sf_dir: str):
+    """Exact-5 deterministic sample per order priority
+    (ops/sample.hash_top_k_per_group): per-batch per-group top-k
+    combiner, groups×batches×k lean exchange, md5-order winners are
+    partition-invariant."""
+    from biocurator_mapper_ray.ops.sample import hash_top_k_per_group
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderpriority"])
+    out = hash_top_k_per_group(orders, group_column="o_orderpriority",
+                               key_column="o_orderkey", k=5)
+    return out.sort("o_orderkey")
+
+
 def _q_inverted_index(sf_dir: str):
     """Token → (doc count, numerically sorted posting list) retrieval
     index (ops/textstats.inverted_index): per-batch distinct-pair
@@ -2247,6 +2261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "full_join_custkeys": _q_full_join_custkeys,
         "sentence_stats_documents": _q_sentence_stats,
         "inverted_index_documents": _q_inverted_index,
+        "group_sample_orders": _q_group_sample_orders,
         "resample_events": _q_resample_events,
         # (kmeans/semdedup are rows-only and were judge-verified locally
         # in r03; oracle-backed entries outrank them for window slots)
@@ -3653,6 +3668,15 @@ def oracle_sql() -> dict[str, str]:
                    (syf - slope * sxf) / CAST(n AS DOUBLE) / 100.0
                        AS intercept
             FROM s2 ORDER BY l_returnflag
+        """,
+        "group_sample_orders": """
+            SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+            QUALIFY row_number() OVER (
+                PARTITION BY o_orderpriority
+                ORDER BY CAST('0x' || substr(
+                    md5('42:' || CAST(o_orderkey AS VARCHAR)), 1, 16)
+                    AS UBIGINT), o_orderkey) <= 5
+            ORDER BY o_orderkey
         """,
         "inverted_index_documents": """
             WITH pairs AS (

@@ -257,3 +257,51 @@ def weighted_sample(ds, *, weight_column: str, key_column: str = "doc_id",
         return batch.filter(pa.array(draw < w))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def hash_top_k_per_group(ds, *, group_column: str, key_column: str = "doc_id",
+                         k: int = 10, seed: int = 42,
+                         buckets: int | None = None,
+                         size_hint: int | None = None):
+    """Exact-k deterministic sample PER GROUP: each group's k rows with
+    the smallest md5(seed:key) — the balanced per-language / per-domain
+    sample a mixture pipeline takes (SQL ``QUALIFY row_number() OVER
+    (PARTITION BY g ORDER BY md5, key) <= k``), partition-invariant by
+    construction.
+
+    Combiner push-down: each batch keeps only ITS k smallest keys per
+    group it saw, so the group-bucketed exchange ships ≤ groups×batches×k
+    rows, never the corpus; the per-bucket finish replays the same
+    (md5, key) order over candidates only.
+    """
+    from ..functions.hashing import hash64_column
+
+    from .join import derive_buckets
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([group_column, "__mk", key_column],
+                            kind="mergesort")
+        return df.groupby(group_column, sort=False).head(k)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = md5_prefix_u64(batch.column(key_column), 16, prefix=f"{seed}:")
+        batch = batch.append_column("__mk", pa.array(h))
+        return pa.Table.from_pandas(topk(batch.to_pandas()),
+                                    preserve_index=False)
+
+    if buckets is None:
+        n = size_hint if size_hint is not None else ds.count()
+        buckets = derive_buckets(n)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        h = hash64_column(batch.column(group_column))
+        return batch.append_column(
+            "__gb", pa.array((h % np.uint64(buckets)).astype(np.int32)))
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        return topk(g.drop(columns="__gb")).drop(columns="__mk")
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("__gb")
+            .map_groups(finish, batch_format="pandas"))

@@ -346,3 +346,34 @@ def test_bloom_semi_join_equals_set_intersection(left_keys, right_keys):
     got = sorted(out["lk"]) if len(out.columns) else []
     want = sorted(k for k in left_keys if k in set(right_keys))
     assert got == want
+
+
+class TestHashTopKPerGroup:
+    def test_partition_invariant_and_exact_k(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.sample import hash_top_k_per_group
+
+        rng = np.random.default_rng(9)
+        df = pd.DataFrame({
+            "g": rng.choice(["a", "b", "c"], 200),
+            "id": np.arange(200),
+        })
+        outs = []
+        for nblocks in (1, 13):
+            got = hash_top_k_per_group(
+                rd.from_pandas(df).repartition(nblocks),
+                group_column="g", key_column="id", k=7).to_pandas()
+            outs.append(got.sort_values(["g", "id"]).reset_index(drop=True))
+            assert (got.groupby("g").size() == 7).all()
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    def test_small_group_keeps_all(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.sample import hash_top_k_per_group
+
+        df = pd.DataFrame({"g": ["x", "x", "y"], "id": [1, 2, 3]})
+        got = hash_top_k_per_group(rd.from_pandas(df), group_column="g",
+                                   key_column="id", k=10).to_pandas()
+        assert len(got) == 3
