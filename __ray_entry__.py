@@ -2008,6 +2008,20 @@ def _q_pagerank_parts(sf_dir: str):
     return pagerank(edges, iters=3).sort("node")
 
 
+def _q_value_quantiles_cont_by_type(sf_dir: str):
+    """Per-event-type interpolated PERCENTILE_CONT of value
+    (ops/quantile.grouped_quantiles_cont) — both bracket ranks of
+    every (group, q) refine through one rank-parameterized grouped
+    histogram run; the interpolation expression is mirrored verbatim
+    in SQL, so floats hash bit-exactly (DuckDB's native quantile_cont
+    differs in the last ulp)."""
+    from biocurator_mapper_ray.ops.quantile import grouped_quantiles_cont
+
+    events = _read(sf_dir, "events", columns=["event_type", "value"])
+    return grouped_quantiles_cont(events, "value", "event_type",
+                                  [0.25, 0.5, 0.9])
+
+
 def _q_group_sample_orders(sf_dir: str):
     """Exact-5 deterministic sample per order priority
     (ops/sample.hash_top_k_per_group): per-batch per-group top-k
@@ -2262,6 +2276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sentence_stats_documents": _q_sentence_stats,
         "inverted_index_documents": _q_inverted_index,
         "group_sample_orders": _q_group_sample_orders,
+        "value_quantiles_cont_by_type": _q_value_quantiles_cont_by_type,
         "resample_events": _q_resample_events,
         # (kmeans/semdedup are rows-only and were judge-verified locally
         # in r03; oracle-backed entries outrank them for window slots)
@@ -3668,6 +3683,33 @@ def oracle_sql() -> dict[str, str]:
                    (syf - slope * sxf) / CAST(n AS DOUBLE) / 100.0
                        AS intercept
             FROM s2 ORDER BY l_returnflag
+        """,
+        "value_quantiles_cont_by_type": """
+            WITH p AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY event_type),
+            v AS (SELECT event_type, value AS val,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY value) AS r
+                  FROM events),
+            qq AS (SELECT unnest([0.25, 0.5, 0.9]) AS q),
+            b AS (SELECT p.event_type, qq.q,
+                         CAST(p.n - 1 AS DOUBLE) * qq.q AS h,
+                         least(p.n, CAST(floor(CAST(p.n - 1 AS DOUBLE)
+                                               * qq.q) AS BIGINT) + 1)
+                             AS rl,
+                         least(p.n, CAST(floor(CAST(p.n - 1 AS DOUBLE)
+                                               * qq.q) AS BIGINT) + 2)
+                             AS rh
+                  FROM p, qq)
+            SELECT b.event_type, b.q,
+                   CAST(vl.val AS DOUBLE)
+                   + (b.h - floor(b.h))
+                     * (CAST(vh.val AS DOUBLE) - CAST(vl.val AS DOUBLE))
+                       AS value
+            FROM b
+            JOIN v vl ON vl.event_type = b.event_type AND vl.r = b.rl
+            JOIN v vh ON vh.event_type = b.event_type AND vh.r = b.rh
+            ORDER BY b.event_type, b.q
         """,
         "group_sample_orders": """
             SELECT o_orderkey, o_custkey, o_orderpriority FROM orders

@@ -228,12 +228,46 @@ def grouped_exact_quantiles(ds, column: str, group_col: str, qs: list[float], *,
     lo = int(per_group["lo"].min())
     span = int(per_group["hi"].max()) - lo
 
-    # state[(grp, q)] = [needed bucket at prev_shift (None = all), resid]
-    state: dict[tuple, list] = {}
+    rank_map = {
+        grp: [min(int(row["n"]), max(1, int(np.ceil(q * int(row["n"])))))
+              for q in qs]
+        for grp, row in per_group.iterrows()
+    }
+    keys = _grouped_keys_at_ranks(ds, column, group_col, rank_map,
+                                  lo=lo, span=span,
+                                  coarse_bits=coarse_bits)
+    out_g, out_q, out_k = [], [], []
     for grp, row in per_group.iterrows():
         n = int(row["n"])
         for q in qs:
-            state[(grp, q)] = [None, min(n, max(1, int(np.ceil(q * n))))]
+            r = min(n, max(1, int(np.ceil(q * n))))
+            out_g.append(grp)
+            out_q.append(q)
+            out_k.append(keys[(grp, r)])
+    return (
+        pd.DataFrame({group_col: out_g,
+                      "q": np.asarray(out_q, dtype=np.float64),
+                      "value": _value_series(out_k, arrow_type)})
+        .sort_values([group_col, "q"])
+        .reset_index(drop=True)
+    )
+
+
+def _grouped_keys_at_ranks(ds, column: str, group_col: str,
+                           rank_map: dict, *, lo: int, span: int,
+                           coarse_bits: int = 16) -> dict:
+    """Rank-parameterized core of the grouped histogram refinement:
+    for every group, the encoded keys of its 1-based order-statistic
+    ranks in ``rank_map[group]`` — ALL of a group's ranks refine
+    together in the same passes (one extra rank costs no extra pass).
+    Returns ``{(group, rank): encoded key int}``.  The grouped sibling
+    of the global ``_keys_at_ranks``; see
+    :func:`grouped_exact_quantiles` for the scale contract."""
+    # state[(grp, rank)] = [needed bucket at prev_shift (None = all), resid]
+    state: dict[tuple, list] = {}
+    for grp, ranks in rank_map.items():
+        for r in set(ranks):
+            state[(grp, r)] = [None, int(r)]
     shift = max(0, span.bit_length() - coarse_bits)
     prev_shift: int | None = None
 
@@ -293,8 +327,8 @@ def grouped_exact_quantiles(ds, column: str, group_col: str, qs: list[float], *,
         for grp, gh in hist.groupby(group_col, sort=False):
             gb = gh["bucket"].to_numpy().astype(np.uint64)
             gc = gh["cnt"].to_numpy()
-            for q in qs:
-                st = state[(grp, q)]
+            for r in set(rank_map.get(grp, ())):
+                st = state[(grp, r)]
                 if ps is None:
                     sel = np.ones(len(gb), dtype=bool)
                 else:
@@ -309,16 +343,7 @@ def grouped_exact_quantiles(ds, column: str, group_col: str, qs: list[float], *,
             break
         prev_shift, shift = shift, max(0, shift - coarse_bits)
 
-    out_g = [g for (g, _) in state]
-    out_q = [q for (_, q) in state]
-    keys = [lo + int(st[0]) for st in state.values()]
-    return (
-        pd.DataFrame({group_col: out_g,
-                      "q": np.asarray(out_q, dtype=np.float64),
-                      "value": _value_series(keys, arrow_type)})
-        .sort_values([group_col, "q"])
-        .reset_index(drop=True)
-    )
+    return {key: lo + int(st[0]) for key, st in state.items()}
 
 
 def filter_by_quantile(ds, column: str, *, lo_q: float = 0.05,
@@ -465,3 +490,77 @@ def mad_filter(ds, column: str, *, k: float = 3.0,
         return batch.filter(pc.less_equal(pc.abs(pc.subtract(v, med)), lim))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def grouped_quantiles_cont(ds, column: str, group_col: str,
+                           qs: list[float], *,
+                           coarse_bits: int = 16) -> pd.DataFrame:
+    """Per-group interpolated PERCENTILE_CONT → DataFrame (group, q,
+    value float64): within each group, h = (n_g − 1)·q and linear
+    interpolation between the floor(h)+1-th and floor(h)+2-th smallest
+    values — the grouped form of :func:`quantiles_cont`.
+
+    Both bracket ranks for every (group, q) refine together through
+    ONE :func:`_grouped_keys_at_ranks` run (no extra passes vs the
+    discrete version); the interpolation is one float64 expression
+    over two EXACT data values, mirrored verbatim by the SQL oracle,
+    so results hash bit-equal across engines."""
+    arrow_type = _column_type(ds, column)
+
+    def minmax(batch: pa.Table) -> pa.Table:
+        df = batch.select([group_col, column]).to_pandas()
+        if df.empty:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "lo": pa.array([], pa.uint64()),
+                             "hi": pa.array([], pa.uint64()),
+                             "n": pa.array([], pa.int64())})
+        df["__k"] = _encode_keys(df[column].to_numpy())
+        g = df.groupby(group_col, sort=False)["__k"] \
+              .agg(["min", "max", "count"]).reset_index()
+        g.columns = [group_col, "lo", "hi", "n"]
+        t = pa.Table.from_pandas(g, preserve_index=False)
+        return t.set_column(t.schema.get_field_index("lo"), "lo",
+                            t.column("lo").cast(pa.uint64())).set_column(
+            t.schema.get_field_index("hi"), "hi",
+            t.column("hi").cast(pa.uint64()))
+
+    mm = ds.map_batches(minmax, batch_format="pyarrow").to_pandas()
+    if mm.empty or mm["n"].sum() == 0:
+        return pd.DataFrame({group_col: pd.Series(dtype=object),
+                             "q": pd.Series(dtype=np.float64),
+                             "value": pd.Series(dtype=np.float64)})
+    per_group = mm.groupby(group_col).agg(
+        lo=("lo", "min"), hi=("hi", "max"), n=("n", "sum"))
+    lo = int(per_group["lo"].min())
+    span = int(per_group["hi"].max()) - lo
+
+    brackets: dict = {}   # (grp, q) -> (h, rank_lo, rank_hi)
+    rank_map: dict = {}
+    for grp, row in per_group.iterrows():
+        n = int(row["n"])
+        ranks = []
+        for q in qs:
+            h = float(n - 1) * float(q)
+            rl = min(n, int(np.floor(h)) + 1)
+            rh = min(n, int(np.floor(h)) + 2)
+            brackets[(grp, q)] = (h, rl, rh)
+            ranks.extend((rl, rh))
+        rank_map[grp] = ranks
+    keys = _grouped_keys_at_ranks(ds, column, group_col, rank_map,
+                                  lo=lo, span=span,
+                                  coarse_bits=coarse_bits)
+
+    out_g, out_q, vals = [], [], []
+    for grp in per_group.index:
+        for q in qs:
+            h, rl, rh = brackets[(grp, q)]
+            vl = float(_decode_key(keys[(grp, rl)], arrow_type))
+            vh = float(_decode_key(keys[(grp, rh)], arrow_type))
+            frac = h - np.floor(h)
+            out_g.append(grp)
+            out_q.append(q)
+            vals.append(vl + frac * (vh - vl))
+    return (pd.DataFrame({group_col: out_g,
+                          "q": np.asarray(out_q, dtype=np.float64),
+                          "value": np.asarray(vals, dtype=np.float64)})
+            .sort_values([group_col, "q"]).reset_index(drop=True))

@@ -377,3 +377,34 @@ class TestHashTopKPerGroup:
         got = hash_top_k_per_group(rd.from_pandas(df), group_column="g",
                                    key_column="id", k=10).to_pandas()
         assert len(got) == 3
+
+
+class TestGroupedQuantilesCont:
+    def test_matches_numpy_linear_interpolation(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.quantile import grouped_quantiles_cont
+
+        rng = np.random.default_rng(5)
+        df = pd.DataFrame({
+            "g": rng.choice(["a", "b", "c"], 2000),
+            "v": np.round(rng.normal(100, 30, 2000), 2),
+        })
+        got = grouped_quantiles_cont(
+            rd.from_pandas(df).repartition(7), "v", "g",
+            [0.25, 0.5, 0.9]).set_index(["g", "q"])
+        for g, sub in df.groupby("g"):
+            for q in (0.25, 0.5, 0.9):
+                ref = np.percentile(sub["v"].to_numpy(), q * 100,
+                                    method="linear")
+                assert abs(got.loc[(g, q), "value"] - ref) < 1e-9, (g, q)
+
+    def test_single_row_group(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.quantile import grouped_quantiles_cont
+
+        df = pd.DataFrame({"g": ["only"], "v": [42.5]})
+        got = grouped_quantiles_cont(rd.from_pandas(df), "v", "g",
+                                     [0.1, 0.9])
+        assert (got["value"] == 42.5).all()
