@@ -2008,6 +2008,32 @@ def _q_pagerank_parts(sf_dir: str):
     return pagerank(edges, iters=3).sort("node")
 
 
+def _q_forward_fill_events(sf_dir: str):
+    """Per-user LOCF over deterministically planted NULLs (every
+    event_id % 3 == 0 → NULL, the planted-construct device) —
+    ops/window.forward_fill: pure value copying, exact on any dtype."""
+    from biocurator_mapper_ray.ops.window import forward_fill
+
+    events = _read(sf_dir, "events",
+                   columns=["event_id", "user_id", "ts", "value"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id").to_numpy(zero_copy_only=False)
+        drop = pa.array(ids % 3 == 0)
+        v = pc.if_else(drop, pa.nulls(len(batch), pa.float64()),
+                       pc.cast(batch.column("value"), pa.float64()))
+        return pa.table({"event_id": batch.column("event_id"),
+                         "user_id": batch.column("user_id"),
+                         "ts": batch.column("ts"), "value": v})
+
+    out = forward_fill(events.map_batches(plant, batch_format="pyarrow"),
+                       key="user_id", ts="ts", tiebreak="event_id",
+                       value="value")
+    return out.map_batches(
+        lambda t: t.select(["event_id", "value_ff"]),
+        batch_format="pyarrow").sort("event_id")
+
+
 def _q_value_quantiles_cont_by_type(sf_dir: str):
     """Per-event-type interpolated PERCENTILE_CONT of value
     (ops/quantile.grouped_quantiles_cont) — both bracket ranks of
@@ -2277,6 +2303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index_documents": _q_inverted_index,
         "group_sample_orders": _q_group_sample_orders,
         "value_quantiles_cont_by_type": _q_value_quantiles_cont_by_type,
+        "forward_fill_events": _q_forward_fill_events,
         "resample_events": _q_resample_events,
         # (kmeans/semdedup are rows-only and were judge-verified locally
         # in r03; oracle-backed entries outrank them for window slots)
@@ -3683,6 +3710,19 @@ def oracle_sql() -> dict[str, str]:
                    (syf - slope * sxf) / CAST(n AS DOUBLE) / 100.0
                        AS intercept
             FROM s2 ORDER BY l_returnflag
+        """,
+        "forward_fill_events": """
+            WITH e AS (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN event_id % 3 <> 0
+                            THEN CAST(value AS DOUBLE) END AS v
+                FROM events)
+            SELECT event_id,
+                   last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS value_ff
+            FROM e ORDER BY event_id
         """,
         "value_quantiles_cont_by_type": """
             WITH p AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n

@@ -488,3 +488,29 @@ def resample_fill(ds, *, ts: str, unit: str = "hour",
         out[f"sum_{value}"] = out["__s"].fillna(0).astype(np.int64) / 100.0
         out = out.drop(columns="__s")
     return out
+
+
+def forward_fill(ds, *, key: str, ts: str, tiebreak: str, value: str,
+                 out: str | None = None,
+                 buckets: int | None = None,
+                 size_hint: int | None = None):
+    """Per-key last-observation-carried-forward: in (ts, tiebreak)
+    order within each key, a NULL ``value`` takes the most recent
+    non-NULL value of the same key (rows before the key's first
+    observation stay NULL) — SQL ``last_value(value IGNORE NULLS) OVER
+    (PARTITION BY key ORDER BY ts, tiebreak)``.
+
+    Pure value COPYING (no arithmetic), so any dtype hashes exactly.
+    Same bucket-then-vectorize contract as the other keyed windows:
+    one salted key-bucket exchange, pandas C-level groupby ffill per
+    bucket."""
+    out = out if out is not None else f"{value}_ff"
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts, tiebreak], kind="mergesort").copy()
+        g[out] = g.groupby(key, sort=False)[value].ffill()
+        return g
+
+    return _with_key_bucket(ds, key, _window_buckets(ds, buckets, size_hint)) \
+        .groupby("__kb").map_groups(_per_bucket(per_bucket),
+                                    batch_format="pandas")

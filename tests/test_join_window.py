@@ -402,3 +402,26 @@ class TestResampleFill:
             rd.from_pandas(df).filter(lambda r: False), ts="ts",
             unit="day")
         assert len(empty) == 0 and "n" in empty.columns
+
+
+class TestForwardFill:
+    def test_locf_semantics(self, ray_session):
+        import ray.data as rd
+        from biocurator_mapper_ray.ops.window import forward_fill
+
+        df = pd.DataFrame({
+            "u": ["a"] * 4 + ["b"] * 2,
+            "ts": pd.to_datetime(["2024-01-01", "2024-01-02", "2024-01-03",
+                                  "2024-01-04", "2024-01-01", "2024-01-02"]),
+            "id": [1, 2, 3, 4, 5, 6],
+            "v": [np.nan, 10.0, np.nan, 20.0, np.nan, np.nan],
+        })
+        got = forward_fill(rd.from_pandas(df).repartition(3), key="u",
+                           ts="ts", tiebreak="id",
+                           value="v").to_pandas().set_index("id")
+        # a: NULL, 10, 10 (carried), 20; b: never observed -> stays NULL
+        assert pd.isna(got.loc[1, "v_ff"])
+        assert got.loc[2, "v_ff"] == 10.0
+        assert got.loc[3, "v_ff"] == 10.0
+        assert got.loc[4, "v_ff"] == 20.0
+        assert pd.isna(got.loc[5, "v_ff"]) and pd.isna(got.loc[6, "v_ff"])
