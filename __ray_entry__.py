@@ -2008,6 +2008,20 @@ def _q_pagerank_parts(sf_dir: str):
     return pagerank(edges, iters=3).sort("node")
 
 
+def _q_pivot_revenue(sf_dir: str):
+    """Order totalprice summed per priority × status, pivoted wide
+    (ops/reshape.pivot_sum) — integer-cents cells hash
+    engine-independently; cell-cardinality exchange only."""
+    from biocurator_mapper_ray.ops.reshape import pivot_sum
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderpriority", "o_orderstatus",
+                            "o_totalprice"])
+    return pivot_sum(orders, row_key="o_orderpriority",
+                     col_key="o_orderstatus", value="o_totalprice",
+                     values=["F", "O", "P"])
+
+
 def _q_forward_fill_events(sf_dir: str):
     """Per-user LOCF over deterministically planted NULLs (every
     event_id % 3 == 0 → NULL, the planted-construct device) —
@@ -2304,6 +2318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_sample_orders": _q_group_sample_orders,
         "value_quantiles_cont_by_type": _q_value_quantiles_cont_by_type,
         "forward_fill_events": _q_forward_fill_events,
+        "pivot_revenue": _q_pivot_revenue,
         "resample_events": _q_resample_events,
         # (kmeans/semdedup are rows-only and were judge-verified locally
         # in r03; oracle-backed entries outrank them for window slots)
@@ -3710,6 +3725,20 @@ def oracle_sql() -> dict[str, str]:
                    (syf - slope * sxf) / CAST(n AS DOUBLE) / 100.0
                        AS intercept
             FROM s2 ORDER BY l_returnflag
+        """,
+        "pivot_revenue": """
+            SELECT o_orderpriority,
+                   CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F'
+                        THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                        END), 0) AS BIGINT) AS sum_F,
+                   CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O'
+                        THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                        END), 0) AS BIGINT) AS sum_O,
+                   CAST(coalesce(sum(CASE WHEN o_orderstatus = 'P'
+                        THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                        END), 0) AS BIGINT) AS sum_P
+            FROM orders GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
         """,
         "forward_fill_events": """
             WITH e AS (

@@ -47,6 +47,48 @@ def pivot_counts(ds, *, row_key: str, col_key: str, values: list[str],
     return out.sort_values(row_key).reset_index(drop=True)
 
 
+def pivot_sum(ds, *, row_key: str, col_key: str, value: str,
+              values: list[str], cents: bool = True, prefix: str = "sum_"):
+    """``value`` sums per (row_key, col_key), pivoted wide — the
+    conditional-aggregation report (revenue per priority × status).
+    Same fixed-schema contract as :func:`pivot_counts`; sums use the
+    integer-cents convention so cells hash engine-independently.
+
+    Scale shape: map-side per-batch (row, col) partial sums — the
+    exchange ships cell-cardinality rows, never data rows — then a
+    result-scale driver reshape."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(value)
+        if cents:
+            v = pc.cast(pc.round(pc.multiply(v, 100.0), ndigits=0),
+                        pa.int64())
+        else:
+            v = pc.cast(v, pa.int64())
+        t = pa.table({row_key: batch.column(row_key),
+                      col_key: batch.column(col_key), "__v": v})
+        g = t.group_by([row_key, col_key],
+                       use_threads=False).aggregate([("__v", "sum")])
+        return g.rename_columns([row_key, col_key, "__v"])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby([row_key, col_key]).sum("__v").to_pandas())
+    seen = set(agg[col_key].unique())
+    unknown = seen - set(values)
+    if unknown:
+        raise ValueError(f"unseen {col_key} values: {sorted(unknown)}")
+    wide = agg.pivot_table(index=row_key, columns=col_key,
+                           values="sum(__v)", fill_value=0, aggfunc="sum")
+    out = pd.DataFrame({row_key: wide.index})
+    for v in values:
+        out[f"{prefix}{v}"] = (
+            wide[v].to_numpy() if v in wide.columns else 0
+        )
+        out[f"{prefix}{v}"] = out[f"{prefix}{v}"].astype("int64")
+    return out.sort_values(row_key).reset_index(drop=True)
+
+
 def grouped_count_distinct(ds, *, key: str, value: str):
     """Exact COUNT(DISTINCT value) per key — the standard cardinality
     aggregate (distinct users per segment, distinct domains per source).

@@ -465,3 +465,37 @@ class TestCubeSum:
             assert row["sum_cents"].iloc[0] == \
                 np.round(sub["v"] * 100).astype(np.int64).sum()
             assert row["n_rows"].iloc[0] == len(sub)
+
+
+class TestPivotSum:
+    def test_cells_match_brute_force(self, ray_session):
+        import ray.data as rd
+        from biocurator_mapper_ray.ops.reshape import pivot_sum
+
+        rng = np.random.default_rng(6)
+        df = pd.DataFrame({
+            "r": rng.choice(["x", "y"], 80),
+            "c": rng.choice(["A", "B"], 80),
+            "v": np.round(rng.uniform(0, 50, 80), 2),
+        })
+        got = pivot_sum(rd.from_pandas(df).repartition(4), row_key="r",
+                        col_key="c", value="v", values=["A", "B", "Z"])
+        cents = np.round(df["v"] * 100).astype(np.int64)
+        for r, sub in df.groupby("r"):
+            row = got[got["r"] == r].iloc[0]
+            for c in ("A", "B"):
+                want = np.round(
+                    sub.loc[sub["c"] == c, "v"] * 100
+                ).astype(np.int64).sum()
+                assert row[f"sum_{c}"] == want
+            assert row["sum_Z"] == 0  # declared but unseen column
+
+    def test_unseen_value_raises(self, ray_session):
+        import pytest
+        import ray.data as rd
+        from biocurator_mapper_ray.ops.reshape import pivot_sum
+
+        df = pd.DataFrame({"r": ["x"], "c": ["SURPRISE"], "v": [1.0]})
+        with pytest.raises(ValueError, match="unseen"):
+            pivot_sum(rd.from_pandas(df), row_key="r", col_key="c",
+                      value="v", values=["A"])
