@@ -2008,6 +2008,20 @@ def _q_pagerank_parts(sf_dir: str):
     return pagerank(edges, iters=3).sort("node")
 
 
+def _q_robust_scale_events(sf_dir: str):
+    """Per-row robust scaling (x − median)/IQR against the row's
+    event-type quantiles (ops/moments.robust_scale_by_group) — one
+    grouped-CONT refinement run broadcast via ray.put, map-side
+    standardize; the float64 expression mirrors the SQL, bit-exact."""
+    from biocurator_mapper_ray.ops.moments import robust_scale_by_group
+
+    events = _read(sf_dir, "events",
+                   columns=["event_id", "event_type", "value"])
+    out = robust_scale_by_group(events, key="event_type", value="value")
+    return out.map_batches(lambda t: t.select(["event_id", "rs"]),
+                           batch_format="pyarrow").sort("event_id")
+
+
 def _q_pivot_revenue(sf_dir: str):
     """Order totalprice summed per priority × status, pivoted wide
     (ops/reshape.pivot_sum) — integer-cents cells hash
@@ -2319,6 +2333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles_cont_by_type": _q_value_quantiles_cont_by_type,
         "forward_fill_events": _q_forward_fill_events,
         "pivot_revenue": _q_pivot_revenue,
+        "robust_scale_events": _q_robust_scale_events,
         "resample_events": _q_resample_events,
         # (kmeans/semdedup are rows-only and were judge-verified locally
         # in r03; oracle-backed entries outrank them for window slots)
@@ -3725,6 +3740,44 @@ def oracle_sql() -> dict[str, str]:
                    (syf - slope * sxf) / CAST(n AS DOUBLE) / 100.0
                        AS intercept
             FROM s2 ORDER BY l_returnflag
+        """,
+        "robust_scale_events": """
+            WITH p AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY event_type),
+            v AS (SELECT event_type, value AS val,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY value) AS r
+                  FROM events),
+            qq AS (SELECT unnest([0.25, 0.5, 0.75]) AS q),
+            b AS (SELECT p.event_type, qq.q,
+                         CAST(p.n - 1 AS DOUBLE) * qq.q AS h,
+                         least(p.n, CAST(floor(CAST(p.n - 1 AS DOUBLE)
+                                               * qq.q) AS BIGINT) + 1)
+                             AS rl,
+                         least(p.n, CAST(floor(CAST(p.n - 1 AS DOUBLE)
+                                               * qq.q) AS BIGINT) + 2)
+                             AS rh
+                  FROM p, qq),
+            qv AS (SELECT b.event_type, b.q,
+                          CAST(vl.val AS DOUBLE)
+                          + (b.h - floor(b.h))
+                            * (CAST(vh.val AS DOUBLE)
+                               - CAST(vl.val AS DOUBLE)) AS value
+                   FROM b
+                   JOIN v vl ON vl.event_type = b.event_type
+                            AND vl.r = b.rl
+                   JOIN v vh ON vh.event_type = b.event_type
+                            AND vh.r = b.rh),
+            s AS (SELECT event_type,
+                         max(CASE WHEN q = 0.5 THEN value END) AS med,
+                         max(CASE WHEN q = 0.75 THEN value END)
+                         - max(CASE WHEN q = 0.25 THEN value END) AS iqr
+                  FROM qv GROUP BY event_type)
+            SELECT e.event_id,
+                   CASE WHEN s.iqr <> 0.0 THEN
+                       (CAST(e.value AS DOUBLE) - s.med) / s.iqr END AS rs
+            FROM events e JOIN s USING (event_type)
+            ORDER BY e.event_id
         """,
         "pivot_revenue": """
             SELECT o_orderpriority,

@@ -290,3 +290,47 @@ def grouped_corr(ds, *, key: str, x: str, y: str, cents: bool = True):
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby(key)
             .map_groups(finish, batch_format="pyarrow"))
+
+
+def robust_scale_by_group(ds, *, key: str, value: str,
+                          out_column: str = "rs",
+                          coarse_bits: int = 16):
+    """Per-row ROBUST standardization against the row's group:
+    ``rs = (x − median_g) / (q75_g − q25_g)`` — the outlier-immune
+    sibling of :func:`zscore_by_group` (median/IQR instead of
+    mean/stddev; heavy tails can't drag the scale).
+
+    Two-phase broadcast pattern: phase 1 is one
+    :func:`~biocurator_mapper_ray.ops.quantile.grouped_quantiles_cont`
+    run (all three quantiles of every group refine together — driver
+    state is groups×3 scalars), phase 2 broadcasts the tiny frame via
+    ``ray.put`` and standardizes map-side with ONE float64 expression
+    mirrored verbatim in SQL — bit-exact.  Groups with zero IQR emit
+    NULL.
+    """
+    import ray
+
+    from .quantile import grouped_quantiles_cont
+
+    qdf = grouped_quantiles_cont(ds, value, key, [0.25, 0.5, 0.75],
+                                 coarse_bits=coarse_bits)
+    med = qdf[qdf["q"] == 0.5].set_index(key)["value"]
+    iqr = (qdf[qdf["q"] == 0.75].set_index(key)["value"]
+           - qdf[qdf["q"] == 0.25].set_index(key)["value"])
+    ref = ray.put((med, iqr))
+
+    def standardize(batch: pa.Table, ref=None) -> pa.Table:
+        mm, ii = (ray.get(ref) if not isinstance(ref, tuple) else ref)
+        x = pc.cast(batch.column(value), pa.float64()).to_numpy(
+            zero_copy_only=False)
+        keys_s = pd.Series(batch.column(key).to_numpy(zero_copy_only=False))
+        m = keys_s.map(mm).to_numpy(np.float64)
+        s = keys_s.map(ii).to_numpy(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            rs = (x - m) / s
+        rs = np.where(np.isfinite(rs), rs, np.nan)
+        return batch.append_column(
+            out_column, pa.array(rs, pa.float64(), from_pandas=True))
+
+    return ds.map_batches(standardize, fn_kwargs={"ref": ref},
+                          batch_format="pyarrow")

@@ -499,3 +499,36 @@ class TestPivotSum:
         with pytest.raises(ValueError, match="unseen"):
             pivot_sum(rd.from_pandas(df), row_key="r", col_key="c",
                       value="v", values=["A"])
+
+
+class TestRobustScale:
+    def test_matches_numpy_median_iqr(self, ray_session):
+        import ray.data as rd
+        from biocurator_mapper_ray.ops.moments import robust_scale_by_group
+
+        rng = np.random.default_rng(8)
+        df = pd.DataFrame({
+            "g": rng.choice(["a", "b"], 500),
+            "id": np.arange(500),
+            "v": np.round(rng.normal(50, 10, 500), 2),
+        })
+        got = robust_scale_by_group(rd.from_pandas(df).repartition(5),
+                                    key="g", value="v") \
+            .to_pandas().set_index("id")
+        for g, sub in df.groupby("g"):
+            med = np.percentile(sub["v"], 50, method="linear")
+            iqr = (np.percentile(sub["v"], 75, method="linear")
+                   - np.percentile(sub["v"], 25, method="linear"))
+            for _, row in sub.iterrows():
+                want = (row["v"] - med) / iqr
+                assert abs(got.loc[row["id"], "rs"] - want) < 1e-9
+
+    def test_zero_iqr_emits_null(self, ray_session):
+        import ray.data as rd
+        from biocurator_mapper_ray.ops.moments import robust_scale_by_group
+
+        df = pd.DataFrame({"g": ["c"] * 4, "id": range(4),
+                           "v": [5.0, 5.0, 5.0, 5.0]})
+        got = robust_scale_by_group(rd.from_pandas(df), key="g",
+                                    value="v").to_pandas()
+        assert got["rs"].isna().all()
