@@ -2008,6 +2008,28 @@ def _q_pagerank_parts(sf_dir: str):
     return pagerank(edges, iters=3).sort("node")
 
 
+def _q_strip_accents(sf_dir: str):
+    """Accent removal over deterministically planted diacritics (the
+    unicode_nfc planting device) — ops/normalize.strip_accents,
+    byte-exact vs the SQL ``strip_accents``."""
+    from biocurator_mapper_ray.ops.normalize import strip_accents
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    suffix = " mühsam çédille naïve"
+
+    def plant(batch: pa.Table) -> pa.Table:
+        aug = pc.binary_join_element_wise(
+            batch.column("text"),
+            pa.array([suffix] * len(batch), pa.string()), "")
+        return pa.table({"doc_id": batch.column("doc_id"), "text": aug})
+
+    out = ds.map_batches(plant, batch_format="pyarrow").map_batches(
+        strip_accents, fn_kwargs={"column": "text"}, batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "text_ascii"]),
+        batch_format="pyarrow").sort("doc_id")
+
+
 def _q_robust_scale_events(sf_dir: str):
     """Per-row robust scaling (x − median)/IQR against the row's
     event-type quantiles (ops/moments.robust_scale_by_group) — one
@@ -2334,6 +2356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "forward_fill_events": _q_forward_fill_events,
         "pivot_revenue": _q_pivot_revenue,
         "robust_scale_events": _q_robust_scale_events,
+        "strip_accents_documents": _q_strip_accents,
         "resample_events": _q_resample_events,
         # (kmeans/semdedup are rows-only and were judge-verified locally
         # in r03; oracle-backed entries outrank them for window slots)
@@ -3740,6 +3763,13 @@ def oracle_sql() -> dict[str, str]:
                    (syf - slope * sxf) / CAST(n AS DOUBLE) / 100.0
                        AS intercept
             FROM s2 ORDER BY l_returnflag
+        """,
+        "strip_accents_documents": """
+            SELECT doc_id,
+                   strip_accents(text || ' m' || chr(252) || 'hsam '
+                                 || chr(231) || chr(233) || 'dille na'
+                                 || chr(239) || 've') AS text_ascii
+            FROM documents ORDER BY doc_id
         """,
         "robust_scale_events": """
             WITH p AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n

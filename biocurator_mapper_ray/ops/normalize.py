@@ -232,3 +232,26 @@ def unicode_nfc(batch: pa.Table, *, column: str,
     out = _duck().execute(
         "SELECT nfc_normalize(s) AS v FROM tbl").arrow()
     return batch.append_column(out_column, out.column("v").combine_chunks())
+
+
+def strip_accents(batch: pa.Table, *, column: str,
+                  out_column: str | None = None) -> pa.Table:
+    """Accent/diacritic removal (the search-normalization step next to
+    lowercasing: 'café' → 'cafe'): appends ``out_column`` (default
+    ``column_ascii``).
+
+    Vectorized through the process-global DuckDB kernel (the
+    :func:`unicode_nfc` device — one C call per batch); byte-identical
+    to the SQL oracle ``strip_accents(s)`` because it IS that
+    expression.  Nulls pass through."""
+    from biocurator_mapper_ray.functions.hashing import _duck
+
+    if out_column is None:
+        out_column = f"{column}_ascii"
+    col = batch.column(column)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    tbl = pa.table({"s": col})  # noqa: F841 (duckdb scan)
+    out = _duck().execute(
+        "SELECT strip_accents(s) AS v FROM tbl").arrow()
+    return batch.append_column(out_column, out.column("v").combine_chunks())

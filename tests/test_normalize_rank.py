@@ -314,3 +314,18 @@ class TestUnicodeNfc:
         # bytes actually changed for the decomposed inputs
         assert got["t_nfc"].iloc[0] == "caf\u00e9"
         assert len(got["t_nfc"].iloc[0]) < len(raw[0])
+
+
+class TestStripAccents:
+    def test_removes_diacritics(self, ray_session):
+        import ray.data as rd
+        from biocurator_mapper_ray.ops.normalize import strip_accents
+
+        raw = ["mühsam", "naïve café", "plain", None]
+        ds = rd.from_items([{"i": i, "t": t} for i, t in enumerate(raw)])
+        got = (ds.map_batches(strip_accents, fn_kwargs={"column": "t"},
+                              batch_format="pyarrow")
+                 .to_pandas().sort_values("i"))
+        assert got["t_ascii"].iloc[0] == "muhsam"
+        assert got["t_ascii"].iloc[1] == "naive cafe"
+        assert got["t_ascii"].iloc[2] == "plain"
