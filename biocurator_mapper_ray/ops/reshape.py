@@ -32,6 +32,10 @@ def pivot_counts(ds, *, row_key: str, col_key: str, values: list[str],
 
     agg = (ds.map_batches(partial, batch_format="pyarrow")
            .groupby([row_key, col_key]).sum("__c").to_pandas())
+    if agg.empty:  # empty to_pandas drops columns — typed empty out
+        return pd.DataFrame({row_key: pd.Series([], dtype=object),
+                             **{f"{prefix}{v}": pd.Series([], dtype="int64")
+                                for v in values}})
     seen = set(agg[col_key].unique())
     unknown = seen - set(values)
     if unknown:
@@ -74,6 +78,10 @@ def pivot_sum(ds, *, row_key: str, col_key: str, value: str,
 
     agg = (ds.map_batches(partial, batch_format="pyarrow")
            .groupby([row_key, col_key]).sum("__v").to_pandas())
+    if agg.empty:  # empty to_pandas drops columns — typed empty out
+        return pd.DataFrame({row_key: pd.Series([], dtype=object),
+                             **{f"{prefix}{v}": pd.Series([], dtype="int64")
+                                for v in values}})
     seen = set(agg[col_key].unique())
     unknown = seen - set(values)
     if unknown:
@@ -293,6 +301,11 @@ def rollup_sum(ds, *, keys: list[str], value: str, cents: bool = True,
     finest = (ds.map_batches(partial, batch_format="pyarrow")
               .groupby(keys).sum(["__s", "__c"]).to_pandas()
               .rename(columns={"sum(__s)": sum_name, "sum(__c)": count_name}))
+    if finest.empty:  # empty to_pandas drops columns — typed empty out
+        return pd.DataFrame({**{k: pd.Series([], dtype=object)
+                                for k in keys},
+                             sum_name: pd.Series([], dtype="int64"),
+                             count_name: pd.Series([], dtype="int64")})
 
     levels = [finest]
     for depth in range(len(keys) - 1, -1, -1):
@@ -348,6 +361,11 @@ def cube_sum(ds, *, keys: list[str], value: str, cents: bool = True,
               .groupby(keys).sum(["__s", "__c"]).to_pandas()
               .rename(columns={"sum(__s)": sum_name,
                                "sum(__c)": count_name}))
+    if finest.empty:  # empty to_pandas drops columns — typed empty out
+        return pd.DataFrame({**{k: pd.Series([], dtype=object)
+                                for k in keys},
+                             sum_name: pd.Series([], dtype="int64"),
+                             count_name: pd.Series([], dtype="int64")})
 
     cuts = []
     for r in range(len(keys), -1, -1):

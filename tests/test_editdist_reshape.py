@@ -532,3 +532,53 @@ class TestRobustScale:
         got = robust_scale_by_group(rd.from_pandas(df), key="g",
                                     value="v").to_pandas()
         assert got["rs"].isna().all()
+
+
+class TestEmptyInputs:
+    """Every late-round-4 op returns a typed empty result on an empty
+    dataset instead of crashing on Ray's column-dropping empty
+    to_pandas (the known 0-row gotcha)."""
+
+    def test_all_new_ops_tolerate_empty(self, ray_session):
+        import ray.data as rd
+
+        def empty_df(**cols):
+            return rd.from_pandas(pd.DataFrame(
+                {k: pd.Series([], dtype=t) for k, t in cols.items()}))
+
+        from biocurator_mapper_ray.ops.join import distinct_set_op
+        from biocurator_mapper_ray.ops.moments import (
+            grouped_corr, grouped_linfit, robust_scale_by_group)
+        from biocurator_mapper_ray.ops.quantile import grouped_quantiles_cont
+        from biocurator_mapper_ray.ops.reshape import cube_sum, pivot_sum
+        from biocurator_mapper_ray.ops.sample import hash_top_k_per_group
+        from biocurator_mapper_ray.ops.textstats import inverted_index
+        from biocurator_mapper_ray.ops.window import (
+            forward_fill, keep_best_per_key, rolling_rows_aggregate)
+
+        e_kv = empty_df(k="int64")
+        assert len(distinct_set_op(e_kv, e_kv, left_on="k").to_pandas()) == 0
+        e_w = empty_df(k="int64", s="float64", id="int64")
+        assert len(keep_best_per_key(e_w, key="k", score="s",
+                                     tiebreak="id").to_pandas()) == 0
+        e_t = empty_df(u="int64", ts="datetime64[ns]", id="int64",
+                       v="float64")
+        assert len(rolling_rows_aggregate(e_t, key="u", ts="ts",
+                                          tiebreak="id", value="v",
+                                          k=2).to_pandas()) == 0
+        assert len(forward_fill(e_t, key="u", ts="ts", tiebreak="id",
+                                value="v").to_pandas()) == 0
+        e_g = empty_df(g="object", a="float64", b="float64")
+        assert len(grouped_linfit(e_g, key="g", x="a", y="b").to_pandas()) == 0
+        assert len(grouped_corr(e_g, key="g", x="a", y="b").to_pandas()) == 0
+        assert len(grouped_quantiles_cont(e_g, "a", "g", [0.5])) == 0
+        assert len(robust_scale_by_group(e_g, key="g",
+                                         value="a").to_pandas()) == 0
+        assert len(cube_sum(e_g, keys=["g"], value="a")) == 0
+        assert len(pivot_sum(e_g, row_key="g", col_key="g", value="a",
+                             values=["x"])) == 0
+        e_doc = empty_df(doc_id="int64", text="object")
+        assert len(inverted_index(e_doc).to_pandas()) == 0
+        assert len(hash_top_k_per_group(e_doc, group_column="text",
+                                        key_column="doc_id",
+                                        k=3).to_pandas()) == 0
