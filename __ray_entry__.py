@@ -2008,6 +2008,19 @@ def _q_pagerank_parts(sf_dir: str):
     return pagerank(edges, iters=3).sort("node")
 
 
+def _q_intersect_all_events(sf_dir: str):
+    """INTERSECT ALL multiplicities between the click and view event
+    streams' user ids (ops/join.bag_set_op): per-batch (key, count)
+    partials, one salted exchange, min(l, r) fold — emitted as
+    (user_id, n) since the count form is the corpus-scale artifact."""
+    from biocurator_mapper_ray.ops.join import bag_set_op
+
+    events = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    clicks = events.filter(expr="event_type == 'click'")
+    views = events.filter(expr="event_type == 'view'")
+    return bag_set_op(clicks, views, left_on="user_id").sort("user_id")
+
+
 def _q_strip_accents(sf_dir: str):
     """Accent removal over deterministically planted diacritics (the
     unicode_nfc planting device) — ops/normalize.strip_accents,
@@ -2357,6 +2370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_revenue": _q_pivot_revenue,
         "robust_scale_events": _q_robust_scale_events,
         "strip_accents_documents": _q_strip_accents,
+        "intersect_all_events": _q_intersect_all_events,
         "resample_events": _q_resample_events,
         # (kmeans/semdedup are rows-only and were judge-verified locally
         # in r03; oracle-backed entries outrank them for window slots)
@@ -3763,6 +3777,14 @@ def oracle_sql() -> dict[str, str]:
                    (syf - slope * sxf) / CAST(n AS DOUBLE) / 100.0
                        AS intercept
             FROM s2 ORDER BY l_returnflag
+        """,
+        "intersect_all_events": """
+            WITH b AS (
+                SELECT user_id FROM events WHERE event_type = 'click'
+                INTERSECT ALL
+                SELECT user_id FROM events WHERE event_type = 'view')
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n
+            FROM b GROUP BY user_id ORDER BY user_id
         """,
         "strip_accents_documents": """
             SELECT doc_id,

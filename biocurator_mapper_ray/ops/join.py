@@ -23,6 +23,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.hashing import hash64_column
 
@@ -481,6 +482,68 @@ def distinct_set_op(left, right, *, left_on: str, right_on: str | None = None,
         keep = sides.index[(sides["min"] == 0)
                            & ((sides["max"] == 1) == want_right)]
         return pa.table({left_on: pa.array(keep.to_numpy(), key_type)})
+
+    both = lean(left, left_on, 0).union(lean(right, right_on, 1))
+    return both.groupby("__kb").map_groups(
+        lambda g: per_bucket(g.drop(columns="__kb")),
+        batch_format="pandas")
+
+
+def bag_set_op(left, right, *, left_on: str, right_on: str | None = None,
+               op: str = "intersect_all", buckets: int | None = None,
+               size_hint: int | None = None):
+    """Distributed SQL ``INTERSECT ALL`` / ``EXCEPT ALL`` — BAG
+    semantics: a key appearing l times on the left and r times on the
+    right survives min(l, r) times (intersect_all) or max(l − r, 0)
+    times (except_all).  The multiplicity-aware audit between corpus
+    snapshots ("how many COPIES vanished"), where
+    :func:`distinct_set_op` answers only membership.
+
+    Both sides reduce map-side to per-batch (key, count) partials —
+    the exchange ships batch-distinct keys with int64 counts, never
+    rows — then ONE salted key-hash exchange folds counts and emits
+    each surviving key with its multiplicity.  Returns
+    (``left_on``, ``n``: int64) — the caller can explode to rows if a
+    bag is literally needed; at corpus scale the (key, count) form IS
+    the useful one.
+    """
+    if op not in ("intersect_all", "except_all"):
+        raise ValueError(f"unknown bag set op {op!r}")
+    right_on = right_on if right_on is not None else left_on
+    n_buckets = _join_buckets(buckets, size_hint, left, right)
+
+    def lean(ds, col, side):
+        def prep(batch: pa.Table) -> pa.Table:
+            keys = batch.select([col]).rename_columns([left_on])
+            g = keys.group_by([left_on]).aggregate([(left_on, "count")])
+            g = g.rename_columns([left_on, "__c"])
+            h = hash64_column(g.column(left_on))
+            return pa.table({
+                left_on: g.column(left_on),
+                "__c": pc.cast(g.column("__c"), pa.int64()),
+                "__kb": pa.array((h % np.uint64(n_buckets)).astype(np.int32)),
+                "__side": pa.array(np.full(len(g), side, dtype=np.int8)),
+            })
+
+        return ds.map_batches(prep, batch_format="pyarrow")
+
+    intersect = op == "intersect_all"
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        key_type = (pa.string() if g[left_on].dtype == object
+                    else pa.from_numpy_dtype(g[left_on].dtype))
+        piv = g.pivot_table(index=left_on, columns="__side", values="__c",
+                            aggfunc="sum", fill_value=0)
+        l = piv[0].to_numpy(dtype=np.int64) if 0 in piv.columns \
+            else np.zeros(len(piv), dtype=np.int64)
+        r = piv[1].to_numpy(dtype=np.int64) if 1 in piv.columns \
+            else np.zeros(len(piv), dtype=np.int64)
+        n = np.minimum(l, r) if intersect else np.maximum(l - r, 0)
+        keep = n > 0
+        return pa.table({
+            left_on: pa.array(piv.index.to_numpy()[keep], key_type),
+            "n": pa.array(n[keep]),
+        })
 
     both = lean(left, left_on, 0).union(lean(right, right_on, 1))
     return both.groupby("__kb").map_groups(

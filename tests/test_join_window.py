@@ -425,3 +425,26 @@ class TestForwardFill:
         assert got.loc[3, "v_ff"] == 10.0
         assert got.loc[4, "v_ff"] == 20.0
         assert pd.isna(got.loc[5, "v_ff"]) and pd.isna(got.loc[6, "v_ff"])
+
+
+class TestBagSetOp:
+    def test_multiplicities(self, ray_session):
+        import ray.data as rd
+        from biocurator_mapper_ray.ops.join import bag_set_op
+
+        l = rd.from_items([{"k": v} for v in [1, 1, 1, 2, 3, 3]])
+        r = rd.from_items([{"k": v} for v in [1, 3, 3, 3, 4]])
+        inter = bag_set_op(l, r, left_on="k").to_pandas() \
+            .set_index("k")["n"]
+        assert inter.to_dict() == {1: 1, 3: 2}  # min(l, r)
+        exc = bag_set_op(l, r, left_on="k",
+                         op="except_all").to_pandas().set_index("k")["n"]
+        assert exc.to_dict() == {1: 2, 2: 1}    # max(l - r, 0)
+
+    def test_unknown_op_raises(self, ray_session):
+        import ray.data as rd
+        from biocurator_mapper_ray.ops.join import bag_set_op
+
+        ds = rd.from_items([{"k": 1}])
+        with pytest.raises(ValueError):
+            bag_set_op(ds, ds, left_on="k", op="union_all")
