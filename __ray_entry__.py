@@ -2008,6 +2008,25 @@ def _q_pagerank_parts(sf_dir: str):
     return pagerank(edges, iters=3).sort("node")
 
 
+def _q_sq8_knn_embeddings(sf_dir: str):
+    """Top-10 cosine under SQ8 (8-bit scalar-quantized) codes — the 4×
+    memory cut for billion-vector ANN (ops/similarity.sq8_fit/encode/
+    knn).  Rows-only: quantized scores are float and
+    quantization-approximate; recall and the per-dim error bound are
+    pinned by tests."""
+    from biocurator_mapper_ray.ops.similarity import (
+        sq8_encode, sq8_fit, sq8_knn)
+
+    ds = _read(sf_dir, "embeddings")
+    bounds = sq8_fit(ds)
+    codes = sq8_encode(ds, bounds)
+    q = _read(sf_dir, "embeddings").limit(3).to_pandas()
+    queries = np.asarray(q["embedding"].tolist(), dtype=np.float32)
+    queries = queries[np.lexsort(queries.T[::-1])]  # order-canonical
+    return sq8_knn(codes, bounds, queries, k=10).sort(
+        ["query_id", "rank"])
+
+
 def _q_intersect_all_events(sf_dir: str):
     """INTERSECT ALL multiplicities between the click and view event
     streams' user ids (ops/join.bag_set_op): per-batch (key, count)
@@ -2371,6 +2390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robust_scale_events": _q_robust_scale_events,
         "strip_accents_documents": _q_strip_accents,
         "intersect_all_events": _q_intersect_all_events,
+        "sq8_knn_embeddings": _q_sq8_knn_embeddings,  # rows-only
         "resample_events": _q_resample_events,
         # (kmeans/semdedup are rows-only and were judge-verified locally
         # in r03; oracle-backed entries outrank them for window slots)

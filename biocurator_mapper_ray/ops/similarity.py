@@ -414,3 +414,111 @@ def embedding_near_dup_pairs(
                          "cosine": pa.array([], pa.float64())})
 
     return deduped.map_batches(rename_or_empty, batch_format="pyarrow")
+
+
+def sq8_fit(ds, *, vec_column: str = "embedding") -> tuple:
+    """Fit per-dimension SQ8 (scalar 8-bit) quantization bounds over an
+    embedding column: one streaming pass of per-batch (min_d, max_d)
+    partials — driver state is 2×d floats, never vectors.
+
+    Returns ``(lo, hi)`` float32 arrays of shape (d,).  SQ8 is the
+    standard 4× memory cut for billion-vector ANN (FAISS's SQ8): at
+    100 TB the embedding column is usually the dominant byte share, and
+    the codes column keeps the whole index in a quarter of the RAM."""
+    def partial(batch: pa.Table) -> pa.Table:
+        mat = _as_matrix(batch.column(vec_column))
+        if not len(mat):
+            return pa.table({"lo": pa.array([], pa.list_(pa.float32())),
+                             "hi": pa.array([], pa.list_(pa.float32()))})
+        return pa.table({"lo": pa.array([mat.min(axis=0).tolist()],
+                                        pa.list_(pa.float32())),
+                         "hi": pa.array([mat.max(axis=0).tolist()],
+                                        pa.list_(pa.float32()))})
+
+    mm = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    lo = np.min(np.stack(mm["lo"].to_numpy()), axis=0).astype(np.float32)
+    hi = np.max(np.stack(mm["hi"].to_numpy()), axis=0).astype(np.float32)
+    return lo, hi
+
+
+def sq8_encode(ds, bounds, *, vec_column: str = "embedding",
+               code_column: str = "code"):
+    """Encode vectors to uint8 codes against broadcast ``bounds``
+    (``(lo, hi)`` arrays or a ``ray.put`` handle):
+    ``code = round((v − lo) · 255 / (hi − lo))`` per dimension, clipped.
+    Map-side only; output carries ``code_column`` as binary(d)."""
+    import ray
+
+    def encode(batch: pa.Table, bounds=bounds) -> pa.Table:
+        lo, hi = (ray.get(bounds) if not isinstance(bounds, tuple)
+                  else bounds)
+        span = (hi - lo).astype(np.float32)
+        span[span == 0] = 1.0
+        mat = _as_matrix(batch.column(vec_column))
+        codes = np.clip(np.rint((mat - lo) * (255.0 / span)),
+                        0, 255).astype(np.uint8) if len(mat) else \
+            np.zeros((0, len(lo)), dtype=np.uint8)
+        col = pa.array(list(codes.tobytes()[i * codes.shape[1]:
+                                            (i + 1) * codes.shape[1]]
+                            for i in range(len(codes))), pa.binary())
+        out = batch.drop_columns([vec_column])
+        return out.append_column(code_column, col)
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def sq8_knn(codes_ds, bounds, queries: np.ndarray, *, k: int = 10,
+            id_column: str = "vec_id", code_column: str = "code"):
+    """Brute-force cosine top-k over SQ8 codes: each batch decodes its
+    uint8 block against the broadcast bounds (one fused multiply-add)
+    and scores like :func:`knn_search` — approximate by quantization
+    only (recall@10 ≥ 0.9 pinned by tests on clusters whose spread
+    exceeds the quantization step; degrades when within-cluster
+    distances shrink toward span/255, as any SQ8 does).  Returns
+    (query_id, vec_id, cosine, rank)."""
+    import ray
+
+    queries_ref = ray.put(_normalize(
+        np.asarray(queries, dtype=np.float32)))
+    bounds_ref = bounds if not isinstance(bounds, tuple) else ray.put(bounds)
+
+    def score(batch: pa.Table) -> pa.Table:
+        lo, hi = ray.get(bounds_ref)
+        q = ray.get(queries_ref)
+        n = len(batch)
+        if not n:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_column: pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float32())})
+        d = len(lo)
+        raw = np.frombuffer(
+            b"".join(batch.column(code_column).to_pylist()),
+            dtype=np.uint8).reshape(n, d)
+        span = (hi - lo).astype(np.float32)
+        span[span == 0] = 1.0
+        mat = _normalize(raw.astype(np.float32) * (span / 255.0) + lo)
+        sims = mat @ q.T  # (n, nq)
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+        take = min(k, n)
+        out_q, out_i, out_s = [], [], []
+        for qi in range(q.shape[0]):
+            part = np.argpartition(-sims[:, qi], take - 1)[:take]
+            out_q.append(np.full(take, qi, dtype=np.int64))
+            out_i.append(ids[part])
+            out_s.append(sims[part, qi])
+        return pa.table({"query_id": pa.array(np.concatenate(out_q)),
+                         id_column: pa.array(np.concatenate(out_i)),
+                         "cosine": pa.array(
+                             np.concatenate(out_s).astype(np.float32))})
+
+    partials = codes_ds.map_batches(score, batch_format="pyarrow")
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["cosine", id_column],
+                              ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype=np.int32)
+        return g
+
+    return partials.groupby("query_id").map_groups(merge,
+                                                   batch_format="pandas")

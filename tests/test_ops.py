@@ -1318,3 +1318,42 @@ class TestCorpusFreqPartitionInvariance:
         a = a.sort_values("doc_id").reset_index(drop=True)
         b = b.sort_values("doc_id").reset_index(drop=True)
         assert a.equals(b)
+
+
+class TestSq8Quantization:
+    def test_roundtrip_error_bounded_and_recall(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.similarity import (
+            knn_search, sq8_encode, sq8_fit, sq8_knn)
+
+        rng = np.random.default_rng(7)
+        centers = rng.normal(size=(8, 24)).astype(np.float32) * 4
+        rows = [{"vec_id": i,
+                 "embedding": (centers[i % 8]
+                               + rng.normal(size=24, scale=0.5)
+                               .astype(np.float32)).tolist()}
+                for i in range(400)]
+        ds = rd.from_items(rows)
+        lo, hi = sq8_fit(ds)
+        mat = np.asarray([r["embedding"] for r in rows], dtype=np.float32)
+        assert np.allclose(lo, mat.min(axis=0)) and \
+            np.allclose(hi, mat.max(axis=0))
+
+        codes = sq8_encode(ds, (lo, hi)).materialize()
+        # decode one batch and bound the per-dim quantization error
+        row0 = codes.take(1)[0]
+        span = hi - lo
+        dec = np.frombuffer(row0["code"], dtype=np.uint8).astype(
+            np.float32) * (span / 255.0) + lo
+        orig = np.asarray(rows[int(row0["vec_id"])]["embedding"],
+                          dtype=np.float32)
+        assert (np.abs(dec - orig) <= span / 255.0 * 0.5 + 1e-5).all()
+
+        queries = np.stack([mat[i] for i in (0, 1, 5)])
+        approx = sq8_knn(codes, (lo, hi), queries, k=10).to_pandas()
+        exact = knn_search(rd.from_items(rows), queries, k=10).to_pandas()
+        for qi in range(3):
+            e = set(exact[exact["query_id"] == qi]["vec_id"])
+            a = set(approx[approx["query_id"] == qi]["vec_id"])
+            assert len(a & e) / 10 >= 0.9, qi
