@@ -2008,6 +2008,38 @@ def _q_pagerank_parts(sf_dir: str):
     return pagerank(edges, iters=3).sort("node")
 
 
+def _q_canonical_documents(sf_dir: str):
+    """End-to-end near-dup curation: MinHash md5-mode clusters →
+    keep the LONGEST document per cluster (ties → smallest doc_id) —
+    the keep-best-duplicate composition (ops/dedup.minhash_dedup +
+    ops/join.hash_join + ops/window.keep_best_per_key).  Exact oracle:
+    the md5-parity closure CTE wrapped in a QUALIFY argmax."""
+    from biocurator_mapper_ray.ops.dedup import minhash_dedup
+    from biocurator_mapper_ray.ops.join import hash_join
+    from biocurator_mapper_ray.ops.window import keep_best_per_key
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    clusters = minhash_dedup(ds, threshold=0.6, emit_mode="all",
+                             hash_mode="md5")
+    lens = ds.map_batches(
+        lambda t: pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_chars": pc.cast(pc.utf8_length(t.column("text")),
+                               pa.int64())}),
+        batch_format="pyarrow")
+    joined = hash_join(clusters, lens, "doc_id", "doc_id",
+                       left_dtypes={"doc_id": "int64",
+                                    "cluster_id": "int64"},
+                       right_dtypes={"doc_id": "int64",
+                                     "n_chars": "int64"},
+                       size_hint=1 << 12)
+    best = keep_best_per_key(joined, key="cluster_id", score="n_chars",
+                             tiebreak="doc_id", size_hint=1 << 12)
+    return best.map_batches(
+        lambda t: t.select(["cluster_id", "doc_id", "n_chars"]),
+        batch_format="pyarrow").sort("cluster_id")
+
+
 def _q_sq8_knn_embeddings(sf_dir: str):
     """Top-10 cosine under SQ8 (8-bit scalar-quantized) codes — the 4×
     memory cut for billion-vector ANN (ops/similarity.sq8_fit/encode/
@@ -2391,6 +2423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strip_accents_documents": _q_strip_accents,
         "intersect_all_events": _q_intersect_all_events,
         "sq8_knn_embeddings": _q_sq8_knn_embeddings,  # rows-only
+        "canonical_documents": _q_canonical_documents,
         "resample_events": _q_resample_events,
         # (kmeans/semdedup are rows-only and were judge-verified locally
         # in r03; oracle-backed entries outrank them for window slots)
@@ -2699,6 +2732,16 @@ def _strip_markup_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "dedup_minhash_documents": _minhash_md5_oracle(),
+        "canonical_documents": f"""
+            SELECT c.cluster_id, d.doc_id,
+                   CAST(length(d.text) AS BIGINT) AS n_chars
+            FROM ({_minhash_md5_oracle()}) c
+            JOIN documents d USING (doc_id)
+            QUALIFY row_number() OVER (
+                PARTITION BY c.cluster_id
+                ORDER BY length(d.text) DESC, d.doc_id) = 1
+            ORDER BY c.cluster_id
+        """,
         "clicks_before_purchase": """
             SELECT p.event_id, p.user_id,
                    count(c.user_id) AS n_clicks
