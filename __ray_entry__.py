@@ -2008,6 +2008,41 @@ def _q_pagerank_parts(sf_dir: str):
     return pagerank(edges, iters=3).sort("node")
 
 
+def _q_delta_documents(sf_dir: str):
+    """Snapshot delta audit between two planted corpus versions
+    (ops/join.delta_by_key): left drops doc_id%4==1, right drops
+    %4==2 and rewrites %4==3 — so added/removed/changed each appear;
+    %4==0 is unchanged and must emit nothing.  The exchange ships
+    (key, content hash) only."""
+    from biocurator_mapper_ray.ops.join import delta_by_key
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def snap(batch: pa.Table, *, right: bool) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        mod = ids % 4
+        keep = pa.array(mod != (1 if not right else 2))
+        t = batch.filter(keep)
+        if right:
+            ids2 = t.column("doc_id").to_numpy(zero_copy_only=False)
+            bump = pa.array(ids2 % 4 == 3)
+            txt = pc.if_else(
+                bump,
+                pc.binary_join_element_wise(
+                    t.column("text"),
+                    pa.array([" v2"] * len(t), pa.string()), ""),
+                t.column("text"))
+            t = pa.table({"doc_id": t.column("doc_id"), "text": txt})
+        return t
+
+    left = ds.map_batches(snap, fn_kwargs={"right": False},
+                          batch_format="pyarrow")
+    right = ds.map_batches(snap, fn_kwargs={"right": True},
+                           batch_format="pyarrow")
+    return delta_by_key(left, right, key="doc_id",
+                        compare=["text"]).sort("doc_id")
+
+
 def _q_canonical_documents(sf_dir: str):
     """End-to-end near-dup curation: MinHash md5-mode clusters →
     keep the LONGEST document per cluster (ties → smallest doc_id) —
@@ -2424,6 +2459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intersect_all_events": _q_intersect_all_events,
         "sq8_knn_embeddings": _q_sq8_knn_embeddings,  # rows-only
         "canonical_documents": _q_canonical_documents,
+        "delta_documents": _q_delta_documents,
         "resample_events": _q_resample_events,
         # (kmeans/semdedup are rows-only and were judge-verified locally
         # in r03; oracle-backed entries outrank them for window slots)
@@ -2732,6 +2768,22 @@ def _strip_markup_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "dedup_minhash_documents": _minhash_md5_oracle(),
+        "delta_documents": """
+            WITH l AS (SELECT doc_id, text FROM documents
+                       WHERE doc_id % 4 <> 1),
+            r AS (SELECT doc_id,
+                         CASE WHEN doc_id % 4 = 3 THEN text || ' v2'
+                              ELSE text END AS text
+                  FROM documents WHERE doc_id % 4 <> 2)
+            SELECT coalesce(l.doc_id, r.doc_id) AS doc_id,
+                   CASE WHEN l.doc_id IS NULL THEN 'added'
+                        WHEN r.doc_id IS NULL THEN 'removed'
+                        ELSE 'changed' END AS change
+            FROM l FULL JOIN r ON l.doc_id = r.doc_id
+            WHERE l.doc_id IS NULL OR r.doc_id IS NULL
+               OR l.text <> r.text
+            ORDER BY doc_id
+        """,
         "canonical_documents": f"""
             SELECT c.cluster_id, d.doc_id,
                    CAST(length(d.text) AS BIGINT) AS n_chars

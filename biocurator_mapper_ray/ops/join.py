@@ -549,3 +549,63 @@ def bag_set_op(left, right, *, left_on: str, right_on: str | None = None,
     return both.groupby("__kb").map_groups(
         lambda g: per_bucket(g.drop(columns="__kb")),
         batch_format="pandas")
+
+
+def delta_by_key(left, right, *, key: str, compare: list[str],
+                 buckets: int | None = None, size_hint: int | None = None):
+    """Row-level snapshot delta between two keyed tables: for every key
+    present in either side, emit ``change`` ∈ {'added', 'removed',
+    'changed'} — 'added' = only in ``right`` (the new snapshot),
+    'removed' = only in ``left``, 'changed' = in both with any
+    ``compare`` column differing; unchanged keys emit nothing.  The
+    incremental-corpus audit artifact (what moved between crawls).
+
+    Lean exchange: each side ships (key, xxhash64 of the compare
+    columns) — payloads never move; ONE salted key-hash exchange
+    decides the change type per key.  Keys must be unique per side
+    (snapshot semantics); duplicates raise in the bucket task.
+    """
+    n_buckets = _join_buckets(buckets, size_hint, left, right)
+
+    def lean(ds, side):
+        def prep(batch: pa.Table) -> pa.Table:
+            h = np.zeros(len(batch), dtype=np.uint64)
+            for c in compare:
+                h ^= hash64_column(batch.column(c)) * np.uint64(
+                    0x9E3779B97F4A7C15)
+                h = (h << np.uint64(13)) | (h >> np.uint64(51))
+            kb = (hash64_column(batch.column(key))
+                  % np.uint64(n_buckets)).astype(np.int32)
+            return pa.table({
+                key: batch.column(key),
+                "__h": pa.array(h.view(np.int64)),
+                "__kb": pa.array(kb),
+                "__side": pa.array(np.full(len(batch), side, dtype=np.int8)),
+            })
+
+        return ds.map_batches(prep, batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        key_type = (pa.string() if g[key].dtype == object
+                    else pa.from_numpy_dtype(g[key].dtype))
+        if g.duplicated([key, "__side"]).any():
+            raise ValueError("delta_by_key: duplicate keys within a side")
+        piv = g.pivot_table(index=key, columns="__side", values="__h",
+                            aggfunc="first")
+        l = piv[0] if 0 in piv.columns else pd.Series(index=piv.index,
+                                                      dtype="float64")
+        r = piv[1] if 1 in piv.columns else pd.Series(index=piv.index,
+                                                      dtype="float64")
+        change = np.where(l.isna(), "added",
+                          np.where(r.isna(), "removed",
+                                   np.where(l != r, "changed", "")))
+        keep = change != ""
+        return pa.table({
+            key: pa.array(piv.index.to_numpy()[keep], key_type),
+            "change": pa.array(change[keep].astype(object), pa.string()),
+        })
+
+    both = lean(left, 0).union(lean(right, 1))
+    return both.groupby("__kb").map_groups(
+        lambda g: per_bucket(g.drop(columns="__kb")),
+        batch_format="pandas")

@@ -448,3 +448,26 @@ class TestBagSetOp:
         ds = rd.from_items([{"k": 1}])
         with pytest.raises(ValueError):
             bag_set_op(ds, ds, left_on="k", op="union_all")
+
+
+class TestDeltaByKey:
+    def test_change_types(self, ray_session):
+        import ray.data as rd
+        from biocurator_mapper_ray.ops.join import delta_by_key
+
+        l = rd.from_pandas(pd.DataFrame({
+            "k": [1, 2, 3], "v": ["a", "b", "c"]}))
+        r = rd.from_pandas(pd.DataFrame({
+            "k": [2, 3, 4], "v": ["b", "CHANGED", "d"]}))
+        got = delta_by_key(l, r, key="k", compare=["v"]).to_pandas() \
+            .set_index("k")["change"]
+        assert got.to_dict() == {1: "removed", 3: "changed", 4: "added"}
+        # k=2 unchanged -> absent
+
+    def test_duplicate_keys_raise(self, ray_session):
+        import ray.data as rd
+        from biocurator_mapper_ray.ops.join import delta_by_key
+
+        dup = rd.from_pandas(pd.DataFrame({"k": [1, 1], "v": ["a", "b"]}))
+        with pytest.raises(Exception):
+            delta_by_key(dup, dup, key="k", compare=["v"]).to_pandas()
