@@ -2008,6 +2008,16 @@ def _q_pagerank_parts(sf_dir: str):
     return pagerank(edges, iters=3).sort("node")
 
 
+def _q_max_streak_events(sf_dir: str):
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands window (ops/window.max_streak): distinct
+    (user, day) map-side, vectorized island detection per bucket."""
+    from biocurator_mapper_ray.ops.window import max_streak
+
+    events = _read(sf_dir, "events", columns=["user_id", "ts"])
+    return max_streak(events, key="user_id", ts="ts").sort("user_id")
+
+
 def _q_delta_documents(sf_dir: str):
     """Snapshot delta audit between two planted corpus versions
     (ops/join.delta_by_key): left drops doc_id%4==1, right drops
@@ -2460,6 +2470,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sq8_knn_embeddings": _q_sq8_knn_embeddings,  # rows-only
         "canonical_documents": _q_canonical_documents,
         "delta_documents": _q_delta_documents,
+        "max_streak_events": _q_max_streak_events,
         "resample_events": _q_resample_events,
         # (kmeans/semdedup are rows-only and were judge-verified locally
         # in r03; oracle-backed entries outrank them for window slots)
@@ -2768,6 +2779,26 @@ def _strip_markup_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "dedup_minhash_documents": _minhash_md5_oracle(),
+        "max_streak_events": """
+            WITH pairs AS (
+                SELECT DISTINCT user_id, date_trunc('day', ts) AS p
+                FROM events),
+            r AS (
+                SELECT user_id, p,
+                       CAST(epoch(p) AS BIGINT) // 86400
+                       - row_number() OVER (PARTITION BY user_id
+                                            ORDER BY p) AS island
+                FROM pairs),
+            runs AS (
+                SELECT user_id, island, CAST(count(*) AS BIGINT) AS len
+                FROM r GROUP BY user_id, island)
+            SELECT m.user_id, n.n_periods, m.max_streak
+            FROM (SELECT user_id, max(len) AS max_streak
+                  FROM runs GROUP BY user_id) m
+            JOIN (SELECT user_id, CAST(count(*) AS BIGINT) AS n_periods
+                  FROM pairs GROUP BY user_id) n USING (user_id)
+            ORDER BY m.user_id
+        """,
         "delta_documents": """
             WITH l AS (SELECT doc_id, text FROM documents
                        WHERE doc_id % 4 <> 1),

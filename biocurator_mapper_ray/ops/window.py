@@ -514,3 +514,52 @@ def forward_fill(ds, *, key: str, ts: str, tiebreak: str, value: str,
     return _with_key_bucket(ds, key, _window_buckets(ds, buckets, size_hint)) \
         .groupby("__kb").map_groups(_per_bucket(per_bucket),
                                     batch_format="pandas")
+
+
+def max_streak(ds, *, key: str, ts: str, unit: str = "day"):
+    """Longest run of CONSECUTIVE active periods per key (the
+    gaps-and-islands problem: "longest daily-activity streak per
+    user").  Returns (key, n_periods:int64, max_streak:int64).
+
+    Scale shape: each batch reduces to its DISTINCT (key, period)
+    pairs map-side (periods×keys exchange, never row-scale); the
+    key-bucketed finish sorts a key's periods once and finds islands
+    vectorized — ``period − rank(period)`` is constant within an
+    island (the classic trick), sized with one groupby size.
+    """
+    import pyarrow as pa
+
+    freq = {"day": "D", "hour": "h", "week": "W"}[unit]
+    np_unit = {"day": "D", "hour": "h", "week": "W"}[unit]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["__p"] = df[ts].dt.floor(freq)
+        out = df[[key, "__p"]].drop_duplicates()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates([key, "__p"]) \
+             .sort_values([key, "__p"], kind="mergesort")
+        pos = g.groupby(key, sort=False).cumcount().to_numpy()
+        # unit-count since epoch, independent of the column's storage
+        # resolution (pandas 2 round-trips timestamps as datetime64[us];
+        # a raw int64 view would be unit-dependent)
+        pnum = g["__p"].to_numpy().astype(
+            f"datetime64[{np_unit}]").astype(np.int64)
+        island = pnum - pos  # constant within a consecutive run
+        runs = (pd.DataFrame({key: g[key].to_numpy(), "__i": island})
+                .groupby([key, "__i"], sort=False).size()
+                .reset_index(name="__len"))
+        out = runs.groupby(key, sort=False)["__len"].max() \
+                  .reset_index(name="max_streak")
+        n = g.groupby(key, sort=False).size().reset_index(name="n_periods")
+        return n.merge(out, on=key)
+
+    from ..functions.hashing import hash64_column  # noqa: F401 (doc)
+
+    pairs = ds.map_batches(partial, batch_format="pyarrow")
+    n_buckets = _window_buckets(ds, None, None)
+    return (_with_key_bucket(pairs, key, n_buckets)
+            .groupby("__kb").map_groups(_per_bucket(finish),
+                                        batch_format="pandas"))

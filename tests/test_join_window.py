@@ -471,3 +471,29 @@ class TestDeltaByKey:
         dup = rd.from_pandas(pd.DataFrame({"k": [1, 1], "v": ["a", "b"]}))
         with pytest.raises(Exception):
             delta_by_key(dup, dup, key="k", compare=["v"]).to_pandas()
+
+
+class TestMaxStreak:
+    def test_hand_built_streaks(self, ray_session):
+        import ray.data as rd
+        from biocurator_mapper_ray.ops.window import max_streak
+
+        def day(d):
+            return pd.Timestamp(f"2024-01-{d:02d} 10:00")
+
+        rows = (
+            # u1: days 1,2,3 then 5,6 -> n=5, streak=3
+            [{"u": "u1", "ts": day(d)} for d in (1, 2, 3, 5, 6)]
+            # u1 again on day 2 (same day twice, distinct-day rule)
+            + [{"u": "u1", "ts": pd.Timestamp("2024-01-02 23:00")}]
+            # u2: isolated days -> streak 1
+            + [{"u": "u2", "ts": day(d)} for d in (1, 3, 5)]
+            # u3: one long run
+            + [{"u": "u3", "ts": day(d)} for d in range(10, 17)]
+        )
+        got = max_streak(rd.from_items(rows).repartition(3), key="u",
+                         ts="ts").to_pandas().set_index("u")
+        assert got.loc["u1", "n_periods"] == 5
+        assert got.loc["u1", "max_streak"] == 3
+        assert got.loc["u2", "max_streak"] == 1
+        assert got.loc["u3", "max_streak"] == 7
