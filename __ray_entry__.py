@@ -2008,6 +2008,18 @@ def _q_pagerank_parts(sf_dir: str):
     return pagerank(edges, iters=3).sort("node")
 
 
+def _q_heavy_hitters(sf_dir: str):
+    """Exact frequent tokens (count ≥ 200) by Misra-Gries
+    sketch-then-verify (ops/sketch.heavy_hitters): the summary exchange
+    is ≤ summary_k rows per batch regardless of vocabulary, the MG
+    bound makes the candidate filter false-negative-free, and the
+    broadcast recheck restores SQL HAVING exactness."""
+    from biocurator_mapper_ray.ops.sketch import heavy_hitters
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return heavy_hitters(ds, threshold=200, summary_k=64)
+
+
 def _q_max_streak_events(sf_dir: str):
     """Longest consecutive-day activity streak per user — the
     gaps-and-islands window (ops/window.max_streak): distinct
@@ -2471,6 +2483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_documents": _q_canonical_documents,
         "delta_documents": _q_delta_documents,
         "max_streak_events": _q_max_streak_events,
+        "heavy_hitters_documents": _q_heavy_hitters,
         "resample_events": _q_resample_events,
         # (kmeans/semdedup are rows-only and were judge-verified locally
         # in r03; oracle-backed entries outrank them for window slots)
@@ -2779,6 +2792,18 @@ def _strip_markup_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "dedup_minhash_documents": _minhash_md5_oracle(),
+        "heavy_hitters_documents": """
+            WITH toks AS (
+                SELECT unnest(regexp_split_to_array(
+                           regexp_replace(lower(text),
+                                          '^\\s+|\\s+$', '', 'g'),
+                           '\\s+')) AS token
+                FROM documents)
+            SELECT token, CAST(count(*) AS BIGINT) AS n
+            FROM toks WHERE token <> ''
+            GROUP BY token HAVING count(*) >= 200
+            ORDER BY token
+        """,
         "max_streak_events": """
             WITH pairs AS (
                 SELECT DISTINCT user_id, date_trunc('day', ts) AS p

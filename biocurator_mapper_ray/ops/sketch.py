@@ -367,3 +367,134 @@ def bloom_semi_join(left, right, left_on: str, right_on: str, *,
                      left_columns=lcols,
                      right_columns=[right_on],
                      size_hint=size_hint)
+
+
+def heavy_hitters(ds, *, text_column: str = "text", threshold: int,
+                  summary_k: int = 256, shards: int = 32):
+    """EXACT frequent tokens (count ≥ ``threshold``) via a Misra-Gries
+    style sketch-then-verify — the bounded-memory path when batch
+    vocabularies are too large to ship whole (open-vocabulary web text):
+
+    1. **Sketch pass**: each batch counts its tokens exactly
+       (vectorized), then COMPRESSES to ≤ ``summary_k`` entries by the
+       MG decrement — subtract the (k+1)-th largest count from every
+       entry and drop non-positives.  A token's per-batch undercount is
+       ≤ that decrement d_b; the batch also emits d_b.  The exchange
+       ships ≤ summary_k rows per batch regardless of vocabulary.
+    2. **Candidates**: after summing summaries, true_count ∈
+       [est, est + Σd_b], so every token with true count ≥ threshold
+       satisfies est + Σd_b ≥ threshold — the candidate filter has NO
+       false negatives by the MG guarantee.
+    3. **Verify pass**: the (small) candidate set broadcasts via
+       ``ray.put``; one more streaming pass counts ONLY candidates
+       exactly, and the final filter is the exact SQL
+       ``HAVING count(*) >= threshold``.
+
+    Returns (token, n) exact rows.  Choose ``summary_k`` ≳
+    total_tokens / threshold so candidates stay small."""
+    import ray
+
+    from ..functions.hashing import hash64_column
+
+    def tokenize(batch: pa.Table) -> pa.ChunkedArray:
+        toks = pc.list_flatten(pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(
+                pc.utf8_lower(batch.column(text_column))), r"\s+"))
+        return toks.filter(pc.not_equal(toks, ""))
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        toks = tokenize(batch)
+        if len(toks) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "__err": pa.array([], pa.int64()),
+                             "__s": pa.array([], pa.int32())})
+        g = pa.table({"token": toks}).group_by(["token"]).aggregate(
+            [("token", "count")])
+        names = g.column("token")
+        counts = g.column("token_count").to_numpy().astype(np.int64)
+        d = 0
+        if len(counts) > summary_k:
+            d = int(np.partition(counts, -summary_k - 1)[-summary_k - 1])
+            keep = counts > d
+            names = names.filter(pa.array(keep))
+            counts = counts[keep] - d
+        err_row = pa.table({"token": pa.array([""], pa.string()),
+                            "n": pa.array([0], pa.int64()),
+                            "__err": pa.array([d], pa.int64()),
+                            "__s": pa.array([-1], pa.int32())})
+        salt = (hash64_column(names) % np.uint64(shards)).astype(np.int32)
+        body = pa.table({"token": names,
+                         "n": pa.array(counts),
+                         "__err": pa.array(np.zeros(len(counts),
+                                                    dtype=np.int64)),
+                         "__s": pa.array(salt)})
+        return pa.concat_tables([body, err_row])
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("token", sort=False)[["n", "__err"]].sum() \
+               .reset_index()
+        return out
+
+    summary = (ds.map_batches(summarize, batch_format="pyarrow")
+               .groupby("__s")
+               .map_groups(lambda g: combine(g.drop(columns="__s")),
+                           batch_format="pandas")
+               .to_pandas())
+    if summary.empty:
+        return pd.DataFrame({"token": pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype="int64")})
+    total_err = int(summary["__err"].sum())
+    body = summary[summary["token"] != ""]
+    if total_err >= threshold:
+        # a token dropped from EVERY summary has est = 0 and could
+        # still reach the threshold — the sketch is uninformative at
+        # this (summary_k, threshold) pair, so the candidate set is
+        # formally "all tokens".  Verify exactly over everything
+        # (vocab-scale exchange, the word_counts shape) instead of
+        # silently missing hitters; raise summary_k to restore the
+        # bounded-exchange path (need Σ d_b < threshold, i.e.
+        # summary_k ≳ total_tokens / threshold).
+        import warnings
+
+        warnings.warn(
+            f"heavy_hitters: summary error {total_err} ≥ threshold "
+            f"{threshold}; falling back to the exact full-vocabulary "
+            "pass — raise summary_k for the bounded-exchange path",
+            stacklevel=2)
+        cand_ref = None
+    else:
+        cands = body.loc[body["n"] + total_err >= threshold, "token"]
+        cand_set = set(cands.tolist())
+        if not cand_set:
+            return pd.DataFrame({"token": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        cand_ref = ray.put(cand_set)
+
+    def recount(batch: pa.Table, cand_ref=cand_ref) -> pa.Table:
+        toks = tokenize(batch)
+        if len(toks) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        if cand_ref is not None:
+            cset = ray.get(cand_ref) if not isinstance(cand_ref, set) \
+                else cand_ref
+            mask = pa.array(pd.Series(
+                toks.to_numpy(zero_copy_only=False)).isin(cset).to_numpy())
+            toks = toks.filter(mask)
+        g = pa.table({"token": toks}).group_by(["token"]).aggregate(
+            [("token", "count")])
+        return pa.table({"token": g.column("token"),
+                         "n": pc.cast(g.column("token_count"),
+                                      pa.int64())})
+
+    exact = (ds.map_batches(recount, batch_format="pyarrow")
+             .groupby("token").sum("n").to_pandas()
+             .rename(columns={"sum(n)": "n"}))
+    if exact.empty:
+        return pd.DataFrame({"token": pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype="int64")})
+    exact["n"] = exact["n"].astype("int64")
+    out = exact[exact["n"] >= threshold].sort_values("token") \
+        .reset_index(drop=True)
+    return out[["token", "n"]]

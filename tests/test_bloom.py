@@ -162,3 +162,37 @@ class TestNovelAgainst:
                              {"doc_id": 2, "text": "same"}])
         base = rd.from_items([{"doc_id": 9, "text": "other"}])
         assert novel_against(new, base).count() == 2
+
+
+class TestHeavyHitters:
+    def test_exact_vs_brute_force_with_tight_summary(self, ray_session):
+        import collections
+
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.sketch import heavy_hitters
+
+        rng = np.random.default_rng(3)
+        # zipf-ish: few frequent tokens + a long tail, many batches
+        vocab = [f"tok{i}" for i in range(300)]
+        probs = np.array([1.0 / (i + 1) for i in range(300)])
+        probs /= probs.sum()
+        docs = [" ".join(rng.choice(vocab, size=40, p=probs))
+                for _ in range(200)]
+        ds = rd.from_pandas(pd.DataFrame({"text": docs})).repartition(8)
+        counter = collections.Counter(
+            t for d in docs for t in d.lower().split())
+        for thr in (50, 150):
+            got = heavy_hitters(ds, threshold=thr, summary_k=16)
+            want = {t: c for t, c in counter.items() if c >= thr}
+            assert dict(zip(got["token"], got["n"])) == want, thr
+
+    def test_empty_and_no_hitters(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.sketch import heavy_hitters
+
+        ds = rd.from_pandas(pd.DataFrame({"text": ["a b", "c"]}))
+        assert len(heavy_hitters(ds, threshold=10)) == 0
+        empty = ds.filter(lambda r: False)
+        assert len(heavy_hitters(empty, threshold=1)) == 0
