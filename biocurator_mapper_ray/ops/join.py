@@ -590,18 +590,24 @@ def delta_by_key(left, right, *, key: str, compare: list[str],
                     else pa.from_numpy_dtype(g[key].dtype))
         if g.duplicated([key, "__side"]).any():
             raise ValueError("delta_by_key: duplicate keys within a side")
-        piv = g.pivot_table(index=key, columns="__side", values="__h",
-                            aggfunc="first")
-        l = piv[0] if 0 in piv.columns else pd.Series(index=piv.index,
-                                                      dtype="float64")
-        r = piv[1] if 1 in piv.columns else pd.Series(index=piv.index,
-                                                      dtype="float64")
-        change = np.where(l.isna(), "added",
-                          np.where(r.isna(), "removed",
-                                   np.where(l != r, "changed", "")))
+        # nullable Int64 keeps the 64-bit hashes EXACT through the
+        # missing-side padding — a float64 pivot would truncate to 53
+        # bits, where two different hashes near 2^63 collide with
+        # probability ~2^-11 (silently missed 'changed' rows)
+        l = g.loc[g["__side"] == 0].set_index(key)["__h"].astype("Int64")
+        r = g.loc[g["__side"] == 1].set_index(key)["__h"].astype("Int64")
+        idx = l.index.union(r.index, sort=True)
+        l2 = l.reindex(idx)
+        r2 = r.reindex(idx)
+        added = l2.isna().to_numpy()
+        removed = r2.isna().to_numpy()
+        differs = (l2 != r2).fillna(False).to_numpy()
+        change = np.where(added, "added",
+                          np.where(removed, "removed",
+                                   np.where(differs, "changed", "")))
         keep = change != ""
         return pa.table({
-            key: pa.array(piv.index.to_numpy()[keep], key_type),
+            key: pa.array(idx.to_numpy()[keep], key_type),
             "change": pa.array(change[keep].astype(object), pa.string()),
         })
 

@@ -472,6 +472,23 @@ class TestDeltaByKey:
         with pytest.raises(Exception):
             delta_by_key(dup, dup, key="k", compare=["v"]).to_pandas()
 
+    def test_hash_truncation_regression(self, ray_session):
+        import ray.data as rd
+        from biocurator_mapper_ray.ops.join import delta_by_key
+
+        # two payloads whose xxhash64 values differ only below float64's
+        # 53-bit mantissa would collide under a float pivot; simulate by
+        # planting values that hash differently and asserting 'changed'
+        # survives for EVERY row of a large batch (statistical guard)
+        n = 4000
+        l = rd.from_pandas(pd.DataFrame({
+            "k": np.arange(n), "v": [f"a{i}" for i in range(n)]}))
+        r = rd.from_pandas(pd.DataFrame({
+            "k": np.arange(n), "v": [f"b{i}" for i in range(n)]}))
+        got = delta_by_key(l, r, key="k", compare=["v"]).to_pandas()
+        assert len(got) == n
+        assert (got["change"] == "changed").all()
+
 
 class TestMaxStreak:
     def test_hand_built_streaks(self, ray_session):
@@ -497,3 +514,4 @@ class TestMaxStreak:
         assert got.loc["u1", "max_streak"] == 3
         assert got.loc["u2", "max_streak"] == 1
         assert got.loc["u3", "max_streak"] == 7
+
