@@ -632,6 +632,10 @@ def _pagerank_pinned(lean, node_deg, n_nodes: int, damping: float,
                 continue
             pos = idx.get_indexer(p.column("node").to_numpy(
                 zero_copy_only=False))
+            if (pos < 0).any():  # would silently scatter to index -1
+                raise RuntimeError(
+                    "pagerank: destination node missing from its rank "
+                    "shard — src/dst bucketing hashes disagree")
             np.add.at(sums, pos, p.column("c").to_numpy())
         rank = base + d * sums
         dang = shard.column("dang").to_numpy(zero_copy_only=False)

@@ -510,7 +510,12 @@ def grouped_quantiles_cont(ds, column: str, group_col: str,
     def minmax(batch: pa.Table) -> pa.Table:
         df = batch.select([group_col, column]).to_pandas()
         if df.empty:
-            return pa.table({group_col: pa.array([], pa.string()),
+            # keep the group column's REAL type on empty blocks — a
+            # string-typed empty would poison the union's schema when
+            # groups are integers
+            gt = (batch.schema.field(group_col).type
+                  if group_col in batch.schema.names else pa.string())
+            return pa.table({group_col: pa.array([], gt),
                              "lo": pa.array([], pa.uint64()),
                              "hi": pa.array([], pa.uint64()),
                              "n": pa.array([], pa.int64())})
