@@ -458,9 +458,11 @@ def sq8_encode(ds, bounds, *, vec_column: str = "embedding",
         codes = np.clip(np.rint((mat - lo) * (255.0 / span)),
                         0, 255).astype(np.uint8) if len(mat) else \
             np.zeros((0, len(lo)), dtype=np.uint8)
-        col = pa.array(list(codes.tobytes()[i * codes.shape[1]:
-                                            (i + 1) * codes.shape[1]]
-                            for i in range(len(codes))), pa.binary())
+        # fixed_size_binary over one contiguous buffer: zero per-row
+        # Python, zero copies beyond the single tobytes
+        col = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(len(lo)), len(codes),
+            [None, pa.py_buffer(codes.tobytes())])
         out = batch.drop_columns([vec_column])
         return out.append_column(code_column, col)
 
@@ -491,9 +493,15 @@ def sq8_knn(codes_ds, bounds, queries: np.ndarray, *, k: int = 10,
                              id_column: pa.array([], pa.int64()),
                              "cosine": pa.array([], pa.float32())})
         d = len(lo)
-        raw = np.frombuffer(
-            b"".join(batch.column(code_column).to_pylist()),
-            dtype=np.uint8).reshape(n, d)
+        arr = batch.column(code_column)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if pa.types.is_fixed_size_binary(arr.type):
+            buf = np.frombuffer(arr.buffers()[1], dtype=np.uint8)
+            raw = buf[arr.offset * d:(arr.offset + n) * d].reshape(n, d)
+        else:  # plain binary column (e.g. read back from parquet)
+            raw = np.frombuffer(b"".join(arr.to_pylist()),
+                                dtype=np.uint8).reshape(n, d)
         span = (hi - lo).astype(np.float32)
         span[span == 0] = 1.0
         mat = _normalize(raw.astype(np.float32) * (span / 255.0) + lo)
