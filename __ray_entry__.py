@@ -2008,6 +2008,74 @@ def _q_pagerank_parts(sf_dir: str):
     return pagerank(edges, iters=3).sort("node")
 
 
+def _bipartite_edges(sf_dir: str):
+    """Supplier→part edges with disjoint int64 node id spaces
+    (suppliers negated), shared by the degree/pagerank graph queries."""
+    li = _read(sf_dir, "lineitem", columns=["l_suppkey", "l_partkey"])
+    return li.map_batches(
+        lambda t: pa.table({
+            "src": pc.negate(pc.cast(t.column("l_suppkey"), pa.int64())),
+            "dst": pc.cast(t.column("l_partkey"), pa.int64()),
+        }),
+        batch_format="pyarrow")
+
+
+def _q_degree_histogram(sf_dir: str):
+    """Degree distribution of the undirected supplier↔part graph
+    (ops/graph.degree_histogram): distinct_edges canonicalizes with one
+    pair-hash exchange, node_degrees counts with one node-hash exchange
+    whose buckets hold each node completely (so per-bucket histograms
+    are valid partials), and the final groupby moves only histogram
+    rows — never node- or edge-scale data."""
+    from biocurator_mapper_ray.ops.graph import degree_histogram
+
+    return degree_histogram(_bipartite_edges(sf_dir)).sort("degree")
+
+
+def _q_triangle_count(sf_dir: str):
+    """Exact triangle count over a folded part/supplier graph
+    (ops/graph.triangle_count): degree-oriented compact-forward — edges
+    point low→high degree so out-lists are O(√m) even at power-law
+    hubs, wedges expand inside hash(tail) buckets pre-aggregated to
+    pair counts, and closure is a bucketed semi-join against the
+    canonical edge set.  Node ids are folded mod 401 so the graph is
+    non-bipartite and actually contains triangles."""
+    from biocurator_mapper_ray.ops.graph import triangle_count
+
+    li = _read(sf_dir, "lineitem", columns=["l_suppkey", "l_partkey"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        p = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        s = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        return pa.table({"src": pa.array(p % 401, type=pa.int64()),
+                         "dst": pa.array(s % 401, type=pa.int64())})
+
+    return triangle_count(li.map_batches(fold, batch_format="pyarrow"))
+
+
+def _q_pair_counts(sf_dir: str):
+    """Market-basket pair counting (ops/graph.grouped_pair_counts):
+    baskets are orders, items the part id folded into 25 'brands' so
+    the pair domain stays bounded — the same allow-list discipline
+    cooccur_edges uses.  Two bounded exchanges: hash(basket) buckets
+    dedup + expand pairs via the repeat/cumsum all-pairs index and
+    pre-aggregate, then a salted pair exchange sums the partials."""
+    from biocurator_mapper_ray.ops.graph import grouped_pair_counts
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def brand(t: pa.Table) -> pa.Table:
+        p = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        item = pc.binary_join_element_wise(
+            "b", pc.cast(pa.array(p % 25, type=pa.int64()), pa.string()),
+            "")
+        return pa.table({"basket": t.column("l_orderkey"), "item": item})
+
+    ds = li.map_batches(brand, batch_format="pyarrow")
+    return grouped_pair_counts(ds, group_col="basket", item_col="item",
+                               min_count=2).sort(["item_a", "item_b"])
+
+
 def _q_heavy_hitters(sf_dir: str):
     """Exact frequent tokens (count ≥ 200) by Misra-Gries
     sketch-then-verify (ops/sketch.heavy_hitters): the summary exchange
@@ -2463,6 +2531,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "except_custkeys": _q_except_custkeys,
         "linfit_lineitem": _q_linfit_lineitem,
         "pagerank_parts": _q_pagerank_parts,
+        # oracle-backed, new this session — past the 50-entry driver
+        # window now; re-window to the front in round 5
+        "degree_histogram_parts": _q_degree_histogram,
+        "triangle_count_parts": _q_triangle_count,
+        "pair_counts_lineitem": _q_pair_counts,
         # --- slot 51+ (past the driver's 50-entry snapshot) ---
         # round-4 ops verified by scripts/check_oracle.py locally; demoted
         # to window the newest ops — re-window whichever lack green in r5
@@ -2792,6 +2865,46 @@ def _strip_markup_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "dedup_minhash_documents": _minhash_md5_oracle(),
+        "degree_histogram_parts": """
+            WITH e AS (
+                SELECT DISTINCT least(-l_suppkey, l_partkey) AS u,
+                                greatest(-l_suppkey, l_partkey) AS v
+                FROM lineitem WHERE -l_suppkey <> l_partkey
+            ), deg AS (
+                SELECT node, count(*) AS d FROM (
+                    SELECT u AS node FROM e
+                    UNION ALL SELECT v FROM e) t
+                GROUP BY node
+            )
+            SELECT CAST(d AS BIGINT) AS degree,
+                   CAST(count(*) AS BIGINT) AS n_nodes
+            FROM deg GROUP BY d ORDER BY degree
+        """,
+        "triangle_count_parts": """
+            WITH raw AS (
+                SELECT l_partkey % 401 AS a, l_suppkey % 401 AS b
+                FROM lineitem
+            ), e AS (
+                SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+                FROM raw WHERE a <> b
+            )
+            SELECT CAST(count(*) AS BIGINT) AS triangles
+            FROM e e1
+            JOIN e e2 ON e2.u = e1.v
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        "pair_counts_lineitem": """
+            WITH ded AS (
+                SELECT DISTINCT l_orderkey AS g,
+                       'b' || CAST(l_partkey % 25 AS VARCHAR) AS i
+                FROM lineitem
+            )
+            SELECT a.i AS item_a, b.i AS item_b,
+                   CAST(count(*) AS BIGINT) AS n_groups
+            FROM ded a JOIN ded b ON a.g = b.g AND a.i < b.i
+            GROUP BY 1, 2 HAVING count(*) >= 2
+            ORDER BY item_a, item_b
+        """,
         "heavy_hitters_documents": """
             WITH toks AS (
                 SELECT unnest(regexp_split_to_array(

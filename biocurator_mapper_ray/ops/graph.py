@@ -668,3 +668,288 @@ def _pagerank_pinned(lean, node_deg, n_nodes: int, damping: float,
 
     return rd.from_arrow_refs(
         [project.remote(s) for s, ok in zip(shards, live) if ok])
+
+
+# ------------------------------------------------- edge-set primitives
+
+
+def _pair_hash(u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Mixed 64-bit hash of an int node pair (vectorized, no strings)."""
+    P = np.uint64(0x9E3779B97F4A7C15)
+    h = u.astype(np.uint64) * P ^ (v.astype(np.uint64) + P)
+    h ^= h >> np.uint64(33)
+    return h * P
+
+
+def distinct_edges(edges, *, src: str = "src", dst: str = "dst",
+                   buckets: int = 64):
+    """Canonical distinct undirected edge set: self-loops dropped, each
+    edge emitted once as ``(u, v)`` with ``u < v``.
+
+    One pass map-side canonicalize + IN-BATCH dedup (lexsort on the
+    packed pair), then ONE hash-of-pair bucket exchange with a
+    per-bucket final dedup — the exchange ships each batch's distinct
+    pairs, never the raw multiplicity.  This is the normalization step
+    every undirected-graph analytics pass (degree stats, triangle
+    counting, clustering coefficient) starts from.
+    """
+    def canon(batch: pa.Table) -> pa.Table:
+        a = batch.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        u, v = np.minimum(a, b), np.maximum(a, b)
+        # in-batch distinct via lexsort + neighbor compare
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        if len(u):
+            first = np.ones(len(u), dtype=bool)
+            first[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
+            u, v = u[first], v[first]
+        bkt = (_pair_hash(u, v) % np.uint64(buckets)).astype(np.int32)
+        return pa.table({"u": pa.array(u), "v": pa.array(v),
+                         "__b": pa.array(bkt)})
+
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop_duplicates(["u", "v"])[["u", "v"]]
+        return out
+
+    return (edges.map_batches(canon, batch_format="pyarrow")
+                 .groupby("__b")
+                 .map_groups(dedup_bucket, batch_format="pandas"))
+
+
+def node_degrees(canon, *, buckets: int = 64):
+    """Per-node degree over a canonical distinct edge set
+    (:func:`distinct_edges` output) — map-side partial counts per batch
+    (both endpoints), one node-hash exchange, per-bucket final sum.
+    Returns a Dataset of ``(node:int64, deg:int64)``.
+    """
+    from ..functions.hashing import hash64_column
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        nodes, cnt = np.unique(np.concatenate([u, v]), return_counts=True)
+        bkt = (hash64_column(pa.array(nodes)) % np.uint64(buckets)) \
+            .astype(np.int32)
+        return pa.table({"node": pa.array(nodes),
+                         "c": pa.array(cnt.astype(np.int64)),
+                         "__b": pa.array(bkt)})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("node", sort=False, as_index=False)["c"].sum()
+        return out.rename(columns={"c": "deg"})
+
+    return (canon.map_batches(partial, batch_format="pyarrow")
+                 .groupby("__b")
+                 .map_groups(fold, batch_format="pandas"))
+
+
+def degree_histogram(edges, *, src: str = "src", dst: str = "dst",
+                     buckets: int = 64):
+    """Degree distribution of the undirected graph: ``(degree,
+    n_nodes)`` — the first diagnostic of any web/citation/co-occurrence
+    graph (power-law check, hub detection before a pagerank run).
+
+    Composition: :func:`distinct_edges` (one pair exchange) →
+    :func:`node_degrees` (one node exchange; a node's rows are complete
+    inside its bucket, so the bucket's ``deg → n_nodes`` histogram is a
+    valid PARTIAL) → one tiny ``groupby(degree)`` over per-bucket
+    histogram rows, never node-scale data.
+    """
+    from ray.data.aggregate import Sum
+
+    deg = node_degrees(distinct_edges(edges, src=src, dst=dst,
+                                      buckets=buckets), buckets=buckets)
+
+    def hist(batch: pa.Table) -> pa.Table:
+        d = batch.column("deg").to_numpy(zero_copy_only=False)
+        degs, cnt = np.unique(d, return_counts=True)
+        return pa.table({"degree": pa.array(degs.astype(np.int64)),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    out = (deg.map_batches(hist, batch_format="pyarrow")
+              .groupby("degree").aggregate(Sum("n", alias_name="n_nodes")))
+    return out
+
+
+def triangle_count(edges, *, src: str = "src", dst: str = "dst",
+                   buckets: int = 64):
+    """Exact triangle count of the undirected graph — the classic
+    compact-forward / degree-orientation algorithm, fully distributed.
+
+    Stages (every exchange is hash-bucketed, nothing node- or
+    edge-scale ever lands on the driver):
+
+    1. :func:`distinct_edges` — canonical distinct ``(u < v)`` set.
+    2. :func:`node_degrees` + two bucketed :func:`~.join.hash_join`
+       passes decorate each edge with both endpoint degrees.
+    3. Orient each edge low→high by ``(deg, id)``: out-degrees are then
+       bounded by O(√m), so the wedge expansion below is O(m^{3/2})
+       TOTAL regardless of hubs — the skew story for power-law graphs
+       (a 10⁸-degree hub never enumerates its neighbor pairs; its
+       edges all point INTO it).
+    4. Wedges: bucket oriented edges by hash(tail); within a bucket
+       every tail's out-list is complete, so the repeat/cumsum
+       all-pairs index (``_allpairs_index``) emits each wedge once,
+       pre-aggregated to ``(pair → wedge_count)`` before the exchange.
+    5. Close: wedge pairs ⋈ canonical edges on the pair hash — a
+       semi-join counting wedges whose closing edge exists; per-bucket
+       partial sums, then a scalar fold.
+
+    Returns the total as a 1-row pandas DataFrame ``{"triangles": n}``.
+    """
+    from .join import hash_join
+
+    canon = distinct_edges(edges, src=src, dst=dst, buckets=buckets)
+    deg = node_degrees(canon, buckets=buckets)
+
+    i64 = {"u": "int64", "v": "int64", "node": "int64", "deg": "int64"}
+    ju = hash_join(canon, deg, "u", "node",
+                   right_columns=["node", "deg"],
+                   left_dtypes={k: i64[k] for k in ("u", "v")},
+                   right_dtypes={k: i64[k] for k in ("node", "deg")},
+                   buckets=buckets)
+    ju = ju.map_batches(
+        lambda t: t.select(["u", "v", "deg"]).rename_columns(
+            ["u", "v", "du"]),
+        batch_format="pyarrow")
+    jv = hash_join(ju, deg, "v", "node",
+                   left_columns=["u", "v", "du"],
+                   right_columns=["node", "deg"],
+                   left_dtypes={"u": "int64", "v": "int64", "du": "int64"},
+                   right_dtypes={k: i64[k] for k in ("node", "deg")},
+                   buckets=buckets)
+
+    def orient(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        du = batch.column("du").to_numpy(zero_copy_only=False)
+        dv = batch.column("deg").to_numpy(zero_copy_only=False)
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        a = np.where(u_first, u, v)
+        b = np.where(u_first, v, u)
+        h = _pair_hash(a, np.zeros_like(a)) % np.uint64(buckets)
+        return pa.table({"a": pa.array(a), "b": pa.array(b),
+                         "__b": pa.array(h.astype(np.int32))})
+
+    oriented = jv.map_batches(orient, batch_format="pyarrow")
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        a = g["a"].to_numpy()
+        b = g["b"].to_numpy()
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        starts = np.ones(len(a), dtype=bool)
+        starts[1:] = a[1:] != a[:-1]
+        sizes = np.diff(np.append(np.nonzero(starts)[0], len(a)))
+        ia, ib = _allpairs_index(sizes)
+        if not len(ia):
+            return pd.DataFrame({"x": pd.Series([], dtype="int64"),
+                                 "y": pd.Series([], dtype="int64"),
+                                 "wc": pd.Series([], dtype="int64")})
+        x = np.minimum(b[ia], b[ib])
+        y = np.maximum(b[ia], b[ib])
+        df = pd.DataFrame({"x": x, "y": y})
+        out = df.groupby(["x", "y"], sort=False, as_index=False).size()
+        return out.rename(columns={"size": "wc"})
+
+    wedge_ds = oriented.groupby("__b").map_groups(
+        wedges, batch_format="pandas")
+
+    def tag_wedge(batch: pa.Table) -> pa.Table:
+        h = _pair_hash(batch.column("x").to_numpy(zero_copy_only=False),
+                       batch.column("y").to_numpy(zero_copy_only=False))
+        return pa.table({"x": batch.column("x"), "y": batch.column("y"),
+                         "wc": batch.column("wc"),
+                         "__side": pa.array(
+                             np.zeros(len(batch), dtype=np.int8)),
+                         "__e": pa.array(
+                             (h % np.uint64(buckets)).astype(np.int32))})
+
+    def tag_edge(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        h = _pair_hash(u, v)
+        return pa.table({"x": pa.array(u), "y": pa.array(v),
+                         "wc": pa.array(np.zeros(len(u), dtype=np.int64)),
+                         "__side": pa.array(np.ones(len(u), dtype=np.int8)),
+                         "__e": pa.array(
+                             (h % np.uint64(buckets)).astype(np.int32))})
+
+    both = wedge_ds.map_batches(tag_wedge, batch_format="pyarrow").union(
+        canon.map_batches(tag_edge, batch_format="pyarrow"))
+
+    def close(g: pd.DataFrame) -> pd.DataFrame:
+        w = g[g["__side"] == 0]
+        e = g[g["__side"] == 1][["x", "y"]]
+        if w.empty or e.empty:
+            return pd.DataFrame({"t": pd.Series([0], dtype="int64")})
+        m = w.merge(e, on=["x", "y"], how="inner")
+        return pd.DataFrame({"t": pd.Series([int(m["wc"].sum())],
+                                            dtype="int64")})
+
+    parts = both.groupby("__e").map_groups(close, batch_format="pandas")
+    total = int(parts.to_pandas()["t"].sum())
+    return pd.DataFrame({"triangles": pd.Series([total], dtype="int64")})
+
+
+def grouped_pair_counts(ds, *, group_col: str, item_col: str,
+                        min_count: int = 1, buckets: int = 64,
+                        shards: int = 32):
+    """Market-basket pair counting: for every unordered pair of DISTINCT
+    items appearing in the same group, the number of groups containing
+    both — :func:`cooccur_edges` generalized from within-row token sets
+    to a (group, item) column pair whose groups SPAN rows and batches.
+
+    Two bounded exchanges: (1) hash(group) co-locates each group, the
+    bucket task dedups (group, item), sorts, and expands pairs with the
+    repeat/cumsum all-pairs index, pre-aggregating ``pair → count``
+    inside the bucket; (2) a salted pair exchange sums bucket partials.
+    The pair space is bounded by (distinct items per group)² — cap the
+    item domain upstream (e.g. map SKUs to brands/categories) exactly
+    like ``cooccur_edges``'s ``vocab`` allow-list.
+    """
+    from ..functions.hashing import hash64_column
+
+    def tag(batch: pa.Table) -> pa.Table:
+        h = hash64_column(batch.column(group_col)) % np.uint64(buckets)
+        return pa.table({
+            "g": batch.column(group_col),
+            "i": pc.cast(batch.column(item_col), pa.string()),
+            "__b": pa.array(h.astype(np.int32))})
+
+    def expand(grp: pd.DataFrame) -> pd.DataFrame:
+        d = grp[["g", "i"]].drop_duplicates()
+        d = d.sort_values(["g", "i"], kind="stable")
+        sizes = d.groupby("g", sort=False).size().to_numpy()
+        ia, ib = _allpairs_index(sizes)
+        items = d["i"].to_numpy()
+        if not len(ia):
+            return pd.DataFrame({
+                "item_a": pd.Series([], dtype="object"),
+                "item_b": pd.Series([], dtype="object"),
+                "n_groups": pd.Series([], dtype="int64")})
+        df = pd.DataFrame({"item_a": items[ia], "item_b": items[ib]})
+        out = df.groupby(["item_a", "item_b"], sort=False,
+                         as_index=False).size()
+        return out.rename(columns={"size": "n_groups"})
+
+    pairs = (ds.map_batches(tag, batch_format="pyarrow")
+               .groupby("__b").map_groups(expand, batch_format="pandas"))
+
+    def salt(batch: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(batch.column("item_a"), pa.string()),
+            pc.cast(batch.column("item_b"), pa.string()), "\x1f")
+        s = hash64_column(key) % np.uint64(shards)
+        return batch.append_column("__s", pa.array(s.astype(np.int32)))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["item_a", "item_b"], sort=True,
+                        as_index=False)["n_groups"].sum()
+        return out[out["n_groups"] >= min_count]
+
+    return (pairs.map_batches(salt, batch_format="pyarrow")
+                 .groupby("__s").map_groups(combine, batch_format="pandas"))

@@ -241,3 +241,105 @@ class TestPagerank:
         ref = self._numpy_pagerank(E, 3)
         for n, r in ref.items():
             assert abs(a[n] - r) < 1e-12
+
+
+class TestEdgeSetPrimitives:
+    def _edges_ds(self, pairs):
+        import pandas as pd
+        import ray.data as rd
+
+        return rd.from_pandas(pd.DataFrame(
+            {"src": [a for a, _ in pairs], "dst": [b for _, b in pairs]}))
+
+    def test_distinct_edges_canonicalizes(self, ray_session):
+        from biocurator_mapper_ray.ops.graph import distinct_edges
+
+        # duplicates, both orientations, self-loop
+        pairs = [(1, 2), (2, 1), (1, 2), (3, 3), (2, 5), (5, 2), (0, 1)]
+        got = distinct_edges(self._edges_ds(pairs), buckets=4).to_pandas()
+        have = set(zip(got["u"], got["v"]))
+        assert have == {(1, 2), (2, 5), (0, 1)}
+
+    def test_node_degrees_and_histogram(self, ray_session):
+        import pandas as pd
+
+        from biocurator_mapper_ray.ops.graph import (
+            degree_histogram, distinct_edges, node_degrees)
+
+        rng = np.random.default_rng(7)
+        pairs = list(zip(rng.integers(0, 30, 300).tolist(),
+                         rng.integers(0, 30, 300).tolist()))
+        canon = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+        deg = {}
+        for u, v in canon:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+
+        got = node_degrees(
+            distinct_edges(self._edges_ds(pairs), buckets=8),
+            buckets=8).to_pandas()
+        assert dict(zip(got["node"], got["deg"])) == deg
+
+        hist = degree_histogram(self._edges_ds(pairs), buckets=8) \
+            .to_pandas().set_index("degree")["n_nodes"]
+        ref = pd.Series(list(deg.values())).value_counts()
+        assert dict(hist) == {int(k): int(v) for k, v in ref.items()}
+
+    def _brute_triangles(self, pairs, n):
+        A = np.zeros((n, n), dtype=np.int64)
+        for a, b in pairs:
+            if a != b:
+                A[a, b] = A[b, a] = 1
+        return int(np.trace(A @ A @ A) // 6)
+
+    def test_triangle_count_random_graph(self, ray_session):
+        from biocurator_mapper_ray.ops.graph import triangle_count
+
+        rng = np.random.default_rng(13)
+        pairs = list(zip(rng.integers(0, 25, 400).tolist(),
+                         rng.integers(0, 25, 400).tolist()))
+        got = triangle_count(self._edges_ds(pairs), buckets=4)
+        assert int(got["triangles"].iloc[0]) == \
+            self._brute_triangles(pairs, 25)
+
+    def test_triangle_count_known_and_empty(self, ray_session):
+        from biocurator_mapper_ray.ops.graph import triangle_count
+
+        # K4 has 4 triangles; duplicate/reversed edges must not inflate
+        k4 = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+              (1, 0), (2, 0), (3, 2)]
+        got = triangle_count(self._edges_ds(k4), buckets=3)
+        assert int(got["triangles"].iloc[0]) == 4
+
+        tri_free = [(0, 1), (1, 2), (2, 3), (3, 4)]
+        got = triangle_count(self._edges_ds(tri_free), buckets=3)
+        assert int(got["triangles"].iloc[0]) == 0
+
+    def test_grouped_pair_counts_matches_pandas(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.graph import grouped_pair_counts
+
+        rng = np.random.default_rng(21)
+        df = pd.DataFrame({
+            "basket": rng.integers(0, 40, 500),
+            "item": [f"i{x}" for x in rng.integers(0, 12, 500)]})
+        d = df.drop_duplicates()
+        m = d.merge(d, on="basket")
+        m = m[m["item_x"] < m["item_y"]]
+        ref = m.groupby(["item_x", "item_y"]).size()
+
+        got = grouped_pair_counts(
+            rd.from_pandas(df), group_col="basket", item_col="item",
+            buckets=8, shards=4).to_pandas()
+        assert dict(zip(zip(got["item_a"], got["item_b"]),
+                        got["n_groups"])) == \
+            {k: int(v) for k, v in ref.items()}
+
+        got2 = grouped_pair_counts(
+            rd.from_pandas(df), group_col="basket", item_col="item",
+            min_count=5, buckets=8, shards=4).to_pandas()
+        assert dict(zip(zip(got2["item_a"], got2["item_b"]),
+                        got2["n_groups"])) == \
+            {k: int(v) for k, v in ref.items() if v >= 5}
