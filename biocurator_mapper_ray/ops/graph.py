@@ -953,3 +953,78 @@ def grouped_pair_counts(ds, *, group_col: str, item_col: str,
 
     return (pairs.map_batches(salt, batch_format="pyarrow")
                  .groupby("__s").map_groups(combine, batch_format="pandas"))
+
+
+def common_neighbors(edges, *, src: str = "src", dst: str = "dst",
+                     min_count: int = 1, max_degree: int | None = None,
+                     buckets: int = 64, shards: int = 32):
+    """Common-neighbor counts for every node pair sharing ≥
+    ``min_count`` neighbors — the basic link-prediction / node-
+    similarity primitive (the numerator of Jaccard / Adamic-Adar).
+
+    Composition: :func:`distinct_edges` canonicalizes, each edge is
+    expanded to both ``(center, neighbor)`` directions, ONE
+    hash(center) exchange co-locates every center's full adjacency,
+    and the bucket task expands neighbor pairs with the repeat/cumsum
+    all-pairs index, pre-aggregated to ``pair → count`` before a salted
+    pair exchange folds partials.
+
+    A center of degree d emits d·(d−1)/2 pairs, so hubs are quadratic —
+    the standard mitigation is ``max_degree``: a center's adjacency is
+    COMPLETE inside its bucket, so the cap is an exact in-bucket filter
+    (drop hub centers before expansion), mirroring the SQL
+    ``HAVING count(*) <= cap`` per-center semantics.  At web scale pass
+    a cap (top-degree hubs carry no link-prediction signal anyway).
+    """
+    canon = distinct_edges(edges, src=src, dst=dst, buckets=buckets)
+
+    def bidir(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        c = np.concatenate([u, v])
+        n = np.concatenate([v, u])
+        bkt = (_pair_hash(c, np.zeros_like(c)) % np.uint64(buckets)) \
+            .astype(np.int32)
+        return pa.table({"c": pa.array(c), "n": pa.array(n),
+                         "__b": pa.array(bkt)})
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["c"].to_numpy()
+        n = g["n"].to_numpy()
+        order = np.lexsort((n, c))
+        c, n = c[order], n[order]
+        starts = np.ones(len(c), dtype=bool)
+        starts[1:] = c[1:] != c[:-1]
+        sizes = np.diff(np.append(np.nonzero(starts)[0], len(c)))
+        if max_degree is not None:
+            keep = np.repeat(sizes <= max_degree, sizes)
+            c, n = c[keep], n[keep]
+            sizes = sizes[sizes <= max_degree]
+        ia, ib = _allpairs_index(sizes)
+        if not len(ia):
+            return pd.DataFrame({"node_a": pd.Series([], dtype="int64"),
+                                 "node_b": pd.Series([], dtype="int64"),
+                                 "n_common": pd.Series([], dtype="int64")})
+        x = np.minimum(n[ia], n[ib])
+        y = np.maximum(n[ia], n[ib])
+        df = pd.DataFrame({"node_a": x, "node_b": y})
+        out = df.groupby(["node_a", "node_b"], sort=False,
+                         as_index=False).size()
+        return out.rename(columns={"size": "n_common"})
+
+    pairs = (canon.map_batches(bidir, batch_format="pyarrow")
+                  .groupby("__b").map_groups(expand, batch_format="pandas"))
+
+    def salt(batch: pa.Table) -> pa.Table:
+        h = _pair_hash(batch.column("node_a").to_numpy(zero_copy_only=False),
+                       batch.column("node_b").to_numpy(zero_copy_only=False))
+        return batch.append_column(
+            "__s", pa.array((h % np.uint64(shards)).astype(np.int32)))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["node_a", "node_b"], sort=True,
+                        as_index=False)["n_common"].sum()
+        return out[out["n_common"] >= min_count]
+
+    return (pairs.map_batches(salt, batch_format="pyarrow")
+                 .groupby("__s").map_groups(fold, batch_format="pandas"))

@@ -343,3 +343,56 @@ class TestEdgeSetPrimitives:
         assert dict(zip(zip(got2["item_a"], got2["item_b"]),
                         got2["n_groups"])) == \
             {k: int(v) for k, v in ref.items() if v >= 5}
+
+    def test_common_neighbors_matches_brute_force(self, ray_session):
+        from biocurator_mapper_ray.ops.graph import common_neighbors
+
+        rng = np.random.default_rng(31)
+        pairs = list(zip(rng.integers(0, 20, 150).tolist(),
+                         rng.integers(0, 20, 150).tolist()))
+        adj = {}
+        for a, b in pairs:
+            if a != b:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+        ref = {}
+        nodes = sorted(adj)
+        for i, x in enumerate(nodes):
+            for y in nodes[i + 1:]:
+                c = len(adj[x] & adj[y])
+                if c:
+                    ref[(x, y)] = c
+
+        got = common_neighbors(self._edges_ds(pairs), buckets=4,
+                               shards=3).to_pandas()
+        assert dict(zip(zip(got["node_a"], got["node_b"]),
+                        got["n_common"])) == ref
+
+        got2 = common_neighbors(self._edges_ds(pairs), min_count=3,
+                                buckets=4, shards=3).to_pandas()
+        assert dict(zip(zip(got2["node_a"], got2["node_b"]),
+                        got2["n_common"])) == \
+            {k: v for k, v in ref.items() if v >= 3}
+
+    def test_common_neighbors_max_degree_drops_hub_centers(
+            self, ray_session):
+        from biocurator_mapper_ray.ops.graph import common_neighbors
+
+        # star: center 0 adjacent to 1..5 (degree 5), plus a 1-2 edge.
+        # cap 4 removes node 0 as a CENTER, so only centers 1 and 2
+        # (degree 2 each) contribute pairs.
+        pairs = [(0, k) for k in range(1, 6)] + [(1, 2)]
+        got = common_neighbors(self._edges_ds(pairs), max_degree=4,
+                               buckets=3, shards=2).to_pandas()
+        ref = {}
+        adj = {0: {1, 2, 3, 4, 5}, 1: {0, 2}, 2: {0, 1},
+               3: {0}, 4: {0}, 5: {0}}
+        for c, ns in adj.items():
+            if len(ns) > 4:
+                continue
+            ns = sorted(ns)
+            for i, x in enumerate(ns):
+                for y in ns[i + 1:]:
+                    ref[(x, y)] = ref.get((x, y), 0) + 1
+        assert dict(zip(zip(got["node_a"], got["node_b"]),
+                        got["n_common"])) == ref
