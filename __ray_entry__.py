@@ -2155,6 +2155,53 @@ def _q_shipping_priority(sf_dir: str):
                  "revenue_c10k"]), batch_format="pyarrow"))
 
 
+def _q_unpivot_lineitem(sf_dir: str):
+    """Wide→long melt of the four lineitem measures
+    (ops/reshape.unpivot): pure map-side — the id columns of each
+    per-variable slice share the input batch's Arrow buffers, so no
+    exchange and near-zero allocation."""
+    from biocurator_mapper_ray.ops.reshape import unpivot
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_quantity",
+                        "l_extendedprice", "l_discount", "l_tax"])
+    return unpivot(li, id_cols=["l_orderkey", "l_linenumber"],
+                   value_cols=["l_quantity", "l_extendedprice",
+                               "l_discount", "l_tax"]) \
+        .sort(["l_orderkey", "l_linenumber", "variable"])
+
+
+def _q_rank_orders(sf_dir: str):
+    """Exact RANK() + PERCENT_RANK() of order price within each
+    priority for EVERY row (ops/rank.value_ranks): sampled value-range
+    shard boundaries make ties never straddle shards, lean
+    (group, shard) partial counts give exact rank offsets, and the full
+    rows move exactly once.  pct_rank is (rnk-1)/(n-1) on exact int64
+    inputs, bit-identical to DuckDB's PERCENT_RANK."""
+    from biocurator_mapper_ray.ops.rank import value_ranks
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderpriority",
+                            "o_totalprice"])
+    return value_ranks(orders, value_col="o_totalprice",
+                       group_col="o_orderpriority").sort("o_orderkey")
+
+
+def _q_kg_term_degrees(sf_dir: str):
+    """Graph-materialize view of the flagship KG: per-term degree
+    (distinct conversations mentioning the term) over the extracted
+    triples, via ops/reshape.grouped_count_distinct — the node/degree
+    table a downstream graph store ingests next to the triple list.
+    Rows-only: the triples themselves are pinned by kg_triples_diff's
+    set-equality proof, and degrees derive deterministically from
+    them."""
+    from biocurator_mapper_ray.ops.reshape import grouped_count_distinct
+
+    triples = _q_kg_triples(sf_dir).select_columns(["obj", "conv_id"])
+    return grouped_count_distinct(triples, key="obj",
+                                  value="conv_id").sort("obj")
+
+
 def _q_heavy_hitters(sf_dir: str):
     """Exact frequent tokens (count ≥ 200) by Misra-Gries
     sketch-then-verify (ops/sketch.heavy_hitters): the summary exchange
@@ -2617,6 +2664,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pair_counts_lineitem": _q_pair_counts,
         "common_neighbors_parts": _q_common_neighbors,
         "shipping_priority": _q_shipping_priority,
+        "unpivot_lineitem": _q_unpivot_lineitem,
+        "rank_orders": _q_rank_orders,
+        "kg_term_degrees": _q_kg_term_degrees,  # rows-only (flagship view)
         # --- slot 51+ (past the driver's 50-entry snapshot) ---
         # round-4 ops verified by scripts/check_oracle.py locally; demoted
         # to window the newest ops — re-window whichever lack green in r5
@@ -3017,6 +3067,29 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3
             ORDER BY revenue_c10k DESC, o.o_orderkey
             LIMIT 10
+        """,
+        "unpivot_lineitem": """
+            SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable,
+                   CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+                   CAST(l_extendedprice AS DOUBLE) FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount',
+                   CAST(l_discount AS DOUBLE) FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_tax',
+                   CAST(l_tax AS DOUBLE) FROM lineitem
+            ORDER BY l_orderkey, l_linenumber, variable
+        """,
+        "rank_orders": """
+            SELECT o_orderkey, o_orderpriority, o_totalprice,
+                   CAST(RANK() OVER w AS BIGINT) AS rnk,
+                   PERCENT_RANK() OVER w AS pct_rank
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice)
+            ORDER BY o_orderkey
         """,
         "heavy_hitters_documents": """
             WITH toks AS (

@@ -167,6 +167,11 @@ def run_bench() -> dict:
         "keep_best_orders",
         "unicode_nfc",
         "pagerank_parts",
+        # round-4 graph primitives
+        "degree_histogram_parts",
+        "triangle_count_parts",
+        "common_neighbors_parts",
+        "shipping_priority",
     ]
     qs = entry.queries()
     for name in bench_queries:

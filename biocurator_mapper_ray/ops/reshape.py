@@ -389,3 +389,28 @@ def cube_sum(ds, *, keys: list[str], value: str, cents: bool = True,
     out[count_name] = out[count_name].astype("int64")
     return (out.sort_values(keys, na_position="last", kind="mergesort")
             .reset_index(drop=True))
+
+
+def unpivot(ds, *, id_cols: list[str], value_cols: list[str],
+            var_name: str = "variable", value_name: str = "value"):
+    """Wide→long melt (SQL UNPIVOT / pandas ``melt``): each input row
+    becomes one row per entry of ``value_cols``, tagged with the source
+    column name.  Pure map-side — NO exchange; the id columns of the
+    per-variable slices share the batch's Arrow buffers, so the only
+    new allocation is the constant variable-name column and the value
+    cast.  Values are cast to float64 (the common wide-measure case);
+    mixed-type melts should cast upstream.
+    """
+    import pyarrow.compute as pc
+
+    def melt(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        parts = []
+        for vc in value_cols:
+            cols = {c: batch.column(c) for c in id_cols}
+            cols[var_name] = pa.nulls(n, pa.string()).fill_null(vc)
+            cols[value_name] = pc.cast(batch.column(vc), pa.float64())
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(melt, batch_format="pyarrow")

@@ -582,3 +582,38 @@ class TestEmptyInputs:
         assert len(hash_top_k_per_group(e_doc, group_column="text",
                                         key_column="doc_id",
                                         k=3).to_pandas()) == 0
+
+
+class TestUnpivot:
+    def test_matches_pandas_melt(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.reshape import unpivot
+
+        rng = np.random.default_rng(5)
+        df = pd.DataFrame({"k": np.arange(20), "grp": rng.integers(0, 3, 20),
+                           "a": rng.normal(size=20),
+                           "b": rng.normal(size=20)})
+        got = unpivot(rd.from_pandas(df).repartition(4),
+                      id_cols=["k", "grp"], value_cols=["a", "b"]) \
+            .to_pandas().sort_values(["k", "variable"]).reset_index(drop=True)
+        ref = df.melt(id_vars=["k", "grp"], value_vars=["a", "b"],
+                      var_name="variable", value_name="value") \
+            .sort_values(["k", "variable"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["k", "grp", "variable", "value"]],
+            ref[["k", "grp", "variable", "value"]],
+            check_dtype=False)
+
+    def test_int_values_cast_to_float(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.reshape import unpivot
+
+        df = pd.DataFrame({"k": [1, 2], "x": [3, 4]})
+        got = unpivot(rd.from_pandas(df), id_cols=["k"],
+                      value_cols=["x"]).to_pandas()
+        assert got["value"].dtype == np.float64
+        assert sorted(got["value"]) == [3.0, 4.0]
