@@ -2202,6 +2202,20 @@ def _q_kg_term_degrees(sf_dir: str):
                                   value="conv_id").sort("obj")
 
 
+def _q_kg_conv_stats(sf_dir: str):
+    """Per-conversation transcript profile (ops/profile.
+    conversation_profile) over the north-rule input corpus: the triage
+    pass before KG extraction.  Each batch folds to one lean partial
+    row per conv (the mega-conversation hot key costs its batch count,
+    not its turn count), one conv-keyed aggregate combines.  Rows-only:
+    the transcript corpus is synthesized outside the oracle's table
+    views; values are pinned by the pandas-parity unit tests."""
+    from biocurator_mapper_ray.ops.profile import conversation_profile
+
+    transcripts, _ = _kg_transcripts(sf_dir)
+    return conversation_profile(transcripts).sort("conv_id")
+
+
 def _q_heavy_hitters(sf_dir: str):
     """Exact frequent tokens (count ≥ 200) by Misra-Gries
     sketch-then-verify (ops/sketch.heavy_hitters): the summary exchange
@@ -2667,6 +2681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unpivot_lineitem": _q_unpivot_lineitem,
         "rank_orders": _q_rank_orders,
         "kg_term_degrees": _q_kg_term_degrees,  # rows-only (flagship view)
+        "kg_conv_stats": _q_kg_conv_stats,      # rows-only (input profile)
         # --- slot 51+ (past the driver's 50-entry snapshot) ---
         # round-4 ops verified by scripts/check_oracle.py locally; demoted
         # to window the newest ops — re-window whichever lack green in r5

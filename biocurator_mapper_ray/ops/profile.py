@@ -79,3 +79,59 @@ def profile_columns(ds, *, columns: list[str]):
 
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("column").map_groups(combine, batch_format="pandas"))
+
+
+def conversation_profile(ds, *, conv_col: str = "conv_id",
+                         turn_col: str = "turn_idx",
+                         role_col: str = "role",
+                         text_col: str = "text",
+                         tool_col: str = "tool"):
+    """Per-conversation profile of a transcript table (the north-rule
+    input shape): turn count, tool-turn count, per-role counts, total
+    text chars, max turn index — the triage pass a 10^12-turn corpus
+    gets before KG extraction (drop empty/degenerate conversations,
+    spot mega-conversations that need block splitting).
+
+    Plan: each batch folds to ONE lean row per distinct conv in the
+    batch (Arrow group_by inside the task — a conversation spanning
+    many batches contributes one partial per batch, so the
+    mega-conversation hot key costs its batch count, not its turn
+    count), then a conv-keyed aggregate combines partials.  The
+    exchange carries conv-cardinality rows, never turns.
+    """
+    from ray.data.aggregate import Max, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        role = batch.column(role_col)
+        tool = batch.column(tool_col)
+        t = pa.table({
+            "conv_id": batch.column(conv_col),
+            "n_turns": pa.array(np.ones(n, dtype=np.int64)),
+            "n_tool_turns": pc.cast(
+                pc.invert(pc.equal(tool.fill_null(""), "")), pa.int64()),
+            "n_user_turns": pc.cast(pc.equal(role, "user"), pa.int64()),
+            "n_assistant_turns": pc.cast(pc.equal(role, "assistant"),
+                                         pa.int64()),
+            "total_chars": pc.cast(
+                pc.utf8_length(batch.column(text_col).fill_null("")),
+                pa.int64()),
+            "max_turn_idx": pc.cast(batch.column(turn_col), pa.int64()),
+        })
+        return t.group_by("conv_id").aggregate(
+            [("n_turns", "sum"), ("n_tool_turns", "sum"),
+             ("n_user_turns", "sum"), ("n_assistant_turns", "sum"),
+             ("total_chars", "sum"), ("max_turn_idx", "max")]) \
+            .rename_columns(["conv_id", "n_turns", "n_tool_turns",
+                             "n_user_turns", "n_assistant_turns",
+                             "total_chars", "max_turn_idx"])
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("conv_id")
+              .aggregate(Sum("n_turns", alias_name="n_turns"),
+                         Sum("n_tool_turns", alias_name="n_tool_turns"),
+                         Sum("n_user_turns", alias_name="n_user_turns"),
+                         Sum("n_assistant_turns",
+                             alias_name="n_assistant_turns"),
+                         Sum("total_chars", alias_name="total_chars"),
+                         Max("max_turn_idx", alias_name="max_turn_idx")))

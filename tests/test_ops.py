@@ -1357,3 +1357,49 @@ class TestSq8Quantization:
             e = set(exact[exact["query_id"] == qi]["vec_id"])
             a = set(approx[approx["query_id"] == qi]["vec_id"])
             assert len(a & e) / 10 >= 0.9, qi
+
+
+class TestConversationProfile:
+    def test_matches_pandas_across_block_boundaries(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.profile import conversation_profile
+
+        rng = np.random.default_rng(3)
+        n = 200
+        df = pd.DataFrame({
+            "conv_id": [f"c{int(x)}" for x in rng.integers(0, 12, n)],
+            "turn_idx": rng.integers(0, 50, n).astype("int32"),
+            "role": rng.choice(["user", "assistant", "tool"], n),
+            "text": ["x" * int(k) for k in rng.integers(0, 9, n)],
+            "tool": rng.choice(["", "search", "calc"], n),
+        })
+        got = conversation_profile(rd.from_pandas(df).repartition(7)) \
+            .to_pandas().set_index("conv_id").sort_index()
+        ref = df.groupby("conv_id").apply(
+            lambda g: pd.Series({
+                "n_turns": len(g),
+                "n_tool_turns": int((g["tool"] != "").sum()),
+                "n_user_turns": int((g["role"] == "user").sum()),
+                "n_assistant_turns": int((g["role"] == "assistant").sum()),
+                "total_chars": int(g["text"].str.len().sum()),
+                "max_turn_idx": int(g["turn_idx"].max()),
+            }), include_groups=False).sort_index()
+        for c in ref.columns:
+            assert dict(got[c]) == dict(ref[c]), c
+
+    def test_null_text_and_tool(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.profile import conversation_profile
+
+        df = pd.DataFrame({
+            "conv_id": ["a", "a"], "turn_idx": [0, 1],
+            "role": ["user", "assistant"],
+            "text": [None, "hey"], "tool": [None, ""]})
+        got = conversation_profile(rd.from_pandas(df)).to_pandas()
+        r = got.iloc[0]
+        assert (r["n_turns"], r["n_tool_turns"], r["total_chars"],
+                r["max_turn_idx"]) == (2, 0, 3, 1)
