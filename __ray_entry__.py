@@ -2216,6 +2216,33 @@ def _q_kg_conv_stats(sf_dir: str):
     return conversation_profile(transcripts).sort("conv_id")
 
 
+def _q_table_checksum(sf_dir: str):
+    """Order-insensitive md5-XOR content checksum of documents
+    (ops/profile.table_checksum): each batch folds to one (xor, n)
+    partial, the fold crosses batch-count rows — the validation
+    primitive for comparing a 100-TB source and sink without moving
+    either.  DuckDB-md5-exact, so the oracle is the literal bit_xor
+    mirror."""
+    from biocurator_mapper_ray.ops.profile import table_checksum
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "text", "lang", "source"])
+    return table_checksum(ds, columns=["doc_id", "text", "lang",
+                                       "source"])
+
+
+def _q_value_histogram(sf_dir: str):
+    """Fixed-width value histogram of events
+    (ops/profile.numeric_histogram): map-side np.unique partials,
+    bucket-cardinality exchange, floor-of-IEEE-division bucket ids
+    exact vs DuckDB."""
+    from biocurator_mapper_ray.ops.profile import numeric_histogram
+
+    ds = _read(sf_dir, "events", columns=["value"])
+    return numeric_histogram(ds, column="value", width=5.0) \
+        .sort("bucket")
+
+
 def _q_heavy_hitters(sf_dir: str):
     """Exact frequent tokens (count ≥ 200) by Misra-Gries
     sketch-then-verify (ops/sketch.heavy_hitters): the summary exchange
@@ -2682,6 +2709,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_orders": _q_rank_orders,
         "kg_term_degrees": _q_kg_term_degrees,  # rows-only (flagship view)
         "kg_conv_stats": _q_kg_conv_stats,      # rows-only (input profile)
+        "checksum_documents": _q_table_checksum,
+        "value_histogram_events": _q_value_histogram,
         # --- slot 51+ (past the driver's 50-entry snapshot) ---
         # round-4 ops verified by scripts/check_oracle.py locally; demoted
         # to window the newest ops — re-window whichever lack green in r5
@@ -3105,6 +3134,20 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY o_orderpriority
                          ORDER BY o_totalprice)
             ORDER BY o_orderkey
+        """,
+        "checksum_documents": """
+            SELECT bit_xor(CAST('0x' || substr(md5(
+                       CAST(doc_id AS VARCHAR) || chr(31) || text
+                       || chr(31) || lang || chr(31) || source),
+                   1, 16) AS UBIGINT)) AS checksum,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM documents
+        """,
+        "value_histogram_events": """
+            SELECT CAST(floor(value / 5.0) AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1 ORDER BY bucket
         """,
         "heavy_hitters_documents": """
             WITH toks AS (

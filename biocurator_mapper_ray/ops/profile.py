@@ -135,3 +135,69 @@ def conversation_profile(ds, *, conv_col: str = "conv_id",
                              alias_name="n_assistant_turns"),
                          Sum("total_chars", alias_name="total_chars"),
                          Max("max_turn_idx", alias_name="max_turn_idx")))
+
+
+def table_checksum(ds, *, columns: list[str], sep: str = "\x1f"):
+    """Order-insensitive exact content checksum of a table projection:
+    XOR of per-row md5-derived uint64 keys plus the row count, ONE row
+    out.  The 100-TB migration/resume validation primitive — compare a
+    source and a sink (or two engines) without moving or sorting
+    either side; any single-row difference flips the checksum.
+
+    Each batch folds to one (xor, n) partial inside the map task; the
+    fold crosses batch-count rows only.  Key hash is DuckDB-md5-exact
+    (functions/hashing.md5_prefix_u64), so the SQL mirror is
+    ``bit_xor(CAST('0x' || substr(md5(key), 1, 16) AS UBIGINT))``.
+    Columns are rendered with CAST-to-VARCHAR semantics — use string /
+    integer columns (float and timestamp rendering is engine-specific).
+    """
+    from ..functions.hashing import md5_prefix_u64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        parts = []
+        for c in columns:
+            parts.append(pc.cast(batch.column(c), pa.string()))
+            parts.append(sep)
+        key = pc.binary_join_element_wise(*parts[:-1], "")
+        h = md5_prefix_u64(key)
+        x = np.bitwise_xor.reduce(h) if len(h) else np.uint64(0)
+        return pa.table({"checksum": pa.array([x], type=pa.uint64()),
+                         "n_rows": pa.array([len(batch)],
+                                            type=pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame({"checksum": pd.Series([0], dtype="uint64"),
+                             "n_rows": pd.Series([0], dtype="int64")})
+    return pd.DataFrame({
+        "checksum": pd.Series(
+            [np.bitwise_xor.reduce(parts["checksum"]
+                                   .to_numpy(dtype=np.uint64))],
+            dtype="uint64"),
+        "n_rows": pd.Series([int(parts["n_rows"].sum())], dtype="int64"),
+    })
+
+
+def numeric_histogram(ds, *, column: str, width: float):
+    """Fixed-width histogram of a numeric column: ``bucket =
+    CAST(floor(x / width) AS BIGINT)`` → count — the numeric sibling of
+    sample.length_histogram and the standard distribution triage for a
+    score/value column before choosing filter thresholds.
+
+    Map-side np.unique folds each batch to its distinct buckets; the
+    exchange ships bucket-cardinality partials, one small groupby sums.
+    The bucket id is floor-of-IEEE-division on both engines, so the
+    oracle is exact for double inputs.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column(column).to_numpy(zero_copy_only=False)
+        x = x[~np.isnan(x.astype(np.float64))]
+        b = np.floor(x / width).astype(np.int64)
+        bucket, cnt = np.unique(b, return_counts=True)
+        return pa.table({"bucket": pa.array(bucket),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("bucket").aggregate(Sum("c", alias_name="n")))

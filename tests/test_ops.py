@@ -1403,3 +1403,74 @@ class TestConversationProfile:
         r = got.iloc[0]
         assert (r["n_turns"], r["n_tool_turns"], r["total_chars"],
                 r["max_turn_idx"]) == (2, 0, 3, 1)
+
+
+class TestTableChecksum:
+    def _df(self):
+        import pandas as pd
+
+        rng = np.random.default_rng(9)
+        return pd.DataFrame({
+            "k": np.arange(50, dtype=np.int64),
+            "s": [f"row{i}v{int(x)}" for i, x in
+                  enumerate(rng.integers(0, 7, 50))]})
+
+    def test_matches_duckdb_and_partition_invariant(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.profile import table_checksum
+
+        df = self._df()
+        ref = duckdb.sql(
+            "SELECT bit_xor(CAST('0x' || substr(md5("
+            "CAST(k AS VARCHAR) || chr(31) || s), 1, 16) AS UBIGINT)) "
+            "AS checksum, CAST(count(*) AS BIGINT) AS n_rows FROM df"
+        ).df()
+        for parts in (1, 7):
+            got = table_checksum(rd.from_pandas(df).repartition(parts),
+                                 columns=["k", "s"])
+            assert np.uint64(got["checksum"].iloc[0]) == \
+                np.uint64(ref["checksum"].iloc[0])
+            assert int(got["n_rows"].iloc[0]) == 50
+
+    def test_detects_single_row_change(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.profile import table_checksum
+
+        df = self._df()
+        a = table_checksum(rd.from_pandas(df), columns=["k", "s"])
+        df2 = df.copy()
+        df2.loc[17, "s"] = "mutated"
+        b = table_checksum(rd.from_pandas(df2), columns=["k", "s"])
+        assert np.uint64(a["checksum"].iloc[0]) != \
+            np.uint64(b["checksum"].iloc[0])
+
+    def test_empty(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.profile import table_checksum
+
+        df = self._df().iloc[:0]
+        got = table_checksum(rd.from_pandas(df), columns=["k", "s"])
+        assert int(got["n_rows"].iloc[0]) == 0
+
+
+class TestNumericHistogram:
+    def test_matches_numpy(self, ray_session):
+        import ray.data as rd
+        import pandas as pd
+
+        from biocurator_mapper_ray.ops.profile import numeric_histogram
+
+        rng = np.random.default_rng(4)
+        x = rng.normal(0, 10, 500)
+        df = pd.DataFrame({"v": x})
+        got = numeric_histogram(rd.from_pandas(df).repartition(5),
+                                column="v", width=5.0).to_pandas()
+        b = np.floor(x / 5.0).astype(np.int64)
+        bucket, cnt = np.unique(b, return_counts=True)
+        assert dict(zip(got["bucket"], got["n"])) == \
+            dict(zip(bucket.tolist(), cnt.tolist()))
