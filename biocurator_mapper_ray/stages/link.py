@@ -340,9 +340,14 @@ class LinkStage:
     """mentions → link-decision rows (fused retrieve + select)."""
 
     def __init__(self, terms_ref, k: int = 5, dim: int = 256, seed: int = 42,
-                 confidence_threshold: float = 0.5):
+                 confidence_threshold: float = 0.5, scorer_factory=None):
         self.side = _TermSide(terms_ref, k, dim, seed)
-        self.scorer = RuleScorer(confidence_threshold)
+        # scorer_factory: zero-arg callable built ONCE PER ACTOR here —
+        # e.g. lambda-free functools.partial(LLMScorer, RemoteChatClient(...))
+        # plugs the remote matcher (functions/llm_client.py) in place of
+        # the deterministic rule; both expose select_best_match/alternatives
+        self.scorer = scorer_factory() if scorer_factory else \
+            RuleScorer(confidence_threshold)
         self.confidence_threshold = confidence_threshold
         self._memo: dict[str, tuple] = {}
 

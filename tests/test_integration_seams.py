@@ -427,3 +427,169 @@ class TestRemoteEmbedder:
         assert out.shape == (10, 2)
         assert state["requests"] == [4, 4, 2]
         assert state["auth"][0] is None  # no key -> no header
+
+
+@pytest.fixture()
+def chat_server():
+    """Local OpenAI-compatible /v1/chat/completions endpoint: replies
+    with a configurable assistant message (default: picks the FIRST
+    candidate id it finds in the prompt, fenced in markdown to exercise
+    the fence-stripping path), records prompts/auth, and can fail the
+    first N requests."""
+    import json
+    import re
+
+    state = {"fail_first": 0, "status_once": None, "prompts": [],
+             "auth": [], "reply": None}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def do_POST(self):
+            body = json.loads(self.rfile.read(
+                int(self.headers["Content-Length"])))
+            state["auth"].append(self.headers.get("Authorization"))
+            prompt = body["messages"][0]["content"]
+            state["prompts"].append(prompt)
+            state["params"] = {k: body.get(k) for k in
+                               ("model", "temperature", "max_tokens")}
+            if state["fail_first"] > 0:
+                state["fail_first"] -= 1
+                self.send_response(503)
+                self.end_headers()
+                self.wfile.write(b'{"error": "overloaded"}')
+                return
+            if state["status_once"] is not None:
+                code = state.pop("status_once")
+                self.send_response(code)
+                self.end_headers()
+                self.wfile.write(b'{"error": "nope"}')
+                return
+            if state["reply"] is not None:
+                content = state["reply"]
+            else:
+                m = re.search(r"\(([A-Z]+:[0-9]+)\)", prompt)
+                content = ("```json\n" + json.dumps(
+                    {"id": m.group(1), "name": "from-prompt",
+                     "confidence": 0.9, "reason": "test"}) + "\n```")
+            out = json.dumps({"choices": [{"message": {
+                "role": "assistant", "content": content}}]}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(out)
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", state
+    srv.shutdown()
+
+
+CANDS = [
+    {"id": "GO:0001", "name": "alpha process", "namespace": "bp",
+     "definition": "first", "exact_synonyms": ["a-proc"],
+     "similarity_certainty": 0.91},
+    {"id": "GO:0002", "name": "beta process", "namespace": "bp",
+     "definition": "second", "exact_synonyms": [],
+     "similarity_certainty": 0.55},
+]
+
+
+class TestRemoteChatClient:
+    def test_llm_scorer_end_to_end_with_retry(self, chat_server):
+        from biocurator_mapper_ray.functions.llm_client import (
+            LLMScorer, RemoteChatClient,
+        )
+
+        base, state = chat_server
+        state["fail_first"] = 2  # two 503s, then 200
+        sleeps = []
+        scorer = LLMScorer(
+            RemoteChatClient(base, model="gpt-test", api_key="sk-t"),
+            max_retries=3, base_delay=0.01, sleep=sleeps.append)
+        result = scorer.select_best_match("alpha process", CANDS)
+        assert result["id"] == "GO:0001" and "error" not in result
+        # join-back enriches with the winning candidate's metadata
+        assert result["namespace"] == "bp"
+        assert result["similarity_certainty"] == 0.91
+        assert scorer.retry_count == 2 and sleeps == [0.01, 0.02]
+        assert state["auth"][-1] == "Bearer sk-t"
+        # reference call-site params travel on the wire
+        assert state["params"] == {"model": "gpt-test",
+                                   "temperature": 0.1, "max_tokens": 500}
+        assert scorer.alternatives(result, CANDS) == [CANDS[1]]
+
+    def test_prompt_carries_reference_evidence(self, chat_server):
+        from biocurator_mapper_ray.functions.llm_client import (
+            build_match_prompt,
+        )
+
+        p = build_match_prompt("some passage", CANDS)
+        assert "1. alpha process (GO:0001)" in p
+        assert "[bp]" in p and "Definition: first" in p
+        assert "Exact synonyms: a-proc" in p
+        assert "Similarity: 0.910" in p
+        assert "some passage" in p
+
+    def test_auth_error_becomes_error_row_not_raise(self, chat_server):
+        from biocurator_mapper_ray.functions.llm_client import (
+            LLMScorer, RemoteChatClient,
+        )
+
+        base, state = chat_server
+        state["status_once"] = 401
+        scorer = LLMScorer(RemoteChatClient(base, model="m"),
+                           max_retries=3, sleep=lambda s: None)
+        result = scorer.select_best_match("x", CANDS)
+        assert "error" in result and "401" in result["error"]
+        assert scorer.retry_count == 0 and scorer.error_count == 1
+        assert len(state["prompts"]) == 1  # non-retryable: one attempt
+
+    def test_invalid_winner_id_is_error_row(self, chat_server):
+        import json
+
+        from biocurator_mapper_ray.functions.llm_client import (
+            LLMScorer, RemoteChatClient,
+        )
+
+        base, state = chat_server
+        state["reply"] = json.dumps(
+            {"id": "GO:9999", "name": "x", "confidence": 1, "reason": "r"})
+        scorer = LLMScorer(RemoteChatClient(base, model="m"))
+        result = scorer.select_best_match("x", CANDS)
+        assert "invalid ID" in result["error"]
+        assert scorer.select_best_match("x", []) == \
+            {"error": "No candidates provided"}
+
+    def test_link_stage_accepts_scorer_factory(self, chat_server,
+                                               ray_session):
+        """The flagship link stage runs with the REMOTE scorer plugged
+        in — mentions resolve through real HTTP round trips."""
+        from biocurator_mapper_ray.functions.llm_client import (
+            LLMScorer, RemoteChatClient,
+        )
+        from biocurator_mapper_ray.ontology.fixtures import (
+            make_document, make_performance_nodes,
+        )
+        from biocurator_mapper_ray.ontology.parser import (
+            TERM_SCHEMA, parse_ontology_json,
+        )
+        from biocurator_mapper_ray.stages.link import LinkStage
+
+        base, state = chat_server
+        parsed = parse_ontology_json(make_document(make_performance_nodes(20)))
+        tbl = pa.Table.from_pydict(
+            {f.name: [t[f.name] for t in parsed] for f in TERM_SCHEMA},
+            schema=TERM_SCHEMA)
+
+        def factory(base=base):
+            return LLMScorer(RemoteChatClient(base, model="m"))
+
+        stage = LinkStage(tbl, scorer_factory=factory)
+        out = stage._link_one(str(tbl.column("name")[0].as_py()).lower())
+        term_id, name, conf, reason, dist, cert, accepted, error = out
+        assert error == "" and accepted
+        assert conf == 0.9  # the fake server's confidence
+        assert len(state["prompts"]) == 1
