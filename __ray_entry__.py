@@ -2711,6 +2711,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_conv_stats": _q_kg_conv_stats,      # rows-only (input profile)
         "checksum_documents": _q_table_checksum,
         "value_histogram_events": _q_value_histogram,
+        "upsert_orders": _q_upsert_orders,
+        "diversity_documents": _q_diversity_documents,
+        "pareto_lineitem": _q_pareto_lineitem,
         # --- slot 51+ (past the driver's 50-entry snapshot) ---
         # round-4 ops verified by scripts/check_oracle.py locally; demoted
         # to window the newest ops — re-window whichever lack green in r5
@@ -3148,6 +3151,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n
             FROM events WHERE value IS NOT NULL
             GROUP BY 1 ORDER BY bucket
+        """,
+        "upsert_orders": """
+            WITH base AS (
+                SELECT o_orderkey,
+                       CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                           AS price_cents,
+                       CAST(0 AS BIGINT) AS src, o_orderdate
+                FROM orders),
+            upd AS (
+                SELECT o_orderkey, price_cents + 777 AS price_cents,
+                       CAST(1 AS BIGINT) AS src, o_orderdate
+                FROM base WHERE o_orderkey % 7 = 0),
+            u AS (SELECT * FROM base UNION ALL SELECT * FROM upd)
+            SELECT o_orderkey, price_cents, src FROM u
+            QUALIFY row_number() OVER (
+                PARTITION BY o_orderkey
+                ORDER BY src DESC, o_orderdate DESC, o_orderkey) = 1
+            ORDER BY o_orderkey
+        """,
+        "diversity_documents": """
+            WITH c AS (
+                SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+                FROM documents GROUP BY 1, 2)
+            SELECT lang, CAST(sum(c) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   CAST(sum(c * c) AS BIGINT) AS sum_c2
+            FROM c GROUP BY lang ORDER BY lang
+        """,
+        "pareto_lineitem": """
+            WITH t AS (
+                SELECT DISTINCT
+                    CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                        AS price_cents,
+                    CAST(round(l_quantity * 100, 0) AS BIGINT)
+                        AS qty_cents
+                FROM lineitem),
+            r AS (
+                SELECT price_cents, qty_cents,
+                       max(qty_cents) OVER (
+                           ORDER BY price_cents DESC, qty_cents DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS my
+                FROM t)
+            SELECT price_cents, qty_cents FROM r
+            WHERE my IS NULL OR qty_cents > my
+            ORDER BY price_cents
         """,
         "heavy_hitters_documents": """
             WITH toks AS (
@@ -4845,3 +4894,74 @@ def oracle_sql() -> dict[str, str]:
             ) ORDER BY doc_id
         """,
     }
+
+
+def _q_upsert_orders(sf_dir: str):
+    """Lakehouse MERGE/upsert (ops/join.merge_upsert): a derived update
+    set — every 7th order repriced +777 cents — last-writer-wins merged
+    into the orders snapshot.  Updates override base regardless of
+    timestamp (src DESC first in the argmax), inserts pass through; the
+    exchange ships per-batch per-key candidates only."""
+    from biocurator_mapper_ray.ops.join import merge_upsert
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def to_base(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b.column("o_totalprice"),
+                                             100.0), ndigits=0), pa.int64())
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "price_cents": cents,
+            "src": pa.array(np.zeros(len(b), dtype=np.int64)),
+            "o_orderdate": b.column("o_orderdate")})
+
+    def to_upd(b: pa.Table) -> pa.Table:
+        k = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(k % 7 == 0))
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "price_cents": pc.add(t.column("price_cents"),
+                                  pa.scalar(777, pa.int64())),
+            "src": pa.array(np.ones(len(t), dtype=np.int64)),
+            "o_orderdate": t.column("o_orderdate")})
+
+    base = orders.map_batches(to_base, batch_format="pyarrow")
+    upd = base.map_batches(to_upd, batch_format="pyarrow")
+    out = merge_upsert(base, upd, key="o_orderkey",
+                       order_col="o_orderdate", tiebreak="o_orderkey")
+    return out.select_columns(["o_orderkey", "price_cents", "src"]) \
+              .sort("o_orderkey")
+
+
+def _q_diversity_documents(sf_dir: str):
+    """Per-language source-mix collision statistics
+    (ops/profile.grouped_diversity): all-integer evidence (n,
+    n_distinct, sum of squared counts) so Simpson/Gini-Simpson derive
+    exactly downstream; two distinct-pairs-sized exchanges."""
+    from biocurator_mapper_ray.ops.profile import grouped_diversity
+
+    ds = _read(sf_dir, "documents", columns=["lang", "source"])
+    return grouped_diversity(ds, group="lang", value="source").sort("lang")
+
+
+def _q_pareto_lineitem(sf_dir: str):
+    """Distinct 2-D Pareto frontier (skyline) of line items maximizing
+    (extended price, quantity) in exact cents
+    (ops/rank.pareto_frontier): per-batch local frontiers, one bounded
+    frontier-candidate collect, same fold replayed once."""
+    from biocurator_mapper_ray.ops.rank import pareto_frontier
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_extendedprice", "l_quantity"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "price_cents": pc.cast(pc.round(pc.multiply(
+                b.column("l_extendedprice"), 100.0), ndigits=0),
+                pa.int64()),
+            "qty_cents": pc.cast(pc.round(pc.multiply(
+                b.column("l_quantity"), 100.0), ndigits=0), pa.int64())})
+
+    return pareto_frontier(li.map_batches(cents, batch_format="pyarrow"),
+                           x="price_cents", y="qty_cents")

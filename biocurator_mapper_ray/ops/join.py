@@ -615,3 +615,62 @@ def delta_by_key(left, right, *, key: str, compare: list[str],
     return both.groupby("__kb").map_groups(
         lambda g: per_bucket(g.drop(columns="__kb")),
         batch_format="pandas")
+
+
+def merge_upsert(base, updates, *, key: str, order_col: str,
+                 tiebreak: str | None = None,
+                 buckets: int | None = None,
+                 size_hint: int | None = None):
+    """Lakehouse MERGE/upsert: one row per ``key``, where any row in
+    ``updates`` overrides ``base`` and, within a side, the greatest
+    ``order_col`` (latest write) wins — last-writer-wins CDC compaction
+    (SQL: union both sides with a source flag, ``row_number() OVER
+    (PARTITION BY key ORDER BY src DESC, order_col DESC, tiebreak)
+    = 1``).  Ties break on the smallest ``tiebreak`` (default: the key
+    itself) so the winner is total and deterministic.
+
+    Scale shape (the keep_best_per_key rule, ops/window.py:363): each
+    batch first reduces to ONE candidate row per key it saw, so the
+    key-hash exchange ships keys×batches candidate rows, never the full
+    input; the bucketed combine replays the same argmax.  Both sides
+    stream — neither is materialized or broadcast, so the update side
+    may be as large as the base (full-snapshot refresh) without a plan
+    change.
+    """
+    tiebreak = tiebreak or key
+    cols = base.schema().names
+    if updates.schema().names != cols:
+        updates = updates.select_columns(cols)
+
+    def tag(src: int):
+        def add(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "__src", pa.array(np.full(len(batch), src, dtype=np.int8)))
+        return add
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, "__src", order_col, tiebreak],
+                            ascending=[True, False, False, True],
+                            kind="mergesort")
+        return df.drop_duplicates(key, keep="first")
+
+    both = (base.map_batches(tag(0), batch_format="pyarrow")
+            .union(updates.map_batches(tag(1), batch_format="pyarrow")))
+    if buckets is None:
+        buckets = derive_buckets(size_hint)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = pa.Table.from_pandas(best(batch.to_pandas()),
+                                   preserve_index=False)
+        h = hash64_column(out.column(key))
+        return out.append_column(
+            "__kb", pa.array((h % np.uint64(buckets)).astype(np.int32)))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__kb")
+        if g.empty:
+            return g
+        return best(g).drop(columns="__src")
+
+    return (both.map_batches(partial, batch_format="pyarrow")
+            .groupby("__kb").map_groups(combine, batch_format="pandas"))

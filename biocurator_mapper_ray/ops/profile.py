@@ -201,3 +201,39 @@ def numeric_histogram(ds, *, column: str, width: float):
 
     return (ds.map_batches(partial, batch_format="pyarrow")
               .groupby("bucket").aggregate(Sum("c", alias_name="n")))
+
+
+def grouped_diversity(ds, *, group: str, value: str):
+    """Per-group collision statistics of a categorical column as exact
+    INTEGER evidence: ``n`` (rows), ``n_distinct`` (distinct values),
+    ``sum_c2`` (sum of squared value counts).  The float diagnostics
+    derive trivially downstream — collision probability (Simpson index)
+    = sum_c2/n², Gini-Simpson diversity = 1 − sum_c2/n² — but only the
+    integers travel, so the oracle is hash-exact (the moments/linfit
+    integer-evidence rule, ops/moments.py).
+
+    Scale shape: per-batch ``(group, value, c)`` partials cap the first
+    exchange at distinct-pairs × batches; counts combine exactly in one
+    groupby, then the second exchange is distinct-pairs-sized and the
+    final per-group fold touches one row per distinct value.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([group, value]).group_by(
+            [group, value]).aggregate([([], "count_all")])
+        return t.rename_columns([group, value, "c"])
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby([group, value]).aggregate(Sum("c", alias_name="c")))
+
+    def square(batch: pa.Table) -> pa.Table:
+        c = batch.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({group: batch.column(group),
+                         "c": pa.array(c),
+                         "c2": pa.array(c * c)})
+
+    return (counts.map_batches(square, batch_format="pyarrow")
+            .groupby(group).aggregate(Sum("c", alias_name="n"),
+                                      Count(alias_name="n_distinct"),
+                                      Sum("c2", alias_name="sum_c2")))

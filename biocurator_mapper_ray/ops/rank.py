@@ -249,3 +249,47 @@ def ntile(
 
     return sharded.groupby("__s").map_groups(tile_shard,
                                              batch_format="pandas")
+
+
+def pareto_frontier(ds, *, x: str, y: str) -> pd.DataFrame:
+    """DISTINCT 2-D Pareto frontier (skyline) maximizing both columns:
+    the points no other point weakly dominates with at least one strict
+    coordinate (SQL: sort distinct points by ``x DESC, y DESC``; keep a
+    row iff its ``y`` exceeds the running max over all preceding rows).
+    The multi-objective "best trade-off" primitive — biggest basket at
+    the highest price, longest doc with the best quality score.
+
+    Scale shape: each batch reduces to ITS local frontier (np.unique +
+    one lexsort + a running max — any global frontier point survives
+    every local pass, and local non-frontier points can never re-enter),
+    so the driver collects only frontier-candidate × batches rows and
+    replays the same fold once.  That collect is bounded by the frontier
+    size, not the input (documented bounded collect); a frontier that is
+    itself data-scale (near-sorted anti-correlated axes) needs a
+    range-partitioned variant instead.
+    """
+
+    def frontier(xv: np.ndarray, yv: np.ndarray) -> np.ndarray:
+        pts = np.unique(np.stack([xv, yv], axis=1), axis=0)
+        order = np.lexsort((-pts[:, 1], -pts[:, 0]))  # x desc, y desc
+        p = pts[order]
+        keep = np.empty(len(p), dtype=bool)
+        keep[0] = True
+        keep[1:] = p[1:, 1] > np.maximum.accumulate(p[:, 1])[:-1]
+        return p[keep]
+
+    def local(batch: pa.Table) -> pa.Table:
+        xv = batch.column(x).to_numpy(zero_copy_only=False)
+        yv = batch.column(y).to_numpy(zero_copy_only=False)
+        if len(xv) == 0:
+            return pa.table({x: batch.column(x), y: batch.column(y)})
+        p = frontier(xv, yv)
+        return pa.table({x: pa.array(p[:, 0], batch.schema.field(x).type),
+                         y: pa.array(p[:, 1], batch.schema.field(y).type)})
+
+    cand = ds.map_batches(local, batch_format="pyarrow").to_pandas()
+    if len(cand) == 0:
+        return cand
+    p = frontier(cand[x].to_numpy(), cand[y].to_numpy())
+    return pd.DataFrame({x: p[:, 0], y: p[:, 1]}).sort_values(
+        x, ignore_index=True)

@@ -1474,3 +1474,109 @@ class TestNumericHistogram:
         bucket, cnt = np.unique(b, return_counts=True)
         assert dict(zip(got["bucket"], got["n"])) == \
             dict(zip(bucket.tolist(), cnt.tolist()))
+
+
+class TestMergeUpsert:
+    def _base_upd(self):
+        import pandas as pd
+
+        base = pd.DataFrame({
+            "k": np.arange(10, dtype=np.int64),
+            "v": np.arange(10, dtype=np.int64) * 10,
+            "ver": np.full(10, 5, dtype=np.int64)})
+        upd = pd.DataFrame({
+            "k": np.array([3, 5, 12, 5], dtype=np.int64),
+            "v": np.array([333, 555, 1212, 556], dtype=np.int64),
+            # update for k=3 is OLDER than base; k=5 has two update
+            # versions (7 wins); k=12 is an insert
+            "ver": np.array([1, 6, 2, 7], dtype=np.int64)})
+        return base, upd
+
+    def test_updates_override_and_insert(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.join import merge_upsert
+
+        base, upd = self._base_upd()
+        got = merge_upsert(rd.from_pandas(base).repartition(4),
+                           rd.from_pandas(upd).repartition(3),
+                           key="k", order_col="ver") \
+            .to_pandas().sort_values("k", ignore_index=True)
+        assert len(got) == 11
+        m = dict(zip(got["k"], got["v"]))
+        assert m[3] == 333          # update wins even with older ver
+        assert m[5] == 556          # latest update version wins
+        assert m[12] == 1212        # insert
+        assert m[0] == 0 and m[9] == 90   # untouched base rows
+        assert list(got.columns) == ["k", "v", "ver"]
+
+    def test_duplicate_base_keys_latest_wins(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.join import merge_upsert
+
+        base = pd.DataFrame({"k": [1, 1, 2], "v": [10, 11, 20],
+                             "ver": [1, 2, 1]})
+        upd = base.iloc[:0]
+        got = merge_upsert(rd.from_pandas(base), rd.from_pandas(upd),
+                           key="k", order_col="ver").to_pandas()
+        m = dict(zip(got["k"], got["v"]))
+        assert m == {1: 11, 2: 20}
+
+
+class TestGroupedDiversity:
+    def test_matches_manual_counts(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.profile import grouped_diversity
+
+        rng = np.random.default_rng(11)
+        df = pd.DataFrame({
+            "g": rng.choice(["a", "b", "c"], 300),
+            "v": rng.choice(list("xyzw"), 300)})
+        got = grouped_diversity(rd.from_pandas(df).repartition(5),
+                                group="g", value="v").to_pandas()
+        for _, r in got.iterrows():
+            sub = df[df["g"] == r["g"]]["v"].value_counts()
+            assert r["n"] == sub.sum()
+            assert r["n_distinct"] == len(sub)
+            assert r["sum_c2"] == int((sub ** 2).sum())
+
+
+class TestParetoFrontier:
+    def test_matches_bruteforce_dominance(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.rank import pareto_frontier
+
+        rng = np.random.default_rng(3)
+        df = pd.DataFrame({
+            "x": rng.integers(0, 40, 400).astype(np.int64),
+            "y": rng.integers(0, 40, 400).astype(np.int64)})
+        got = pareto_frontier(rd.from_pandas(df).repartition(7),
+                              x="x", y="y")
+        pts = df.drop_duplicates().to_numpy()
+        expect = []
+        for px, py in np.unique(pts, axis=0):
+            dominated = any(
+                (qx >= px and qy >= py and (qx > px or qy > py))
+                for qx, qy in pts)
+            if not dominated:
+                expect.append((px, py))
+        assert sorted(zip(got["x"], got["y"])) == sorted(expect)
+        # frontier y strictly decreases as x increases
+        assert (np.diff(got["y"].to_numpy()) < 0).all()
+
+    def test_empty(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.rank import pareto_frontier
+
+        df = pd.DataFrame({"x": pd.Series([], dtype=np.int64),
+                           "y": pd.Series([], dtype=np.int64)})
+        got = pareto_frontier(rd.from_pandas(df), x="x", y="y")
+        assert len(got) == 0
