@@ -2714,6 +2714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "upsert_orders": _q_upsert_orders,
         "diversity_documents": _q_diversity_documents,
         "pareto_lineitem": _q_pareto_lineitem,
+        "zorder_orders": _q_zorder_orders,
         # --- slot 51+ (past the driver's 50-entry snapshot) ---
         # round-4 ops verified by scripts/check_oracle.py locally; demoted
         # to window the newest ops — re-window whichever lack green in r5
@@ -3169,6 +3170,17 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY o_orderkey
                 ORDER BY src DESC, o_orderdate DESC, o_orderkey) = 1
             ORDER BY o_orderkey
+        """,
+        "zorder_orders": """
+            WITH t AS (
+                SELECT o_orderkey, o_custkey % 256 AS cx,
+                       o_orderkey % 256 AS cy
+                FROM orders)
+            SELECT o_orderkey,
+                   CAST(sum((((cx >> i) & 1) * 2 + ((cy >> i) & 1))
+                            << (2 * i)) AS BIGINT) AS zkey
+            FROM t, range(8) AS r(i)
+            GROUP BY o_orderkey ORDER BY o_orderkey
         """,
         "diversity_documents": """
             WITH c AS (
@@ -4965,3 +4977,24 @@ def _q_pareto_lineitem(sf_dir: str):
 
     return pareto_frontier(li.map_batches(cents, batch_format="pyarrow"),
                            x="price_cents", y="qty_cents")
+
+
+def _q_zorder_orders(sf_dir: str):
+    """Z-order clustering key over (custkey, orderkey) low bytes
+    (ops/layout.zorder_key + morton_interleave): pure per-row
+    vectorized bit interleave, no exchange; the clustered sort is
+    zorder_cluster — keyed here so the oracle pins every bit."""
+    from biocurator_mapper_ray.ops.layout import zorder_key
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def dims(b: pa.Table) -> pa.Table:
+        k = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        c = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        return pa.table({"o_orderkey": b.column("o_orderkey"),
+                         "cx": pa.array((c % 256).astype(np.int64)),
+                         "cy": pa.array((k % 256).astype(np.int64))})
+
+    return (zorder_key(orders.map_batches(dims, batch_format="pyarrow"),
+                       cols=["cx", "cy"], bits=8)
+            .select_columns(["o_orderkey", "zkey"]).sort("o_orderkey"))

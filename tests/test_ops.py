@@ -1580,3 +1580,50 @@ class TestParetoFrontier:
                            "y": pd.Series([], dtype=np.int64)})
         got = pareto_frontier(rd.from_pandas(df), x="x", y="y")
         assert len(got) == 0
+
+
+class TestZOrder:
+    def test_morton_matches_reference_bits(self):
+        from biocurator_mapper_ray.ops.layout import morton_interleave
+
+        x = np.array([0, 1, 2, 3, 255], dtype=np.int64)
+        y = np.array([0, 0, 3, 3, 255], dtype=np.int64)
+        z = morton_interleave([x, y], 8)
+        # bit-by-bit reference: x bit i -> 2i+1, y bit i -> 2i
+        want = [sum((((int(a) >> i) & 1) << (2 * i + 1))
+                    + (((int(b) >> i) & 1) << (2 * i))
+                    for i in range(8)) for a, b in zip(x, y)]
+        assert z.tolist() == want
+        # locality sanity: (2,3) and (3,3) are adjacent cells
+        assert abs(z[3] - z[2]) < abs(z[4] - z[2])
+
+    def test_masking_and_width_guard(self):
+        from biocurator_mapper_ray.ops.layout import morton_interleave
+
+        z = morton_interleave([np.array([256 + 5]), np.array([7])], 8)
+        zm = morton_interleave([np.array([5]), np.array([7])], 8)
+        assert z.tolist() == zm.tolist()  # masked to 8 bits
+        with pytest.raises(ValueError):
+            morton_interleave([np.zeros(1)] * 4, 16)
+
+    def test_cluster_sorts_and_colocates(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.layout import zorder_cluster
+
+        rng = np.random.default_rng(7)
+        df = pd.DataFrame({
+            "a": rng.integers(0, 64, 400).astype(np.int64),
+            "b": rng.integers(0, 64, 400).astype(np.int64)})
+        got = zorder_cluster(rd.from_pandas(df).repartition(5),
+                             cols=["a", "b"], bits=6).to_pandas()
+        assert (np.diff(got["zkey"].to_numpy()) >= 0).all()
+        assert len(got) == 400
+        # z-sorted halves split the (a, b) plane into bounded boxes:
+        # each half's bounding box must not cover the full domain on
+        # both axes (that's the data-skipping property)
+        half = got.iloc[:200]
+        spans = (half["a"].max() - half["a"].min(),
+                 half["b"].max() - half["b"].min())
+        assert min(spans) < 63 or max(spans) < 63
