@@ -2715,6 +2715,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diversity_documents": _q_diversity_documents,
         "pareto_lineitem": _q_pareto_lineitem,
         "zorder_orders": _q_zorder_orders,
+        "fuzzy_decontam_documents": _q_fuzzy_decontam,
         # --- slot 51+ (past the driver's 50-entry snapshot) ---
         # round-4 ops verified by scripts/check_oracle.py locally; demoted
         # to window the newest ops — re-window whichever lack green in r5
@@ -2833,6 +2834,43 @@ def _minhash_md5_oracle(threshold: float = 0.6, num_perm: int = 128,
     band keys, candidate set, 128-way signature-equality estimate, and
     a recursive-CTE connected-components closure (component = min
     reachable doc_id, nodes = verified-pair endpoints)."""
+    return f"""
+        WITH RECURSIVE {_minhash_bandvals_cte(num_perm, bands)},
+        cand AS (
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM bandvals x JOIN bandvals y
+              ON x.band_id = y.band_id AND x.bh = y.bh
+             AND x.doc_id < y.doc_id
+        ),
+        est AS (
+            SELECT c.a, c.b,
+                   CAST(sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END)
+                        AS DOUBLE) / {num_perm} AS ej
+            FROM cand c
+            JOIN sigs sa ON sa.doc_id = c.a
+            JOIN sigs sb ON sb.doc_id = c.b AND sb.i = sa.i
+            GROUP BY c.a, c.b
+        ),
+        pairs AS (SELECT a, b FROM est WHERE ej >= {threshold}),
+        edges AS (SELECT a AS u, b AS v FROM pairs
+                  UNION SELECT b, a FROM pairs),
+        reach(u, v) AS (
+            SELECT u, v FROM (SELECT u, v FROM edges
+                              UNION SELECT u, u AS v FROM edges)
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        )
+        SELECT u AS doc_id, min(v) AS cluster_id
+        FROM reach GROUP BY u ORDER BY doc_id
+    """
+
+
+def _minhash_bandvals_cte(num_perm: int = 128, bands: int = 16) -> str:
+    """Shared CTE chain ``perms → words → grams → gset → hashes → sigs
+    → bandvals`` mirroring MinHashBandStage(hash_mode='md5') bit-for-bit
+    — the common prefix of the minhash-dedup and fuzzy-decontamination
+    oracles (literal affine coefficients inlined from
+    minhash_md5_params; the engine uses the identical arrays)."""
     from biocurator_mapper_ray.ops.dedup import minhash_md5_params
 
     a, b = minhash_md5_params(num_perm)
@@ -2840,8 +2878,7 @@ def _minhash_md5_oracle(threshold: float = 0.6, num_perm: int = 128,
         f"({i}, {int(a[i])}, {int(b[i])})" for i in range(num_perm)
     )
     rpb = num_perm // bands
-    return f"""
-        WITH RECURSIVE perms(i, a, b) AS (VALUES {perm_rows}),
+    return f"""perms(i, a, b) AS (VALUES {perm_rows}),
         words AS (
             SELECT doc_id,
                    list_filter(regexp_split_to_array(lower(text),
@@ -2874,34 +2911,7 @@ def _minhash_md5_oracle(threshold: float = 0.6, num_perm: int = 128,
                         '-' ORDER BY i)), 1, 16) AS UBIGINT) AS bh
             FROM sigs
             GROUP BY doc_id, i // {rpb}
-        ),
-        cand AS (
-            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-            FROM bandvals x JOIN bandvals y
-              ON x.band_id = y.band_id AND x.bh = y.bh
-             AND x.doc_id < y.doc_id
-        ),
-        est AS (
-            SELECT c.a, c.b,
-                   CAST(sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END)
-                        AS DOUBLE) / {num_perm} AS ej
-            FROM cand c
-            JOIN sigs sa ON sa.doc_id = c.a
-            JOIN sigs sb ON sb.doc_id = c.b AND sb.i = sa.i
-            GROUP BY c.a, c.b
-        ),
-        pairs AS (SELECT a, b FROM est WHERE ej >= {threshold}),
-        edges AS (SELECT a AS u, b AS v FROM pairs
-                  UNION SELECT b, a FROM pairs),
-        reach(u, v) AS (
-            SELECT u, v FROM (SELECT u, v FROM edges
-                              UNION SELECT u, u AS v FROM edges)
-            UNION
-            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
-        )
-        SELECT u AS doc_id, min(v) AS cluster_id
-        FROM reach GROUP BY u ORDER BY doc_id
-    """
+        )"""
 
 
 def _pii_oracle() -> str:
@@ -3044,6 +3054,7 @@ def _strip_markup_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "dedup_minhash_documents": _minhash_md5_oracle(),
+        "fuzzy_decontam_documents": _fuzzy_decontam_oracle(),
         "degree_histogram_parts": """
             WITH e AS (
                 SELECT DISTINCT least(-l_suppkey, l_partkey) AS u,
@@ -4998,3 +5009,42 @@ def _q_zorder_orders(sf_dir: str):
     return (zorder_key(orders.map_batches(dims, batch_format="pyarrow"),
                        cols=["cx", "cy"], bits=8)
             .select_columns(["o_orderkey", "zkey"]).sort("o_orderkey"))
+
+
+def _q_fuzzy_decontam(sf_dir: str):
+    """FUZZY benchmark decontamination
+    (ops/decontam.fuzzy_contamination): corpus docs sharing any MinHash
+    LSH band with the doc_id%20==0 'benchmark' subset.  Bench bands are
+    computed driver-side (eval sets are small by definition) and
+    broadcast once; the corpus side is one signature pass + per-band
+    searchsorted — zero shuffle.  hash_mode='md5' makes every hash
+    DuckDB-expressible (the dedup_minhash parity path)."""
+    from biocurator_mapper_ray.ops.decontam import fuzzy_contamination
+
+    bench_tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+    mask = bench_tbl.column("doc_id").to_numpy() % 20 == 0
+    bench_texts = bench_tbl.filter(pa.array(mask)) \
+                           .column("text").to_pylist()
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return fuzzy_contamination(ds, bench_texts,
+                               hash_mode="md5").sort("doc_id")
+
+
+def _fuzzy_decontam_oracle(num_perm: int = 128, bands: int = 16) -> str:
+    """DuckDB SQL mirroring _q_fuzzy_decontam bit-for-bit: the shared
+    md5-minhash bandvals CTE, the doc_id%20==0 bench band set, and a
+    per-doc count of bands present in it."""
+    return f"""
+        WITH RECURSIVE {_minhash_bandvals_cte(num_perm, bands)},
+        bench AS (
+            SELECT DISTINCT band_id, bh FROM bandvals
+            WHERE doc_id % 20 = 0),
+        hits AS (
+            SELECT c.doc_id, c.band_id
+            FROM bandvals c JOIN bench b
+              ON b.band_id = c.band_id AND b.bh = c.bh)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_bands
+        FROM hits GROUP BY doc_id ORDER BY doc_id
+    """

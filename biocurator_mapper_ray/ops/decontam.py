@@ -119,3 +119,70 @@ def decontaminate(ds, bench_hashes: np.ndarray, *, n: int = 8,
 
     return ds.map_batches(keep_clean, fn_kwargs={"ref": bench_ref},
                           batch_format="pyarrow")
+
+
+def fuzzy_contamination(ds, bench_texts: list[str], *,
+                        text_column: str = "text",
+                        id_column: str = "doc_id",
+                        num_perm: int = 128, bands: int = 16,
+                        shingle_n: int = 3, seed: int = 42,
+                        hash_mode: str = "fast"):
+    """FUZZY cross-corpus decontamination: ``(doc_id, n_hit_bands)`` for
+    every corpus document sharing at least one MinHash LSH band with ANY
+    benchmark document — catches paraphrased/near-duplicate eval leakage
+    that exact n-gram overlap (:func:`contamination_counts`) misses,
+    with the LSH collision probability of the corpus dedup path
+    (ops/dedup.MinHashBandStage: same shingles, permutations and band
+    fold, so one tuned threshold serves both).
+
+    Scale shape: the benchmark side is eval-set-sized by definition, so
+    its band table is computed driver-side and broadcast ONCE via
+    ``ray.put`` as per-band sorted hash arrays; the corpus side is one
+    map-side signature pass + ``bands`` vectorized searchsorted probes
+    — ZERO shuffle, nothing doc-scale leaves the map tasks.  With
+    ``hash_mode='md5'`` every hash is DuckDB-expressible, giving an
+    exact SQL oracle.
+    """
+    import ray as _ray
+
+    from .dedup import _SIG_SENTINEL, MinHashBandStage
+
+    stage = MinHashBandStage(text_column=text_column, id_column=id_column,
+                             num_perm=num_perm, bands=bands,
+                             shingle_n=shingle_n, seed=seed,
+                             hash_mode=hash_mode)
+    bsigs = stage.signatures([t or "" for t in bench_texts])
+    bsigs = bsigs[~(bsigs == _SIG_SENTINEL).all(axis=1)]
+    if len(bsigs):
+        bh = stage.band_hashes(bsigs)
+        per_band = [np.unique(bh[:, j]) for j in range(bands)]
+    else:
+        per_band = [np.zeros(0, dtype=np.uint64) for _ in range(bands)]
+    bench_ref = _ray.put(per_band)
+
+    def probe(batch: pa.Table, ref=None) -> pa.Table:
+        pb = ref if isinstance(ref, list) else _ray.get(ref)
+        texts = batch.column(text_column).to_pylist()
+        sigs = stage.signatures(texts)
+        live = ~(sigs == _SIG_SENTINEL).all(axis=1)
+        hits = np.zeros(len(texts), dtype=np.int64)
+        if live.any():
+            ch = stage.band_hashes(sigs[live])
+            nh = np.zeros(int(live.sum()), dtype=np.int64)
+            for j in range(bands):
+                ref_j = pb[j]
+                if len(ref_j) == 0:
+                    continue
+                col = ch[:, j]
+                pos = np.minimum(np.searchsorted(ref_j, col),
+                                 len(ref_j) - 1)
+                nh += (ref_j[pos] == col).astype(np.int64)
+            hits[live] = nh
+        keep = hits > 0
+        return pa.table({
+            "doc_id": batch.column(id_column).filter(pa.array(keep)),
+            "n_hit_bands": pa.array(hits[keep]),
+        })
+
+    return ds.map_batches(probe, fn_kwargs={"ref": bench_ref},
+                          batch_format="pyarrow")

@@ -1627,3 +1627,48 @@ class TestZOrder:
         spans = (half["a"].max() - half["a"].min(),
                  half["b"].max() - half["b"].min())
         assert min(spans) < 63 or max(spans) < 63
+
+
+class TestFuzzyContamination:
+    def _corpus(self):
+        import pandas as pd
+
+        rng = np.random.default_rng(21)
+        vocab = [f"w{i}" for i in range(60)]
+        bench = [" ".join(rng.choice(vocab, 40)) for _ in range(4)]
+        near = bench[0].split()
+        near[5] = "CHANGED"          # light paraphrase of bench[0]
+        docs = ([" ".join(near)]
+                + [" ".join(rng.choice(vocab, 40)) for _ in range(20)]
+                + [bench[2]]          # verbatim leak
+                + [""])               # empty text: contributes nothing
+        return bench, pd.DataFrame({
+            "doc_id": np.arange(len(docs), dtype=np.int64),
+            "text": docs})
+
+    def test_flags_verbatim_and_near_duplicates(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.decontam import fuzzy_contamination
+
+        bench, df = self._corpus()
+        got = fuzzy_contamination(
+            rd.from_pandas(df).repartition(3), bench,
+            hash_mode="fast").to_pandas()
+        hits = dict(zip(got["doc_id"], got["n_hit_bands"]))
+        assert hits.get(21) == 16        # verbatim: every band collides
+        assert 0 in hits                 # near-duplicate caught by LSH
+        assert hits[0] < 16              # but not on every band
+        assert 22 not in hits            # empty text never flagged
+        # unrelated random docs: none should hit all bands
+        assert all(v < 16 for k, v in hits.items() if k not in (21,))
+
+    def test_empty_bench_flags_nothing(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.decontam import fuzzy_contamination
+
+        _, df = self._corpus()
+        got = fuzzy_contamination(rd.from_pandas(df), [],
+                                  hash_mode="fast").to_pandas()
+        assert len(got) == 0
