@@ -2716,6 +2716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pareto_lineitem": _q_pareto_lineitem,
         "zorder_orders": _q_zorder_orders,
         "fuzzy_decontam_documents": _q_fuzzy_decontam,
+        "hll_users_by_type": _q_hll_users_by_type,
         # --- slot 51+ (past the driver's 50-entry snapshot) ---
         # round-4 ops verified by scripts/check_oracle.py locally; demoted
         # to window the newest ops — re-window whichever lack green in r5
@@ -3181,6 +3182,30 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY o_orderkey
                 ORDER BY src DESC, o_orderdate DESC, o_orderkey) = 1
             ORDER BY o_orderkey
+        """,
+        "hll_users_by_type": """
+            WITH h AS (
+                SELECT DISTINCT event_type,
+                       CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                            1, 16) AS UBIGINT) AS h
+                FROM events
+            ),
+            rr AS (
+                SELECT event_type, CAST(h % 64 AS BIGINT) AS register,
+                       h // 64 AS rest
+                FROM h
+            ),
+            ranks AS (
+                SELECT event_type, register,
+                       CASE WHEN rest = 0 THEN 59
+                            ELSE CAST(bit_count(xor(rest, rest - 1))
+                                      AS BIGINT)
+                       END AS rank
+                FROM rr
+            )
+            SELECT event_type, register, max(rank) AS max_rank
+            FROM ranks GROUP BY event_type, register
+            ORDER BY event_type, register
         """,
         "zorder_orders": """
             WITH t AS (
@@ -5048,3 +5073,16 @@ def _fuzzy_decontam_oracle(num_perm: int = 128, bands: int = 16) -> str:
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_bands
         FROM hits GROUP BY doc_id ORDER BY doc_id
     """
+
+
+def _q_hll_users_by_type(sf_dir: str):
+    """Grouped HyperLogLog: approximate distinct users per event type
+    as the EXACT per-group register table
+    (ops/sketch.grouped_hll_registers, m=64) — the exchange is
+    register-scale; the float estimate derives from these rows on the
+    driver (grouped_hll_estimate)."""
+    from biocurator_mapper_ray.ops.sketch import grouped_hll_registers
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return grouped_hll_registers(ds, group="event_type",
+                                 value="user_id", m=64)

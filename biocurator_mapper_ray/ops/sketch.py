@@ -498,3 +498,63 @@ def heavy_hitters(ds, *, text_column: str = "text", threshold: int,
     out = exact[exact["n"] >= threshold].sort_values("token") \
         .reset_index(drop=True)
     return out[["token", "n"]]
+
+
+class GroupedHLLStage:
+    """batch → per-(group, register) partial max HLL rank over the
+    DISTINCT ``value``s seen in the batch: ≤ groups×m lean rows leave
+    each task regardless of batch size.  Same SQL-checkability device
+    as :class:`HLLTokenStage`; values hash as their decimal/VARCHAR
+    rendering (``md5(CAST(v AS VARCHAR))``), vectorized through the
+    batched md5 kernel (functions/hashing.md5_prefix_u64)."""
+
+    def __init__(self, group: str, value: str, m: int = 64):
+        assert m & (m - 1) == 0, "m must be a power of two"
+        self.group = group
+        self.value = value
+        self.m = m
+        self.bits = m.bit_length() - 1
+        self.max_rank = 64 - self.bits + 1
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import md5_prefix_u64
+
+        df = batch.select([self.group, self.value]).to_pandas() \
+            .drop_duplicates()
+        if df.empty:
+            return pa.table({self.group: pa.array([], batch.schema
+                                                  .field(self.group).type),
+                             "register": pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64())})
+        h = md5_prefix_u64(df[self.value].astype(str).to_numpy())
+        out = pd.DataFrame({
+            self.group: df[self.group].to_numpy(),
+            "register": (h % np.uint64(self.m)).astype(np.int64),
+            "rank": _rank_of(h >> np.uint64(self.bits), self.max_rank),
+        }).groupby([self.group, "register"], as_index=False)["rank"].max()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def grouped_hll_registers(ds, *, group: str, value: str, m: int = 64):
+    """Per-group HLL register table (group, register, max_rank) —
+    approximate COUNT(DISTINCT value) GROUP BY group as exact integer
+    state: the exchange is ≤ groups×m×batches lean partial rows, never
+    value-scale, and the register table has an exact DuckDB oracle.
+    Feed each group's rows to :func:`hll_estimate` for the float."""
+    partials = ds.map_batches(
+        GroupedHLLStage, fn_constructor_kwargs={
+            "group": group, "value": value, "m": m},
+        batch_format="pyarrow", concurrency=(1, 8))
+    agg = partials.groupby([group, "register"]).max("rank")
+    return agg.map_batches(
+        lambda t: t.rename_columns([group, "register", "max_rank"]),
+        batch_format="pyarrow").sort([group, "register"])
+
+
+def grouped_hll_estimate(registers: pd.DataFrame, *, group: str,
+                         m: int = 64) -> pd.DataFrame:
+    """(group, estimate) from a grouped register table — driver-side
+    fold over register-scale state."""
+    rows = [(g, hll_estimate(sub, m))
+            for g, sub in registers.groupby(group, sort=True)]
+    return pd.DataFrame(rows, columns=[group, "estimate"])

@@ -1672,3 +1672,43 @@ class TestFuzzyContamination:
         got = fuzzy_contamination(rd.from_pandas(df), [],
                                   hash_mode="fast").to_pandas()
         assert len(got) == 0
+
+
+class TestGroupedHLL:
+    def test_estimate_within_hll_error(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.sketch import (
+            grouped_hll_estimate, grouped_hll_registers,
+        )
+
+        rng = np.random.default_rng(13)
+        # group 'a': 500 distinct values, 'b': 50, 'c': 3
+        df = pd.DataFrame({
+            "g": ["a"] * 2000 + ["b"] * 500 + ["c"] * 100,
+            "v": np.concatenate([rng.integers(0, 500, 2000),
+                                 rng.integers(1000, 1050, 500),
+                                 rng.integers(9000, 9003, 100)])})
+        truth = df.groupby("g")["v"].nunique()
+        regs = grouped_hll_registers(
+            rd.from_pandas(df).repartition(6), group="g", value="v",
+            m=64).to_pandas()
+        est = grouped_hll_estimate(regs, group="g", m=64)
+        for _, r in est.iterrows():
+            t = truth[r["g"]]
+            assert abs(r["estimate"] - t) / t < 0.35  # m=64 → ~13% rse
+
+    def test_partition_invariant_registers(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.sketch import grouped_hll_registers
+
+        df = pd.DataFrame({"g": ["x"] * 200,
+                           "v": np.arange(200, dtype=np.int64)})
+        a = grouped_hll_registers(rd.from_pandas(df), group="g",
+                                  value="v", m=32).to_pandas()
+        b = grouped_hll_registers(rd.from_pandas(df).repartition(9),
+                                  group="g", value="v", m=32).to_pandas()
+        assert a.values.tolist() == b.values.tolist()
