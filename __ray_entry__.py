@@ -2717,6 +2717,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_orders": _q_zorder_orders,
         "fuzzy_decontam_documents": _q_fuzzy_decontam,
         "hll_users_by_type": _q_hll_users_by_type,
+        "weighted_price_quantiles": _q_weighted_price_quantiles,
         # --- slot 51+ (past the driver's 50-entry snapshot) ---
         # round-4 ops verified by scripts/check_oracle.py locally; demoted
         # to window the newest ops — re-window whichever lack green in r5
@@ -3182,6 +3183,21 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY o_orderkey
                 ORDER BY src DESC, o_orderdate DESC, o_orderkey) = 1
             ORDER BY o_orderkey
+        """,
+        "weighted_price_quantiles": """
+            WITH t AS (
+                SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                           AS v,
+                       CAST(round(l_quantity, 0) AS BIGINT) AS w
+                FROM lineitem),
+            agg AS (SELECT v, sum(w) AS w FROM t GROUP BY v),
+            r AS (SELECT v, sum(w) OVER (ORDER BY v) AS cw FROM agg),
+            tot AS (SELECT sum(w) AS W FROM t),
+            qs(q) AS (VALUES (0.25), (0.5), (0.9))
+            SELECT qs.q AS q, min(r.v) AS value
+            FROM qs, r, tot
+            WHERE r.cw >= CAST(ceil(qs.q * tot.W) AS BIGINT)
+            GROUP BY qs.q ORDER BY q
         """,
         "hll_users_by_type": """
             WITH h AS (
@@ -5086,3 +5102,27 @@ def _q_hll_users_by_type(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
     return grouped_hll_registers(ds, group="event_type",
                                  value="user_id", m=64)
+
+
+def _q_weighted_price_quantiles(sf_dir: str):
+    """Exact QUANTITY-WEIGHTED price quantiles — "the price below which
+    a quarter / half / 90% of the UNITS sold live"
+    (ops/quantile.weighted_quantiles): the shared rank-parameterized
+    histogram-refinement core with exact int64 weight sums per bucket;
+    rank threshold ceil(q·W) is the identical float64 expression on
+    both engines."""
+    from biocurator_mapper_ray.ops.quantile import weighted_quantiles
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_extendedprice", "l_quantity"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "price_cents": pc.cast(pc.round(pc.multiply(
+                b.column("l_extendedprice"), 100.0), ndigits=0),
+                pa.int64()),
+            "w": pc.cast(pc.round(b.column("l_quantity"), ndigits=0),
+                         pa.int64())})
+
+    return weighted_quantiles(li.map_batches(prep, batch_format="pyarrow"),
+                              "price_cents", "w", [0.25, 0.5, 0.9])

@@ -123,12 +123,14 @@ def exact_quantiles(ds, column: str, qs: list[float], *,
 
 
 def _keys_at_ranks(ds, column: str, ranks: list[int], *, lo: int, span: int,
-                   coarse_bits: int) -> dict:
+                   coarse_bits: int, weight: str | None = None) -> dict:
     """Rank-parameterized histogram refinement: the encoded key of the
     r-th smallest value (1-based) for each requested rank — the shared
     core under both the discrete and the interpolated quantile forms.
     Driver state per level: one (needed bucket, residual rank) pair per
-    distinct rank."""
+    distinct rank.  With ``weight`` set, bucket counts are exact int64
+    WEIGHT sums and a rank addresses the cumulative-weight axis — the
+    weighted-quantile core (same passes, same driver state)."""
     # per-rank residual within its current needed bucket; the bucket
     # itself is tracked at prev_shift granularity (None = whole span)
     state = {r: [None, int(r)] for r in sorted(set(ranks))}
@@ -144,12 +146,23 @@ def _keys_at_ranks(ds, column: str, ranks: list[int], *, lo: int, span: int,
         def bucket_counts(batch: pa.Table, *, _s=s, _ps=ps,
                           _needed=needed) -> pa.Table:
             rel = _rel(batch.column(column).to_numpy(), lo)
+            w = (batch.column(weight).to_numpy(zero_copy_only=False)
+                 .astype(np.int64) if weight is not None else None)
             if _ps is not None:
-                rel = rel[np.isin(rel >> np.uint64(_ps), _needed)]
+                keep = np.isin(rel >> np.uint64(_ps), _needed)
+                rel = rel[keep]
+                if w is not None:
+                    w = w[keep]
             b = rel >> np.uint64(_s)
-            uniq, counts = np.unique(b, return_counts=True)
+            if w is None:
+                uniq, counts = np.unique(b, return_counts=True)
+                counts = counts.astype(np.int64)
+            else:
+                uniq, inv = np.unique(b, return_inverse=True)
+                counts = np.zeros(len(uniq), dtype=np.int64)
+                np.add.at(counts, inv, w)
             return pa.table({"bucket": pa.array(uniq, pa.uint64()),
-                             "cnt": pa.array(counts.astype(np.int64)),
+                             "cnt": pa.array(counts),
                              "__s": pa.array((uniq % 16).astype(np.int32))})
 
         def combine(group: pd.DataFrame) -> pd.DataFrame:
@@ -569,3 +582,54 @@ def grouped_quantiles_cont(ds, column: str, group_col: str,
                           "q": np.asarray(out_q, dtype=np.float64),
                           "value": np.asarray(vals, dtype=np.float64)})
             .sort_values([group_col, "q"]).reset_index(drop=True))
+
+
+def weighted_quantiles(ds, column: str, weight: str, qs: list[float], *,
+                       coarse_bits: int = 16) -> pd.DataFrame:
+    """Exact weighted discrete quantiles → DataFrame (q, value): the
+    smallest ``column`` value whose running ``weight`` sum (values
+    ascending) reaches ``ceil(q · W)`` — token-budget quantiles ("the
+    doc length below which half the TOKENS live"), cost percentiles
+    weighted by spend.  Weights must be non-negative integers; the
+    rank threshold ``ceil(q · W)`` is the identical float64 expression
+    on both engines, so results hash-exactly against SQL's
+    running-sum-window form.
+
+    Same multi-pass histogram refinement and driver state as
+    :func:`exact_quantiles` (the shared rank-parameterized core) —
+    bucket counts become exact int64 weight sums; no extra passes.
+    """
+    arrow_type = _column_type(ds, column)
+
+    def minmax(batch: pa.Table) -> pa.Table:
+        v = batch.column(column).to_numpy()
+        w = batch.column(weight).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if not len(v):
+            return pa.table({"lo": pa.array([], pa.uint64()),
+                             "hi": pa.array([], pa.uint64()),
+                             "W": pa.array([], pa.int64())})
+        k = _encode_keys(v)
+        return pa.table({"lo": pa.array([k.min()], pa.uint64()),
+                         "hi": pa.array([k.max()], pa.uint64()),
+                         "W": pa.array([int(w.sum())])})
+
+    mm = ds.map_batches(minmax, batch_format="pyarrow").to_pandas()
+    if mm.empty or mm["W"].sum() == 0:
+        dt = np.float64 if pa.types.is_floating(arrow_type) else np.int64
+        return pd.DataFrame({"q": pd.Series(dtype=np.float64),
+                             "value": pd.Series(dtype=dt)})
+    lo = int(mm["lo"].min())
+    span = int(mm["hi"].max()) - lo
+    W = int(mm["W"].sum())
+
+    ranks = [min(W, max(1, int(np.ceil(q * W)))) for q in qs]
+    keys_by_rank = _keys_at_ranks(ds, column, ranks, lo=lo, span=span,
+                                  coarse_bits=coarse_bits, weight=weight)
+    keys = [keys_by_rank[r] for r in ranks]
+    return (
+        pd.DataFrame({"q": np.asarray(list(qs), dtype=np.float64),
+                      "value": _value_series(keys, arrow_type)})
+        .sort_values("q")
+        .reset_index(drop=True)
+    )

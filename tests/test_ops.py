@@ -1712,3 +1712,36 @@ class TestGroupedHLL:
         b = grouped_hll_registers(rd.from_pandas(df).repartition(9),
                                   group="g", value="v", m=32).to_pandas()
         assert a.values.tolist() == b.values.tolist()
+
+
+class TestWeightedQuantiles:
+    def test_matches_numpy_repeat(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.quantile import weighted_quantiles
+
+        rng = np.random.default_rng(17)
+        df = pd.DataFrame({
+            "v": rng.integers(-50, 50, 400).astype(np.int64),
+            "w": rng.integers(0, 9, 400).astype(np.int64)})
+        qs = [0.1, 0.5, 0.95]
+        got = weighted_quantiles(rd.from_pandas(df).repartition(6),
+                                 "v", "w", qs)
+        # ground truth: expand each value w times, take ceil(q*W)-th
+        expanded = np.sort(np.repeat(df["v"].to_numpy(),
+                                     df["w"].to_numpy()))
+        W = len(expanded)
+        for q, val in zip(got["q"], got["value"]):
+            r = min(W, max(1, int(np.ceil(q * W))))
+            assert val == expanded[r - 1]
+
+    def test_zero_weight_rows_ignored(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.quantile import weighted_quantiles
+
+        df = pd.DataFrame({"v": [1, 2, 1000], "w": [1, 1, 0]})
+        got = weighted_quantiles(rd.from_pandas(df), "v", "w", [1.0])
+        assert got["value"].iloc[0] == 2  # the w=0 outlier never wins
