@@ -2718,6 +2718,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_decontam_documents": _q_fuzzy_decontam,
         "hll_users_by_type": _q_hll_users_by_type,
         "weighted_price_quantiles": _q_weighted_price_quantiles,
+        "rolling_active_users": _q_rolling_active_users,
         # --- slot 51+ (past the driver's 50-entry snapshot) ---
         # round-4 ops verified by scripts/check_oracle.py locally; demoted
         # to window the newest ops — re-window whichever lack green in r5
@@ -3183,6 +3184,17 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY o_orderkey
                 ORDER BY src DESC, o_orderdate DESC, o_orderkey) = 1
             ORDER BY o_orderkey
+        """,
+        "rolling_active_users": """
+            WITH pairs AS (
+                SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+                FROM events),
+            cov AS (
+                SELECT DISTINCT user_id,
+                       d + (CAST(i AS INT) * INTERVAL 1 DAY) AS period
+                FROM pairs, range(7) AS r(i))
+            SELECT period, CAST(count(*) AS BIGINT) AS n_active
+            FROM cov GROUP BY period ORDER BY period
         """,
         "weighted_price_quantiles": """
             WITH t AS (
@@ -5126,3 +5138,15 @@ def _q_weighted_price_quantiles(sf_dir: str):
 
     return weighted_quantiles(li.map_batches(prep, batch_format="pyarrow"),
                               "price_cents", "w", [0.25, 0.5, 0.9])
+
+
+def _q_rolling_active_users(sf_dir: str):
+    """Rolling 7-day distinct active users per day
+    (ops/window.rolling_distinct): the explode-cover trick turns the
+    trailing-window distinct into a plain per-period distinct —
+    pair-scale exchanges, no range self-join."""
+    from biocurator_mapper_ray.ops.window import rolling_distinct
+
+    events = _read(sf_dir, "events", columns=["user_id", "ts"])
+    return rolling_distinct(events, key="user_id", ts="ts",
+                            window=7).sort("period")

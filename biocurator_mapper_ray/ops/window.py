@@ -563,3 +563,58 @@ def max_streak(ds, *, key: str, ts: str, unit: str = "day"):
     return (_with_key_bucket(pairs, key, n_buckets)
             .groupby("__kb").map_groups(_per_bucket(finish),
                                         batch_format="pandas"))
+
+
+def rolling_distinct(ds, *, key: str, ts: str, window: int,
+                     unit: str = "day"):
+    """Per period: COUNT(DISTINCT key) over the TRAILING ``window``
+    periods (inclusive) — the rolling 7-day-active-users metric that a
+    plain per-period distinct cannot express and a naive range
+    self-join makes quadratic.
+
+    Exact via the cover trick: a key active in period p is active in
+    every rolling window ending at p..p+window−1, so each distinct
+    (key, period) pair EXPLODES to the ``window`` periods it covers and
+    the rolling distinct becomes a plain per-period distinct of the
+    covered pairs.  One corpus pass reduces batches to distinct pairs
+    (pair-cardinality exchange), the cover multiplies that by
+    ``window`` (lean 2-column rows), and one groupby(period) counts
+    uniques inside each period group — per-group memory is
+    window-active-key scale, the documented partitioning assumption.
+    Trailing periods with no direct activity still appear while a key's
+    window covers them.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    secs_per = {"day": 86_400, "hour": 3_600}[unit]
+    unit_scale = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        d = pc.floor_temporal(batch.column(ts), unit=unit)
+        t = pa.table({key: batch.column(key), "period": d})
+        return t.group_by([key, "period"], use_threads=False).aggregate([])
+
+    def cover(batch: pa.Table) -> pa.Table:
+        ptype = batch.schema.field("period").type
+        if len(batch) == 0:
+            return batch
+        ticks = batch.column("period").cast(pa.int64()).to_numpy()
+        k = batch.column(key).to_numpy(zero_copy_only=False)
+        per = secs_per * unit_scale[ptype.unit]  # ticks per period
+        off = np.arange(window, dtype=np.int64) * per
+        covered = (ticks[:, None] + off[None, :]).reshape(-1)
+        t = pa.table({key: pa.array(np.repeat(k, window)),
+                      "period": pa.array(covered).cast(ptype)})
+        return t.group_by([key, "period"], use_threads=False).aggregate([])
+
+    covered = (ds.map_batches(distinct_pairs, batch_format="pyarrow")
+                 .map_batches(cover, batch_format="pyarrow"))
+
+    def count_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"period": [g["period"].iloc[0]],
+                             "n_active": np.array([g[key].nunique()],
+                                                  dtype=np.int64)})
+
+    return covered.groupby("period").map_groups(count_distinct,
+                                                batch_format="pandas")

@@ -1745,3 +1745,29 @@ class TestWeightedQuantiles:
         df = pd.DataFrame({"v": [1, 2, 1000], "w": [1, 1, 0]})
         got = weighted_quantiles(rd.from_pandas(df), "v", "w", [1.0])
         assert got["value"].iloc[0] == 2  # the w=0 outlier never wins
+
+
+class TestRollingDistinct:
+    def test_matches_bruteforce_window(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.window import rolling_distinct
+
+        rng = np.random.default_rng(23)
+        base = pd.Timestamp("2026-01-01")
+        df = pd.DataFrame({
+            "u": rng.integers(0, 30, 500),
+            "ts": base + pd.to_timedelta(
+                rng.integers(0, 20 * 24, 500), unit="h")})
+        got = rolling_distinct(rd.from_pandas(df).repartition(5),
+                               key="u", ts="ts", window=7).to_pandas() \
+            .sort_values("period", ignore_index=True)
+        days = df.assign(d=df["ts"].dt.floor("D"))
+        for _, r in got.iterrows():
+            p = pd.Timestamp(r["period"])
+            w = days[(days["d"] <= p) & (days["d"] > p - pd.Timedelta(days=7))]
+            assert r["n_active"] == w["u"].nunique(), p
+        # trailing coverage: last period = last active day + 6
+        assert pd.Timestamp(got["period"].iloc[-1]) == \
+            days["d"].max() + pd.Timedelta(days=6)
