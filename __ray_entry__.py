@@ -2719,6 +2719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_users_by_type": _q_hll_users_by_type,
         "weighted_price_quantiles": _q_weighted_price_quantiles,
         "rolling_active_users": _q_rolling_active_users,
+        "kg_segments": _q_kg_segments,  # rows-only (dialog op)
         # --- slot 51+ (past the driver's 50-entry snapshot) ---
         # round-4 ops verified by scripts/check_oracle.py locally; demoted
         # to window the newest ops — re-window whichever lack green in r5
@@ -5150,3 +5151,22 @@ def _q_rolling_active_users(sf_dir: str):
     events = _read(sf_dir, "events", columns=["user_id", "ts"])
     return rolling_distinct(events, key="user_id", ts="ts",
                             window=7).sort("period")
+
+
+def _q_kg_segments(sf_dir: str):
+    """Topic-shift segmentation of the transcript corpus
+    (ops/dialog.segment_conversations): adjacent-turn token-set Jaccard
+    inside one conv-hash bucketed exchange — token-set-scale rows, the
+    text never shuffles.  Rows-only: transcripts are synthesized
+    outside the oracle's table views; boundary semantics are pinned by
+    the planted-topic unit tests.  Returns per-conversation segment
+    counts (result-scale)."""
+    from ray.data.aggregate import Max
+
+    from biocurator_mapper_ray.ops.dialog import segment_conversations
+
+    transcripts, _ = _kg_transcripts(sf_dir)
+    segs = segment_conversations(transcripts, threshold=0.05)
+    return (segs.groupby("conv_id")
+            .aggregate(Max("segment_id", alias_name="n_segments"))
+            .sort("conv_id"))

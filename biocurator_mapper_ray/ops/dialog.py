@@ -1,0 +1,119 @@
+"""Dialog-native operators over (conv_id, turn_idx, text) transcripts.
+
+The engine's payload axis is conversation transcripts (the flagship KG
+pipeline consumes them; sources/transcripts.py synthesizes them); these
+operators treat the DIALOG structure itself as data: topic-shift
+segmentation from adjacent-turn lexical cohesion.  No reference
+equivalent (biocurator_mapper maps isolated passages).
+
+Partitioning assumption (shared with the KG canonicalization pass,
+pipelines/kg.py): one conversation's turns fit in one group — true for
+dialog data by construction; a mega-conversation is salted upstream.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import hash64_column
+from .dedup import _ws_tokens
+
+
+def _turn_token_rows(batch: pa.Table, conv_col: str, order_col: str,
+                     text_col: str) -> pa.Table:
+    """batch → distinct (conv, turn, token-hash, n_tokens) rows: the
+    lean exchange unit (token-SET cardinality, text never shuffled)."""
+    convs = batch.column(conv_col).to_pylist()
+    turns = batch.column(order_col).to_numpy(zero_copy_only=False)
+    texts = batch.column(text_col).to_pylist()
+    all_toks: list[str] = []
+    lengths = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = sorted(set(_ws_tokens((t or "").lower())))
+        lengths[i] = len(toks)
+        all_toks.extend(toks)
+    h = (hash64_column(pa.chunked_array([pa.array(all_toks)]))
+         if all_toks else np.zeros(0, dtype=np.uint64))
+    rep = np.repeat(np.arange(len(texts)), lengths)
+    h_int = h.view(np.int64)
+    # token-free turns still need a presence row (n_tok=0 sentinel,
+    # excluded from intersection merges) or adjacency would skip them
+    empty_idx = np.where(lengths == 0)[0]
+    if len(empty_idx):
+        rep = np.concatenate([rep, empty_idx])
+        h_int = np.concatenate(
+            [h_int, np.zeros(len(empty_idx), dtype=np.int64)])
+    return pa.table({
+        conv_col: pa.array(np.asarray(convs, dtype=object)[rep]),
+        order_col: pa.array(turns[rep]),
+        "h": pa.array(h_int),
+        "n_tok": pa.array(lengths[rep]),
+    })
+
+
+def segment_conversations(ds, *, conv_col: str = "conv_id",
+                          order_col: str = "turn_idx",
+                          text_col: str = "text",
+                          threshold: float = 0.1,
+                          shards: int = 64):
+    """Topic-shift segmentation: per conversation in turn order, the
+    Jaccard similarity of consecutive turns' token SETS; a new segment
+    starts where similarity drops below ``threshold`` (and at turn 0).
+    Returns (conv, turn, sim_prev float64, segment_id int64) — the
+    dialog-splitting primitive for per-topic KG extraction windows and
+    long-context chunking along natural boundaries.
+
+    Scale shape: each batch reduces to distinct (conv, turn, token-hash)
+    rows — token-set scale, the TEXT never shuffles — then ONE conv-hash
+    bucketed exchange; inside each bucket the adjacent-turn intersection
+    is a vectorized self-merge on (conv, turn+1, hash) and the segment
+    ids are a per-conv boundary cumsum.  No per-pair Python.
+    """
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__kb")
+        if g.empty:
+            return pd.DataFrame({conv_col: pd.Series(dtype=object),
+                                 order_col: pd.Series(dtype=np.int64),
+                                 "sim_prev": pd.Series(dtype=np.float64),
+                                 "segment_id": pd.Series(dtype=np.int64)})
+        # per-turn set sizes (n_tok repeats per token row; 0-token turns
+        # carry no rows and are handled by the reindex below)
+        sizes = (g.groupby([conv_col, order_col], sort=False)["n_tok"]
+                 .first())
+        real = g[g["n_tok"] > 0]
+        nxt = real.copy()
+        nxt[order_col] = nxt[order_col] + 1
+        inter = (real.merge(nxt[[conv_col, order_col, "h"]],
+                            on=[conv_col, order_col, "h"], how="inner")
+                 .groupby([conv_col, order_col], sort=False).size())
+        df = sizes.rename("n").reset_index()
+        df = df.sort_values([conv_col, order_col], kind="mergesort",
+                            ignore_index=True)
+        key = pd.MultiIndex.from_arrays([df[conv_col], df[order_col]])
+        df["inter"] = inter.reindex(key, fill_value=0).to_numpy()
+        prev_n = df.groupby(conv_col, sort=False)["n"].shift(1)
+        first = prev_n.isna().to_numpy()
+        union = df["n"].to_numpy() + prev_n.fillna(0).to_numpy() \
+            - df["inter"].to_numpy()
+        with np.errstate(invalid="ignore"):
+            sim = np.where(union > 0, df["inter"].to_numpy() / union, 0.0)
+        sim[first] = np.nan
+        boundary = first | (np.nan_to_num(sim, nan=0.0) < threshold)
+        seg = (pd.Series(boundary).groupby(
+            pd.factorize(df[conv_col])[0]).cumsum() - 1).to_numpy()
+        return pd.DataFrame({conv_col: df[conv_col],
+                             order_col: df[order_col],
+                             "sim_prev": sim,
+                             "segment_id": seg.astype(np.int64)})
+
+    def tag(batch: pa.Table) -> pa.Table:
+        t = _turn_token_rows(batch, conv_col, order_col, text_col)
+        h = hash64_column(t.column(conv_col))
+        return t.append_column(
+            "__kb", pa.array((h % np.uint64(shards)).astype(np.int32)))
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("__kb").map_groups(per_bucket, batch_format="pandas"))

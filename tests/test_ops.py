@@ -1771,3 +1771,65 @@ class TestRollingDistinct:
         # trailing coverage: last period = last active day + 6
         assert pd.Timestamp(got["period"].iloc[-1]) == \
             days["d"].max() + pd.Timedelta(days=6)
+
+
+class TestSegmentConversations:
+    def _df(self):
+        import pandas as pd
+
+        rows = [
+            # conv A: two topics with an overlap break at turn 2
+            ("A", 0, "the cat sat on the mat"),
+            ("A", 1, "the cat likes the mat a lot"),
+            ("A", 2, "quarterly revenue grew nine percent"),
+            ("A", 3, "revenue growth beat forecasts"),
+            # conv B: single topic, plus an empty turn
+            ("B", 0, "hello world"),
+            ("B", 1, ""),
+            ("B", 2, "hello again world"),
+        ]
+        return pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text"])
+
+    def test_boundaries_and_segments(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.dialog import segment_conversations
+
+        got = segment_conversations(
+            rd.from_pandas(self._df()).repartition(3),
+            threshold=0.1).to_pandas() \
+            .sort_values(["conv_id", "turn_idx"], ignore_index=True)
+        a = got[got["conv_id"] == "A"]
+        assert a["segment_id"].tolist() == [0, 0, 1, 1]
+        assert np.isnan(a["sim_prev"].iloc[0])
+        # cohesive pair: {the,cat,sat,on,mat} vs {the,cat,likes,mat,a,lot}
+        assert a["sim_prev"].iloc[1] == 3 / 8
+        assert a["sim_prev"].iloc[2] == 0.0
+        b = got[got["conv_id"] == "B"]
+        # empty turn: sim 0 -> boundary; next turn compares against the
+        # empty turn (inter 0) -> boundary again
+        assert b["segment_id"].tolist() == [0, 1, 2]
+        assert len(got) == 7
+
+    def test_segment_count_per_conv(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.dialog import segment_conversations
+
+        rng = np.random.default_rng(31)
+        rows = []
+        for c in range(12):
+            for t in range(10):
+                topic = t // 5  # hard topic switch mid-conv
+                vocab = [f"w{topic}_{i}" for i in range(20)]
+                # anchors guarantee within-topic cohesion; the random
+                # tail varies the surface
+                text = (f"anchor{topic}a anchor{topic}b "
+                        + " ".join(rng.choice(vocab, 6)))
+                rows.append((f"c{c}", t, text))
+        df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text"])
+        got = segment_conversations(rd.from_pandas(df).repartition(4),
+                                    threshold=0.05).to_pandas()
+        segs = got.groupby("conv_id")["segment_id"].nunique()
+        assert (segs == 2).all()  # exactly the planted topic switch
