@@ -2720,6 +2720,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_price_quantiles": _q_weighted_price_quantiles,
         "rolling_active_users": _q_rolling_active_users,
         "kg_segments": _q_kg_segments,  # rows-only (dialog op)
+        "kg_incremental": _q_kg_incremental,  # rows-only (delta merge)
         # --- slot 51+ (past the driver's 50-entry snapshot) ---
         # round-4 ops verified by scripts/check_oracle.py locally; demoted
         # to window the newest ops — re-window whichever lack green in r5
@@ -5170,3 +5171,40 @@ def _q_kg_segments(sf_dir: str):
     return (segs.groupby("conv_id")
             .aggregate(Max("segment_id", alias_name="n_segments"))
             .sort("conv_id"))
+
+
+def _q_kg_incremental(sf_dir: str):
+    """Incremental KG maintenance (pipelines/kg.incremental_update): a
+    deterministic conv-hash split plays 'existing snapshot' (v1) vs
+    'nightly delta' (v2); the delta's triples merge into the snapshot
+    by (subj, pred, obj) via the composite-key merge_upsert exchange.
+    Rows-only (transcripts are outside the oracle views); set-equality
+    with a full run is pinned by TestIncrementalUpdate.  Returns the
+    per-snapshot-hash triple counts (result-scale)."""
+    from ray.data.aggregate import Count
+
+    from biocurator_mapper_ray.functions.hashing import hash64_column
+    from biocurator_mapper_ray.pipelines.kg import (
+        extract_triples, incremental_update,
+    )
+
+    transcripts, _ = _kg_transcripts(sf_dir)
+    terms = _kg_terms_table()
+
+    def old_half(b: pa.Table) -> pa.Table:
+        h = hash64_column(b.column("conv_id"))
+        return b.filter(pa.array(h % np.uint64(2) == 0))
+
+    def new_half(b: pa.Table) -> pa.Table:
+        h = hash64_column(b.column("conv_id"))
+        return b.filter(pa.array(h % np.uint64(2) == 1))
+
+    prev = extract_triples(
+        transcripts.map_batches(old_half, batch_format="pyarrow"),
+        terms, snapshot_hash="v1", sort_output=False, concurrency=4)
+    merged = incremental_update(
+        prev, transcripts.map_batches(new_half, batch_format="pyarrow"),
+        terms, snapshot_hash="v2", concurrency=4)
+    return (merged.groupby("ontology_snapshot_hash")
+            .aggregate(Count(alias_name="n_triples"))
+            .sort("ontology_snapshot_hash"))

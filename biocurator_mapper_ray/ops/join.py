@@ -617,11 +617,12 @@ def delta_by_key(left, right, *, key: str, compare: list[str],
         batch_format="pandas")
 
 
-def merge_upsert(base, updates, *, key: str, order_col: str,
+def merge_upsert(base, updates, *, key: str | list[str], order_col: str,
                  tiebreak: str | None = None,
                  buckets: int | None = None,
                  size_hint: int | None = None):
-    """Lakehouse MERGE/upsert: one row per ``key``, where any row in
+    """Lakehouse MERGE/upsert: one row per ``key`` (a column name or a
+    composite list — e.g. a (subj, pred, obj) triple), where any row in
     ``updates`` overrides ``base`` and, within a side, the greatest
     ``order_col`` (latest write) wins — last-writer-wins CDC compaction
     (SQL: union both sides with a source flag, ``row_number() OVER
@@ -637,7 +638,8 @@ def merge_upsert(base, updates, *, key: str, order_col: str,
     may be as large as the base (full-snapshot refresh) without a plan
     change.
     """
-    tiebreak = tiebreak or key
+    keys = [key] if isinstance(key, str) else list(key)
+    tiebreak = tiebreak or keys[0]
     cols = base.schema().names
     if updates.schema().names != cols:
         updates = updates.select_columns(cols)
@@ -649,10 +651,11 @@ def merge_upsert(base, updates, *, key: str, order_col: str,
         return add
 
     def best(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([key, "__src", order_col, tiebreak],
-                            ascending=[True, False, False, True],
+        df = df.sort_values([*keys, "__src", order_col, tiebreak],
+                            ascending=[*([True] * len(keys)),
+                                       False, False, True],
                             kind="mergesort")
-        return df.drop_duplicates(key, keep="first")
+        return df.drop_duplicates(keys, keep="first")
 
     both = (base.map_batches(tag(0), batch_format="pyarrow")
             .union(updates.map_batches(tag(1), batch_format="pyarrow")))
@@ -662,7 +665,13 @@ def merge_upsert(base, updates, *, key: str, order_col: str,
     def partial(batch: pa.Table) -> pa.Table:
         out = pa.Table.from_pandas(best(batch.to_pandas()),
                                    preserve_index=False)
-        h = hash64_column(out.column(key))
+        # composite keys: rotate-XOR the per-column hashes so the
+        # bucket key depends on every component
+        h = np.zeros(len(out), dtype=np.uint64)
+        for i, k in enumerate(keys):
+            hk = hash64_column(out.column(k))
+            r = np.uint64(i * 21 % 64)
+            h ^= (hk << r) | (hk >> (np.uint64(64) - r)) if i else hk
         return out.append_column(
             "__kb", pa.array((h % np.uint64(buckets)).astype(np.int32)))
 

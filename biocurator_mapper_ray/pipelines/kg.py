@@ -377,3 +377,36 @@ def triples_quality(triples_tbl: pa.Table, expected_tbl: pa.Table) -> dict:
         "recall": recall,
         "f1": (2 * precision * recall / (precision + recall)) if (precision + recall) else 0.0,
     }
+
+
+def incremental_update(prev_triples, transcripts, terms: pa.Table, *,
+                       snapshot_hash: str = "",
+                       **extract_kw):
+    """Incremental KG maintenance: extract triples from NEW transcript
+    shards and MERGE them into an existing triple snapshot by the
+    (subj, pred, obj) identity — the day-2 operation of a
+    continuously-updated knowledge graph, so a nightly delta of
+    conversations never re-processes the corpus.
+
+    Semantics: fresh extractions override the snapshot row for the same
+    triple (so confidence, provenance and lineage — extractor_version,
+    ontology_snapshot_hash, input_shard — always reflect the NEWEST
+    evidence); unchanged snapshot triples stream through; novel triples
+    insert.  Within a side, the highest-confidence row wins (conv_id
+    tiebreak keeps it total).
+
+    Scale shape: the extraction side is delta-sized; the merge is
+    ops/join.merge_upsert's composite-key exchange — both sides reduce
+    to per-batch per-triple candidates before the key-hash exchange, so
+    the snapshot streams through without materializing.  Output order
+    is bucket-partitioned (sort at read time if needed — the snapshot
+    sink is content-addressed, not order-addressed).
+    """
+    from ..ops.join import merge_upsert
+
+    new_triples = extract_triples(transcripts, terms,
+                                  snapshot_hash=snapshot_hash,
+                                  sort_output=False, **extract_kw)
+    return merge_upsert(prev_triples, new_triples,
+                        key=["subj", "pred", "obj"],
+                        order_col="confidence", tiebreak="conv_id")

@@ -259,3 +259,44 @@ class TestPoolClamp:
 
         pool, cpus = _clamp_pool((1, 2))
         assert pool == (1, 2) and cpus == 1.0
+
+
+class TestIncrementalUpdate:
+    def test_delta_merge_equals_full_extraction(self, corpus, ray_session):
+        """Splitting the corpus into a snapshot half and a delta half
+        and merging must yield the same triple SET as one full run,
+        with delta-side rows carrying the fresh snapshot hash."""
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from biocurator_mapper_ray.pipelines.kg import incremental_update
+
+        tdir, _ = corpus
+        terms = terms_table()
+        full = rd.read_parquet(tdir).to_pandas()
+        convs = sorted(full["conv_id"].unique())
+        cut = len(convs) // 2
+        old_part = full[full["conv_id"].isin(convs[:cut])]
+        new_part = full[full["conv_id"].isin(convs[cut:])]
+
+        prev = extract_triples(rd.from_pandas(old_part), terms,
+                               snapshot_hash="v1", sort_output=False,
+                               concurrency=2)
+        merged = incremental_update(
+            prev, rd.from_pandas(new_part), terms,
+            snapshot_hash="v2", concurrency=2).to_pandas()
+
+        want = extract_triples(rd.read_parquet(tdir), terms,
+                               snapshot_hash="vX", sort_output=False,
+                               concurrency=2).to_pandas()
+
+        key = ["subj", "pred", "obj"]
+        assert sorted(map(tuple, merged[key].values.tolist())) == \
+            sorted(map(tuple, want[key].values.tolist()))
+        assert not merged.duplicated(key).any()
+        # provenance: delta-covered conversations carry the new hash
+        by_hash = merged.groupby("ontology_snapshot_hash").size()
+        assert set(by_hash.index) == {"v1", "v2"}
+        new_convs = set(new_part["conv_id"])
+        got_v2 = merged[merged["ontology_snapshot_hash"] == "v2"]
+        assert set(got_v2["conv_id"]).issubset(new_convs)

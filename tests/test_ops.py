@@ -1833,3 +1833,29 @@ class TestSegmentConversations:
                                     threshold=0.05).to_pandas()
         segs = got.groupby("conv_id")["segment_id"].nunique()
         assert (segs == 2).all()  # exactly the planted topic switch
+
+
+class TestMergeUpsertCompositeKey:
+    def test_triple_key_merge(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.join import merge_upsert
+
+        base = pd.DataFrame({
+            "s": ["a", "a", "b"], "p": ["r", "r", "r"],
+            "o": ["x", "y", "x"],
+            "conf": [0.5, 0.6, 0.7], "ver": [1, 1, 1]})
+        upd = pd.DataFrame({
+            "s": ["a", "c"], "p": ["r", "r"], "o": ["y", "z"],
+            "conf": [0.9, 0.4], "ver": [2, 2]})
+        got = merge_upsert(rd.from_pandas(base).repartition(2),
+                           rd.from_pandas(upd),
+                           key=["s", "p", "o"], order_col="conf") \
+            .to_pandas().sort_values(["s", "o"], ignore_index=True)
+        assert len(got) == 4
+        m = {(r["s"], r["p"], r["o"]): (r["conf"], r["ver"])
+             for _, r in got.iterrows()}
+        assert m[("a", "r", "y")] == (0.9, 2)   # updated
+        assert m[("a", "r", "x")] == (0.5, 1)   # untouched
+        assert m[("c", "r", "z")] == (0.4, 2)   # inserted
