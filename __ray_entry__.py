@@ -2721,6 +2721,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_active_users": _q_rolling_active_users,
         "kg_segments": _q_kg_segments,  # rows-only (dialog op)
         "kg_incremental": _q_kg_incremental,  # rows-only (delta merge)
+        "checksum_by_source": _q_checksum_by_source,
+        "resilient_documents": _q_resilient_documents,
         # --- slot 51+ (past the driver's 50-entry snapshot) ---
         # round-4 ops verified by scripts/check_oracle.py locally; demoted
         # to window the newest ops — re-window whichever lack green in r5
@@ -3186,6 +3188,18 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY o_orderkey
                 ORDER BY src DESC, o_orderdate DESC, o_orderkey) = 1
             ORDER BY o_orderkey
+        """,
+        "checksum_by_source": """
+            SELECT source,
+                   bit_xor(CAST('0x' || substr(md5(
+                       CAST(doc_id AS VARCHAR) || chr(31) || text),
+                   1, 16) AS UBIGINT)) AS checksum,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "resilient_documents": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE doc_id % 251 <> 0 ORDER BY doc_id
         """,
         "rolling_active_users": """
             WITH pairs AS (
@@ -5208,3 +5222,39 @@ def _q_kg_incremental(sf_dir: str):
     return (merged.groupby("ontology_snapshot_hash")
             .aggregate(Count(alias_name="n_triples"))
             .sort("ontology_snapshot_hash"))
+
+
+def _q_checksum_by_source(sf_dir: str):
+    """Per-source content checksums (ops/profile.grouped_checksum):
+    the partition-level resume validator — after a partial re-run,
+    only groups whose checksum changed re-process.  Same md5-XOR fold
+    as checksum_documents, keyed; groups×batches lean exchange."""
+    from biocurator_mapper_ray.ops.profile import grouped_checksum
+
+    ds = _read(sf_dir, "documents", columns=["source", "doc_id", "text"])
+    return grouped_checksum(ds, group="source",
+                            columns=["doc_id", "text"]).sort("source")
+
+
+def _q_resilient_documents(sf_dir: str):
+    """Poison-row isolation (ops/resilient.resilient_map_batches): the
+    transform hard-fails on any batch containing a doc_id % 251 == 0
+    row; bisection quarantines EXACTLY those rows (with error text) to
+    a side parquet while every healthy row flows through the normal
+    vectorized path — the oracle checks the survivor set is precisely
+    the complement."""
+    import tempfile
+
+    from biocurator_mapper_ray.ops.resilient import resilient_map_batches
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        if len(ids) and (ids % 251 == 0).any():
+            raise ValueError("planted poison row")
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_chars": batch.column("n_chars")})
+
+    q = tempfile.mkdtemp(prefix="bmr_quarantine_")
+    return resilient_map_batches(ds, fn, quarantine=q).sort("doc_id")

@@ -172,6 +172,17 @@ def run_bench() -> dict:
         "triangle_count_parts",
         "common_neighbors_parts",
         "shipping_priority",
+        # round-4 third-session additions
+        "checksum_documents",
+        "upsert_orders",
+        "pareto_lineitem",
+        "zorder_orders",
+        "fuzzy_decontam_documents",
+        "hll_users_by_type",
+        "weighted_price_quantiles",
+        "rolling_active_users",
+        "kg_segments",
+        "kg_incremental",
     ]
     qs = entry.queries()
     for name in bench_queries:

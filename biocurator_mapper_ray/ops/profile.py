@@ -237,3 +237,49 @@ def grouped_diversity(ds, *, group: str, value: str):
             .groupby(group).aggregate(Sum("c", alias_name="n"),
                                       Count(alias_name="n_distinct"),
                                       Sum("c2", alias_name="sum_c2")))
+
+
+def grouped_checksum(ds, *, group: str, columns: list[str],
+                     sep: str = "\x1f"):
+    """Per-group order-insensitive content checksum: the
+    :func:`table_checksum` fold keyed by ``group`` — (group, checksum,
+    n_rows) rows.  THE partition-level resume validator: after a
+    partial re-run, compare each input shard's / partition key's
+    checksum against the snapshot and re-process only the groups that
+    changed, never the table.  Exchange is groups×batches lean partial
+    rows; the same bit_xor(md5-u64) SQL mirror applies per group.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import md5_prefix_u64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        parts = []
+        for c in columns:
+            parts.append(pc.cast(batch.column(c), pa.string()))
+            parts.append(sep)
+        key = pc.binary_join_element_wise(*parts[:-1], "")
+        h = md5_prefix_u64(key)
+        df = pd.DataFrame({group: batch.column(group).to_pandas(),
+                           "h": h})
+        agg = df.groupby(group, as_index=False).agg(
+            checksum=("h", lambda s: np.bitwise_xor.reduce(
+                s.to_numpy(dtype=np.uint64))),
+            n_rows=("h", "size"))
+        return pa.table({group: pa.array(agg[group]),
+                         "checksum": pa.array(agg["checksum"]
+                                              .astype(np.uint64)),
+                         "n_rows": pa.array(agg["n_rows"]
+                                            .astype(np.int64))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            group: [g[group].iloc[0]],
+            "checksum": pd.Series([np.bitwise_xor.reduce(
+                g["checksum"].to_numpy(dtype=np.uint64))],
+                dtype="uint64"),
+            "n_rows": pd.Series([int(g["n_rows"].sum())], dtype="int64"),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(group).map_groups(fold, batch_format="pandas"))

@@ -1859,3 +1859,79 @@ class TestMergeUpsertCompositeKey:
         assert m[("a", "r", "y")] == (0.9, 2)   # updated
         assert m[("a", "r", "x")] == (0.5, 1)   # untouched
         assert m[("c", "r", "z")] == (0.4, 2)   # inserted
+
+
+class TestResilientMapBatches:
+    def _fn(self):
+        def double_or_die(batch):
+            import pyarrow as pa
+
+            v = batch.column("v").to_numpy(zero_copy_only=False)
+            if (v % 37 == 0).any() and len(v) > 0:
+                raise ValueError("poison value")
+            return pa.table({"v2": pa.array(v * 2)})
+        return double_or_die
+
+    def test_poison_rows_quarantined_not_lost(self, ray_session, tmp_path):
+        import pandas as pd
+        import pyarrow.dataset as pads
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.resilient import (
+            resilient_map_batches,
+        )
+
+        df = pd.DataFrame({"v": np.arange(1, 301, dtype=np.int64)})
+        q = str(tmp_path / "quarantine")
+        got = resilient_map_batches(
+            rd.from_pandas(df).repartition(4), self._fn(),
+            quarantine=q).to_pandas()
+        poison = set(range(37, 301, 37))
+        assert sorted(got["v2"]) == \
+            sorted(2 * v for v in range(1, 301) if v not in poison)
+        qt = pads.dataset(q).to_table().to_pandas()
+        assert sorted(qt["v"]) == sorted(poison)
+        assert qt["__error"].str.contains("poison value").all()
+
+    def test_clean_run_touches_nothing(self, ray_session, tmp_path):
+        import os
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.resilient import (
+            resilient_map_batches,
+        )
+
+        df = pd.DataFrame({"v": np.array([1, 2, 3], dtype=np.int64)})
+        q = str(tmp_path / "q2")
+        got = resilient_map_batches(rd.from_pandas(df), self._fn(),
+                                    quarantine=q).to_pandas()
+        assert sorted(got["v2"]) == [2, 4, 6]
+        assert os.listdir(q) == []
+
+
+class TestGroupedChecksum:
+    def test_matches_duckdb_per_group(self, ray_session):
+        import duckdb
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.profile import grouped_checksum
+
+        rng = np.random.default_rng(41)
+        df = pd.DataFrame({
+            "g": rng.choice(["x", "y", "z"], 120),
+            "k": np.arange(120, dtype=np.int64),
+            "s": [f"s{i % 11}" for i in range(120)]})
+        got = grouped_checksum(rd.from_pandas(df).repartition(5),
+                               group="g", columns=["k", "s"]).to_pandas()
+        ref = duckdb.sql(
+            "SELECT g, bit_xor(CAST('0x' || substr(md5("
+            "CAST(k AS VARCHAR) || chr(31) || s), 1, 16) AS UBIGINT)) "
+            "AS checksum, CAST(count(*) AS BIGINT) AS n_rows "
+            "FROM df GROUP BY g ORDER BY g").df()
+        got = got.sort_values("g", ignore_index=True)
+        assert got["g"].tolist() == ref["g"].tolist()
+        assert [np.uint64(x) for x in got["checksum"]] == \
+            [np.uint64(x) for x in ref["checksum"]]
+        assert got["n_rows"].tolist() == ref["n_rows"].tolist()
