@@ -2723,6 +2723,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_incremental": _q_kg_incremental,  # rows-only (delta merge)
         "checksum_by_source": _q_checksum_by_source,
         "resilient_documents": _q_resilient_documents,
+        "benford_prices": _q_benford_prices,
+        "top_sources_per_lang": _q_top_sources_per_lang,
         # --- slot 51+ (past the driver's 50-entry snapshot) ---
         # round-4 ops verified by scripts/check_oracle.py locally; demoted
         # to window the newest ops — re-window whichever lack green in r5
@@ -3200,6 +3202,25 @@ def oracle_sql() -> dict[str, str]:
         "resilient_documents": """
             SELECT doc_id, n_chars FROM documents
             WHERE doc_id % 251 <> 0 ORDER BY doc_id
+        """,
+        "benford_prices": """
+            WITH v AS (
+                SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+                FROM orders)
+            SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT)
+                       AS digit,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM v WHERE c > 0
+            GROUP BY 1 ORDER BY digit
+        """,
+        "top_sources_per_lang": """
+            WITH c AS (
+                SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs
+                FROM documents GROUP BY 1, 2)
+            SELECT lang, source, n_docs FROM c
+            QUALIFY row_number() OVER (
+                PARTITION BY lang ORDER BY n_docs DESC, source) <= 3
+            ORDER BY lang, n_docs, source
         """,
         "rolling_active_users": """
             WITH pairs AS (
@@ -5176,15 +5197,26 @@ def _q_kg_segments(sf_dir: str):
     outside the oracle's table views; boundary semantics are pinned by
     the planted-topic unit tests.  Returns per-conversation segment
     counts (result-scale)."""
-    from ray.data.aggregate import Max
-
     from biocurator_mapper_ray.ops.dialog import segment_conversations
 
     transcripts, _ = _kg_transcripts(sf_dir)
     segs = segment_conversations(transcripts, threshold=0.05)
-    return (segs.groupby("conv_id")
-            .aggregate(Max("segment_id", alias_name="n_segments"))
-            .sort("conv_id"))
+
+    # each output block is one conv-hash bucket, so a conversation
+    # never straddles blocks: the per-conv max reduces PER BLOCK with
+    # no further exchange (a global groupby here measured 9.5 s — 3×
+    # the whole segmentation — on string-keyed blocks at sf0.1)
+    def per_block_max(b: pa.Table) -> pa.Table:
+        t = b.select(["conv_id", "segment_id"]).group_by(
+            ["conv_id"], use_threads=False).aggregate(
+            [("segment_id", "max")])
+        return t.rename_columns(["conv_id", "n_segments"])
+
+    # batch_size=None: one batch == one bucket block (a smaller default
+    # batch size would split a conversation across batches and emit
+    # duplicate per-conv rows with partial maxes)
+    return segs.map_batches(per_block_max, batch_size=None,
+                            batch_format="pyarrow").sort("conv_id")
 
 
 def _q_kg_incremental(sf_dir: str):
@@ -5258,3 +5290,32 @@ def _q_resilient_documents(sf_dir: str):
 
     q = tempfile.mkdtemp(prefix="bmr_quarantine_")
     return resilient_map_batches(ds, fn, quarantine=q).sort("doc_id")
+
+
+def _q_benford_prices(sf_dir: str):
+    """Benford first-digit profile of order prices in exact cents
+    (ops/profile.first_digit_profile): 9-row map partials, one tiny
+    combine — the fabricated-data screen."""
+    from biocurator_mapper_ray.ops.profile import first_digit_profile
+
+    orders = _read(sf_dir, "orders", columns=["o_totalprice"])
+    return first_digit_profile(orders, column="o_totalprice").sort("digit")
+
+
+def _q_top_sources_per_lang(sf_dir: str):
+    """Grouped top-k AGGREGATE composition: doc counts per (lang,
+    source) — a lean pair-cardinality aggregate — piped into
+    ops/rank.top_k_per_group (per-batch top-k combiner) for the 3
+    biggest sources per language.  Demonstrates operator composability:
+    the second stage's input is the first's result-scale output."""
+    from ray.data.aggregate import Count
+
+    from biocurator_mapper_ray.ops.rank import top_k_per_group
+
+    ds = _read(sf_dir, "documents", columns=["lang", "source"])
+    counts = ds.groupby(["lang", "source"]).aggregate(
+        Count(alias_name="n_docs"))
+    return top_k_per_group(counts, "lang", "n_docs", 3,
+                           tiebreak_col="source") \
+        .select_columns(["lang", "source", "n_docs"]) \
+        .sort(["lang", "n_docs", "source"])

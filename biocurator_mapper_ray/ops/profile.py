@@ -283,3 +283,33 @@ def grouped_checksum(ds, *, group: str, columns: list[str],
 
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby(group).map_groups(fold, batch_format="pandas"))
+
+
+def first_digit_profile(ds, *, column: str, cents: bool = True):
+    """Benford first-significant-digit profile of a positive numeric
+    column: (digit 1-9, n) exact counts — the data-quality screen for
+    fabricated or truncated value distributions (Benford's law;
+    Newcomb 1881 / Benford 1938).  Zero/negative values are excluded
+    (they carry no leading significant digit).
+
+    Map-side: values scale to integer cents (exact, the moments rule),
+    the leading digit falls out of the decimal rendering — one string
+    cast per batch, 9-row partials; one tiny groupby combines.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(column)
+        if cents:
+            v = pc.cast(pc.round(pc.multiply(v, 100.0), ndigits=0),
+                        pa.int64())
+        pos = pc.filter(v, pc.greater(v, 0))
+        s = pc.cast(pos, pa.string())
+        d = pc.cast(pc.utf8_slice_codeunits(s, 0, 1), pa.int64())
+        dig, cnt = np.unique(d.to_numpy(zero_copy_only=False),
+                             return_counts=True)
+        return pa.table({"digit": pa.array(dig),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("digit").aggregate(Sum("c", alias_name="n")))

@@ -1935,3 +1935,19 @@ class TestGroupedChecksum:
         assert [np.uint64(x) for x in got["checksum"]] == \
             [np.uint64(x) for x in ref["checksum"]]
         assert got["n_rows"].tolist() == ref["n_rows"].tolist()
+
+
+class TestFirstDigitProfile:
+    def test_excludes_nonpositive_and_counts(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.profile import first_digit_profile
+
+        df = pd.DataFrame({"v": [1.23, 9.99, 0.0, -5.4, 0.005, 123.0]})
+        got = first_digit_profile(rd.from_pandas(df).repartition(3),
+                                  column="v").to_pandas()
+        # cents: 123, 999, 0(drop), -540(drop), 1(round .5 to even->0?
+        # 0.005*100=0.5 rounds to 0 -> drop), 12300
+        m = dict(zip(got["digit"], got["n"]))
+        assert m == {1: 2, 9: 1}
