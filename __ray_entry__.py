@@ -2725,6 +2725,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resilient_documents": _q_resilient_documents,
         "benford_prices": _q_benford_prices,
         "top_sources_per_lang": _q_top_sources_per_lang,
+        "price_bands": _q_price_bands,
+        "bin_pack_documents": _q_bin_pack_documents,  # rows-only (greedy)
         # --- slot 51+ (past the driver's 50-entry snapshot) ---
         # round-4 ops verified by scripts/check_oracle.py locally; demoted
         # to window the newest ops — re-window whichever lack green in r5
@@ -3212,6 +3214,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n
             FROM v WHERE c > 0
             GROUP BY 1 ORDER BY digit
+        """,
+        "price_bands": """
+            WITH b AS (
+                SELECT CASE WHEN o_totalprice < 50000.0 THEN 'small'
+                            WHEN o_totalprice < 150000.0 THEN 'mid'
+                            WHEN o_totalprice < 300000.0 THEN 'large'
+                            ELSE 'jumbo' END AS band
+                FROM orders)
+            SELECT band, CAST(count(*) AS BIGINT) AS n
+            FROM b GROUP BY band ORDER BY band
         """,
         "top_sources_per_lang": """
             WITH c AS (
@@ -5319,3 +5331,38 @@ def _q_top_sources_per_lang(sf_dir: str):
                            tiebreak_col="source") \
         .select_columns(["lang", "source", "n_docs"]) \
         .sort(["lang", "n_docs", "source"])
+
+
+def _q_price_bands(sf_dir: str):
+    """Broadcast range-banding (ops/classify.range_lookup): order
+    prices classified into tiers by one vectorized searchsorted per
+    batch — the dimension side rides inside the map task, no join, no
+    exchange; banded counts out."""
+    from ray.data.aggregate import Count
+
+    from biocurator_mapper_ray.ops.classify import range_lookup
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    banded = range_lookup(orders, column="o_totalprice",
+                          breaks=[50_000.0, 150_000.0, 300_000.0],
+                          labels=["small", "mid", "large", "jumbo"])
+    return (banded.groupby("band").aggregate(Count(alias_name="n"))
+            .sort("band"))
+
+
+def _q_bin_pack_documents(sf_dir: str):
+    """No-split training-batch packing (ops/pack.bin_pack, NFD within
+    md5-range shards, per-BIN greedy loop): per-bin doc and token
+    totals.  Rows-only: the greedy assignment is not SQL-expressible;
+    budget/determinism/efficiency invariants are pinned by
+    TestBinPack."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    from biocurator_mapper_ray.ops.pack import bin_pack
+
+    packed = bin_pack(ds, budget=512)
+    return (packed.groupby("bin_id")
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("n_tokens", alias_name="n_tokens"))
+            .sort("bin_id"))

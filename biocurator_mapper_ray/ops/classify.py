@@ -97,3 +97,32 @@ def classify_documents(ds, *, text_column: str = "text",
         fn_kwargs={"text_column": text_column, "weights_ref": weights_ref},
         batch_format="pyarrow",
     )
+
+
+def range_lookup(ds, *, column: str, breaks, labels: list[str],
+                 out: str = "band"):
+    """Broadcast range/banding lookup: label each row by which
+    ``breaks`` interval its ``column`` value falls in —
+    ``labels[i]`` for values in ``[breaks[i-1], breaks[i])`` (first
+    label below ``breaks[0]``, last at/above ``breaks[-1]``).  The
+    IP→geo / price-band / SLA-tier pattern: the dimension side is
+    result-scale by definition, so it rides INSIDE the map task as a
+    sorted numpy array + one vectorized ``searchsorted`` per batch —
+    never a join, never an exchange (the decontam broadcast rule).
+
+    ``len(labels) == len(breaks) + 1``; breaks must be sorted
+    ascending.  SQL mirror: the equivalent CASE/BETWEEN cascade.
+    """
+    br = np.asarray(breaks)
+    if len(labels) != len(br) + 1:
+        raise ValueError("need len(labels) == len(breaks) + 1")
+    if np.any(np.diff(br) <= 0):
+        raise ValueError("breaks must be strictly ascending")
+    lab = np.asarray(labels, dtype=object)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        v = batch.column(column).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(br, v, side="right")
+        return batch.append_column(out, pa.array(lab[idx], pa.string()))
+
+    return ds.map_batches(tag, batch_format="pyarrow")

@@ -184,3 +184,67 @@ def chunk_spans(ds, *, chunk_tokens: int, stride: int | None = None,
         })
 
     return ds.map_batches(chunks, batch_format="pyarrow")
+
+
+def bin_pack(ds, *, budget: int, id_column: str = "doc_id",
+             text_column: str = "text", seed: int = 0,
+             shard_bits: int = 6):
+    """NO-SPLIT training-batch packing: assign whole documents to bins
+    of at most ``budget`` tokens (next-fit-decreasing) — the packing
+    used when examples must stay intact (instruction tuning, eval
+    batches), complementing :func:`sequence_pack`'s concatenate-then-
+    split layout.  Documents longer than ``budget`` get a singleton
+    bin (flagged oversize).
+
+    Deterministic and distributed: docs route to md5-range shards (the
+    sequence_pack device), each shard sorts ITS docs by (tokens desc,
+    key) and packs greedily — the greedy loop runs per BIN, not per
+    doc (``searchsorted`` on the shard's size cumsum finds each bin's
+    extent), so a shard with millions of docs costs its bin count in
+    Python steps.  ``bin_id = (shard << 32) | local_bin`` is globally
+    unique and reproducible; bins never cross shards, costing at most
+    one underfull bin per shard vs the sequential greedy.
+
+    Emits (id, n_tokens, bin_id, oversize).
+    """
+    shards = 1 << shard_bits
+
+    def lean(batch: pa.Table) -> pa.Table:
+        _, _, _, _, n = _tokenize_counts(batch, text_column)
+        ids = batch.column(id_column).to_pylist()
+        qkey = _md5_key60(ids, seed)
+        return pa.table({
+            id_column: batch.column(id_column),
+            "n_tokens": pa.array(n),
+            "__qkey": pa.array(qkey),
+            "__shard": pa.array((qkey >> (60 - shard_bits)).astype(np.int32)),
+        })
+
+    def layout(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(["n_tokens", "__qkey", id_column],
+                                  ascending=[False, True, True],
+                                  kind="mergesort")
+        n = group["n_tokens"].to_numpy()
+        shard = int(group["__shard"].iloc[0])
+        bin_ids = np.empty(len(n), dtype=np.int64)
+        cum = np.cumsum(n)
+        i, b = 0, 0
+        while i < len(n):
+            if n[i] >= budget:        # oversize or exact-fit singleton
+                j = i + 1
+            else:
+                base = cum[i - 1] if i else 0
+                j = int(np.searchsorted(cum, base + budget,
+                                        side="right"))
+                j = max(j, i + 1)
+            bin_ids[i:j] = b
+            i, b = j, b + 1
+        return pd.DataFrame({
+            id_column: group[id_column].to_numpy(),
+            "n_tokens": n,
+            "bin_id": (np.int64(shard) << np.int64(32)) | bin_ids,
+            "oversize": n > budget,
+        })
+
+    return (ds.map_batches(lean, batch_format="pyarrow")
+            .groupby("__shard").map_groups(layout, batch_format="pandas"))

@@ -86,3 +86,45 @@ class TestChunkSpans:
         assert len(got) == 1
         assert got.loc[0, "chunk_text"] == "only two"
         assert got.loc[0, "tok_hi"] == 2
+
+
+class TestBinPack:
+    def test_budget_respected_and_deterministic(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.pack import bin_pack
+
+        rng = np.random.default_rng(7)
+        df = pd.DataFrame({
+            "doc_id": np.arange(200, dtype=np.int64),
+            "text": [" ".join(["w"] * int(k))
+                     for k in rng.integers(1, 60, 200)]})
+        a = bin_pack(rd.from_pandas(df).repartition(4),
+                     budget=100).to_pandas()
+        b = bin_pack(rd.from_pandas(df).repartition(9),
+                     budget=100).to_pandas()
+        # partition-invariant assignment
+        assert dict(zip(a["doc_id"], a["bin_id"])) == \
+            dict(zip(b["doc_id"], b["bin_id"]))
+        sums = a.groupby("bin_id")["n_tokens"].sum()
+        assert (sums <= 100).all()
+        assert not a["oversize"].any()
+        # packing efficiency: NFD within shards stays near optimal
+        total = a["n_tokens"].sum()
+        assert len(sums) <= int(np.ceil(total / 100)) + 64  # +1/shard
+
+    def test_oversize_doc_gets_singleton_bin(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.pack import bin_pack
+
+        df = pd.DataFrame({
+            "doc_id": np.array([1, 2, 3], dtype=np.int64),
+            "text": [" ".join(["w"] * 150), "w w", "w"]})
+        got = bin_pack(rd.from_pandas(df), budget=100).to_pandas()
+        big = got[got["doc_id"] == 1]
+        assert bool(big["oversize"].iloc[0])
+        # the oversize bin contains only that doc
+        assert (got["bin_id"] == big["bin_id"].iloc[0]).sum() == 1
