@@ -2727,6 +2727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_sources_per_lang": _q_top_sources_per_lang,
         "price_bands": _q_price_bands,
         "bin_pack_documents": _q_bin_pack_documents,  # rows-only (greedy)
+        "pq_knn_embeddings": _q_pq_knn_embeddings,  # rows-only (quantized)
         # --- slot 51+ (past the driver's 50-entry snapshot) ---
         # round-4 ops verified by scripts/check_oracle.py locally; demoted
         # to window the newest ops — re-window whichever lack green in r5
@@ -5366,3 +5367,23 @@ def _q_bin_pack_documents(sf_dir: str):
             .aggregate(Count(alias_name="n_docs"),
                        Sum("n_tokens", alias_name="n_tokens"))
             .sort("bin_id"))
+
+
+def _q_pq_knn_embeddings(sf_dir: str):
+    """Top-10 cosine under PRODUCT-QUANTIZED codes — m=8 bytes per
+    vector (32× memory cut at d=256) with asymmetric-distance lookup
+    tables, the billion-vector regime beyond SQ8
+    (ops/similarity.pq_fit/encode/knn).  Rows-only: quantized scores
+    are float/approximate; cluster-identity + recall@50 pinned by
+    tests."""
+    from biocurator_mapper_ray.ops.similarity import (
+        pq_encode, pq_fit, pq_knn)
+
+    ds = _read(sf_dir, "embeddings")
+    books = pq_fit(ds, m=8, k=64, seed=7)
+    codes = pq_encode(ds, books)
+    q = _read(sf_dir, "embeddings").limit(3).to_pandas()
+    queries = np.asarray(q["embedding"].tolist(), dtype=np.float32)
+    queries = queries[np.lexsort(queries.T[::-1])]  # order-canonical
+    return pq_knn(codes, books, queries, k=10).sort(
+        ["query_id", "rank"])

@@ -530,3 +530,139 @@ def sq8_knn(codes_ds, bounds, queries: np.ndarray, *, k: int = 10,
 
     return partials.groupby("query_id").map_groups(merge,
                                                    batch_format="pandas")
+
+
+def pq_fit(ds, *, vec_column: str = "embedding", m: int = 8,
+           k: int = 256, sample_size: int = 20000, iters: int = 10,
+           seed: int = 42) -> np.ndarray:
+    """Product-quantization codebooks (Jegou et al. 2011, "Product
+    quantization for nearest neighbor search"): the d dims split into
+    ``m`` subspaces, each with its own ``k``-centroid Lloyd codebook —
+    a d-dim vector compresses to m bytes (32× at d=256, m=8 vs SQ8's
+    4×), the billion-vector memory regime.
+
+    Fit is a bounded head sample on the driver (the kmeans init rule,
+    ops/cluster.py): state is the sample + m×k×(d/m) codebook floats —
+    index-scale, never corpus-scale.  Vectors are L2-normalized before
+    chunking so ADC inner product approximates cosine.
+    """
+    sample_tbl = ds.limit(sample_size).select_columns([vec_column]) \
+        .to_pandas()
+    if len(sample_tbl) == 0:
+        return np.zeros((m, 0, 0), dtype=np.float32)
+    mat = _canonical_rows(_normalize(
+        np.asarray(sample_tbl[vec_column].tolist(), dtype=np.float32)))
+    d = mat.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    k = min(k, len(mat))
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, k, dsub), dtype=np.float32)
+    for j in range(m):
+        X = mat[:, j * dsub:(j + 1) * dsub]
+        C = X[rng.choice(len(X), size=k, replace=False)].copy()
+        xn = (X * X).sum(axis=1)
+        for _ in range(iters):
+            d2 = xn[:, None] + (C * C).sum(axis=1)[None, :] \
+                - 2.0 * (X @ C.T)
+            assign = np.argmin(d2, axis=1)
+            sums = np.zeros_like(C)
+            np.add.at(sums, assign, X)
+            cnt = np.bincount(assign, minlength=k).astype(np.float32)
+            nz = cnt > 0
+            C[nz] = sums[nz] / cnt[nz, None]  # empty cells keep position
+        books[j] = C
+    return books
+
+
+def pq_encode(ds, codebooks, *, vec_column: str = "embedding",
+              code_column: str = "pq_code"):
+    """Encode vectors to m uint8 codes against broadcast codebooks
+    (array or ``ray.put`` handle): per subspace, nearest centroid by
+    one matmul per batch.  Output carries ``code_column`` as
+    fixed_size_binary(m) — zero per-row Python (the SQ8 buffer
+    device)."""
+    import ray
+
+    def encode(batch: pa.Table, books=codebooks) -> pa.Table:
+        B = ray.get(books) if not isinstance(books, np.ndarray) else books
+        m, k, dsub = B.shape
+        mat = _normalize(_as_matrix(batch.column(vec_column)))
+        n = len(mat)
+        codes = np.zeros((n, m), dtype=np.uint8)
+        for j in range(m):
+            X = mat[:, j * dsub:(j + 1) * dsub]
+            d2 = -2.0 * (X @ B[j].T) + (B[j] * B[j]).sum(axis=1)[None, :]
+            codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+        col = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(m), n, [None, pa.py_buffer(codes.tobytes())])
+        return batch.drop_columns([vec_column]).append_column(
+            code_column, col)
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def pq_knn(codes_ds, codebooks, queries: np.ndarray, *, k: int = 10,
+           id_column: str = "vec_id", code_column: str = "pq_code"):
+    """Asymmetric-distance (ADC) top-k over PQ codes: queries build one
+    (m, k) inner-product lookup table against the broadcast codebooks;
+    each batch's score is m fancy-indexed lookups summed — never a
+    decode, never a d-dim matmul.  Same partial-top-k + per-query merge
+    shape as :func:`knn_search`.  Returns (query_id, vec_id, cosine,
+    rank); approximate by quantization (recall pinned by tests)."""
+    import ray
+
+    qn = _normalize(np.asarray(queries, dtype=np.float32))
+    books = codebooks if isinstance(codebooks, np.ndarray) \
+        else ray.get(codebooks)
+    m, kc, dsub = books.shape
+    # (m, nq, kc) inner-product tables — index-scale, broadcast once
+    luts = np.stack([qn[:, j * dsub:(j + 1) * dsub] @ books[j].T
+                     for j in range(m)])
+    luts_ref = ray.put(luts.astype(np.float32))
+
+    def score(batch: pa.Table) -> pa.Table:
+        L = ray.get(luts_ref)
+        n = len(batch)
+        if not n:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_column: pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float32())})
+        arr = batch.column(code_column)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if pa.types.is_fixed_size_binary(arr.type):
+            buf = np.frombuffer(arr.buffers()[1], dtype=np.uint8)
+            codes = buf[arr.offset * m:(arr.offset + n) * m].reshape(n, m)
+        else:
+            codes = np.frombuffer(b"".join(arr.to_pylist()),
+                                  dtype=np.uint8).reshape(n, m)
+        nq = L.shape[1]
+        sims = np.zeros((n, nq), dtype=np.float32)
+        for j in range(m):
+            sims += L[j][:, codes[:, j]].T  # (n, nq) lookup-add
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+        take = min(k, n)
+        out_q, out_i, out_s = [], [], []
+        for qi in range(nq):
+            part = np.argpartition(-sims[:, qi], take - 1)[:take]
+            out_q.append(np.full(take, qi, dtype=np.int64))
+            out_i.append(ids[part])
+            out_s.append(sims[part, qi])
+        return pa.table({"query_id": pa.array(np.concatenate(out_q)),
+                         id_column: pa.array(np.concatenate(out_i)),
+                         "cosine": pa.array(
+                             np.concatenate(out_s).astype(np.float32))})
+
+    partials = codes_ds.map_batches(score, batch_format="pyarrow")
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["cosine", id_column],
+                              ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype=np.int32)
+        return g
+
+    return partials.groupby("query_id").map_groups(merge,
+                                                   batch_format="pandas")

@@ -1951,3 +1951,54 @@ class TestFirstDigitProfile:
         # 0.005*100=0.5 rounds to 0 -> drop), 12300
         m = dict(zip(got["digit"], got["n"]))
         assert m == {1: 2, 9: 1}
+
+
+class TestProductQuantization:
+    def test_codebook_shapes_encode_and_recall(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.similarity import (
+            knn_search, pq_encode, pq_fit, pq_knn)
+
+        rng = np.random.default_rng(11)
+        centers = rng.normal(size=(8, 32)).astype(np.float32) * 4
+        rows = [{"vec_id": i,
+                 "embedding": (centers[i % 8]
+                               + rng.normal(size=32, scale=0.3)
+                               .astype(np.float32)).tolist()}
+                for i in range(400)]
+        ds = rd.from_items(rows)
+        books = pq_fit(ds, m=8, k=64, sample_size=400, seed=3)
+        assert books.shape == (8, 64, 4)
+
+        codes = pq_encode(ds, books).materialize()
+        row0 = codes.take(1)[0]
+        assert len(row0["pq_code"]) == 8  # 32 floats -> 8 bytes (16x)
+
+        mat = np.asarray([r["embedding"] for r in rows], dtype=np.float32)
+        queries = np.stack([mat[i] for i in (0, 3, 7)])
+        approx = pq_knn(codes, books, queries, k=10).to_pandas()
+        # PQ is coarse WITHIN a cluster by design (the codes quantize
+        # away noise-scale distances); the semantic contract is that
+        # every neighbor comes from the query's cluster
+        for qpos, qid in enumerate((0, 3, 7)):
+            a = approx[approx["query_id"] == qpos]["vec_id"].to_numpy()
+            assert (a % 8 == qid % 8).all(), qpos
+        # and recall@50 contains the exact top-10 (standard PQ eval)
+        exact = knn_search(rd.from_items(rows), queries, k=10).to_pandas()
+        wide = pq_knn(codes, books, queries, k=50).to_pandas()
+        for qi in range(3):
+            e = set(exact[exact["query_id"] == qi]["vec_id"])
+            a = set(wide[wide["query_id"] == qi]["vec_id"])
+            assert len(a & e) / 10 >= 0.9, qi
+
+    def test_empty_and_indivisible_dim(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.similarity import pq_fit
+
+        rows = [{"vec_id": 0, "embedding": [0.1] * 30}]
+        with pytest.raises(ValueError):
+            pq_fit(rd.from_items(rows), m=8, sample_size=10)
+        empty = rd.from_items(rows).filter(lambda r: False)
+        assert pq_fit(empty, m=8).shape == (8, 0, 0)
