@@ -2728,6 +2728,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_bands": _q_price_bands,
         "bin_pack_documents": _q_bin_pack_documents,  # rows-only (greedy)
         "pq_knn_embeddings": _q_pq_knn_embeddings,  # rows-only (quantized)
+        "custkey_skew": _q_custkey_skew,
+        "ivf_pq_knn_embeddings": _q_ivf_pq_knn_embeddings,  # rows-only
         # --- slot 51+ (past the driver's 50-entry snapshot) ---
         # round-4 ops verified by scripts/check_oracle.py locally; demoted
         # to window the newest ops — re-window whichever lack green in r5
@@ -3215,6 +3217,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n
             FROM v WHERE c > 0
             GROUP BY 1 ORDER BY digit
+        """,
+        "custkey_skew": """
+            WITH k AS (
+                SELECT o_custkey, CAST(count(*) AS BIGINT) AS c
+                FROM orders GROUP BY o_custkey)
+            SELECT c, CAST(count(*) AS BIGINT) AS n_keys
+            FROM k GROUP BY c ORDER BY c
         """,
         "price_bands": """
             WITH b AS (
@@ -5386,4 +5395,35 @@ def _q_pq_knn_embeddings(sf_dir: str):
     queries = np.asarray(q["embedding"].tolist(), dtype=np.float32)
     queries = queries[np.lexsort(queries.T[::-1])]  # order-canonical
     return pq_knn(codes, books, queries, k=10).sort(
+        ["query_id", "rank"])
+
+
+def _q_custkey_skew(sf_dir: str):
+    """Orders-per-customer count-of-counts
+    (ops/profile.key_skew_profile): the pre-partitioning skew read —
+    two shrinking count exchanges, result is distinct-count-value
+    scale."""
+    from biocurator_mapper_ray.ops.profile import key_skew_profile
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+    return key_skew_profile(orders, key="o_custkey").sort("c")
+
+
+def _q_ivf_pq_knn_embeddings(sf_dir: str):
+    """IVF-PQ composed index (ops/similarity.ivf_pq_partition/search):
+    probed-cell READ pruning × 32-byte-per-vector codes — the two
+    100-TB levers multiplied.  Rows-only: quantized/approximate;
+    cluster-identity and probe-dominance pinned by TestIvfPq."""
+    import tempfile
+
+    from biocurator_mapper_ray.ops.similarity import (
+        ivf_pq_partition, ivf_pq_search)
+
+    ds = _read(sf_dir, "embeddings")
+    idx = tempfile.mkdtemp(prefix="bmr_ivfpq_")
+    ivf_pq_partition(ds, idx, n_cells=16, m=8, k_codes=64, seed=7)
+    q = _read(sf_dir, "embeddings").limit(3).to_pandas()
+    queries = np.asarray(q["embedding"].tolist(), dtype=np.float32)
+    queries = queries[np.lexsort(queries.T[::-1])]
+    return ivf_pq_search(idx, queries, k=10, n_probe=4).sort(
         ["query_id", "rank"])

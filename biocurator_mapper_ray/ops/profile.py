@@ -313,3 +313,26 @@ def first_digit_profile(ds, *, column: str, cents: bool = True):
 
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("digit").aggregate(Sum("c", alias_name="n")))
+
+
+def key_skew_profile(ds, *, key: str):
+    """Count-of-counts skew profile of a key column: for each per-key
+    row count c, how many keys have exactly c rows — THE diagnostic
+    read before choosing a partitioning key (a heavy tail here means
+    salt the hot keys; ops/dedup and ops/window size their bucket
+    exchanges from exactly this shape).
+
+    Two stacked count exchanges, both shrinking: per-batch (key, c)
+    partials → key-cardinality combine → count-cardinality fold (the
+    result is at most the distinct count values — tiny).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([key]).group_by(
+            [key], use_threads=False).aggregate([([], "count_all")])
+        return t.rename_columns([key, "c"])
+
+    per_key = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby(key).aggregate(Sum("c", alias_name="c")))
+    return (per_key.groupby("c").aggregate(Count(alias_name="n_keys")))

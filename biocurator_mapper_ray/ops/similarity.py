@@ -666,3 +666,150 @@ def pq_knn(codes_ds, codebooks, queries: np.ndarray, *, k: int = 10,
 
     return partials.groupby("query_id").map_groups(merge,
                                                    batch_format="pandas")
+
+
+def ivf_pq_partition(ds, out_dir: str, *, n_cells: int = 64, m: int = 8,
+                     k_codes: int = 64, sample_size: int = 4096,
+                     id_column: str = "vec_id",
+                     vec_column: str = "embedding", seed: int = 42,
+                     kmeans_iters: int = 8):
+    """IVF-PQ index layout (the FAISS IVFPQ shape, minus residual
+    encoding): coarse cells prune the READ
+    (:func:`ivf_partition`'s probed-cell file listing), PQ codes
+    shrink the BYTES each probed file holds to m per vector
+    (:func:`pq_encode`) — at 100 TB the two compose: unprobed
+    partitions never leave storage AND probed ones are 32× smaller.
+    Codes quantize the raw (normalized) vector, not the cell residual
+    — simpler, costs some recall at high n_cells vs true IVFPQ.
+
+    One combined map pass assigns the cell and encodes the codes;
+    centroids + codebooks land beside the data as ``_centroids.npy`` /
+    ``_pq_books.npy``.  Returns (centroids, codebooks).
+    """
+    import os
+
+    import ray
+
+    sample_tbl = ds.limit(sample_size).select_columns([vec_column]) \
+        .to_pandas()
+    sample = _canonical_rows(_normalize(
+        np.asarray(sample_tbl[vec_column].tolist(), dtype=np.float32)))
+    centroids = _kmeans(sample, n_cells, kmeans_iters, seed)
+    books = pq_fit(ds, vec_column=vec_column, m=m, k=k_codes,
+                   sample_size=sample_size, seed=seed)
+    cent_ref, books_ref = ray.put(centroids), ray.put(books)
+
+    class AssignEncode:
+        def __init__(self, cr, br):
+            import ray as _r
+
+            self.cent = _r.get(cr) if not isinstance(cr, np.ndarray) else cr
+            self.books = _r.get(br) if not isinstance(br, np.ndarray) else br
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _normalize(_as_matrix(batch.column(vec_column)))
+            n = len(mat)
+            mm, kc, dsub = self.books.shape
+            cell = (np.argmax(mat @ self.cent.T, axis=1).astype(np.int32)
+                    if n else np.zeros(0, np.int32))
+            codes = np.zeros((n, mm), dtype=np.uint8)
+            for j in range(mm):
+                X = mat[:, j * dsub:(j + 1) * dsub]
+                d2 = -2.0 * (X @ self.books[j].T) \
+                    + (self.books[j] ** 2).sum(axis=1)[None, :]
+                codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+            code_col = pa.FixedSizeBinaryArray.from_buffers(
+                pa.binary(mm), n, [None, pa.py_buffer(codes.tobytes())])
+            return pa.table({
+                id_column: batch.column(id_column),
+                "cell": pa.array(cell),
+                "cell_id": pa.array(cell),
+                "pq_code": code_col,
+            })
+
+    ds.map_batches(AssignEncode, fn_constructor_args=(cent_ref, books_ref),
+                   batch_format="pyarrow", concurrency=(1, 8), num_cpus=1,
+                   ).write_parquet(out_dir, partition_cols=["cell"])
+    os.makedirs(out_dir, exist_ok=True)
+    np.save(os.path.join(out_dir, "_centroids.npy"), centroids)
+    np.save(os.path.join(out_dir, "_pq_books.npy"), books)
+    return centroids, books
+
+
+def ivf_pq_search(index_dir: str, queries: np.ndarray, k: int = 10, *,
+                  n_probe: int = 8, id_column: str = "vec_id"):
+    """ADC top-k over an :func:`ivf_pq_partition` layout: probed-cell
+    file pruning (unprobed partitions never read) + per-batch
+    lookup-table scoring (:func:`pq_knn`'s ADC) with out-of-probe
+    masking.  ``n_probe = n_cells`` → brute-force over codes."""
+    import glob
+    import os
+
+    import ray
+    import ray.data as rd
+
+    centroids = np.load(os.path.join(index_dir, "_centroids.npy"))
+    books = np.load(os.path.join(index_dir, "_pq_books.npy"))
+    m, kc, dsub = books.shape
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    n_probe = min(n_probe, len(centroids))
+    probe = np.argsort(-(q @ centroids.T), axis=1)[:, :n_probe]
+    probe_mask = np.zeros((len(q), len(centroids)), dtype=bool)
+    for qi in range(len(q)):
+        probe_mask[qi, probe[qi]] = True
+    needed = sorted({int(c) for row in probe for c in row})
+    files = [f for c in needed for f in sorted(
+        glob.glob(os.path.join(index_dir, f"cell={c}", "*.parquet")))]
+    ds = rd.read_parquet(files)
+
+    luts = np.stack([q[:, j * dsub:(j + 1) * dsub] @ books[j].T
+                     for j in range(m)]).astype(np.float32)
+    luts_ref, mask_ref = ray.put(luts), ray.put(probe_mask)
+
+    def score(batch: pa.Table) -> pa.Table:
+        L = ray.get(luts_ref)
+        mask = ray.get(mask_ref)
+        n = len(batch)
+        if not n:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_column: pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float32())})
+        arr = batch.column("pq_code")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if pa.types.is_fixed_size_binary(arr.type):
+            buf = np.frombuffer(arr.buffers()[1], dtype=np.uint8)
+            codes = buf[arr.offset * m:(arr.offset + n) * m].reshape(n, m)
+        else:
+            codes = np.frombuffer(b"".join(arr.to_pylist()),
+                                  dtype=np.uint8).reshape(n, m)
+        cells = np.asarray(batch.column("cell_id").to_pylist(),
+                           dtype=np.int64)
+        nq = L.shape[1]
+        sims = np.zeros((nq, n), dtype=np.float32)
+        for j in range(m):
+            sims += L[j][:, codes[:, j]]
+        sims = np.where(mask[:, cells], sims, -np.inf)
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+        kk = min(k, n)
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(np.arange(nq), kk)
+        cols = part.reshape(-1)
+        keep = np.isfinite(sims[rows, cols])
+        return pa.table({
+            "query_id": pa.array(rows[keep].astype(np.int64)),
+            id_column: pa.array(ids[cols[keep]]),
+            "cosine": pa.array(sims[rows, cols][keep].astype(np.float32)),
+        })
+
+    partials = ds.map_batches(score, batch_format="pyarrow")
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["cosine", id_column],
+                              ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype=np.int32)
+        return g
+
+    return partials.groupby("query_id").map_groups(merge,
+                                                   batch_format="pandas")

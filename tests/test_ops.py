@@ -2002,3 +2002,56 @@ class TestProductQuantization:
             pq_fit(rd.from_items(rows), m=8, sample_size=10)
         empty = rd.from_items(rows).filter(lambda r: False)
         assert pq_fit(empty, m=8).shape == (8, 0, 0)
+
+
+class TestIvfPq:
+    def test_prunes_reads_and_finds_cluster_neighbors(self, ray_session,
+                                                      tmp_path):
+        import glob
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.similarity import (
+            ivf_pq_partition, ivf_pq_search)
+
+        rng = np.random.default_rng(5)
+        centers = rng.normal(size=(6, 32)).astype(np.float32) * 5
+        rows = [{"vec_id": i,
+                 "embedding": (centers[i % 6]
+                               + rng.normal(size=32, scale=0.2)
+                               .astype(np.float32)).tolist()}
+                for i in range(360)]
+        idx = str(tmp_path / "ivfpq")
+        cents, books = ivf_pq_partition(
+            rd.from_items(rows), idx, n_cells=12, m=8, k_codes=32,
+            sample_size=360, seed=9)
+        assert books.shape == (8, 32, 4)
+        assert len(glob.glob(idx + "/cell=*/")) <= 12
+
+        mat = np.asarray([r["embedding"] for r in rows], dtype=np.float32)
+        queries = np.stack([mat[0], mat[4]])
+        got = ivf_pq_search(idx, queries, k=10, n_probe=3).to_pandas()
+        for qpos, qid in enumerate((0, 4)):
+            a = got[got["query_id"] == qpos]["vec_id"].to_numpy()
+            assert len(a) == 10
+            assert (a % 6 == qid % 6).all(), qpos  # right cluster
+
+    def test_full_probe_matches_flat_pq(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.similarity import (
+            ivf_pq_partition, ivf_pq_search)
+
+        rng = np.random.default_rng(6)
+        rows = [{"vec_id": i,
+                 "embedding": rng.normal(size=16).astype(np.float32)
+                 .tolist()} for i in range(120)]
+        idx = str(tmp_path / "ivfpq2")
+        ivf_pq_partition(rd.from_items(rows), idx, n_cells=4, m=4,
+                         k_codes=16, sample_size=120, seed=2)
+        q = np.asarray([rows[3]["embedding"]], dtype=np.float32)
+        full = ivf_pq_search(idx, q, k=5, n_probe=4).to_pandas()
+        one = ivf_pq_search(idx, q, k=5, n_probe=1).to_pandas()
+        # full probe is a superset-quality result: its top-5 score set
+        # dominates the 1-probe result
+        assert full["cosine"].iloc[0] >= one["cosine"].iloc[0] - 1e-6
+        assert len(full) == 5
