@@ -2730,6 +2730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_knn_embeddings": _q_pq_knn_embeddings,  # rows-only (quantized)
         "custkey_skew": _q_custkey_skew,
         "ivf_pq_knn_embeddings": _q_ivf_pq_knn_embeddings,  # rows-only
+        "collocations_documents": _q_collocations,
         # --- slot 51+ (past the driver's 50-entry snapshot) ---
         # round-4 ops verified by scripts/check_oracle.py locally; demoted
         # to window the newest ops — re-window whichever lack green in r5
@@ -3217,6 +3218,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n
             FROM v WHERE c > 0
             GROUP BY 1 ORDER BY digit
+        """,
+        "collocations_documents": f"""
+            WITH words AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                                   '{_WS_CLASS}'), w -> w <> '') AS ws
+                FROM documents),
+            uni AS (
+                SELECT t.w AS token, CAST(count(*) AS BIGINT) AS c
+                FROM words, unnest(ws) AS t(w) GROUP BY 1),
+            tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+            big AS (
+                SELECT ws[g.i] AS w1, ws[g.i + 1] AS w2,
+                       CAST(count(*) AS BIGINT) AS n_pair
+                FROM words, unnest(range(1, len(ws))) AS g(i)
+                WHERE len(ws) >= 2
+                GROUP BY 1, 2 HAVING count(*) >= 30)
+            SELECT b.w1, b.w2, b.n_pair, u1.c AS n_w1, u2.c AS n_w2,
+                   tot.n AS n_tokens
+            FROM big b
+            JOIN uni u1 ON u1.token = b.w1
+            JOIN uni u2 ON u2.token = b.w2, tot
+            ORDER BY b.w1, b.w2
         """,
         "custkey_skew": """
             WITH k AS (
@@ -5427,3 +5451,15 @@ def _q_ivf_pq_knn_embeddings(sf_dir: str):
     queries = queries[np.lexsort(queries.T[::-1])]
     return ivf_pq_search(idx, queries, k=10, n_probe=4).sort(
         ["query_id", "rank"])
+
+
+def _q_collocations(sf_dir: str):
+    """Collocation evidence over documents
+    (ops/lm.collocation_stats): exact integer (n_pair, n_w1, n_w2,
+    n_tokens) tuples for bigrams with corpus count ≥ 30 — PMI/LLR
+    derive as pure driver expressions.  One tokenize pass consumed
+    twice, min_count makes the survivor side result-scale."""
+    from biocurator_mapper_ray.ops.lm import collocation_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return collocation_stats(ds, min_count=30)

@@ -126,3 +126,77 @@ def rare_bigram_stats(ds, *, id_column: str = "doc_id",
         lambda t: t.rename_columns([id_column, "total_bigrams",
                                     "rare_bigrams"]),
         batch_format="pyarrow")
+
+
+def collocation_stats(ds, *, id_column: str = "doc_id",
+                      text_column: str = "text", min_count: int = 5):
+    """Collocation evidence: for every adjacent-token bigram with
+    corpus count ≥ ``min_count``, the exact INTEGER tuple
+    (w1, w2, n_pair, n_w1, n_w2, n_tokens) under which every standard
+    association score — PMI, log-likelihood ratio, t-score — is a pure
+    driver-side float expression.  The vocabulary-building diagnostic
+    ("which token pairs deserve a merged vocab entry").
+
+    Scale shape: ONE tokenize pass emits per-batch (token, c) partials
+    (vocab-scale lean rows, text never shuffles), materialized once and
+    consumed twice (total-token fold + unigram combine); bigram-count
+    partials take one vocab-scale exchange, and the ``min_count``
+    filter makes survivors result-scale — only THEIR word counts come
+    back to the driver (map-side membership against the broadcast
+    survivor-word set).
+    """
+    import ray as _ray
+
+    def upart(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column(text_column)), WS_CLASS)
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = pc.value_counts(flat)
+        return pa.table({"token": vc.field("values"),
+                         "c": pc.cast(vc.field("counts"), pa.int64())})
+
+    uni = ds.map_batches(upart, batch_format="pyarrow").materialize()
+    n_tokens = int(uni.sum("c") or 0)
+
+    def bpart(batch: pa.Table) -> pa.Table:
+        _, bigrams, _ = _doc_bigrams(batch, id_column=id_column,
+                                     text_column=text_column)
+        vc = pc.value_counts(bigrams)
+        return pa.table({"bigram": vc.field("values"),
+                         "c": pc.cast(vc.field("counts"), pa.int64())})
+
+    big = (ds.map_batches(bpart, batch_format="pyarrow")
+           .groupby("bigram").sum("c")
+           .map_batches(lambda t: t.filter(pc.greater_equal(
+               t.column("sum(c)"), min_count)), batch_format="pyarrow")
+           .to_pandas())  # result-scale by the min_count contract
+    if len(big) == 0:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in [
+            ("w1", object), ("w2", object), ("n_pair", np.int64),
+            ("n_w1", np.int64), ("n_w2", np.int64),
+            ("n_tokens", np.int64)]})
+    parts = big["bigram"].str.split(" ", n=1, expand=True)
+    big["w1"], big["w2"] = parts[0], parts[1]
+    needed = np.sort(pd.unique(pd.concat([big["w1"], big["w2"]])
+                               .to_numpy()))
+    needed_ref = _ray.put(needed)
+
+    def only_needed(batch: pa.Table, ref=None) -> pa.Table:
+        nd = ref if isinstance(ref, np.ndarray) else _ray.get(ref)
+        t = batch.column("token").to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(nd, t), len(nd) - 1)
+        return batch.filter(pa.array(nd[pos] == t))
+
+    ucounts = (uni.map_batches(only_needed, fn_kwargs={"ref": needed_ref},
+                               batch_format="pyarrow")
+               .groupby("token").sum("c").to_pandas())
+    cmap = dict(zip(ucounts["token"], ucounts["sum(c)"].astype(np.int64)))
+    out = pd.DataFrame({
+        "w1": big["w1"], "w2": big["w2"],
+        "n_pair": big["sum(c)"].astype(np.int64),
+        "n_w1": big["w1"].map(cmap).astype(np.int64),
+        "n_w2": big["w2"].map(cmap).astype(np.int64),
+        "n_tokens": np.int64(n_tokens),
+    })
+    return out.sort_values(["w1", "w2"], ignore_index=True)

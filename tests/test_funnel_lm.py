@@ -193,3 +193,39 @@ class TestRareBigrams:
                .to_pandas().sort_values("doc_id"))
         # both fold to the same bigram -> corpus count 2 -> not rare
         assert out["rare_bigrams"].tolist() == [0, 0]
+
+
+class TestCollocationStats:
+    def test_matches_manual_counts(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.lm import collocation_stats
+
+        docs = ["the big cat and the big dog",
+                "a big cat sat",
+                "the big cat ran",
+                ""]
+        df = pd.DataFrame({"doc_id": np.arange(4, dtype=np.int64),
+                           "text": docs})
+        got = collocation_stats(rd.from_pandas(df).repartition(3),
+                                min_count=3)
+        row = got[(got["w1"] == "big") & (got["w2"] == "cat")]
+        assert len(row) == 1
+        r = row.iloc[0]
+        assert r["n_pair"] == 3 and r["n_w1"] == 4 and r["n_w2"] == 3
+        assert r["n_tokens"] == sum(len(d.split()) for d in docs)
+        # below-threshold bigrams are absent
+        assert not ((got["w1"] == "the") & (got["w2"] == "big")).any() \
+            or got[(got["w1"] == "the") & (got["w2"] == "big")].iloc[0]["n_pair"] >= 3
+
+    def test_empty_corpus(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.lm import collocation_stats
+
+        df = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                           "text": pd.Series([], dtype=object)})
+        got = collocation_stats(rd.from_pandas(df))
+        assert len(got) == 0
