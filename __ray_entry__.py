@@ -2731,6 +2731,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "custkey_skew": _q_custkey_skew,
         "ivf_pq_knn_embeddings": _q_ivf_pq_knn_embeddings,  # rows-only
         "collocations_documents": _q_collocations,
+        "kcore_parts": _q_kcore_parts,  # rows-only (iterative fixpoint)
         # --- slot 51+ (past the driver's 50-entry snapshot) ---
         # round-4 ops verified by scripts/check_oracle.py locally; demoted
         # to window the newest ops — re-window whichever lack green in r5
@@ -5463,3 +5464,14 @@ def _q_collocations(sf_dir: str):
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return collocation_stats(ds, min_count=30)
+
+
+def _q_kcore_parts(sf_dir: str):
+    """k-core membership of the folded part/supplier graph
+    (ops/graph.k_core): per-round degree exchange + map-side peel over
+    a monotonically shrinking edge set.  Rows-only: the peeling
+    fixpoint is not SQL-expressible; membership is pinned by the
+    sequential-peel parity test."""
+    from biocurator_mapper_ray.ops.graph import k_core
+
+    return k_core(_fold401_edges(sf_dir), k=120).sort("node")

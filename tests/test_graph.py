@@ -396,3 +396,53 @@ class TestEdgeSetPrimitives:
                     ref[(x, y)] = ref.get((x, y), 0) + 1
         assert dict(zip(zip(got["node_a"], got["node_b"]),
                         got["n_common"])) == ref
+
+
+class TestKCore:
+    def _peel_reference(self, edges, k):
+        import collections
+
+        edges = set(map(tuple, edges))
+        while True:
+            deg = collections.Counter()
+            for u, v in edges:
+                deg[u] += 1
+                deg[v] += 1
+            drop = {n for n, d in deg.items() if d < k}
+            if not drop:
+                return sorted(deg)
+            edges = {(u, v) for u, v in edges
+                     if u not in drop and v not in drop}
+            if not edges:
+                return []
+
+    def test_matches_sequential_peel(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.graph import k_core
+
+        rng = np.random.default_rng(19)
+        # dense clique (0-7) + sparse periphery chains
+        edges = [(u, v) for u in range(8) for v in range(u + 1, 8)]
+        nxt = 8
+        for _ in range(30):
+            a = int(rng.integers(0, 8))
+            edges.append((a, nxt))
+            edges.append((nxt, nxt + 1))
+            nxt += 2
+        df = pd.DataFrame(edges, columns=["src", "dst"]).astype(np.int64)
+        got = k_core(rd.from_pandas(df).repartition(4), k=4).to_pandas()
+        want = self._peel_reference(edges, 4)
+        assert sorted(got["node"]) == want
+        assert want == list(range(8))  # the clique survives, chains peel
+
+    def test_empty_core(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.graph import k_core
+
+        df = pd.DataFrame({"src": [1, 2], "dst": [2, 3]}).astype(np.int64)
+        got = k_core(rd.from_pandas(df), k=3).to_pandas()
+        assert len(got) == 0
