@@ -2735,6 +2735,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- slot 51+ (past the driver's 50-entry snapshot) ---
         # round-4 ops verified by scripts/check_oracle.py locally; demoted
         # to window the newest ops — re-window whichever lack green in r5
+        "lpa_communities_parts": _q_lpa_parts,
         "unicode_nfc": _q_unicode_nfc,
         "rolling_rows_events": _q_rolling_rows_events,
         "cube_orders": _q_cube_orders,
@@ -3127,6 +3128,50 @@ def oracle_sql() -> dict[str, str]:
             FROM bi x JOIN bi y ON x.c = y.c AND x.n < y.n
             GROUP BY 1, 2 HAVING count(*) >= 2
             ORDER BY node_a, node_b
+        """,
+        "lpa_communities_parts": """
+            WITH raw AS (
+                SELECT l_partkey % 401 AS a, l_suppkey % 401 AS b
+                FROM lineitem
+            ), e AS (
+                SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+                FROM raw WHERE a <> b
+            ), bi AS (
+                SELECT u AS node, v AS nbr FROM e
+                UNION ALL SELECT v AS node, u AS nbr FROM e
+            ), l0 AS (
+                SELECT DISTINCT node, node AS label FROM bi
+            ), v1 AS (
+                SELECT bi.node, l.label, count(*) AS c
+                FROM bi JOIN l0 l ON bi.nbr = l.node GROUP BY 1, 2
+            ), l1 AS (
+                SELECT node, label FROM (
+                    SELECT node, label, row_number() OVER (
+                        PARTITION BY node
+                        ORDER BY c DESC, label ASC) AS rn FROM v1)
+                WHERE rn = 1
+            ), v2 AS (
+                SELECT bi.node, l.label, count(*) AS c
+                FROM bi JOIN l1 l ON bi.nbr = l.node GROUP BY 1, 2
+            ), l2 AS (
+                SELECT node, label FROM (
+                    SELECT node, label, row_number() OVER (
+                        PARTITION BY node
+                        ORDER BY c DESC, label ASC) AS rn FROM v2)
+                WHERE rn = 1
+            ), v3 AS (
+                SELECT bi.node, l.label, count(*) AS c
+                FROM bi JOIN l2 l ON bi.nbr = l.node GROUP BY 1, 2
+            ), l3 AS (
+                SELECT node, label FROM (
+                    SELECT node, label, row_number() OVER (
+                        PARTITION BY node
+                        ORDER BY c DESC, label ASC) AS rn FROM v3)
+                WHERE rn = 1
+            )
+            SELECT CAST(node AS BIGINT) AS node,
+                   CAST(label AS BIGINT) AS label
+            FROM l3 ORDER BY node
         """,
         "shipping_priority": """
             SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
@@ -5475,3 +5520,16 @@ def _q_kcore_parts(sf_dir: str):
     from biocurator_mapper_ray.ops.graph import k_core
 
     return k_core(_fold401_edges(sf_dir), k=120).sort("node")
+
+
+def _q_lpa_parts(sf_dir: str):
+    """Synchronous label-propagation communities on the folded
+    part/supplier graph (ops/graph.label_propagation): per round ONE
+    nbr-hash bucketed exchange carries labels to voters, partial
+    (node, label) counts are summed and argmaxed in a node-hash
+    exchange.  Fixed rounds=3 with the deterministic smallest-label
+    tie-break makes the fixpoint-free prefix exactly SQL-unrollable."""
+    from biocurator_mapper_ray.ops.graph import distinct_edges, label_propagation
+
+    e = distinct_edges(_fold401_edges(sf_dir))
+    return label_propagation(e, src="u", dst="v", rounds=3).sort("node")

@@ -1091,3 +1091,100 @@ def k_core(edges, k: int, *, src: str = "src", dst: str = "dst",
         cur = cur.map_batches(peel, fn_kwargs={"ref": drop_ref},
                               batch_format="pyarrow").materialize()
     raise RuntimeError(f"k_core did not converge in {max_iters} rounds")
+
+
+def label_propagation(edges, *, src: str = "src", dst: str = "dst",
+                      rounds: int = 5, shards: int = 64):
+    """Deterministic SYNCHRONOUS label propagation (Raghavan et al.
+    2007): every node starts as its own label; each round every node
+    adopts the most frequent label among its neighbors (ties → smallest
+    label), all nodes updating simultaneously for ``rounds`` rounds —
+    the cheap community detector for near-dup cluster grouping and
+    link-farm discovery where connected components are too coarse.
+
+    Input: distinct undirected (u, v) edges.  Per round: labels ride ON
+    the edge endpoints through ONE src-hash bucketed exchange — inside
+    each bucket the (neighbor→label) vote count and argmax are
+    vectorized pandas groupbys; node-label state is a Dataset, never
+    driver-resident.  Synchronous + total tie-break ⇒ reproducible
+    (async LPA is run-order-dependent; bipartite structures may
+    oscillate, which bounded ``rounds`` absorbs).
+
+    Returns (node, label) — label = the elected community id.
+    """
+    from ray.data.aggregate import Min
+
+    both = edges.map_batches(
+        lambda b: pa.table({
+            "node": pa.concat_arrays([
+                b.column(dst).combine_chunks().cast(pa.int64()),
+                b.column(src).combine_chunks().cast(pa.int64())]),
+            "nbr": pa.concat_arrays([
+                b.column(src).combine_chunks().cast(pa.int64()),
+                b.column(dst).combine_chunks().cast(pa.int64())]),
+        }), batch_format="pyarrow").materialize()
+
+    # state: (node, label), initialized to identity
+    labels = both.groupby("node").aggregate(
+        Min("node", alias_name="label")).materialize()
+
+    def _kb(b: pa.Table, col: str) -> pa.Table:
+        h = hash64_column(b.column(col))
+        return b.append_column(
+            "__kb", pa.array((h % np.uint64(shards)).astype(np.int32)))
+
+    for _ in range(rounds):
+        # one aligned-schema union keyed by NEIGHBOR (the label owner):
+        # adjacency rows carry label=null, label rows carry node=null
+        adj = both.map_batches(
+            lambda b: _kb(pa.table({
+                "node": b.column("node"), "nbr": b.column("nbr"),
+                "label": pa.nulls(len(b), pa.int64())}), "nbr"),
+            batch_format="pyarrow")
+        lab = labels.map_batches(
+            lambda b: _kb(pa.table({
+                "node": pa.nulls(len(b), pa.int64()),
+                "nbr": b.column("node"),
+                "label": b.column("label")}), "nbr"),
+            batch_format="pyarrow")
+
+        def vote(g: pd.DataFrame) -> pa.Table:
+            empty = pa.table({"node": pa.array([], pa.int64()),
+                              "label": pa.array([], pa.int64()),
+                              "c": pa.array([], pa.int64())})
+            g = g.drop(columns="__kb")
+            left = g.loc[g["label"].isna(), ["node", "nbr"]]
+            right = g.loc[g["node"].isna(), ["nbr", "label"]]
+            if left.empty or right.empty:
+                return empty
+            m = left.merge(right, on="nbr")
+            cnt = (m.groupby(["node", "label"], as_index=False)
+                   .size().rename(columns={"size": "c"}))
+            return pa.table({
+                "node": pa.array(cnt["node"].to_numpy(np.int64)),
+                "label": pa.array(cnt["label"].to_numpy(np.int64)),
+                "c": pa.array(cnt["c"].to_numpy(np.int64))})
+
+        votes = (adj.union(lab)
+                 .groupby("__kb").map_groups(vote, batch_format="pandas"))
+
+        def elect(g: pd.DataFrame) -> pd.DataFrame:
+            # vote counts arrive PARTIAL (one row per nbr-hash bucket a
+            # neighbor landed in) — sum before the argmax or multi-bucket
+            # majorities collapse to all-ones ties
+            g = g.groupby(["node", "label"], as_index=False)["c"].sum()
+            g = g.sort_values(["node", "c", "label"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+            return g.drop_duplicates("node")[["node", "label"]]
+
+        def tag_node(b: pa.Table) -> pa.Table:
+            h = hash64_column(b.column("node"))
+            return b.append_column(
+                "__kb", pa.array((h % np.uint64(shards)).astype(np.int32)))
+
+        labels = (votes.map_batches(tag_node, batch_format="pyarrow")
+                  .groupby("__kb").map_groups(
+                      lambda g: elect(g.drop(columns="__kb")),
+                      batch_format="pandas")).materialize()
+    return labels

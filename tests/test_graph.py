@@ -446,3 +446,40 @@ class TestKCore:
         df = pd.DataFrame({"src": [1, 2], "dst": [2, 3]}).astype(np.int64)
         got = k_core(rd.from_pandas(df), k=3).to_pandas()
         assert len(got) == 0
+
+
+class TestLabelPropagation:
+    def test_two_cliques_with_bridge(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.graph import label_propagation
+
+        edges = [(u, v) for u in range(5) for v in range(u + 1, 5)]
+        edges += [(u, v) for u in range(10, 15)
+                  for v in range(u + 1, 15)]
+        edges.append((4, 10))  # bridge
+        df = pd.DataFrame(edges, columns=["src", "dst"]).astype(np.int64)
+        got = label_propagation(rd.from_pandas(df).repartition(3),
+                                rounds=5).to_pandas()
+        lab = dict(zip(got["node"], got["label"]))
+        c1 = {lab[n] for n in range(5)}
+        c2 = {lab[n] for n in range(10, 15)}
+        assert len(c1) == 1 and len(c2) == 1
+        assert c1 != c2  # the bridge does not merge the cliques
+
+    def test_deterministic_across_partitionings(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.graph import label_propagation
+
+        rng = np.random.default_rng(8)
+        edges = rng.integers(0, 40, size=(120, 2))
+        edges = edges[edges[:, 0] != edges[:, 1]]
+        df = pd.DataFrame(edges, columns=["src", "dst"]).astype(np.int64)
+        a = label_propagation(rd.from_pandas(df), rounds=3).to_pandas()
+        b = label_propagation(rd.from_pandas(df).repartition(7),
+                              rounds=3).to_pandas()
+        assert dict(zip(a["node"], a["label"])) == \
+            dict(zip(b["node"], b["label"]))
