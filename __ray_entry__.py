@@ -2736,6 +2736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 ops verified by scripts/check_oracle.py locally; demoted
         # to window the newest ops — re-window whichever lack green in r5
         "lpa_communities_parts": _q_lpa_parts,
+        "bfs_parts": _q_bfs_parts,
         "unicode_nfc": _q_unicode_nfc,
         "rolling_rows_events": _q_rolling_rows_events,
         "cube_orders": _q_cube_orders,
@@ -3128,6 +3129,25 @@ def oracle_sql() -> dict[str, str]:
             FROM bi x JOIN bi y ON x.c = y.c AND x.n < y.n
             GROUP BY 1, 2 HAVING count(*) >= 2
             ORDER BY node_a, node_b
+        """,
+        "bfs_parts": """
+            WITH RECURSIVE raw AS (
+                SELECT l_partkey % 401 AS a, l_suppkey % 401 AS b
+                FROM lineitem
+            ), e AS (
+                SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+                FROM raw WHERE a <> b
+            ), bi AS (
+                SELECT u AS node, v AS nbr FROM e
+                UNION ALL SELECT v AS node, u AS nbr FROM e
+            ), walk(node, dist) AS (
+                SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+                UNION
+                SELECT CAST(bi.nbr AS BIGINT), CAST(w.dist + 1 AS BIGINT)
+                FROM walk w JOIN bi ON bi.node = w.node WHERE w.dist < 4
+            )
+            SELECT node, min(dist) AS dist FROM walk
+            GROUP BY node ORDER BY node
         """,
         "lpa_communities_parts": """
             WITH raw AS (
@@ -5533,3 +5553,15 @@ def _q_lpa_parts(sf_dir: str):
 
     e = distinct_edges(_fold401_edges(sf_dir))
     return label_propagation(e, src="u", dst="v", rounds=3).sort("node")
+
+
+def _q_bfs_parts(sf_dir: str):
+    """Multi-source BFS hop distances from node 0 on the folded
+    part/supplier graph (ops/graph.bfs_distances): per round ONE
+    node-hash exchange joins the current frontier to the adjacency and
+    a min-merge groupby folds candidates; state stays a Dataset.  The
+    bounded-depth frontier walk is exactly a capped recursive CTE."""
+    from biocurator_mapper_ray.ops.graph import bfs_distances, distinct_edges
+
+    e = distinct_edges(_fold401_edges(sf_dir))
+    return bfs_distances(e, [0], src="u", dst="v", max_depth=4).sort("node")

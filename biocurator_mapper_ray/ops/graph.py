@@ -1188,3 +1188,82 @@ def label_propagation(edges, *, src: str = "src", dst: str = "dst",
                       lambda g: elect(g.drop(columns="__kb")),
                       batch_format="pandas")).materialize()
     return labels
+
+
+def bfs_distances(edges, sources, *, src: str = "src", dst: str = "dst",
+                  max_depth: int = 10, shards: int = 64):
+    """Multi-source BFS over an undirected distinct edge set: the exact
+    shortest hop-distance from the nearest seed in ``sources`` for every
+    node within ``max_depth`` hops — the KG reachability primitive
+    ("everything within k hops of these ontology roots") and the
+    neighborhood-sampling step of graph-embedding pipelines.
+
+    Per round: the CURRENT frontier (nodes first labeled last round)
+    joins the adjacency through ONE node-hash bucketed exchange —
+    frontier and adjacency rows union into aligned-schema blocks, the
+    bucket task emits each frontier node's unseen-candidate neighbors —
+    then a min-merge ``groupby(node)`` folds candidates into the
+    distance state.  Distance state and adjacency stay Datasets end to
+    end (nothing node- or edge-scale on the driver; ``sources`` itself
+    is the only driver-side list and is seed-sized).  Frontier labeling
+    is exact because unit-weight BFS first reaches a node at its true
+    distance, so a node never re-enters the frontier.
+
+    Unreached nodes are absent from the output (no infinity rows).
+    Returns a Dataset of ``(node:int64, dist:int64)``.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    adj = edges.map_batches(
+        lambda b: pa.table({
+            "node": pa.concat_arrays([
+                b.column(src).combine_chunks().cast(pa.int64()),
+                b.column(dst).combine_chunks().cast(pa.int64())]),
+            "nbr": pa.concat_arrays([
+                b.column(dst).combine_chunks().cast(pa.int64()),
+                b.column(src).combine_chunks().cast(pa.int64())]),
+        }), batch_format="pyarrow").materialize()
+
+    seeds = np.asarray(sorted({int(s) for s in sources}), dtype=np.int64)
+    dist = rd.from_arrow(pa.table({
+        "node": pa.array(seeds),
+        "dist": pa.array(np.zeros(len(seeds), np.int64))})).materialize()
+
+    def _kb(b: pa.Table) -> pa.Table:
+        h = hash64_column(b.column("node"))
+        return b.append_column(
+            "__kb", pa.array((h % np.uint64(shards)).astype(np.int32)))
+
+    n_known = dist.count()
+    for r in range(max_depth):
+        frontier = dist.map_batches(
+            lambda b, rr=r: b.filter(pc.equal(b.column("dist"), rr)),
+            batch_format="pyarrow")
+        adj_k = adj.map_batches(
+            lambda b: _kb(pa.table({
+                "node": b.column("node"), "nbr": b.column("nbr")})),
+            batch_format="pyarrow")
+        fr_k = frontier.map_batches(
+            lambda b: _kb(pa.table({
+                "node": b.column("node"),
+                "nbr": pa.nulls(len(b), pa.int64())})),
+            batch_format="pyarrow")
+
+        def expand(g: pd.DataFrame, rr=r) -> pa.Table:
+            fset = g.loc[g["nbr"].isna(), "node"]
+            hit = g.loc[g["nbr"].notna() & g["node"].isin(fset), "nbr"]
+            cand = np.unique(hit.to_numpy(np.int64))
+            return pa.table({
+                "node": pa.array(cand),
+                "dist": pa.array(np.full(len(cand), rr + 1, np.int64))})
+
+        cand = (adj_k.union(fr_k).groupby("__kb")
+                .map_groups(expand, batch_format="pandas"))
+        dist = (dist.union(cand).groupby("node")
+                .aggregate(Min("dist", alias_name="dist"))).materialize()
+        n_now = dist.count()
+        if n_now == n_known:  # empty effective frontier: fixpoint
+            break
+        n_known = n_now
+    return dist

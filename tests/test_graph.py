@@ -483,3 +483,60 @@ class TestLabelPropagation:
                               rounds=3).to_pandas()
         assert dict(zip(a["node"], a["label"])) == \
             dict(zip(b["node"], b["label"]))
+
+
+class TestBfsDistances:
+    def _run(self, edges, sources, **kw):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.graph import bfs_distances
+
+        df = pd.DataFrame(edges, columns=["src", "dst"]).astype(np.int64)
+        got = bfs_distances(rd.from_pandas(df).repartition(3),
+                            sources, **kw).to_pandas()
+        return dict(zip(got["node"], got["dist"]))
+
+    def test_path_graph(self, ray_session):
+        # 0-1-2-3-4 chain
+        d = self._run([(i, i + 1) for i in range(4)], [0])
+        assert d == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}
+
+    def test_multi_source_min(self, ray_session):
+        d = self._run([(i, i + 1) for i in range(6)], [0, 6])
+        assert d == {0: 0, 1: 1, 2: 2, 3: 3, 4: 2, 5: 1, 6: 0}
+
+    def test_max_depth_truncates(self, ray_session):
+        d = self._run([(i, i + 1) for i in range(6)], [0], max_depth=2)
+        assert d == {0: 0, 1: 1, 2: 2}
+
+    def test_disconnected_component_absent(self, ray_session):
+        d = self._run([(0, 1), (1, 2), (10, 11)], [0])
+        assert d == {0: 0, 1: 1, 2: 2}
+
+    def test_cycle_converges_early(self, ray_session):
+        d = self._run([(0, 1), (1, 2), (2, 0)], [0], max_depth=50)
+        assert d == {0: 0, 1: 1, 2: 1}
+
+    def test_matches_reference_bfs(self, ray_session):
+        rng = np.random.default_rng(11)
+        e = rng.integers(0, 60, size=(150, 2))
+        e = [(int(a), int(b)) for a, b in e if a != b]
+        d = self._run(e, [0], max_depth=20)
+        # reference: plain python BFS over the same undirected edges
+        adj: dict[int, set] = {}
+        for a, b in e:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        ref, frontier = {0: 0}, [0]
+        lvl = 0
+        while frontier:
+            lvl += 1
+            nxt = []
+            for n in frontier:
+                for m in adj.get(n, ()):
+                    if m not in ref:
+                        ref[m] = lvl
+                        nxt.append(m)
+            frontier = nxt
+        assert d == ref
