@@ -2737,6 +2737,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # to window the newest ops — re-window whichever lack green in r5
         "lpa_communities_parts": _q_lpa_parts,
         "bfs_parts": _q_bfs_parts,
+        "jaccard_links_parts": _q_jaccard_links_parts,
+        "clustering_parts": _q_clustering_parts,
         "unicode_nfc": _q_unicode_nfc,
         "rolling_rows_events": _q_rolling_rows_events,
         "cube_orders": _q_cube_orders,
@@ -3129,6 +3131,64 @@ def oracle_sql() -> dict[str, str]:
             FROM bi x JOIN bi y ON x.c = y.c AND x.n < y.n
             GROUP BY 1, 2 HAVING count(*) >= 2
             ORDER BY node_a, node_b
+        """,
+        "jaccard_links_parts": """
+            WITH raw AS (
+                SELECT l_partkey % 401 AS a, l_suppkey % 401 AS b
+                FROM lineitem
+            ), e AS (
+                SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+                FROM raw WHERE a <> b
+            ), bi AS (
+                SELECT u AS c, v AS n FROM e
+                UNION ALL SELECT v AS c, u AS n FROM e
+            ), deg AS (
+                SELECT c AS node, count(*) AS d FROM bi GROUP BY c
+            ), cn AS (
+                SELECT x.n AS node_a, y.n AS node_b,
+                       count(*) AS n_common
+                FROM bi x JOIN bi y ON x.c = y.c AND x.n < y.n
+                GROUP BY 1, 2 HAVING count(*) >= 150
+            )
+            SELECT CAST(cn.node_a AS BIGINT) AS node_a,
+                   CAST(cn.node_b AS BIGINT) AS node_b,
+                   CAST(cn.n_common AS BIGINT) AS n_common,
+                   CAST(da.d + db.d - cn.n_common AS BIGINT) AS n_union
+            FROM cn
+            JOIN deg da ON da.node = cn.node_a
+            JOIN deg db ON db.node = cn.node_b
+            ORDER BY node_a, node_b
+        """,
+        "clustering_parts": """
+            WITH raw AS (
+                SELECT l_partkey % 401 AS a, l_suppkey % 401 AS b
+                FROM lineitem
+            ), e AS (
+                SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+                FROM raw WHERE a <> b
+            ), bi AS (
+                SELECT u AS node, v AS nbr FROM e
+                UNION ALL SELECT v AS node, u AS nbr FROM e
+            ), deg AS (
+                SELECT node, count(*) AS d FROM bi GROUP BY node
+            ), tri AS (
+                SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                FROM e e1
+                JOIN e e2 ON e2.u = e1.v
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+            ), corner AS (
+                SELECT a AS node FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri
+            ), tc AS (
+                SELECT node, count(*) AS t FROM corner GROUP BY node
+            )
+            SELECT CAST(deg.node AS BIGINT) AS node,
+                   CAST(deg.d AS BIGINT) AS deg,
+                   CAST(COALESCE(tc.t, 0) AS BIGINT) AS n_triangles,
+                   CAST((deg.d * (deg.d - 1)) // 2 AS BIGINT) AS n_wedges
+            FROM deg LEFT JOIN tc ON tc.node = deg.node
+            ORDER BY node
         """,
         "bfs_parts": """
             WITH RECURSIVE raw AS (
@@ -5565,3 +5625,26 @@ def _q_bfs_parts(sf_dir: str):
 
     e = distinct_edges(_fold401_edges(sf_dir))
     return bfs_distances(e, [0], src="u", dst="v", max_depth=4).sort("node")
+
+
+def _q_jaccard_links_parts(sf_dir: str):
+    """Jaccard link prediction with integer evidence on the folded
+    part/supplier graph (ops/graph.jaccard_links): common_neighbors'
+    bucketed center exchange + two hash_join passes against the degree
+    table; (n_common, n_union) stay exact integers so the result
+    hashes identically to the SQL oracle (score = reader-side ratio)."""
+    from biocurator_mapper_ray.ops.graph import jaccard_links
+
+    return jaccard_links(_fold401_edges(sf_dir), min_common=150) \
+        .sort(["node_a", "node_b"])
+
+
+def _q_clustering_parts(sf_dir: str):
+    """Per-node triangle participation on the folded part/supplier
+    graph (ops/graph.local_clustering): compact-forward wedges keep
+    their center so each closed wedge credits all three corners;
+    integer (deg, n_triangles, n_wedges) evidence, coefficient =
+    reader-side ratio."""
+    from biocurator_mapper_ray.ops.graph import local_clustering
+
+    return local_clustering(_fold401_edges(sf_dir)).sort("node")

@@ -540,3 +540,89 @@ class TestBfsDistances:
                         nxt.append(m)
             frontier = nxt
         assert d == ref
+
+
+def _undirected(edges):
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(int(a), set()).add(int(b))
+        adj.setdefault(int(b), set()).add(int(a))
+    return adj
+
+
+class TestJaccardLinks:
+    def test_matches_bruteforce(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.graph import jaccard_links
+
+        rng = np.random.default_rng(21)
+        e = rng.integers(0, 30, size=(120, 2))
+        df = pd.DataFrame(e, columns=["src", "dst"]).astype(np.int64)
+        got = jaccard_links(rd.from_pandas(df).repartition(4),
+                            min_common=2).to_pandas()
+        got = got.sort_values(["node_a", "node_b"]).reset_index(drop=True)
+
+        adj = _undirected(e)
+        exp = {}
+        nodes = sorted(adj)
+        for i, a in enumerate(nodes):
+            for b in nodes[i + 1:]:
+                common = len(adj[a] & adj[b])
+                if common >= 2:
+                    exp[(a, b)] = (common, len(adj[a] | adj[b]))
+        assert {(r.node_a, r.node_b): (r.n_common, r.n_union)
+                for r in got.itertuples()} == exp
+
+    def test_empty_graph(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.graph import jaccard_links
+
+        df = pd.DataFrame({"src": [1], "dst": [1]}).astype(np.int64)
+        got = jaccard_links(rd.from_pandas(df)).to_pandas()
+        assert len(got) == 0
+
+
+class TestLocalClustering:
+    def test_triangle_plus_tail(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.graph import local_clustering
+
+        # triangle 0-1-2 with a tail 2-3
+        df = pd.DataFrame([(0, 1), (1, 2), (2, 0), (2, 3)],
+                          columns=["src", "dst"]).astype(np.int64)
+        got = local_clustering(rd.from_pandas(df)).to_pandas()
+        by = {r.node: (r.deg, r.n_triangles, r.n_wedges)
+              for r in got.itertuples()}
+        assert by == {0: (2, 1, 1), 1: (2, 1, 1),
+                      2: (3, 1, 3), 3: (1, 0, 0)}
+
+    def test_matches_bruteforce(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.graph import local_clustering
+
+        rng = np.random.default_rng(22)
+        e = rng.integers(0, 25, size=(100, 2))
+        df = pd.DataFrame(e, columns=["src", "dst"]).astype(np.int64)
+        got = local_clustering(rd.from_pandas(df).repartition(4)) \
+            .to_pandas()
+
+        adj = _undirected(e)
+        exp = {}
+        for n, nb in adj.items():
+            nb_l = sorted(nb)
+            t = sum(1 for i, x in enumerate(nb_l) for y in nb_l[i + 1:]
+                    if y in adj[x])
+            d = len(nb)
+            exp[n] = (d, t, d * (d - 1) // 2)
+        assert {r.node: (r.deg, r.n_triangles, r.n_wedges)
+                for r in got.itertuples()} == exp
