@@ -2739,6 +2739,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_parts": _q_bfs_parts,
         "jaccard_links_parts": _q_jaccard_links_parts,
         "clustering_parts": _q_clustering_parts,
+        "next_token_documents": _q_next_token_documents,
         "unicode_nfc": _q_unicode_nfc,
         "rolling_rows_events": _q_rolling_rows_events,
         "cube_orders": _q_cube_orders,
@@ -3131,6 +3132,28 @@ def oracle_sql() -> dict[str, str]:
             FROM bi x JOIN bi y ON x.c = y.c AND x.n < y.n
             GROUP BY 1, 2 HAVING count(*) >= 2
             ORDER BY node_a, node_b
+        """,
+        "next_token_documents": f"""
+            WITH words AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                                   '{_WS_CLASS}'), w -> w <> '') AS ws
+                FROM documents),
+            big AS (
+                SELECT ws[g.i] AS w1, ws[g.i + 1] AS w2,
+                       CAST(count(*) AS BIGINT) AS n_pair
+                FROM words, unnest(range(1, len(ws))) AS g(i)
+                WHERE len(ws) >= 2 GROUP BY 1, 2),
+            pre AS (
+                SELECT w1, CAST(sum(n_pair) AS BIGINT) AS n_w1
+                FROM big GROUP BY w1)
+            SELECT b.w1, b.w2 AS w2_top, b.n_pair, p.n_w1
+            FROM big b JOIN pre p USING (w1)
+            WHERE p.n_w1 >= 20
+            QUALIFY row_number() OVER (
+                PARTITION BY b.w1
+                ORDER BY b.n_pair DESC, b.w2) = 1
+            ORDER BY w1
         """,
         "jaccard_links_parts": """
             WITH raw AS (
@@ -5648,3 +5671,15 @@ def _q_clustering_parts(sf_dir: str):
     from biocurator_mapper_ray.ops.graph import local_clustering
 
     return local_clustering(_fold401_edges(sf_dir)).sort("node")
+
+
+def _q_next_token_documents(sf_dir: str):
+    """Bigram-LM maximum-likelihood next-token table over documents
+    (ops/lm.next_token_stats): in-batch pre-aggregated (w1, w2, c)
+    partials, ONE hash(w1) exchange, per-bucket sum + prefix-support
+    filter + deterministic argmax.  Integer evidence (n_pair, n_w1);
+    P(w2|w1) is the reader-side ratio."""
+    from biocurator_mapper_ray.ops.lm import next_token_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return next_token_stats(ds, min_count=20).sort("w1")

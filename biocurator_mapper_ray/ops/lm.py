@@ -200,3 +200,69 @@ def collocation_stats(ds, *, id_column: str = "doc_id",
         "n_tokens": np.int64(n_tokens),
     })
     return out.sort_values(["w1", "w2"], ignore_index=True)
+
+
+def next_token_stats(ds, *, id_column: str = "doc_id",
+                     text_column: str = "text", min_count: int = 5,
+                     buckets: int | None = None,
+                     size_hint: int | None = None):
+    """Maximum-likelihood next-token table of the corpus bigram LM: for
+    every prefix token ``w1`` with ≥ ``min_count`` continuations, the
+    most frequent successor and its evidence — ``(w1, w2_top, n_pair,
+    n_w1)`` where ``n_pair`` is the winning bigram's corpus count and
+    ``n_w1`` the prefix's total continuation count (ties on count break
+    to the lexicographically smallest ``w2``).  The conditional
+    probability ``n_pair / n_w1`` is a reader-side ratio — integers
+    only, so the result hashes exactly against the SQL oracle.  This is
+    the training step of the n-gram-LM family (the model TABLE, where
+    :func:`rare_bigram_stats` is the scoring side).
+
+    Scale shape: one tokenize pass per batch emits in-batch
+    pre-aggregated ``(w1, w2, c)`` partials (vocab²-bounded lean rows —
+    text never shuffles), ONE hash(w1) exchange co-locates each
+    prefix's partials, and the bucket task sums, filters on the prefix
+    total and argmaxes — output is result-scale (one row per surviving
+    prefix).  Tokens cannot contain whitespace (the split class), so
+    the space-joined bigram key splits back losslessly.
+    """
+    n_buckets = buckets if buckets is not None else derive_buckets(
+        size_hint if size_hint is not None else ds.count())
+
+    def bpart(batch: pa.Table) -> pa.Table:
+        _, bigrams, _ = _doc_bigrams(batch, id_column=id_column,
+                                     text_column=text_column)
+        vc = pc.value_counts(bigrams)
+        bg = vc.field("values")
+        parts = pc.split_pattern(bg, " ", max_splits=1)
+        w1 = pc.list_element(parts, 0)
+        w2 = pc.list_element(parts, 1)
+        kb = (hash64_column(w1) % np.uint64(n_buckets)).astype(np.int32)
+        return pa.table({"w1": w1, "w2": w2,
+                         "c": pc.cast(vc.field("counts"), pa.int64()),
+                         "__kb": pa.array(kb)})
+
+    def elect(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table({"w1": pa.array([], pa.string()),
+                          "w2_top": pa.array([], pa.string()),
+                          "n_pair": pa.array([], pa.int64()),
+                          "n_w1": pa.array([], pa.int64())})
+        if g.empty:
+            return empty
+        cnt = g.groupby(["w1", "w2"], as_index=False)["c"].sum()
+        tot = cnt.groupby("w1")["c"].transform("sum")
+        cnt = cnt[tot >= min_count].assign(n_w1=tot[tot >= min_count])
+        if cnt.empty:
+            return empty
+        cnt = cnt.sort_values(["w1", "c", "w2"],
+                              ascending=[True, False, True],
+                              kind="mergesort").drop_duplicates("w1")
+        return pa.table({
+            "w1": pa.array(cnt["w1"], pa.string()),
+            "w2_top": pa.array(cnt["w2"], pa.string()),
+            "n_pair": pa.array(cnt["c"].to_numpy(np.int64)),
+            "n_w1": pa.array(cnt["n_w1"].to_numpy(np.int64))})
+
+    return (ds.map_batches(bpart, batch_format="pyarrow")
+              .groupby("__kb").map_groups(
+                  lambda g: elect(g.drop(columns="__kb")),
+                  batch_format="pandas"))

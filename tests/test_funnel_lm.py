@@ -229,3 +229,51 @@ class TestCollocationStats:
                            "text": pd.Series([], dtype=object)})
         got = collocation_stats(rd.from_pandas(df))
         assert len(got) == 0
+
+
+class TestNextTokenStats:
+    def test_argmax_and_tiebreak(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.lm import next_token_stats
+
+        docs = pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": ["a b a b a c",          # a->b x2, a->c x1, b->a x2
+                     "a c a c",              # a->c x2, c->a x1
+                     "z q z q"],             # z->q x2, q->z x1
+        })
+        got = next_token_stats(rd.from_pandas(docs).repartition(2),
+                               min_count=2).to_pandas()
+        by = {r.w1: (r.w2_top, r.n_pair, r.n_w1) for r in got.itertuples()}
+        # a: b=2, c=3 -> c wins; prefix total 5
+        assert by["a"] == ("c", 3, 5)
+        assert by["b"] == ("a", 2, 2)
+        assert by["z"] == ("q", 2, 2)
+        # c and q have prefix totals 1 -> filtered by min_count=2
+        assert "c" not in by and "q" not in by
+
+    def test_tie_breaks_lexicographic(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.lm import next_token_stats
+
+        docs = pd.DataFrame({"doc_id": [1], "text": ["x b x a"]})
+        got = next_token_stats(rd.from_pandas(docs),
+                               min_count=2).to_pandas()
+        by = {r.w1: (r.w2_top, r.n_pair, r.n_w1) for r in got.itertuples()}
+        assert by == {"x": ("a", 1, 2)}
+
+    def test_empty_and_short_docs(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.lm import next_token_stats
+
+        docs = pd.DataFrame({"doc_id": [1, 2, 3],
+                             "text": ["", "solo", "  \t "]})
+        got = next_token_stats(rd.from_pandas(docs),
+                               min_count=1).to_pandas()
+        assert len(got) == 0
