@@ -2740,6 +2740,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_links_parts": _q_jaccard_links_parts,
         "clustering_parts": _q_clustering_parts,
         "next_token_documents": _q_next_token_documents,
+        "event_transitions": _q_event_transitions,
+        "kg_tool_transitions": _q_kg_tool_transitions,  # rows-only (synth corpus)
         "unicode_nfc": _q_unicode_nfc,
         "rolling_rows_events": _q_rolling_rows_events,
         "cube_orders": _q_cube_orders,
@@ -3132,6 +3134,18 @@ def oracle_sql() -> dict[str, str]:
             FROM bi x JOIN bi y ON x.c = y.c AND x.n < y.n
             GROUP BY 1, 2 HAVING count(*) >= 2
             ORDER BY node_a, node_b
+        """,
+        "event_transitions": """
+            WITH s AS (
+                SELECT user_id, event_type,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS nxt
+                FROM events)
+            SELECT event_type AS label_a, nxt AS label_b,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM s WHERE nxt IS NOT NULL
+            GROUP BY 1, 2 ORDER BY label_a, label_b
         """,
         "next_token_documents": f"""
             WITH words AS (
@@ -5683,3 +5697,37 @@ def _q_next_token_documents(sf_dir: str):
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return next_token_stats(ds, min_count=20).sort("w1")
+
+
+def _q_event_transitions(sf_dir: str):
+    """First-order event-type transition counts per user ordered by
+    (ts, event_id) (ops/dialog.sequence_transitions): lean projected
+    rows through ONE user-hash exchange, in-bucket shifted-compare
+    pair formation, result-scale fold.  The Markov-chain estimation
+    step over an event log."""
+    from biocurator_mapper_ray.ops.dialog import sequence_transitions
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_id",
+                                          "event_type"])
+    return sequence_transitions(
+        ev, key_col="user_id", order_cols=["ts", "event_id"],
+        label_col="event_type").sort(["label_a", "label_b"])
+
+
+def _q_kg_tool_transitions(sf_dir: str):
+    """Tool-call transition matrix of the agent-transcript corpus:
+    tool turns filtered map-side (role == 'tool'), then
+    ops/dialog.sequence_transitions over (conv_id, turn_idx, tool).
+    Rows-only: transcripts are synthesized, not a driver table; values
+    pinned by the deterministic synth seed + unit tests."""
+    import pyarrow.compute as _pc
+
+    from biocurator_mapper_ray.ops.dialog import sequence_transitions
+
+    transcripts, _ = _kg_transcripts(sf_dir)
+    tools = transcripts.map_batches(
+        lambda t: t.filter(_pc.equal(t.column("role"), "tool")),
+        batch_format="pyarrow")
+    return sequence_transitions(
+        tools, key_col="conv_id", order_cols=["turn_idx"],
+        label_col="tool").sort(["label_a", "label_b"])

@@ -16,6 +16,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.hashing import hash64_column
 from .dedup import _ws_tokens
@@ -123,3 +124,73 @@ def segment_conversations(ds, *, conv_col: str = "conv_id",
 
     return (ds.map_batches(tag, batch_format="pyarrow")
             .groupby("__kb").map_groups(per_bucket, batch_format="pandas"))
+
+
+def sequence_transitions(ds, *, key_col: str = "conv_id",
+                         order_cols: list[str] | None = None,
+                         label_col: str = "tool",
+                         min_count: int = 1, buckets: int = 64):
+    """First-order transition counts over per-key ordered label
+    sequences: ``(label_a, label_b, n_pairs)`` for every adjacent label
+    pair inside a key's sequence — the agent-behavior profile of a
+    transcript corpus ("which tool follows which"), and the Markov-
+    chain estimation step over any (user, timestamp, event) log.
+
+    Scale shape: rows project to lean (key, order…, label) columns
+    map-side (text/payloads never shuffle), ONE hash(key) exchange
+    co-locates each key's sequence, the bucket task sorts by
+    ``order_cols`` (deterministic total order — pass a tie-breaking
+    column), forms adjacent pairs with a shifted compare (vectorized,
+    no per-row Python) and pre-aggregates ``pair → count`` before a
+    result-scale final fold.  A key's sequence must fit its bucket
+    (dialog/user-log scale by construction; salt mega-keys upstream).
+    """
+    order_cols = order_cols or ["turn_idx"]
+
+    def tag(batch: pa.Table) -> pa.Table:
+        cols = {key_col: batch.column(key_col),
+                label_col: pc.cast(batch.column(label_col), pa.string())}
+        for c in order_cols:
+            cols[c] = batch.column(c)
+        h = hash64_column(batch.column(key_col))
+        cols["__kb"] = pa.array((h % np.uint64(buckets)).astype(np.int32))
+        return pa.table(cols)
+
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table({"label_a": pa.array([], pa.string()),
+                          "label_b": pa.array([], pa.string()),
+                          "n_pairs": pa.array([], pa.int64())})
+        g = g.sort_values([key_col, *order_cols], kind="mergesort")
+        same = g[key_col].to_numpy()[:-1] == g[key_col].to_numpy()[1:]
+        if not same.any():
+            return empty
+        lab = g[label_col].to_numpy()
+        df = pd.DataFrame({"label_a": lab[:-1][same],
+                           "label_b": lab[1:][same]})
+        out = df.groupby(["label_a", "label_b"], sort=False,
+                         as_index=False).size()
+        return pa.table({
+            "label_a": pa.array(out["label_a"], pa.string()),
+            "label_b": pa.array(out["label_b"], pa.string()),
+            "n_pairs": pa.array(out["size"].to_numpy(np.int64))})
+
+    parts = (ds.map_batches(tag, batch_format="pyarrow")
+             .groupby("__kb").map_groups(
+                 lambda g: pairs(g.drop(columns="__kb")),
+                 batch_format="pandas"))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["label_a", "label_b"], sort=True,
+                        as_index=False)["n_pairs"].sum()
+        return out[out["n_pairs"] >= min_count]
+
+    def salt(batch: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            batch.column("label_a"), batch.column("label_b"), "\x1f")
+        s = hash64_column(key) % np.uint64(16)
+        return batch.append_column("__s", pa.array(s.astype(np.int32)))
+
+    return (parts.map_batches(salt, batch_format="pyarrow")
+            .groupby("__s").map_groups(
+                lambda g: fold(g.drop(columns="__s")),
+                batch_format="pandas"))
