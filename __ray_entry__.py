@@ -2741,6 +2741,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_parts": _q_clustering_parts,
         "next_token_documents": _q_next_token_documents,
         "event_transitions": _q_event_transitions,
+        "fd_violations_lineitem": _q_fd_violations_lineitem,
         "kg_tool_transitions": _q_kg_tool_transitions,  # rows-only (synth corpus)
         "unicode_nfc": _q_unicode_nfc,
         "rolling_rows_events": _q_rolling_rows_events,
@@ -3134,6 +3135,16 @@ def oracle_sql() -> dict[str, str]:
             FROM bi x JOIN bi y ON x.c = y.c AND x.n < y.n
             GROUP BY 1, 2 HAVING count(*) >= 2
             ORDER BY node_a, node_b
+        """,
+        "fd_violations_lineitem": """
+            WITH pv AS (
+                SELECT l_partkey, l_suppkey, count(*) AS c
+                FROM lineitem GROUP BY 1, 2)
+            SELECT l_partkey,
+                   CAST(count(*) AS BIGINT) AS n_values,
+                   CAST(sum(c) AS BIGINT) AS n_rows
+            FROM pv GROUP BY l_partkey HAVING count(*) > 1
+            ORDER BY l_partkey
         """,
         "event_transitions": """
             WITH s AS (
@@ -5731,3 +5742,15 @@ def _q_kg_tool_transitions(sf_dir: str):
     return sequence_transitions(
         tools, key_col="conv_id", order_cols=["turn_idx"],
         label_col="tool").sort(["label_a", "label_b"])
+
+
+def _q_fd_violations_lineitem(sf_dir: str):
+    """Functional-dependency violation profile l_partkey → l_suppkey
+    (ops/profile.fd_violations): parts supplied by more than one
+    supplier, with distinct-value and row counts — pair-cardinality
+    partials through ONE key-hash exchange, result-scale output."""
+    from biocurator_mapper_ray.ops.profile import fd_violations
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    return fd_violations(li, key="l_partkey", value="l_suppkey") \
+        .sort("l_partkey")

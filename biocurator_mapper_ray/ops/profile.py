@@ -336,3 +336,39 @@ def key_skew_profile(ds, *, key: str):
     per_key = (ds.map_batches(partial, batch_format="pyarrow")
                .groupby(key).aggregate(Sum("c", alias_name="c")))
     return (per_key.groupby("c").aggregate(Count(alias_name="n_keys")))
+
+
+def fd_violations(ds, *, key: str, value: str, buckets: int = 64):
+    """Functional-dependency violation profile of ``key → value``: for
+    every key bound to MORE THAN ONE distinct value, ``(key, n_values,
+    n_rows)`` — the KG-quality gate ("which surface forms resolve to
+    multiple CURIEs", "which doc ids carry conflicting languages")
+    run before trusting a mapping as canonical.
+
+    Scale shape: per-batch dedup to distinct (key, value) pairs plus
+    per-(key, value) row-count partials — the exchange ships pair-
+    cardinality rows, never raw rows — then ONE hash(key) exchange
+    whose buckets hold each key completely, so the per-bucket distinct
+    count and row sum are final; only violating keys leave the bucket
+    (result-scale output).
+    """
+    from ..functions.hashing import hash64_column
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([key, value]).group_by(
+            [key, value], use_threads=False).aggregate([([], "count_all")])
+        t = t.rename_columns([key, value, "c"])
+        h = hash64_column(t.column(key))
+        return t.append_column(
+            "__kb", pa.array((h % np.uint64(buckets)).astype(np.int32)))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.groupby([key, value], as_index=False, sort=False)["c"]
+               .sum().groupby(key, as_index=False, sort=True)
+               .agg(n_values=(value, "nunique"), n_rows=("c", "sum")))
+        return agg[agg["n_values"] > 1]
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("__kb").map_groups(
+                lambda g: fold(g.drop(columns="__kb")),
+                batch_format="pandas"))
