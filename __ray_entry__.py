@@ -2742,6 +2742,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "next_token_documents": _q_next_token_documents,
         "event_transitions": _q_event_transitions,
         "fd_violations_lineitem": _q_fd_violations_lineitem,
+        "vocab_contingency_documents": _q_vocab_contingency_documents,
         "kg_tool_transitions": _q_kg_tool_transitions,  # rows-only (synth corpus)
         "unicode_nfc": _q_unicode_nfc,
         "rolling_rows_events": _q_rolling_rows_events,
@@ -3135,6 +3136,24 @@ def oracle_sql() -> dict[str, str]:
             FROM bi x JOIN bi y ON x.c = y.c AND x.n < y.n
             GROUP BY 1, 2 HAVING count(*) >= 2
             ORDER BY node_a, node_b
+        """,
+        "vocab_contingency_documents": f"""
+            WITH words AS (
+                SELECT source,
+                       list_filter(regexp_split_to_array(lower(text),
+                                   '{_WS_CLASS}'), w -> w <> '') AS ws
+                FROM documents),
+            tok AS (
+                SELECT source, t.w AS token
+                FROM words, unnest(ws) AS t(w)),
+            cnt AS (
+                SELECT token, source, CAST(count(*) AS BIGINT) AS n
+                FROM tok GROUP BY 1, 2),
+            tot AS (SELECT token, sum(n) AS s FROM cnt GROUP BY token)
+            SELECT c.token, c.source, c.n
+            FROM cnt c JOIN tot ON tot.token = c.token
+            WHERE tot.s >= 200
+            ORDER BY c.token, c.source
         """,
         "fd_violations_lineitem": """
             WITH pv AS (
@@ -5754,3 +5773,15 @@ def _q_fd_violations_lineitem(sf_dir: str):
     li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
     return fd_violations(li, key="l_partkey", value="l_suppkey") \
         .sort("l_partkey")
+
+
+def _q_vocab_contingency_documents(sf_dir: str):
+    """Token × source contingency table for tokens with corpus count
+    ≥ 200 (ops/lm.vocab_contingency): in-Arrow (token, source, c)
+    partials, ONE token-hash exchange, exact in-bucket corpus-total
+    filter.  KL / χ² corpus-drift evidence as pure integers."""
+    from biocurator_mapper_ray.ops.lm import vocab_contingency
+
+    ds = _read(sf_dir, "documents", columns=["text", "source"])
+    return vocab_contingency(ds, group_col="source", min_count=200) \
+        .sort(["token", "source"])

@@ -266,3 +266,55 @@ def next_token_stats(ds, *, id_column: str = "doc_id",
               .groupby("__kb").map_groups(
                   lambda g: elect(g.drop(columns="__kb")),
                   batch_format="pandas"))
+
+
+def vocab_contingency(ds, *, group_col: str = "source",
+                      text_column: str = "text", min_count: int = 50,
+                      buckets: int | None = None,
+                      size_hint: int | None = None):
+    """Token × group contingency table: ``(token, group, n)`` counts
+    for every token whose CORPUS total is ≥ ``min_count`` — the exact
+    integer evidence under which corpus-drift diagnostics (KL
+    divergence between sources, χ² vocabulary-shift tests, domain-
+    mixture weights) are pure reader-side float expressions.
+
+    Scale shape: one tokenize pass per batch pre-aggregates
+    ``(token, group, c)`` partials in-Arrow (vocab×groups-bounded lean
+    rows, text never shuffles); ONE hash(token) exchange co-locates
+    each token's rows so the per-bucket corpus-total filter is exact
+    and final.  Output is (surviving vocab × groups)-scale.
+    """
+    n_buckets = buckets if buckets is not None else derive_buckets(
+        size_hint if size_hint is not None else ds.count())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column(text_column)), WS_CLASS)
+        toks = (toks.combine_chunks()
+                if isinstance(toks, pa.ChunkedArray) else toks)
+        flat = toks.flatten()
+        offs = toks.offsets.to_numpy()
+        parent = np.repeat(np.arange(len(toks), dtype=np.int64),
+                           np.diff(offs))
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        grp = pc.cast(batch.column(group_col), pa.string()) \
+            .take(pa.array(parent[keep]))
+        t = pa.table({"token": flat, "g": grp}).group_by(
+            ["token", "g"], use_threads=False).aggregate([([], "count_all")])
+        t = t.rename_columns(["token", "g", "c"])
+        kb = (hash64_column(t.column("token"))
+              % np.uint64(n_buckets)).astype(np.int32)
+        return t.append_column("__kb", pa.array(kb))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.groupby(["token", "g"], as_index=False, sort=True)["c"].sum()
+        tot = cnt.groupby("token")["c"].transform("sum")
+        out = cnt[tot >= min_count].rename(columns={"g": group_col,
+                                                    "c": "n"})
+        return out
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("__kb").map_groups(
+                lambda g: fold(g.drop(columns="__kb")),
+                batch_format="pandas"))

@@ -277,3 +277,32 @@ class TestNextTokenStats:
         got = next_token_stats(rd.from_pandas(docs),
                                min_count=1).to_pandas()
         assert len(got) == 0
+
+
+class TestVocabContingency:
+    def test_counts_and_min_count(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.lm import vocab_contingency
+
+        df = pd.DataFrame({
+            "text": ["cat cat dog", "cat bird", "dog dog", "bird"],
+            "source": ["a", "a", "b", "b"],
+        })
+        got = vocab_contingency(rd.from_pandas(df).repartition(2),
+                                min_count=3).to_pandas()
+        by = {(r.token, r.source): r.n for r in got.itertuples()}
+        # corpus totals: cat=3, dog=3, bird=2 (filtered)
+        assert by == {("cat", "a"): 3, ("dog", "a"): 1, ("dog", "b"): 2}
+
+    def test_empty_text(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.lm import vocab_contingency
+
+        df = pd.DataFrame({"text": ["", "  "], "source": ["a", "b"]})
+        got = vocab_contingency(rd.from_pandas(df), min_count=1) \
+            .to_pandas()
+        assert len(got) == 0
