@@ -2743,6 +2743,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": _q_event_transitions,
         "fd_violations_lineitem": _q_fd_violations_lineitem,
         "vocab_contingency_documents": _q_vocab_contingency_documents,
+        "hits_parts": _q_hits_parts,  # rows-only (iterative float)
         "kg_tool_transitions": _q_kg_tool_transitions,  # rows-only (synth corpus)
         "unicode_nfc": _q_unicode_nfc,
         "rolling_rows_events": _q_rolling_rows_events,
@@ -5785,3 +5786,13 @@ def _q_vocab_contingency_documents(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["text", "source"])
     return vocab_contingency(ds, group_col="source", min_count=200) \
         .sort(["token", "source"])
+
+
+def _q_hits_parts(sf_dir: str):
+    """HITS hubs/authorities on the supplier→part bipartite graph
+    (ops/graph.hits): per half-step one key-hash bucketed exchange +
+    target fold, L2 norm as the only driver scalar.  Rows-only
+    (iterative float); pinned by numpy power-iteration parity tests."""
+    from biocurator_mapper_ray.ops.graph import hits
+
+    return hits(_bipartite_edges(sf_dir), iters=3).sort("node")

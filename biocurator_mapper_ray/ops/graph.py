@@ -1472,3 +1472,120 @@ def local_clustering(edges, *, src: str = "src", dst: str = "dst",
                          "n_wedges": pa.array(d * (d - 1) // 2)})
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def hits(edges, *, src: str = "src", dst: str = "dst", iters: int = 5,
+         shards: int = 64):
+    """HITS hubs-and-authorities (Kleinberg 1999) over a DIRECTED edge
+    list: per iteration authorities absorb their in-neighbors' hub
+    scores, hubs absorb their out-neighbors' authority scores, each
+    side L2-normalized — the bipartite-rank complement to
+    :func:`pagerank` (curation use: rank tool/agent hubs against
+    resource authorities in an interaction graph).
+
+    Dataflow execution: scores and edges stay Datasets; each half-step
+    is ONE key-hash bucketed exchange (edges keyed by the score-owning
+    endpoint union score rows, in-bucket vectorized merge with a
+    per-target combiner) plus a target-key fold; the L2 norm is the
+    only driver scalar.  Edges re-ship per iteration — for pinned
+    edge shards at ≥10⁹ edges use the :func:`pagerank`
+    ``mode='pinned'`` layout (same S×S piece plan applies).
+
+    Returns (node, hub float64, authority float64) for every node.
+    Rows-only semantics (iterative float sums are summation-order-
+    dependent); pinned by numpy power-iteration parity tests.
+    """
+    import math
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    lean = edges.map_batches(
+        lambda t: pa.table({
+            "src": t.column(src).combine_chunks().cast(pa.int64()),
+            "dst": t.column(dst).combine_chunks().cast(pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    # all nodes, hub=1, auth=1 (normalized lazily in the first half-step)
+    def nodes_part(b: pa.Table) -> pa.Table:
+        n = np.unique(np.concatenate([
+            b.column("src").to_numpy(zero_copy_only=False),
+            b.column("dst").to_numpy(zero_copy_only=False)]))
+        return pa.table({"node": pa.array(n)})
+
+    nodes = (lean.map_batches(nodes_part, batch_format="pyarrow")
+             .groupby("node").aggregate(Sum("node", alias_name="__x"))
+             .map_batches(lambda t: pa.table({
+                 "node": t.column("node"),
+                 "score": pa.array(np.ones(len(t), np.float64))}),
+              batch_format="pyarrow")).materialize()
+
+    def _kb(b: pa.Table, col: str) -> pa.Table:
+        h = hash64_column(b.column(col))
+        return b.append_column(
+            "__kb", pa.array((h % np.uint64(shards)).astype(np.int32)))
+
+    def half_step(scores, key_col: str, tgt_col: str):
+        """new_scores[t] = Σ_{(k,t) edges} scores[k], L2-normalized."""
+        ek = lean.map_batches(
+            lambda b: _kb(pa.table({
+                "k": b.column(key_col), "t": b.column(tgt_col),
+                "score": pa.nulls(len(b), pa.float64())}), "k"),
+            batch_format="pyarrow")
+        sk = scores.map_batches(
+            lambda b: _kb(pa.table({
+                "k": b.column("node"), "t": pa.nulls(len(b), pa.int64()),
+                "score": b.column("score")}), "k"),
+            batch_format="pyarrow")
+
+        def contrib(g: pd.DataFrame) -> pa.Table:
+            e = g.loc[g["score"].isna(), ["k", "t"]]
+            s = g.loc[g["t"].isna(), ["k", "score"]]
+            empty = pa.table({"node": pa.array([], pa.int64()),
+                              "score": pa.array([], pa.float64())})
+            if e.empty or s.empty:
+                return empty
+            m = e.merge(s, on="k")
+            out = m.groupby("t", as_index=False)["score"].sum()
+            return pa.table({
+                "node": pa.array(out["t"].to_numpy(np.int64)),
+                "score": pa.array(out["score"].to_numpy(np.float64))})
+
+        new = (ek.union(sk).groupby("__kb")
+               .map_groups(contrib, batch_format="pandas")
+               .groupby("node").aggregate(Sum("score",
+                                              alias_name="score"))
+               ).materialize()
+        sq = new.map_batches(
+            lambda t: pa.table({"s2": pc.multiply(t.column("score"),
+                                                  t.column("score"))}),
+            batch_format="pyarrow").sum("s2")
+        norm = math.sqrt(sq) if sq else 1.0
+
+        return new.map_batches(
+            lambda t, nv=norm: pa.table({
+                "node": t.column("node"),
+                "score": pc.divide(t.column("score"), nv)}),
+            batch_format="pyarrow").materialize()
+
+    hub, auth = nodes, nodes
+    for _ in range(iters):
+        auth = half_step(hub, "src", "dst")
+        hub = half_step(auth, "dst", "src")
+
+    # outer-merge the two sides: absent side ⇒ 0.0 (pure hub / pure
+    # authority nodes)
+    h_rows = hub.map_batches(
+        lambda t: pa.table({"node": t.column("node"),
+                            "hub": t.column("score"),
+                            "authority": pa.array(
+                                np.zeros(len(t), np.float64))}),
+        batch_format="pyarrow")
+    a_rows = auth.map_batches(
+        lambda t: pa.table({"node": t.column("node"),
+                            "hub": pa.array(np.zeros(len(t), np.float64)),
+                            "authority": t.column("score")}),
+        batch_format="pyarrow")
+    return (h_rows.union(a_rows).groupby("node")
+            .aggregate(Sum("hub", alias_name="hub"),
+                       Sum("authority", alias_name="authority")))

@@ -626,3 +626,53 @@ class TestLocalClustering:
             exp[n] = (d, t, d * (d - 1) // 2)
         assert {r.node: (r.deg, r.n_triangles, r.n_wedges)
                 for r in got.itertuples()} == exp
+
+
+class TestHits:
+    @staticmethod
+    def _numpy_hits(edges, iters):
+        nodes = sorted({n for e in edges for n in e})
+        idx = {n: i for i, n in enumerate(nodes)}
+        A = np.zeros((len(nodes), len(nodes)))
+        for a, b in edges:
+            A[idx[a], idx[b]] = 1.0
+        hub = np.ones(len(nodes))
+        auth = np.ones(len(nodes))
+        for _ in range(iters):
+            auth = A.T @ hub
+            auth /= np.linalg.norm(auth) or 1.0
+            hub = A @ auth
+            hub /= np.linalg.norm(hub) or 1.0
+        return ({n: hub[idx[n]] for n in nodes},
+                {n: auth[idx[n]] for n in nodes})
+
+    def test_matches_numpy_power_iteration(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.graph import hits
+
+        rng = np.random.default_rng(31)
+        raw = rng.integers(0, 20, size=(60, 2))
+        edges = sorted({(int(a), int(b)) for a, b in raw if a != b})
+        df = pd.DataFrame(edges, columns=["src", "dst"]).astype(np.int64)
+        got = hits(rd.from_pandas(df).repartition(4), iters=4).to_pandas()
+        eh, ea = self._numpy_hits(edges, 4)
+        for r in got.itertuples():
+            assert abs(r.hub - eh[r.node]) < 1e-9
+            assert abs(r.authority - ea[r.node]) < 1e-9
+
+    def test_star_hub(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.graph import hits
+
+        # node 0 points at 1..4: 0 is the pure hub, 1..4 authorities
+        df = pd.DataFrame([(0, i) for i in range(1, 5)],
+                          columns=["src", "dst"]).astype(np.int64)
+        got = hits(rd.from_pandas(df), iters=3).to_pandas()
+        by = {r.node: (r.hub, r.authority) for r in got.itertuples()}
+        assert abs(by[0][0] - 1.0) < 1e-12 and abs(by[0][1]) < 1e-12
+        for i in range(1, 5):
+            assert abs(by[i][1] - 0.5) < 1e-12 and abs(by[i][0]) < 1e-12
