@@ -183,6 +183,17 @@ def run_bench() -> dict:
         "rolling_active_users",
         "kg_segments",
         "kg_incremental",
+        # round-4 fourth-session additions
+        "lpa_communities_parts",
+        "bfs_parts",
+        "jaccard_links_parts",
+        "clustering_parts",
+        "next_token_documents",
+        "event_transitions",
+        "kg_tool_transitions",
+        "fd_violations_lineitem",
+        "vocab_contingency_documents",
+        "hits_parts",
     ]
     qs = entry.queries()
     for name in bench_queries:

@@ -1475,7 +1475,7 @@ def local_clustering(edges, *, src: str = "src", dst: str = "dst",
 
 
 def hits(edges, *, src: str = "src", dst: str = "dst", iters: int = 5,
-         shards: int = 64):
+         renorm_every: int = 4, shards: int = 64):
     """HITS hubs-and-authorities (Kleinberg 1999) over a DIRECTED edge
     list: per iteration authorities absorb their in-neighbors' hub
     scores, hubs absorb their out-neighbors' authority scores, each
@@ -1486,9 +1486,15 @@ def hits(edges, *, src: str = "src", dst: str = "dst", iters: int = 5,
     Dataflow execution: scores and edges stay Datasets; each half-step
     is ONE key-hash bucketed exchange (edges keyed by the score-owning
     endpoint union score rows, in-bucket vectorized merge with a
-    per-target combiner) plus a target-key fold; the L2 norm is the
-    only driver scalar.  Edges re-ship per iteration — for pinned
-    edge shards at ≥10⁹ edges use the :func:`pagerank`
+    per-target combiner) plus a target-key fold — one Ray execution
+    per half-step.  Normalization is scale-invariant across the linear
+    half-step chain, so intermediate normalizes are algebraically
+    redundant: scores stay RAW and are L2-normalized once at the end
+    (identical result, ~3× fewer executions), with a renorm pass every
+    ``renorm_every`` iterations bounding float64 growth (top-singular-
+    value^2 per iteration; 4 unnormalized iterations stay far below
+    1e308 on any realistic graph).  Edges re-ship per iteration — for
+    pinned edge shards at ≥10⁹ edges use the :func:`pagerank`
     ``mode='pinned'`` layout (same S×S piece plan applies).
 
     Returns (node, hub float64, authority float64) for every node.
@@ -1497,7 +1503,6 @@ def hits(edges, *, src: str = "src", dst: str = "dst", iters: int = 5,
     """
     import math
 
-    import ray.data as rd
     from ray.data.aggregate import Sum
 
     lean = edges.map_batches(
@@ -1506,7 +1511,6 @@ def hits(edges, *, src: str = "src", dst: str = "dst", iters: int = 5,
             "dst": t.column(dst).combine_chunks().cast(pa.int64())}),
         batch_format="pyarrow").materialize()
 
-    # all nodes, hub=1, auth=1 (normalized lazily in the first half-step)
     def nodes_part(b: pa.Table) -> pa.Table:
         n = np.unique(np.concatenate([
             b.column("src").to_numpy(zero_copy_only=False),
@@ -1526,7 +1530,7 @@ def hits(edges, *, src: str = "src", dst: str = "dst", iters: int = 5,
             "__kb", pa.array((h % np.uint64(shards)).astype(np.int32)))
 
     def half_step(scores, key_col: str, tgt_col: str):
-        """new_scores[t] = Σ_{(k,t) edges} scores[k], L2-normalized."""
+        """raw new_scores[t] = Σ_{(k,t) edges} scores[k] (no norm)."""
         ek = lean.map_batches(
             lambda b: _kb(pa.table({
                 "k": b.column(key_col), "t": b.column(tgt_col),
@@ -1551,40 +1555,46 @@ def hits(edges, *, src: str = "src", dst: str = "dst", iters: int = 5,
                 "node": pa.array(out["t"].to_numpy(np.int64)),
                 "score": pa.array(out["score"].to_numpy(np.float64))})
 
-        new = (ek.union(sk).groupby("__kb")
-               .map_groups(contrib, batch_format="pandas")
-               .groupby("node").aggregate(Sum("score",
-                                              alias_name="score"))
-               ).materialize()
-        sq = new.map_batches(
+        return (ek.union(sk).groupby("__kb")
+                .map_groups(contrib, batch_format="pandas")
+                .groupby("node").aggregate(Sum("score",
+                                               alias_name="score"))
+                ).materialize()
+
+    def l2norm(scores) -> float:
+        sq = scores.map_batches(
             lambda t: pa.table({"s2": pc.multiply(t.column("score"),
                                                   t.column("score"))}),
             batch_format="pyarrow").sum("s2")
-        norm = math.sqrt(sq) if sq else 1.0
+        return math.sqrt(sq) if sq else 1.0
 
-        return new.map_batches(
+    def rescale(scores, norm: float):
+        return scores.map_batches(
             lambda t, nv=norm: pa.table({
                 "node": t.column("node"),
                 "score": pc.divide(t.column("score"), nv)}),
             batch_format="pyarrow").materialize()
 
     hub, auth = nodes, nodes
-    for _ in range(iters):
+    for i in range(iters):
         auth = half_step(hub, "src", "dst")
         hub = half_step(auth, "dst", "src")
+        if (i + 1) % renorm_every == 0 and i + 1 < iters:
+            auth = rescale(auth, l2norm(auth))
+            hub = rescale(hub, l2norm(hub))
 
-    # outer-merge the two sides: absent side ⇒ 0.0 (pure hub / pure
-    # authority nodes)
+    hn, an = l2norm(hub), l2norm(auth)
     h_rows = hub.map_batches(
-        lambda t: pa.table({"node": t.column("node"),
-                            "hub": t.column("score"),
-                            "authority": pa.array(
-                                np.zeros(len(t), np.float64))}),
+        lambda t, nv=hn: pa.table({
+            "node": t.column("node"),
+            "hub": pc.divide(t.column("score"), nv),
+            "authority": pa.array(np.zeros(len(t), np.float64))}),
         batch_format="pyarrow")
     a_rows = auth.map_batches(
-        lambda t: pa.table({"node": t.column("node"),
-                            "hub": pa.array(np.zeros(len(t), np.float64)),
-                            "authority": t.column("score")}),
+        lambda t, nv=an: pa.table({
+            "node": t.column("node"),
+            "hub": pa.array(np.zeros(len(t), np.float64)),
+            "authority": pc.divide(t.column("score"), nv)}),
         batch_format="pyarrow")
     return (h_rows.union(a_rows).groupby("node")
             .aggregate(Sum("hub", alias_name="hub"),
