@@ -2744,6 +2744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fd_violations_lineitem": _q_fd_violations_lineitem,
         "vocab_contingency_documents": _q_vocab_contingency_documents,
         "hits_parts": _q_hits_parts,  # rows-only (iterative float)
+        "kg_examples": _q_kg_examples,  # rows-only (synth corpus)
         "kg_tool_transitions": _q_kg_tool_transitions,  # rows-only (synth corpus)
         "unicode_nfc": _q_unicode_nfc,
         "rolling_rows_events": _q_rolling_rows_events,
@@ -5796,3 +5797,16 @@ def _q_hits_parts(sf_dir: str):
     from biocurator_mapper_ray.ops.graph import hits
 
     return hits(_bipartite_edges(sf_dir), iters=3).sort("node")
+
+
+def _q_kg_examples(sf_dir: str):
+    """SFT training-pair extraction from the transcript corpus
+    (ops/dialog.build_examples): one (context, target) row per
+    assistant turn, context = prior turns as 'role: text' lines
+    left-truncated to a 2000-char window of whole turns.  One
+    conv-hash exchange; rows-only (synthesized corpus), pinned by the
+    per-turn window unit tests."""
+    from biocurator_mapper_ray.ops.dialog import build_examples
+
+    transcripts, _ = _kg_transcripts(sf_dir)
+    return build_examples(transcripts).sort(["conv_id", "turn_idx"])

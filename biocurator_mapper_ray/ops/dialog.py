@@ -194,3 +194,82 @@ def sequence_transitions(ds, *, key_col: str = "conv_id",
             .groupby("__s").map_groups(
                 lambda g: fold(g.drop(columns="__s")),
                 batch_format="pandas"))
+
+
+def build_examples(ds, *, conv_col: str = "conv_id",
+                   order_col: str = "turn_idx", role_col: str = "role",
+                   text_col: str = "text", target_role: str = "assistant",
+                   max_context_chars: int = 2000, buckets: int = 64):
+    """Supervised-example extraction from multi-turn transcripts: one
+    training pair per ``target_role`` turn — ``(conv_id, turn_idx,
+    context, target, n_context_turns)`` where ``context`` is the
+    concatenation of ALL prior turns as ``role: text`` lines, truncated
+    from the LEFT to the most recent ``max_context_chars`` characters
+    (whole turns only: the oldest partially-fitting turn is dropped,
+    mirroring a context-window budget).  The transcripts→SFT-rows step
+    of an assistant-training pipeline.
+
+    Scale shape: ONE hash(conv) exchange co-locates each conversation
+    (the repo-wide dialog partitioning assumption; salt mega-convs
+    upstream), the bucket task sorts by (conv, turn) and builds each
+    conversation's running context with a cumulative-length vector —
+    per-target slicing is a join of a bounded line window, not a
+    re-concatenation of the whole prefix per turn.
+    """
+    def tag(batch: pa.Table) -> pa.Table:
+        t = pa.table({conv_col: batch.column(conv_col),
+                      order_col: batch.column(order_col),
+                      role_col: batch.column(role_col),
+                      text_col: batch.column(text_col)})
+        h = hash64_column(t.column(conv_col))
+        return t.append_column(
+            "__kb", pa.array((h % np.uint64(buckets)).astype(np.int32)))
+
+    def emit(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table({
+            conv_col: pa.array([], pa.string()),
+            order_col: pa.array([], pa.int64()),
+            "context": pa.array([], pa.string()),
+            "target": pa.array([], pa.string()),
+            "n_context_turns": pa.array([], pa.int64())})
+        g = g.sort_values([conv_col, order_col], kind="mergesort")
+        conv = g[conv_col].to_numpy()
+        role = g[role_col].to_numpy()
+        text = g[text_col].fillna("").to_numpy()
+        order = g[order_col].to_numpy()
+        is_tgt = role == target_role
+        if not is_tgt.any():
+            return empty
+        lines = np.char.add(np.char.add(role.astype(str), ": "),
+                            text.astype(str))
+        out_c, out_i, out_ctx, out_tgt, out_n = [], [], [], [], []
+        starts = np.ones(len(g), dtype=bool)
+        starts[1:] = conv[1:] != conv[:-1]
+        for s, e in zip(np.nonzero(starts)[0],
+                        np.append(np.nonzero(starts)[0][1:], len(g))):
+            cl = lines[s:e]
+            # cumulative chars INCLUDING the "\n" joiner per line
+            lens = np.char.str_len(cl).astype(np.int64) + 1
+            cum = np.concatenate([[0], np.cumsum(lens)])
+            for j in np.nonzero(is_tgt[s:e])[0]:
+                # oldest whole turn index k such that the window
+                # [k, j) fits the char budget
+                need = cum[j] - max_context_chars
+                k = int(np.searchsorted(cum[:j + 1], need, side="left"))
+                out_c.append(conv[s])
+                out_i.append(order[s + j])
+                out_ctx.append("\n".join(cl[k:j]))
+                out_tgt.append(text[s + j])
+                out_n.append(j - k)
+        return pa.table({
+            conv_col: pa.array([str(x) for x in out_c], pa.string()),
+            order_col: pa.array(np.asarray(out_i, dtype=np.int64)),
+            "context": pa.array(out_ctx, pa.string()),
+            "target": pa.array(out_tgt, pa.string()),
+            "n_context_turns": pa.array(np.asarray(out_n,
+                                                   dtype=np.int64))})
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("__kb").map_groups(
+                lambda g: emit(g.drop(columns="__kb")),
+                batch_format="pandas"))

@@ -50,3 +50,73 @@ class TestSequenceTransitions:
         got = sequence_transitions(rd.from_pandas(df),
                                    min_count=2).to_pandas()
         assert len(got) == 0
+
+
+class TestBuildExamples:
+    def _run(self, df, **kw):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.dialog import build_examples
+
+        return build_examples(rd.from_pandas(df).repartition(2),
+                              **kw).to_pandas()
+
+    def test_context_accumulates(self, ray_session):
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "conv_id": ["c"] * 4,
+            "turn_idx": [0, 1, 2, 3],
+            "role": ["user", "assistant", "user", "assistant"],
+            "text": ["hi", "hello", "how?", "fine"],
+        })
+        got = self._run(df).sort_values("turn_idx")
+        assert list(got["turn_idx"]) == [1, 3]
+        r1, r3 = got.iloc[0], got.iloc[1]
+        assert r1["context"] == "user: hi" and r1["target"] == "hello"
+        assert r1["n_context_turns"] == 1
+        assert r3["context"] == "user: hi\nassistant: hello\nuser: how?"
+        assert r3["target"] == "fine" and r3["n_context_turns"] == 3
+
+    def test_char_budget_drops_whole_oldest_turns(self, ray_session):
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "conv_id": ["c"] * 4,
+            "turn_idx": [0, 1, 2, 3],
+            "role": ["user", "user", "user", "assistant"],
+            "text": ["aaaaaaaaaa", "bbbb", "cc", "done"],
+        })
+        # full context = "user: aaaaaaaaaa\nuser: bbbb\nuser: cc" = 37 chars
+        got = self._run(df, max_context_chars=25)
+        assert len(got) == 1
+        assert got.iloc[0]["context"] == "user: bbbb\nuser: cc"
+        assert got.iloc[0]["n_context_turns"] == 2
+
+    def test_first_turn_target_empty_context(self, ray_session):
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "conv_id": ["a", "b"],
+            "turn_idx": [0, 0],
+            "role": ["assistant", "user"],
+            "text": ["opener", "lurker"],
+        })
+        got = self._run(df)
+        assert len(got) == 1
+        assert got.iloc[0]["context"] == ""
+        assert got.iloc[0]["n_context_turns"] == 0
+        assert got.iloc[0]["target"] == "opener"
+
+    def test_multiple_conversations_isolated(self, ray_session):
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "conv_id": ["a", "a", "b", "b"],
+            "turn_idx": [0, 1, 0, 1],
+            "role": ["user", "assistant", "user", "assistant"],
+            "text": ["qa", "ra", "qb", "rb"],
+        })
+        got = self._run(df)
+        by = {r.conv_id: r.context for r in got.itertuples()}
+        assert by == {"a": "user: qa", "b": "user: qb"}
