@@ -2745,6 +2745,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_contingency_documents": _q_vocab_contingency_documents,
         "hits_parts": _q_hits_parts,  # rows-only (iterative float)
         "kg_examples": _q_kg_examples,  # rows-only (synth corpus)
+        "ppr_parts": _q_ppr_parts,  # rows-only (iterative float)
         "kg_tool_transitions": _q_kg_tool_transitions,  # rows-only (synth corpus)
         "unicode_nfc": _q_unicode_nfc,
         "rolling_rows_events": _q_rolling_rows_events,
@@ -5810,3 +5811,16 @@ def _q_kg_examples(sf_dir: str):
 
     transcripts, _ = _kg_transcripts(sf_dir)
     return build_examples(transcripts).sort(["conv_id", "turn_idx"])
+
+
+def _q_ppr_parts(sf_dir: str):
+    """Personalized PageRank from supplier #1 over the supplier→part
+    bipartite graph (ops/graph.personalized_pagerank): sparse
+    rank-frontier growth from the seed, one union exchange + one fold
+    + one scalar sum per iteration, dangling mass via conservation
+    (no dangling join).  Rows-only (iterative float); pinned by numpy
+    parity tests."""
+    from biocurator_mapper_ray.ops.graph import personalized_pagerank
+
+    return personalized_pagerank(_bipartite_edges(sf_dir), [-1],
+                                 iters=4).sort("node")

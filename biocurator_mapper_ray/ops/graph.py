@@ -1599,3 +1599,119 @@ def hits(edges, *, src: str = "src", dst: str = "dst", iters: int = 5,
     return (h_rows.union(a_rows).groupby("node")
             .aggregate(Sum("hub", alias_name="hub"),
                        Sum("authority", alias_name="authority")))
+
+
+def personalized_pagerank(edges, seeds, *, src: str = "src",
+                          dst: str = "dst", damping: float = 0.85,
+                          iters: int = 10, shards: int = 64):
+    """Personalized PageRank (random walk with restart to ``seeds``):
+    the KG relevance primitive — "rank every entity by proximity to
+    this query's seed entities" — where :func:`pagerank` ranks by
+    global centrality.  Restart distribution is uniform over the seed
+    set; dangling mass also restarts to the seeds (the standard RWR
+    convention, keeping total mass exactly 1).
+
+    Fully sparse: rank rows exist ONLY for nodes already reached by
+    the walk (the frontier grows like BFS from the seeds), so early
+    iterations touch a neighborhood, not the graph.  Per iteration:
+    ONE src-hash union exchange (out-degree-weighted edges, built once
+    and materialized, union the current rank rows) with an in-bucket
+    per-destination combiner, one destination fold, and one scalar
+    ``sum`` — the dangling mass needs NO dangling-node join because
+    mass is conserved: ``dang = total(=1) − Σ contribs``.
+
+    Returns (node, rank float64), nodes with nonzero rank only.
+    Rows-only semantics (iterative float sums); pinned by numpy
+    power-iteration parity tests.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .join import hash_join
+
+    lean = edges.map_batches(
+        lambda t: pa.table({
+            "__src": t.column(src).combine_chunks().cast(pa.int64()),
+            "__dst": t.column(dst).combine_chunks().cast(pa.int64())}),
+        batch_format="pyarrow")
+
+    def deg_part(b: pa.Table) -> pa.Table:
+        n, c = np.unique(b.column("__src").to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"node": pa.array(n),
+                         "deg": pa.array(c.astype(np.int64))})
+
+    out_deg = (lean.map_batches(deg_part, batch_format="pyarrow")
+               .groupby("node").aggregate(Sum("deg", alias_name="deg")))
+
+    def weigh(b: pa.Table) -> pa.Table:
+        kb = (hash64_column(b.column("__src"))
+              % np.uint64(shards)).astype(np.int32)
+        return pa.table({
+            "k": b.column("__src"), "t": b.column("__dst"),
+            "w": pc.divide(1.0, pc.cast(b.column("deg"), pa.float64())),
+            "r": pa.nulls(len(b), pa.float64()),
+            "__kb": pa.array(kb)})
+
+    edges_w = hash_join(lean, out_deg, "__src", "node",
+                        right_columns=["node", "deg"],
+                        left_dtypes={"__src": "int64", "__dst": "int64"},
+                        right_dtypes={"node": "int64", "deg": "int64"}) \
+        .map_batches(weigh, batch_format="pyarrow").materialize()
+
+    seed_arr = np.asarray(sorted({int(s) for s in seeds}), dtype=np.int64)
+    if not len(seed_arr):
+        raise ValueError("personalized_pagerank needs ≥ 1 seed")
+    p0 = 1.0 / len(seed_arr)
+
+    def seed_rows(mass: float):
+        return rd.from_arrow(pa.table({
+            "node": pa.array(seed_arr),
+            "rank": pa.array(np.full(len(seed_arr), mass * p0,
+                                     np.float64))}))
+
+    ranks = seed_rows(1.0).materialize()
+
+    def tag_ranks(b: pa.Table) -> pa.Table:
+        kb = (hash64_column(b.column("node"))
+              % np.uint64(shards)).astype(np.int32)
+        return pa.table({
+            "k": b.column("node"), "t": pa.nulls(len(b), pa.int64()),
+            "w": pa.nulls(len(b), pa.float64()), "r": b.column("rank"),
+            "__kb": pa.array(kb)})
+
+    def contrib(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table({"node": pa.array([], pa.int64()),
+                          "c": pa.array([], pa.float64())})
+        e = g[g["r"].isna()]
+        s = g[g["t"].isna()]
+        if e.empty or s.empty:
+            return empty
+        r = e["k"].map(s.set_index("k")["r"]).to_numpy(np.float64)
+        hit = ~np.isnan(r)
+        if not hit.any():
+            return empty
+        out = pd.DataFrame({
+            "node": e["t"].to_numpy(np.int64)[hit],
+            "c": r[hit] * e["w"].to_numpy(np.float64)[hit]})
+        out = out.groupby("node", sort=False, as_index=False)["c"].sum()
+        return pa.table({"node": pa.array(out["node"].to_numpy(np.int64)),
+                         "c": pa.array(out["c"].to_numpy(np.float64))})
+
+    for _ in range(iters):
+        tagged = ranks.map_batches(tag_ranks, batch_format="pyarrow")
+        contribs = (edges_w.union(tagged).groupby("__kb")
+                    .map_groups(lambda g: contrib(g.drop(columns="__kb")),
+                                batch_format="pandas")).materialize()
+        passed = contribs.sum("c") or 0.0
+        dang = 1.0 - passed  # mass conservation: Σ ranks was exactly 1
+        restart_mass = (1.0 - damping) + damping * dang
+        scaled = contribs.map_batches(
+            lambda t: pa.table({
+                "node": t.column("node"),
+                "rank": pc.multiply(damping, t.column("c"))}),
+            batch_format="pyarrow")
+        ranks = (scaled.union(seed_rows(restart_mass))
+                 .groupby("node").aggregate(
+                     Sum("rank", alias_name="rank"))).materialize()
+    return ranks

@@ -676,3 +676,71 @@ class TestHits:
         assert abs(by[0][0] - 1.0) < 1e-12 and abs(by[0][1]) < 1e-12
         for i in range(1, 5):
             assert abs(by[i][1] - 0.5) < 1e-12 and abs(by[i][0]) < 1e-12
+
+
+class TestPersonalizedPagerank:
+    @staticmethod
+    def _numpy_ppr(edges, seeds, d, iters):
+        nodes = sorted({n for e in edges for n in e})
+        idx = {n: i for i, n in enumerate(nodes)}
+        W = np.zeros((len(nodes), len(nodes)))
+        for a, b in edges:
+            W[idx[a], idx[b]] = 1.0
+        outdeg = W.sum(axis=1)
+        nz = outdeg > 0
+        W[nz] /= outdeg[nz][:, None]
+        p = np.zeros(len(nodes))
+        for s in seeds:
+            p[idx[s]] = 1.0 / len(seeds)
+        r = p.copy()
+        for _ in range(iters):
+            dang = r[~nz].sum()
+            r = d * (W.T @ r) + ((1 - d) + d * dang) * p
+        return {n: r[idx[n]] for n in nodes}
+
+    def test_matches_numpy(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.graph import personalized_pagerank
+
+        rng = np.random.default_rng(41)
+        raw = rng.integers(0, 25, size=(80, 2))
+        edges = sorted({(int(a), int(b)) for a, b in raw if a != b})
+        df = pd.DataFrame(edges, columns=["src", "dst"]).astype(np.int64)
+        got = personalized_pagerank(
+            rd.from_pandas(df).repartition(3), [0, 7],
+            iters=6).to_pandas()
+        exp = self._numpy_ppr(edges, [0, 7], 0.85, 6)
+        for r in got.itertuples():
+            assert abs(r.rank - exp[r.node]) < 1e-9
+        # nodes absent from the sparse result truly have rank 0
+        absent = set(exp) - set(got["node"])
+        assert all(exp[n] < 1e-12 for n in absent)
+
+    def test_mass_conserved_and_seed_locality(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.graph import personalized_pagerank
+
+        # two disjoint chains; seeding in one leaves the other at zero
+        edges = [(0, 1), (1, 2), (10, 11), (11, 12)]
+        df = pd.DataFrame(edges, columns=["src", "dst"]).astype(np.int64)
+        got = personalized_pagerank(rd.from_pandas(df), [0],
+                                    iters=8).to_pandas()
+        assert abs(got["rank"].sum() - 1.0) < 1e-9
+        assert set(got["node"]) == {0, 1, 2}
+
+    def test_empty_seeds_raises(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.graph import personalized_pagerank
+
+        df = pd.DataFrame({"src": [0], "dst": [1]}).astype(np.int64)
+        try:
+            personalized_pagerank(rd.from_pandas(df), [])
+            assert False, "expected ValueError"
+        except ValueError:
+            pass
