@@ -2746,6 +2746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_parts": _q_hits_parts,  # rows-only (iterative float)
         "kg_examples": _q_kg_examples,  # rows-only (synth corpus)
         "ppr_parts": _q_ppr_parts,  # rows-only (iterative float)
+        "skew_join_orders": _q_skew_join_orders,
         "kg_tool_transitions": _q_kg_tool_transitions,  # rows-only (synth corpus)
         "unicode_nfc": _q_unicode_nfc,
         "rolling_rows_events": _q_rolling_rows_events,
@@ -3139,6 +3140,11 @@ def oracle_sql() -> dict[str, str]:
             FROM bi x JOIN bi y ON x.c = y.c AND x.n < y.n
             GROUP BY 1, 2 HAVING count(*) >= 2
             ORDER BY node_a, node_b
+        """,
+        "skew_join_orders": """
+            SELECT o_orderkey, o_custkey, c_custkey, c_mktsegment
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_orderkey
         """,
         "vocab_contingency_documents": f"""
             WITH words AS (
@@ -5824,3 +5830,18 @@ def _q_ppr_parts(sf_dir: str):
 
     return personalized_pagerank(_bipartite_edges(sf_dir), [-1],
                                  iters=4).sort("node")
+
+
+def _q_skew_join_orders(sf_dir: str):
+    """Skew-aware orders⋈customer join (ops/join.skew_join): probe-side
+    key histogram finds hot custkeys (> 20 orders here, so the hot
+    path is actually exercised at sf0.01), their customer rows
+    broadcast via ray.put and merge map-side with ZERO exchange, cold
+    keys take the bucketed hash_join — identical inner-join semantics,
+    bounded per-bucket memory under any skew."""
+    from biocurator_mapper_ray.ops.join import skew_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    return skew_join(orders, cust, "o_custkey", "c_custkey",
+                     hot_threshold=20).sort("o_orderkey")

@@ -683,3 +683,114 @@ def merge_upsert(base, updates, *, key: str | list[str], order_col: str,
 
     return (both.map_batches(partial, batch_format="pyarrow")
             .groupby("__kb").map_groups(combine, batch_format="pandas"))
+
+
+def skew_join(left, right, left_on: str, right_on: str, *,
+              hot_threshold: int = 100_000,
+              left_columns: list[str] | None = None,
+              right_columns: list[str] | None = None,
+              buckets: int | None = None,
+              size_hint: int | None = None):
+    """Skew-aware inner equi-join: same result as ``how='inner'``
+    :func:`hash_join`, but HOT keys never enter the exchange.
+
+    The classic hot-key hybrid (the explicit-skew-handling plan the
+    engine runs when one probe key dominates — a mega-customer, a
+    viral document, an ontology root term):
+
+    1. ONE lean count pass over the LEFT (probe) side finds keys with
+       > ``hot_threshold`` rows — by construction at most
+       ``|left| / hot_threshold`` keys, a driver-bounded set.
+    2. The RIGHT rows of those keys are collected and broadcast via
+       ``ray.put`` (bounded by |hot keys| × right-rows-per-key — the
+       build side of a foreign-key join is small per key; if YOUR
+       right side is also skewed, salt-replicate instead).
+    3. Hot left rows merge against the broadcast map-side — zero
+       exchange for exactly the rows that would have melted a bucket —
+       while cold rows flow through the normal bucketed
+       :func:`hash_join`; the two streams union.
+
+    A bucket in the cold path now holds ≤ ``hot_threshold`` rows per
+    key, so per-bucket memory is bounded no matter how skewed the
+    input.  Inner-join semantics only (hot-path outer semantics would
+    need a broadcast-miss channel).
+    """
+    import ray as _ray
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import hash64_column  # noqa: F401 (parity)
+
+    lcols = left_columns or left.schema().names
+    rcols = right_columns or right.schema().names
+    left = left.select_columns(lcols)
+    right = right.select_columns(rcols)
+
+    # 1. probe-side key histogram, pre-aggregated per batch
+    def key_part(b: pa.Table) -> pa.Table:
+        t = b.select([left_on]).group_by(
+            [left_on], use_threads=False).aggregate([([], "count_all")])
+        return t.rename_columns(["k", "c"])
+
+    from ray.data.aggregate import Sum as _Sum
+    counts = (left.map_batches(key_part, batch_format="pyarrow")
+              .groupby("k").aggregate(_Sum("c", alias_name="c")))
+    hot = counts.map_batches(
+        lambda t: t.filter(pc.greater(t.column("c"),
+                                      hot_threshold)).select(["k"]),
+        batch_format="pyarrow").to_pandas()  # ≤ |left|/threshold rows
+    # an all-empty to_pandas drops columns — no hot keys at all
+    hot_keys = (np.sort(hot["k"].to_numpy())
+                if "k" in hot.columns else np.array([], dtype=np.int64))
+
+    if len(hot_keys) == 0:
+        return hash_join(left, right, left_on, right_on,
+                         left_columns=lcols, right_columns=rcols,
+                         buckets=buckets, size_hint=size_hint)
+
+    def is_hot(b: pa.Table, col: str, keys: np.ndarray) -> np.ndarray:
+        v = b.column(col).to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(keys, v), len(keys) - 1)
+        return keys[pos] == v
+
+    # empty blocks can arrive with an ERASED schema (no columns) —
+    # both map-side stages below need typed empties to pass through
+    l_dtypes = _side_dtypes(left, lcols) or {}
+    empty_left_pd = pd.DataFrame(
+        {c: pd.Series(dtype=t) for c, t in l_dtypes.items()})
+
+    # 2. broadcast the right side's hot rows
+    hot_right = right.map_batches(
+        lambda b, k=hot_keys: b.filter(pa.array(is_hot(b, right_on, k))),
+        batch_format="pyarrow").to_pandas()
+    if left_on not in hot_right.columns and right_on not in hot_right.columns:
+        # all-empty blocks dropped columns: rebuild a typed empty
+        r_dtypes = _side_dtypes(right, rcols) or {}
+        hot_right = pd.DataFrame(
+            {c: pd.Series(dtype=t) for c, t in r_dtypes.items()})
+    hr_ref = _ray.put(hot_right)
+
+    def split_left(b: pa.Table, k=hot_keys) -> pa.Table:
+        if left_on not in b.schema.names:  # erased empty block
+            return pa.Table.from_pandas(empty_left_pd,
+                                        preserve_index=False)
+        return b.filter(pa.array(~is_hot(b, left_on, k)))
+
+    def hot_merge(b: pa.Table, ref=None) -> pd.DataFrame:
+        hr = ref if isinstance(ref, pd.DataFrame) else _ray.get(ref)
+        if left_on not in b.schema.names:  # erased empty block
+            lb = empty_left_pd
+        else:
+            lb = b.filter(pa.array(is_hot(b, left_on, hot_keys))) \
+                 .to_pandas()
+        return lb.merge(hr, left_on=left_on, right_on=right_on,
+                        how="inner")
+
+    # 3. cold rows take the bucketed exchange (hot filter fused into
+    # the scan), hot rows merge map-side against the broadcast
+    cold = hash_join(left.map_batches(split_left, batch_format="pyarrow"),
+                     right, left_on, right_on,
+                     left_columns=lcols, right_columns=rcols,
+                     buckets=buckets, size_hint=size_hint)
+    hot_out = left.map_batches(hot_merge, fn_kwargs={"ref": hr_ref},
+                               batch_format="pyarrow")
+    return cold.union(hot_out)

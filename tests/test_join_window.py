@@ -515,3 +515,48 @@ class TestMaxStreak:
         assert got.loc["u2", "max_streak"] == 1
         assert got.loc["u3", "max_streak"] == 7
 
+
+
+class TestSkewJoin:
+    def test_matches_plain_hash_join(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.join import hash_join, skew_join
+
+        rng = np.random.default_rng(51)
+        # skewed probe side: key 7 dominates
+        keys = np.concatenate([np.full(500, 7),
+                               rng.integers(0, 40, size=300)])
+        left = pd.DataFrame({"k": keys.astype(np.int64),
+                             "lv": np.arange(len(keys), dtype=np.int64)})
+        right = pd.DataFrame({"k": np.arange(40, dtype=np.int64),
+                              "rv": np.arange(40, dtype=np.int64) * 10})
+        got = skew_join(rd.from_pandas(left).repartition(4),
+                        rd.from_pandas(right), "k", "k",
+                        hot_threshold=100).to_pandas()
+        exp = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                        "k", "k").to_pandas()
+        key = ["k", "lv", "rv"]
+        got_s = got[key].sort_values(key).reset_index(drop=True)
+        exp_s = exp[key].sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got_s, exp_s, check_dtype=False)
+        # the hot key actually went down the broadcast path
+        assert (left["k"] == 7).sum() > 100
+
+    def test_no_hot_keys_degenerates(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.join import skew_join
+
+        left = pd.DataFrame({"k": np.array([1, 2, 3], dtype=np.int64),
+                             "lv": np.array([9, 8, 7], dtype=np.int64)})
+        right = pd.DataFrame({"k": np.array([2, 3, 4], dtype=np.int64),
+                              "rv": np.array([1, 2, 3], dtype=np.int64)})
+        got = skew_join(rd.from_pandas(left), rd.from_pandas(right),
+                        "k", "k", hot_threshold=10).to_pandas()
+        assert sorted(zip(got["k"], got["lv"], got["rv"])) == \
+            [(2, 8, 1), (3, 7, 2)]
