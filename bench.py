@@ -194,6 +194,9 @@ def run_bench() -> dict:
         "fd_violations_lineitem",
         "vocab_contingency_documents",
         "hits_parts",
+        "kg_examples",
+        "ppr_parts",
+        "skew_join_orders",
     ]
     qs = entry.queries()
     for name in bench_queries:

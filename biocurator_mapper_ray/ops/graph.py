@@ -1474,8 +1474,186 @@ def local_clustering(edges, *, src: str = "src", dst: str = "dst",
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
+def _hits_pinned(lean, iters: int, buckets: int | None):
+    """Pinned-shard HITS loop (see :func:`hits`).
+
+    TWO one-time exchanges pin the edge table keyed by hash(src) and
+    by hash(dst) into S object-store buckets (each row pre-tagged with
+    its TARGET's shard); node scores live in S hash(node) shards.  A
+    half-step is S contrib tasks (bucket b's key scores are exactly
+    score shard b) emitting an S×S piece matrix, folded by S shard
+    tasks onto the node skeleton — node-scale traffic only, the edge
+    table never moves again.  The S×S piece matrix caps S (≤ 64),
+    bounding this mode at ~10⁹-edge graphs per job; ``mode='shuffle'``
+    is the unbounded path."""
+    import math
+
+    import ray
+
+    from .join import derive_buckets
+
+    n_edges = lean.count()
+    S = max(1, min(64, buckets if buckets is not None
+                   else derive_buckets(n_edges)))
+
+    @ray.remote
+    def split_block(tbl: pa.Table, col: str, n: int):
+        # 0-row blocks can arrive with an ERASED schema — nothing to
+        # route either way
+        if tbl is None or len(tbl) == 0 or col not in tbl.schema.names:
+            return [None] * n if n > 1 else None
+        out = []
+        kb = tbl.column(col).to_numpy(zero_copy_only=False)
+        for b in range(n):
+            m = kb == b
+            out.append(tbl.filter(pa.array(m)) if m.any() else None)
+        return out if n > 1 else out[0]
+
+    @ray.remote
+    def assemble(*pieces):
+        tbls = [p for p in pieces if p is not None]
+        return pa.concat_tables(tbls) if tbls else None
+
+    def exchange(ds, col):
+        refs = ds.to_arrow_refs()
+        if S == 1:
+            return [assemble.remote(*refs)]
+        piece_refs = [split_block.options(num_returns=S).remote(r, col, S)
+                      for r in refs]
+        return [assemble.remote(*[pr[b] for pr in piece_refs])
+                for b in range(S)]
+
+    def tag_dir(key_col: str, tgt_col: str):
+        def tag(b: pa.Table) -> pa.Table:
+            kkb = (hash64_column(b.column(key_col))
+                   % np.uint64(S)).astype(np.int32)
+            tkb = (hash64_column(b.column(tgt_col))
+                   % np.uint64(S)).astype(np.int32)
+            return pa.table({"k": b.column(key_col),
+                             "t": b.column(tgt_col),
+                             "kkb": pa.array(kkb),
+                             "tkb": pa.array(tkb)})
+        return lean.map_batches(tag, batch_format="pyarrow")
+
+    fwd_buckets = exchange(tag_dir("src", "dst"), "kkb")  # auth step
+    rev_buckets = exchange(tag_dir("dst", "src"), "kkb")  # hub step
+
+    def node_part(b: pa.Table) -> pa.Table:
+        n = np.unique(np.concatenate([
+            b.column("src").to_numpy(zero_copy_only=False),
+            b.column("dst").to_numpy(zero_copy_only=False)]))
+        nkb = (hash64_column(pa.array(n)) % np.uint64(S)).astype(np.int32)
+        return pa.table({"node": pa.array(n), "nkb": pa.array(nkb)})
+
+    from ray.data.aggregate import Max as _Max
+    nodes_t = (lean.map_batches(node_part, batch_format="pyarrow")
+               .groupby("node").aggregate(_Max("nkb", alias_name="nkb")))
+    skeletons = exchange(nodes_t, "nkb")
+
+    @ray.remote
+    def init_shard(skel):
+        if skel is None:
+            return None
+        return pa.table({
+            "node": skel.column("node"),
+            "score": pa.array(np.ones(len(skel), np.float64))})
+
+    @ray.remote
+    def contrib(edges_tbl, shard, n):
+        if edges_tbl is None or shard is None or len(edges_tbl) == 0:
+            return [None] * n if n > 1 else None
+        smap = pd.Series(shard.column("score").to_numpy(),
+                         index=shard.column("node").to_numpy(
+                             zero_copy_only=False))
+        r = pd.Series(edges_tbl.column("k").to_numpy(
+            zero_copy_only=False)).map(smap).to_numpy(np.float64)
+        df = pd.DataFrame({
+            "tkb": edges_tbl.column("tkb").to_numpy(),
+            "node": edges_tbl.column("t").to_numpy(zero_copy_only=False),
+            "c": r,
+        }).groupby(["tkb", "node"], sort=False)["c"].sum().reset_index()
+        out = [None] * n
+        for kb, sub in df.groupby("tkb", sort=False):
+            out[int(kb)] = pa.table({
+                "node": pa.array(sub["node"].to_numpy(np.int64)),
+                "c": pa.array(sub["c"].to_numpy(np.float64))})
+        return out if n > 1 else out[0]
+
+    @ray.remote
+    def fold(skel, *pieces):
+        if skel is None:
+            return None
+        tbls = [p for p in pieces if p is not None]
+        nodes = np.sort(skel.column("node").to_numpy(zero_copy_only=False))
+        acc = np.zeros(len(nodes), np.float64)
+        if tbls:
+            cat = pa.concat_tables(tbls)
+            sums = (pd.DataFrame({
+                "node": cat.column("node").to_numpy(zero_copy_only=False),
+                "c": cat.column("c").to_numpy()})
+                .groupby("node", sort=False)["c"].sum())
+            pos = np.searchsorted(nodes, sums.index.to_numpy())
+            acc[pos] = sums.to_numpy()
+        return pa.table({"node": pa.array(nodes),
+                         "score": pa.array(acc)})
+
+    @ray.remote
+    def sumsq(shard):
+        if shard is None:
+            return 0.0
+        v = shard.column("score").to_numpy()
+        return float(np.dot(v, v))
+
+    @ray.remote
+    def rescale(shard, norm):
+        if shard is None:
+            return None
+        return pa.table({
+            "node": shard.column("node"),
+            "score": pa.array(shard.column("score").to_numpy() / norm)})
+
+    def half(score_shards, edge_buckets):
+        pieces = [contrib.options(num_returns=S).remote(
+            edge_buckets[b], score_shards[b], S) for b in range(S)]             if S > 1 else [[contrib.remote(edge_buckets[0],
+                                           score_shards[0], 1)]]
+        return [fold.remote(skeletons[b], *[pieces[x][b]
+                                            for x in range(S)])
+                for b in range(S)]
+
+    def l2(shards):
+        n = math.sqrt(sum(ray.get([sumsq.remote(sh) for sh in shards])))
+        return n if n else 1.0
+
+    hub = [init_shard.remote(sk) for sk in skeletons]
+    auth = hub
+    for i in range(iters):
+        auth = half(hub, fwd_buckets)
+        hub = half(auth, rev_buckets)
+        if (i + 1) % 4 == 0 and i + 1 < iters:  # float64 growth guard
+            an, hn = l2(auth), l2(hub)
+            auth = [rescale.remote(sh, an) for sh in auth]
+            hub = [rescale.remote(sh, hn) for sh in hub]
+
+    hn, an = l2(hub), l2(auth)
+
+    @ray.remote
+    def finish(h_sh, a_sh):
+        if h_sh is None:
+            return None
+        return pa.table({
+            "node": h_sh.column("node"),
+            "hub": pa.array(h_sh.column("score").to_numpy() / hn),
+            "authority": pa.array(a_sh.column("score").to_numpy() / an)})
+
+    import ray.data as rd
+    out = [finish.remote(h, a) for h, a in zip(hub, auth)]
+    live = [r for r, t in zip(out, ray.get(out)) if t is not None]
+    return rd.from_arrow_refs(live)
+
+
 def hits(edges, *, src: str = "src", dst: str = "dst", iters: int = 5,
-         renorm_every: int = 4, shards: int = 64):
+         renorm_every: int = 4, shards: int = 64, buckets: int | None = None,
+         mode: str = "pinned"):
     """HITS hubs-and-authorities (Kleinberg 1999) over a DIRECTED edge
     list: per iteration authorities absorb their in-neighbors' hub
     scores, hubs absorb their out-neighbors' authority scores, each
@@ -1483,19 +1661,26 @@ def hits(edges, *, src: str = "src", dst: str = "dst", iters: int = 5,
     :func:`pagerank` (curation use: rank tool/agent hubs against
     resource authorities in an interaction graph).
 
-    Dataflow execution: scores and edges stay Datasets; each half-step
-    is ONE key-hash bucketed exchange (edges keyed by the score-owning
-    endpoint union score rows, in-bucket vectorized merge with a
-    per-target combiner) plus a target-key fold — one Ray execution
-    per half-step.  Normalization is scale-invariant across the linear
-    half-step chain, so intermediate normalizes are algebraically
-    redundant: scores stay RAW and are L2-normalized once at the end
-    (identical result, ~3× fewer executions), with a renorm pass every
-    ``renorm_every`` iterations bounding float64 growth (top-singular-
-    value^2 per iteration; 4 unnormalized iterations stay far below
-    1e308 on any realistic graph).  Edges re-ship per iteration — for
-    pinned edge shards at ≥10⁹ edges use the :func:`pagerank`
-    ``mode='pinned'`` layout (same S×S piece plan applies).
+    Two execution modes, mirroring :func:`pagerank`:
+
+    * ``mode='pinned'`` (default): two one-time exchanges pin the edge
+      table keyed by hash(src) and hash(dst) into S object-store
+      buckets; each half-step is S contrib + S fold raw tasks moving
+      node-scale score shards only (see :func:`_hits_pinned`).  The
+      S×S piece matrix caps S at 64 — ~10⁹ edges per job.
+    * ``mode='shuffle'``: pure Ray Data — each half-step is ONE
+      key-hash bucketed exchange (edges union score rows, in-bucket
+      vectorized merge with a per-target combiner) plus a target-key
+      fold.  Re-ships edges per half-step but has no S×S term: the
+      unbounded-scale path.
+
+    Both modes exploit that normalization is scale-invariant across
+    the linear half-step chain: intermediate normalizes are
+    algebraically redundant, so scores stay RAW and are L2-normalized
+    once at the end (identical result, ~3× fewer passes), with a
+    renorm pass every ``renorm_every`` iterations bounding float64
+    growth (top-singular-value² per iteration; 4 unnormalized
+    iterations stay far below 1e308 on any realistic graph).
 
     Returns (node, hub float64, authority float64) for every node.
     Rows-only semantics (iterative float sums are summation-order-
@@ -1505,11 +1690,17 @@ def hits(edges, *, src: str = "src", dst: str = "dst", iters: int = 5,
 
     from ray.data.aggregate import Sum
 
+    if mode not in ("pinned", "shuffle"):
+        raise ValueError(f"unknown hits mode {mode!r}")
+
     lean = edges.map_batches(
         lambda t: pa.table({
             "src": t.column(src).combine_chunks().cast(pa.int64()),
             "dst": t.column(dst).combine_chunks().cast(pa.int64())}),
         batch_format="pyarrow").materialize()
+
+    if mode == "pinned":
+        return _hits_pinned(lean, iters, buckets)
 
     def nodes_part(b: pa.Table) -> pa.Table:
         n = np.unique(np.concatenate([

@@ -677,6 +677,25 @@ class TestHits:
         for i in range(1, 5):
             assert abs(by[i][1] - 0.5) < 1e-12 and abs(by[i][0]) < 1e-12
 
+    def test_mode_parity(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.graph import hits
+
+        rng = np.random.default_rng(32)
+        raw = rng.integers(0, 15, size=(40, 2))
+        edges = sorted({(int(a), int(b)) for a, b in raw if a != b})
+        df = pd.DataFrame(edges, columns=["src", "dst"]).astype(np.int64)
+        a = hits(rd.from_pandas(df), iters=3, mode="pinned").to_pandas()
+        b = hits(rd.from_pandas(df), iters=3, mode="shuffle").to_pandas()
+        am = {r.node: (r.hub, r.authority) for r in a.itertuples()}
+        bm = {r.node: (r.hub, r.authority) for r in b.itertuples()}
+        assert set(am) == set(bm)
+        for n in am:
+            assert abs(am[n][0] - bm[n][0]) < 1e-9
+            assert abs(am[n][1] - bm[n][1]) < 1e-9
+
 
 class TestPersonalizedPagerank:
     @staticmethod
