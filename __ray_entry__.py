@@ -2747,6 +2747,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_examples": _q_kg_examples,  # rows-only (synth corpus)
         "ppr_parts": _q_ppr_parts,  # rows-only (iterative float)
         "skew_join_orders": _q_skew_join_orders,
+        "assortativity_parts": _q_assortativity_parts,
+        "interarrival_events": _q_interarrival_events,
         "kg_tool_transitions": _q_kg_tool_transitions,  # rows-only (synth corpus)
         "unicode_nfc": _q_unicode_nfc,
         "rolling_rows_events": _q_rolling_rows_events,
@@ -3140,6 +3142,46 @@ def oracle_sql() -> dict[str, str]:
             FROM bi x JOIN bi y ON x.c = y.c AND x.n < y.n
             GROUP BY 1, 2 HAVING count(*) >= 2
             ORDER BY node_a, node_b
+        """,
+        "interarrival_events": """
+            WITH s AS (
+                SELECT event_type,
+                       epoch_us(ts) - epoch_us(lag(ts) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id)) AS gap_us
+                FROM events)
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(gap_us) AS BIGINT) AS sum_us,
+                   CAST(min(gap_us) AS BIGINT) AS min_us,
+                   CAST(max(gap_us) AS BIGINT) AS max_us
+            FROM s WHERE gap_us IS NOT NULL
+            GROUP BY event_type ORDER BY event_type
+        """,
+        "assortativity_parts": """
+            WITH raw AS (
+                SELECT l_partkey % 401 AS a, l_suppkey % 401 AS b
+                FROM lineitem
+            ), e AS (
+                SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+                FROM raw WHERE a <> b
+            ), bi AS (
+                SELECT u AS x, v AS y FROM e
+                UNION ALL SELECT v AS x, u AS y FROM e
+            ), deg AS (
+                SELECT x AS node, count(*) AS d FROM bi GROUP BY x
+            ), dd AS (
+                SELECT dx.d AS du, dy.d AS dv
+                FROM bi JOIN deg dx ON dx.node = bi.x
+                        JOIN deg dy ON dy.node = bi.y
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(du) AS BIGINT) AS sum_x,
+                   CAST(sum(dv) AS BIGINT) AS sum_y,
+                   CAST(sum(du * dv) AS BIGINT) AS sum_xy,
+                   CAST(sum(du * du) AS BIGINT) AS sum_x2,
+                   CAST(sum(dv * dv) AS BIGINT) AS sum_y2
+            FROM dd
         """,
         "skew_join_orders": """
             SELECT o_orderkey, o_custkey, c_custkey, c_mktsegment
@@ -5845,3 +5887,29 @@ def _q_skew_join_orders(sf_dir: str):
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     return skew_join(orders, cust, "o_custkey", "c_custkey",
                      hot_threshold=20).sort("o_orderkey")
+
+
+def _q_assortativity_parts(sf_dir: str):
+    """Degree-assortativity integer moments of the folded part/supplier
+    graph (ops/graph.degree_assortativity_evidence): one row of exact
+    BIGINT sums over both edge orientations; Newman's r is the
+    reader-side Pearson ratio."""
+    from biocurator_mapper_ray.ops.graph import (
+        degree_assortativity_evidence,
+    )
+
+    return degree_assortativity_evidence(_fold401_edges(sf_dir))
+
+
+def _q_interarrival_events(sf_dir: str):
+    """Per-event-type inter-arrival cadence over the events log
+    (ops/window.interarrival_stats): integer (n, sum_us, min_us,
+    max_us) of gaps to the same user's previous event, attributed to
+    the latter event's type; mean gap = reader-side ratio."""
+    from biocurator_mapper_ray.ops.window import interarrival_stats
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_id",
+                                          "event_type"])
+    return interarrival_stats(ev, key="user_id", ts="ts",
+                              tiebreak="event_id",
+                              label="event_type").sort("event_type")

@@ -1906,3 +1906,72 @@ def personalized_pagerank(edges, seeds, *, src: str = "src",
                  .groupby("node").aggregate(
                      Sum("rank", alias_name="rank"))).materialize()
     return ranks
+
+
+def degree_assortativity_evidence(edges, *, src: str = "src",
+                                  dst: str = "dst", buckets: int = 64):
+    """Degree-assortativity INTEGER moments of the undirected graph:
+    one row ``(n, sum_x, sum_y, sum_xy, sum_x2, sum_y2)`` over the
+    DIRECTED view of the canonical edge set (each undirected edge
+    counted in both orientations, the standard symmetrization), where
+    x, y are the endpoint degrees.  Newman's assortativity coefficient
+    is the reader-side Pearson expression over these exact integers —
+    float-free, so the result hashes identically to the SQL oracle.
+    The KG topology diagnostic: positive ⇒ hubs link hubs (social-like),
+    negative ⇒ hubs link leaves (web/biology-like).
+
+    Composition: :func:`distinct_edges` → :func:`node_degrees` → two
+    bucketed :func:`~.join.hash_join` passes decorate each edge with
+    both endpoint degrees (the :func:`triangle_count` plan) → per-batch
+    integer moment partials → one single-row fold.
+    """
+    from ray.data.aggregate import Sum
+
+    from .join import hash_join
+
+    canon = distinct_edges(edges, src=src, dst=dst, buckets=buckets)
+    deg = node_degrees(canon, buckets=buckets)
+
+    i64 = {"u": "int64", "v": "int64", "node": "int64", "deg": "int64"}
+    ju = hash_join(canon, deg, "u", "node",
+                   right_columns=["node", "deg"],
+                   left_dtypes={k: i64[k] for k in ("u", "v")},
+                   right_dtypes={k: i64[k] for k in ("node", "deg")},
+                   buckets=buckets)
+    ju = ju.map_batches(
+        lambda t: t.select(["u", "v", "deg"]).rename_columns(
+            ["u", "v", "du"]),
+        batch_format="pyarrow")
+    jv = hash_join(ju, deg, "v", "node",
+                   left_columns=["u", "v", "du"],
+                   right_columns=["node", "deg"],
+                   left_dtypes={"u": "int64", "v": "int64", "du": "int64"},
+                   right_dtypes={k: i64[k] for k in ("node", "deg")},
+                   buckets=buckets)
+
+    def moments(t: pa.Table) -> pa.Table:
+        du = t.column("du").to_numpy(zero_copy_only=False).astype(np.int64)
+        dv = t.column("deg").to_numpy(zero_copy_only=False).astype(np.int64)
+        # both orientations: x spans du+dv, y spans dv+du
+        sx = int(du.sum() + dv.sum())
+        sxy = int(2 * (du * dv).sum())
+        sx2 = int((du * du).sum() + (dv * dv).sum())
+        return pa.table({"n": pa.array([2 * len(du)], pa.int64()),
+                         "sum_x": pa.array([sx], pa.int64()),
+                         "sum_y": pa.array([sx], pa.int64()),
+                         "sum_xy": pa.array([sxy], pa.int64()),
+                         "sum_x2": pa.array([sx2], pa.int64()),
+                         "sum_y2": pa.array([sx2], pa.int64())})
+
+    out = jv.map_batches(moments, batch_format="pyarrow")
+    return _fold_single_row(out)
+
+
+def _fold_single_row(ds):
+    """Sum every int64 column of ``ds`` into one row (tiny driver-side
+    fold of per-batch partial rows)."""
+    import ray.data as rd
+
+    df = ds.to_pandas()  # one partial row per batch — bounded
+    total = df.sum(axis=0).astype(np.int64)
+    return rd.from_pandas(pd.DataFrame([total]))

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from .join import derive_buckets
 
@@ -618,3 +619,67 @@ def rolling_distinct(ds, *, key: str, ts: str, window: int,
 
     return covered.groupby("period").map_groups(count_distinct,
                                                 batch_format="pandas")
+
+
+def interarrival_stats(ds, *, key: str, ts: str, tiebreak: str,
+                       label: str, buckets: int | None = None,
+                       size_hint: int | None = None):
+    """Per-label inter-arrival cadence evidence: for every ``label``
+    value, integer ``(n, sum_us, min_us, max_us)`` over the gaps (µs)
+    between each event and the SAME key's previous event, the gap
+    attributed to the LATTER event's label — the event-cadence profile
+    ("how long after the previous user action does a purchase come"),
+    with mean gap as the reader-side ratio.  Exact integers ⇒ hashes
+    identically to the SQL ``lag() OVER (PARTITION BY key)`` oracle.
+
+    One key-hash exchange of lean (key, ts, tiebreak, label) rows;
+    per-bucket vectorized sort + shifted diff, pre-aggregated per label
+    before a label-scale final fold.
+    """
+    n_buckets = _window_buckets(ds, buckets, size_hint)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        t = pa.table({key: batch.column(key), ts: batch.column(ts),
+                      tiebreak: batch.column(tiebreak),
+                      label: batch.column(label)})
+        from ..functions.hashing import hash64_column
+        h = hash64_column(t.column(key))
+        return t.append_column(
+            "__kb", pa.array((h % np.uint64(n_buckets)).astype(np.int32)))
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table({label: pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64()),
+                          "sum_us": pa.array([], pa.int64()),
+                          "min_us": pa.array([], pa.int64()),
+                          "max_us": pa.array([], pa.int64())})
+        g = g.sort_values([key, ts, tiebreak], kind="mergesort")
+        k = g[key].to_numpy()
+        same = k[:-1] == k[1:]
+        if not same.any():
+            return empty
+        t_us = g[ts].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        gap = (t_us[1:] - t_us[:-1])[same]
+        lab = g[label].to_numpy()[1:][same]
+        agg = (pd.DataFrame({label: lab, "gap": gap})
+               .groupby(label)["gap"]
+               .agg(n="count", sum_us="sum", min_us="min", max_us="max")
+               .reset_index())
+        return pa.table({
+            label: pa.array(agg[label], pa.string()),
+            "n": pa.array(agg["n"].to_numpy(np.int64)),
+            "sum_us": pa.array(agg["sum_us"].to_numpy(np.int64)),
+            "min_us": pa.array(agg["min_us"].to_numpy(np.int64)),
+            "max_us": pa.array(agg["max_us"].to_numpy(np.int64))})
+
+    parts = (ds.map_batches(tag, batch_format="pyarrow")
+             .groupby("__kb").map_groups(
+                 lambda g: per_bucket(g.drop(columns="__kb")),
+                 batch_format="pandas"))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby(label, as_index=False, sort=True)
+                .agg(n=("n", "sum"), sum_us=("sum_us", "sum"),
+                     min_us=("min_us", "min"), max_us=("max_us", "max")))
+
+    return parts.groupby(label).map_groups(fold, batch_format="pandas")

@@ -763,3 +763,36 @@ class TestPersonalizedPagerank:
             assert False, "expected ValueError"
         except ValueError:
             pass
+
+
+class TestAssortativity:
+    def test_matches_bruteforce(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.graph import (
+            degree_assortativity_evidence,
+        )
+
+        rng = np.random.default_rng(61)
+        e = rng.integers(0, 30, size=(100, 2))
+        df = pd.DataFrame(e, columns=["src", "dst"]).astype(np.int64)
+        got = degree_assortativity_evidence(
+            rd.from_pandas(df).repartition(4)).to_pandas().iloc[0]
+
+        adj = _undirected(e)
+        deg = {n: len(v) for n, v in adj.items()}
+        pairs = [(deg[a], deg[b]) for a, nb in adj.items() for b in nb]
+        xs = np.array([p[0] for p in pairs], dtype=np.int64)
+        ys = np.array([p[1] for p in pairs], dtype=np.int64)
+        assert got["n"] == len(pairs)
+        assert got["sum_x"] == xs.sum() and got["sum_y"] == ys.sum()
+        assert got["sum_xy"] == (xs * ys).sum()
+        assert got["sum_x2"] == (xs * xs).sum()
+        assert got["sum_y2"] == (ys * ys).sum()
+        # the reader-side coefficient is finite and in [-1, 1]
+        n = got["n"]
+        num = n * got["sum_xy"] - got["sum_x"] * got["sum_y"]
+        den = np.sqrt(float(n * got["sum_x2"] - got["sum_x"] ** 2)
+                      * float(n * got["sum_y2"] - got["sum_y"] ** 2))
+        assert -1.0 <= num / den <= 1.0

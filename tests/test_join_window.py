@@ -560,3 +560,48 @@ class TestSkewJoin:
                         "k", "k", hot_threshold=10).to_pandas()
         assert sorted(zip(got["k"], got["lv"], got["rv"])) == \
             [(2, 8, 1), (3, 7, 2)]
+
+
+class TestInterarrivalStats:
+    def test_gaps_attributed_to_latter_label(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.window import interarrival_stats
+
+        base = pd.Timestamp("2024-01-01")
+        df = pd.DataFrame({
+            "user_id": [1, 1, 1, 2, 2, 3],
+            "ts": [base, base + pd.Timedelta(seconds=10),
+                   base + pd.Timedelta(seconds=25),
+                   base, base + pd.Timedelta(seconds=5),
+                   base],
+            "event_id": [1, 2, 3, 4, 5, 6],
+            "event_type": ["view", "click", "buy", "view", "buy",
+                           "view"],
+        })
+        got = interarrival_stats(
+            rd.from_pandas(df).repartition(3), key="user_id", ts="ts",
+            tiebreak="event_id", label="event_type").to_pandas()
+        by = {r.event_type: (r.n, r.sum_us, r.min_us, r.max_us)
+              for r in got.itertuples()}
+        assert by == {"click": (1, 10_000_000, 10_000_000, 10_000_000),
+                      "buy": (2, 20_000_000, 5_000_000, 15_000_000)}
+
+    def test_single_event_users_emit_nothing(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.window import interarrival_stats
+
+        df = pd.DataFrame({
+            "user_id": [1, 2],
+            "ts": pd.to_datetime(["2024-01-01", "2024-01-02"]),
+            "event_id": [1, 2],
+            "event_type": ["a", "b"],
+        })
+        got = interarrival_stats(
+            rd.from_pandas(df), key="user_id", ts="ts",
+            tiebreak="event_id", label="event_type").to_pandas()
+        assert len(got) == 0
