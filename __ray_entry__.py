@@ -2749,6 +2749,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skew_join_orders": _q_skew_join_orders,
         "assortativity_parts": _q_assortativity_parts,
         "interarrival_events": _q_interarrival_events,
+        "wcc_parts": _q_wcc_parts,
         "kg_tool_transitions": _q_kg_tool_transitions,  # rows-only (synth corpus)
         "unicode_nfc": _q_unicode_nfc,
         "rolling_rows_events": _q_rolling_rows_events,
@@ -3370,6 +3371,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(node AS BIGINT) AS node,
                    CAST(label AS BIGINT) AS label
             FROM l3 ORDER BY node
+        """,
+        "wcc_parts": """
+            WITH RECURSIVE raw AS (
+                SELECT l1.l_partkey AS a, l2.l_partkey AS b
+                FROM lineitem l1 JOIN lineitem l2
+                  ON l2.l_orderkey = l1.l_orderkey
+                 AND l2.l_linenumber = l1.l_linenumber + 1
+                WHERE l1.l_quantity <= 8 AND l2.l_quantity <= 8
+            ), e AS (
+                SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+                FROM raw WHERE a <> b
+            ), bi AS (
+                SELECT u AS x, v AS y FROM e
+                UNION ALL SELECT v, u FROM e
+            ), reach(src, node) AS (
+                SELECT x, x FROM (SELECT DISTINCT x FROM bi)
+                UNION
+                SELECT r.src, bi.y FROM reach r JOIN bi ON bi.x = r.node
+            )
+            SELECT CAST(src AS BIGINT) AS node,
+                   CAST(min(node) AS BIGINT) AS component
+            FROM reach GROUP BY src ORDER BY node
         """,
         "shipping_priority": """
             SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
@@ -5743,6 +5766,39 @@ def _q_bfs_parts(sf_dir: str):
 
     e = distinct_edges(_fold401_edges(sf_dir))
     return bfs_distances(e, [0], src="u", dst="v", max_depth=4).sort("node")
+
+
+def _q_wcc_parts(sf_dir: str):
+    """Weakly connected components of the adjacent-order-line part
+    graph (ops/graph.consecutive_edges → ops/dedup.connected_components):
+    edges link parts on CONSECUTIVE line numbers of the same order when
+    both lines are small-quantity (≤ 8) — a sparse multi-component
+    graph.  Pair formation is one key-hash exchange + shifted compare;
+    components run the endpoint-row min-label propagation (two salted
+    groupbys per round, zero joins, nothing edge-scale on the driver).
+    The SQL oracle is the recursive-CTE reachability closure with
+    ``component = min(reachable node)`` — same label convention."""
+    from biocurator_mapper_ray.ops.dedup import connected_components
+    from biocurator_mapper_ray.ops.graph import consecutive_edges
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_partkey",
+                        "l_quantity"])
+
+    def tag_keep(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__keep", pc.less_equal(t.column("l_quantity"), 8))
+
+    edges = consecutive_edges(
+        ds.map_batches(tag_keep, batch_format="pyarrow"),
+        key_col="l_orderkey", order_col="l_linenumber",
+        value_col="l_partkey", keep_col="__keep",
+    ).map_batches(lambda t: t.rename_columns(["a", "b"]),
+                  batch_format="pyarrow")
+    # sparse chain-heavy graph: diameter can exceed the near-dup default
+    # of 10 rounds; convergence is sum-detected so extra headroom is free
+    comps = connected_components(edges, max_iters=64)
+    return comps.sort("node")
 
 
 def _q_jaccard_links_parts(sf_dir: str):

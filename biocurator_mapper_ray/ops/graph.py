@@ -1975,3 +1975,71 @@ def _fold_single_row(ds):
     df = ds.to_pandas()  # one partial row per batch — bounded
     total = df.sum(axis=0).astype(np.int64)
     return rd.from_pandas(pd.DataFrame([total]))
+
+
+# ------------------------------------------------- consecutive edges
+
+
+def consecutive_edges(ds, *, key_col: str, order_col: str,
+                      value_col: str, keep_col: str | None = None,
+                      buckets: int | None = None):
+    """Canonical undirected edges between the ``value_col`` of rows at
+    CONSECUTIVE ``order_col`` positions inside each ``key_col`` group —
+    the "items adjacent in a sequence" graph (parts on neighbouring
+    order lines, tools invoked back-to-back in a transcript, pages hit
+    in succession inside a session).  Two rows pair only when their
+    order values differ by exactly 1 (a gap breaks the chain), matching
+    the SQL self-join ``ON r2.key = r1.key AND r2.ord = r1.ord + 1``.
+
+    ``keep_col`` (optional bool column) must hold on BOTH members of a
+    pair — equivalent to a WHERE on the joined pair, since the join
+    matches on stored order VALUES (``o2 = o1 + 1``), not sort
+    positions: duplicate (key, order) rows pair cross-product-style and
+    gaps never bridge, exactly like the SQL self-join.
+
+    Scale shape: rows project to lean (key, ord, value[, keep]) columns
+    map-side, ONE hash(key) exchange co-locates each key's sequence,
+    the bucket task forms pairs with a vectorized in-bucket self-merge
+    on (key, ord+1) (no per-row Python), canonicalizes (min, max),
+    dedups in-bucket, and a final :func:`distinct_edges` pass folds
+    cross-bucket duplicates (none arise — a pair lives in its key's
+    bucket — so the second exchange ships already-distinct pairs only).
+    """
+    n = ds.count()
+    from .join import derive_buckets
+    buckets = buckets if buckets is not None else derive_buckets(n)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        cols = {
+            "k": pc.cast(batch.column(key_col), pa.int64()),
+            "o": pc.cast(batch.column(order_col), pa.int64()),
+            "x": pc.cast(batch.column(value_col), pa.int64()),
+        }
+        if keep_col is not None:
+            cols["keep"] = pc.cast(batch.column(keep_col), pa.bool_())
+        h = hash64_column(batch.column(key_col))
+        cols["__b"] = pa.array((h % np.uint64(buckets)).astype(np.int32))
+        return pa.table(cols)
+
+    def pair_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # exact self-join semantics (ON k = k AND o2 = o1 + 1): DUPLICATE
+        # (k, o) rows pair cross-product-style, which a sorted shifted
+        # compare would miss — the in-bucket merge is still vectorized
+        # and bucket-bounded
+        if keep_col is not None:
+            g = g[g["keep"].astype(bool)]
+        left = g[["k", "o", "x"]].copy()
+        left["o"] = left["o"] + 1
+        m = left.merge(g[["k", "o", "x"]], on=["k", "o"],
+                       suffixes=("_a", "_b"))
+        a = m["x_a"].to_numpy()
+        b = m["x_b"].to_numpy()
+        ok = a != b
+        a, b = a[ok], b[ok]
+        u, v = np.minimum(a, b), np.maximum(a, b)
+        out = pd.DataFrame({"u": u, "v": v}).drop_duplicates()
+        return out
+
+    lean = ds.map_batches(tag, batch_format="pyarrow")
+    pairs = lean.groupby("__b").map_groups(pair_bucket, batch_format="pandas")
+    return distinct_edges(pairs, src="u", dst="v", buckets=buckets)

@@ -796,3 +796,46 @@ class TestAssortativity:
         den = np.sqrt(float(n * got["sum_x2"] - got["sum_x"] ** 2)
                       * float(n * got["sum_y2"] - got["sum_y"] ** 2))
         assert -1.0 <= num / den <= 1.0
+
+
+class TestConsecutiveEdges:
+    def _edges(self, rows, **kw):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.graph import consecutive_edges
+
+        cols = ["k", "o", "x"] + (["keep"] if "keep_col" in kw else [])
+        df = pd.DataFrame(rows, columns=cols)
+        got = consecutive_edges(
+            rd.from_pandas(df).repartition(3),
+            key_col="k", order_col="o", value_col="x", **kw,
+        ).to_pandas()
+        if got.empty:
+            return set()
+        return set(zip(got["u"].tolist(), got["v"].tolist()))
+
+    def test_adjacent_pairs_canonical_and_deduped(self, ray_session):
+        # chain 5-7-5: pairs (5,7) and (7,5) canonicalize + dedup to one
+        rows = [(1, 1, 5), (1, 2, 7), (1, 3, 5)]
+        assert self._edges(rows) == {(5, 7)}
+
+    def test_gap_breaks_chain_and_self_loops_dropped(self, ray_session):
+        # o jumps 2 -> 4 (no pair across the gap); (9,9) self pair dropped
+        rows = [(1, 1, 9), (1, 2, 9), (1, 4, 3)]
+        assert self._edges(rows) == set()
+
+    def test_keys_do_not_bridge(self, ray_session):
+        rows = [(1, 1, 2), (1, 2, 3), (2, 1, 3), (2, 2, 4)]
+        assert self._edges(rows) == {(2, 3), (3, 4)}
+
+    def test_keep_col_must_hold_on_both_ends(self, ray_session):
+        rows = [(1, 1, 2, True), (1, 2, 3, False), (1, 3, 4, True),
+                (1, 4, 5, True)]
+        assert self._edges(rows, keep_col="keep") == {(4, 5)}
+
+    def test_duplicate_order_rows_pair_cross_product(self, ray_session):
+        # SQL self-join ON o2 = o1 + 1: two rows at o=1 each pair with
+        # the row at o=2 (and not with each other)
+        rows = [(1, 1, 2), (1, 1, 3), (1, 2, 4)]
+        assert self._edges(rows) == {(2, 4), (3, 4)}
