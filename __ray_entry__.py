@@ -456,6 +456,33 @@ def _q_sessionize_events(sf_dir: str):
     )
 
 
+def _q_coverage_intervals_events(sf_dir: str):
+    """Gaps-and-islands coverage per user (ops/window.merge_intervals):
+    each event opens a deterministic activity interval
+    ``[ts, ts + ((event_id % 7) + 1) minutes]``; overlapping-or-touching
+    intervals coalesce into maximal covered spans, one row per island
+    with its absorbed-interval count.  One key-hash exchange, per-bucket
+    vectorized cummax/shift/cumsum — the SQL oracle is the classic
+    ``max(end) OVER (... 1 PRECEDING)`` islands query."""
+    from biocurator_mapper_ray.ops.window import merge_intervals
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def spans(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        dur = pa.array(((eid % 7 + 1) * 60_000_000),
+                       pa.duration("us"))
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "start_ts": t.column("ts"),
+            "end_ts": pc.add(t.column("ts"), dur),
+        })
+
+    iv = ds.map_batches(spans, batch_format="pyarrow")
+    return merge_intervals(iv, key="user_id", start="start_ts",
+                           end="end_ts").sort(["user_id", "start_ts"])
+
+
 def _q_revenue_by_priority(sf_dir: str):
     """Both-sides-large partitioned hash join: lineitem ⋈ orders.
 
@@ -2788,6 +2815,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # streaming-shaped / windows
         "hourly_events": _q_hourly_events,             # r03 green
         "sessionize_events": _q_sessionize_events,     # r03 green
+        "coverage_intervals_events": _q_coverage_intervals_events,
         "running_user_value": _q_running_user_value,   # r03 green
         "rolling_user_value": _q_rolling_user_value,   # r03 green
         "asof_purchase_click": _q_asof_purchase_click,  # r03 green
@@ -3856,6 +3884,31 @@ def oracle_sql() -> dict[str, str]:
                                        AND CURRENT ROW) AS BIGINT) AS rolling_cents
             FROM events
             ORDER BY event_id
+        """,
+        "coverage_intervals_events": """
+            WITH iv AS (
+                SELECT user_id, ts AS s,
+                       ts + ((event_id % 7) + 1) * INTERVAL 1 MINUTE AS e
+                FROM events
+            ), flag AS (
+                SELECT user_id, s, e,
+                       CASE WHEN s <= max(e) OVER (
+                                PARTITION BY user_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING)
+                            THEN 0 ELSE 1 END AS new_island
+                FROM iv
+            ), isl AS (
+                SELECT user_id, s, e,
+                       SUM(new_island) OVER (
+                           PARTITION BY user_id ORDER BY s, e
+                           ROWS UNBOUNDED PRECEDING) AS island
+                FROM flag
+            )
+            SELECT user_id, min(s) AS start_ts, max(e) AS end_ts,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM isl GROUP BY user_id, island
+            ORDER BY user_id, start_ts
         """,
         "sessionize_events": """
             WITH gaps AS (

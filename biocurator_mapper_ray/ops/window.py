@@ -683,3 +683,42 @@ def interarrival_stats(ds, *, key: str, ts: str, tiebreak: str,
                      min_us=("min_us", "min"), max_us=("max_us", "max")))
 
     return parts.groupby(label).map_groups(fold, batch_format="pandas")
+
+def merge_intervals(ds, *, key: str, start: str, end: str,
+                    buckets: int | None = None,
+                    size_hint: int | None = None):
+    """Gaps-and-islands: merge overlapping-or-touching ``[start, end]``
+    intervals per key into maximal covered spans — the "total active
+    time from overlapping sessions" / "coalesce retry windows" op.
+    Emits one row per island: ``(key, start, end, n_rows)`` where
+    start/end are the island's extent and ``n_rows`` the number of
+    input intervals it absorbed.  Touching intervals
+    (``next.start == prev.end``) merge; a strict gap splits.
+
+    Classic SQL islands semantics (``max(end) OVER (... 1 PRECEDING)``
+    vs the current start), computed bucket-then-vectorized: one
+    hash(key) exchange of lean (key, start, end) rows, then per bucket a
+    single sort + grouped cummax/shift/cumsum — no per-key tasks, no
+    driver collection.  One key's intervals live in one bucket task
+    (buckets spread keys, not rows).
+    """
+    n_buckets = _window_buckets(ds, buckets, size_hint)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, start, end], kind="mergesort")
+        cm = g.groupby(key, sort=False)[end].cummax()
+        prev = cm.groupby(g[key], sort=False).shift(1)
+        new = prev.isna() | (g[start] > prev)
+        island = new.cumsum()  # global cumsum is fine: keys are contiguous
+        out = (g.groupby([key, island], sort=False)
+               .agg(**{start: (start, "min"), end: (end, "max"),
+                       "n_rows": (start, "size")})
+               .reset_index(level=0))
+        out["n_rows"] = out["n_rows"].astype(np.int64)
+        return out.reset_index(drop=True)
+
+    lean = ds.map_batches(
+        lambda t: t.select([key, start, end]), batch_format="pyarrow")
+    return (_with_key_bucket(lean, key, n_buckets)
+            .groupby("__kb")
+            .map_groups(_per_bucket(per_bucket), batch_format="pandas"))

@@ -605,3 +605,53 @@ class TestInterarrivalStats:
             rd.from_pandas(df), key="user_id", ts="ts",
             tiebreak="event_id", label="event_type").to_pandas()
         assert len(got) == 0
+
+
+class TestMergeIntervals:
+    def _run(self, rows):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.window import merge_intervals
+
+        df = pd.DataFrame(rows, columns=["k", "s", "e"])
+        df["s"] = pd.to_datetime(df["s"])
+        df["e"] = pd.to_datetime(df["e"])
+        got = merge_intervals(rd.from_pandas(df).repartition(3),
+                              key="k", start="s", end="e").to_pandas()
+        return sorted((r.k, str(r.s), str(r.e), r.n_rows)
+                      for r in got.itertuples())
+
+    def test_overlap_touch_and_gap(self, ray_session):
+        rows = [
+            (1, "2024-01-01 00:00", "2024-01-01 01:00"),
+            (1, "2024-01-01 00:30", "2024-01-01 02:00"),  # overlaps
+            (1, "2024-01-01 02:00", "2024-01-01 03:00"),  # touches -> merge
+            (1, "2024-01-01 04:00", "2024-01-01 05:00"),  # gap -> new island
+        ]
+        assert self._run(rows) == [
+            (1, "2024-01-01 00:00:00", "2024-01-01 03:00:00", 3),
+            (1, "2024-01-01 04:00:00", "2024-01-01 05:00:00", 1),
+        ]
+
+    def test_contained_interval_does_not_split(self, ray_session):
+        # a short interval fully inside a long one must not end the
+        # island early (cummax, not plain lag-of-end)
+        rows = [
+            (7, "2024-01-01 00:00", "2024-01-01 10:00"),
+            (7, "2024-01-01 01:00", "2024-01-01 02:00"),
+            (7, "2024-01-01 03:00", "2024-01-01 04:00"),
+        ]
+        assert self._run(rows) == [
+            (7, "2024-01-01 00:00:00", "2024-01-01 10:00:00", 3),
+        ]
+
+    def test_keys_independent(self, ray_session):
+        rows = [
+            (1, "2024-01-01 00:00", "2024-01-01 01:00"),
+            (2, "2024-01-01 00:30", "2024-01-01 02:00"),
+        ]
+        assert self._run(rows) == [
+            (1, "2024-01-01 00:00:00", "2024-01-01 01:00:00", 1),
+            (2, "2024-01-01 00:30:00", "2024-01-01 02:00:00", 1),
+        ]
