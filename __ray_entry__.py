@@ -456,6 +456,31 @@ def _q_sessionize_events(sf_dir: str):
     )
 
 
+def _q_rrf_fuse_documents(sf_dir: str):
+    """Reciprocal-rank fusion of two retrieval-style rankings
+    (ops/rank.global_top_rank + rrf_fuse): list A = top-200 docs by
+    raw length (n_chars desc), list B = top-200 by whitespace token
+    count (ops/textstats.token_counts, desc), both doc_id-tiebroken so
+    ranks are total; fused score ``rrf = Σ 1/(60+rank)`` (two terms —
+    IEEE-commutative, so bit-exact vs the SQL oracle) with the
+    membership count; final top-50 by (rrf desc, doc_id)."""
+    from biocurator_mapper_ray.ops.rank import global_top_rank, rrf_fuse
+    from biocurator_mapper_ray.ops.textstats import token_counts
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+    toks = docs.map_batches(
+        lambda t: token_counts(t.select(["doc_id", "text"])).select(
+            ["doc_id", "n_tokens_ws"]),
+        batch_format="pyarrow")
+
+    la = global_top_rank(docs.select_columns(["doc_id", "n_chars"]),
+                         by="n_chars", tiebreak="doc_id", k=200)
+    lb = global_top_rank(toks, by="n_tokens_ws", tiebreak="doc_id", k=200)
+    fused = rrf_fuse([la, lb], id_col="doc_id")
+    return (fused.sort(["rrf", "doc_id"], descending=[True, False])
+            .limit(50))
+
+
 def _q_coverage_intervals_events(sf_dir: str):
     """Gaps-and-islands coverage per user (ops/window.merge_intervals):
     each event opens a deterministic activity interval
@@ -2816,6 +2841,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_events": _q_hourly_events,             # r03 green
         "sessionize_events": _q_sessionize_events,     # r03 green
         "coverage_intervals_events": _q_coverage_intervals_events,
+        "rrf_fuse_documents": _q_rrf_fuse_documents,
         "running_user_value": _q_running_user_value,   # r03 green
         "rolling_user_value": _q_rolling_user_value,   # r03 green
         "asof_purchase_click": _q_asof_purchase_click,  # r03 green
@@ -3884,6 +3910,38 @@ def oracle_sql() -> dict[str, str]:
                                        AND CURRENT ROW) AS BIGINT) AS rolling_cents
             FROM events
             ORDER BY event_id
+        """,
+        "rrf_fuse_documents": """
+            WITH toks AS (
+                SELECT doc_id, n_chars,
+                       CASE WHEN length(regexp_replace(text,
+                                 '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
+                            ELSE array_length(regexp_split_to_array(
+                                 regexp_replace(text, '^\\s+|\\s+$',
+                                                '', 'g'), '\\s+'))
+                       END AS n_tokens_ws
+                FROM documents
+            ), ra AS (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY n_chars DESC, doc_id)
+                       AS r
+                FROM toks QUALIFY r <= 200
+            ), rb AS (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY n_tokens_ws DESC,
+                                          doc_id) AS r
+                FROM toks QUALIFY r <= 200
+            ), u AS (
+                SELECT doc_id, 1.0 / (60 + r) AS term FROM ra
+                UNION ALL
+                SELECT doc_id, 1.0 / (60 + r) FROM rb
+            ), f AS (
+                SELECT doc_id, sum(term) AS rrf,
+                       CAST(count(*) AS BIGINT) AS n_lists
+                FROM u GROUP BY doc_id
+            )
+            SELECT doc_id, rrf, n_lists
+            FROM f ORDER BY rrf DESC, doc_id LIMIT 50
         """,
         "coverage_intervals_events": """
             WITH iv AS (

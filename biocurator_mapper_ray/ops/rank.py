@@ -10,6 +10,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.hashing import hash64_column
 
@@ -293,3 +294,71 @@ def pareto_frontier(ds, *, x: str, y: str) -> pd.DataFrame:
     p = frontier(cand[x].to_numpy(), cand[y].to_numpy())
     return pd.DataFrame({x: p[:, 0], y: p[:, 1]}).sort_values(
         x, ignore_index=True)
+
+
+def global_top_rank(ds, *, by: str, tiebreak: str, k: int,
+                    descending: bool = True, out_rank: str = "rank"):
+    """Global top-``k`` rows by ``(by, tiebreak)`` with attached 1-based
+    dense ranks (``row_number`` semantics — the tiebreak column must be
+    unique, so ranks are total and deterministic).
+
+    Scale shape: every batch first reduces to ITS local top-k (one
+    vectorized sort + head — a global top-k row survives every local
+    pass), so the exchange ships at most tasks × k rows; the final
+    order-and-rank step then runs on ≤ that, single-partition by
+    construction (k is result-scale, e.g. a retrieval candidate list).
+    """
+
+    def local(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values([by, tiebreak],
+                            ascending=[not descending, True],
+                            kind="mergesort").head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([by, tiebreak],
+                            ascending=[not descending, True],
+                            kind="mergesort").head(k).reset_index(drop=True)
+        df[out_rank] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    pruned = ds.map_batches(local, batch_format="pyarrow")
+    return (pruned.repartition(1)
+            .map_batches(attach, batch_format="pandas"))
+
+
+def rrf_fuse(lists, *, id_col: str, rank_col: str = "rank", k: int = 60):
+    """Reciprocal-rank fusion of ranked candidate lists: for every id,
+    ``rrf = Σ_lists 1 / (k + rank)`` over the lists that contain it,
+    plus ``n_lists``, the membership count — the standard
+    training-free way to combine retrieval rankings (BM25 ∪ dense,
+    multi-query retrieval).
+
+    Each element of ``lists`` is a Dataset holding (id_col, rank_col)
+    with 1-based ranks (see :func:`global_top_rank`).  The union is
+    mapped to per-row ``1/(k+rank)`` terms and folded with one
+    id-grouped exchange.  Bit-exactness note: IEEE addition is
+    commutative, so with ≤ 2 lists the sum is order-independent and
+    hashes identically to a SQL oracle; with more lists the fold order
+    within an id group is the exchange's merge order (values still
+    deterministic to ~1 ulp).
+    """
+    uni = None
+    for ds in lists:
+        lean = ds.map_batches(
+            lambda t: pa.table({
+                id_col: t.column(id_col),
+                "__term": pc.divide(
+                    1.0, pc.add(pc.cast(t.column(rank_col),
+                                        pa.float64()), float(k))),
+            }), batch_format="pyarrow")
+        uni = lean if uni is None else uni.union(lean)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(id_col, as_index=False, sort=False)
+               .agg(rrf=("__term", "sum"), n_lists=("__term", "size")))
+        out["n_lists"] = out["n_lists"].astype(np.int64)
+        return out
+
+    return uni.groupby(id_col).map_groups(fold, batch_format="pandas")

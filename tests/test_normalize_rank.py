@@ -329,3 +329,56 @@ class TestStripAccents:
         assert got["t_ascii"].iloc[0] == "muhsam"
         assert got["t_ascii"].iloc[1] == "naive cafe"
         assert got["t_ascii"].iloc[2] == "plain"
+
+
+class TestGlobalTopRank:
+    def test_top_k_ranks_and_tiebreak(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.rank import global_top_rank
+
+        df = pd.DataFrame({"id": [1, 2, 3, 4, 5],
+                           "v": [10, 30, 30, 5, 20]})
+        got = global_top_rank(rd.from_pandas(df).repartition(3),
+                              by="v", tiebreak="id", k=3).to_pandas()
+        # v desc, id asc: 30@2, 30@3, 20@5
+        assert list(zip(got["id"], got["rank"])) == [(2, 1), (3, 2), (5, 3)]
+
+    def test_ascending(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.rank import global_top_rank
+
+        df = pd.DataFrame({"id": [1, 2, 3], "v": [9, 1, 4]})
+        got = global_top_rank(rd.from_pandas(df), by="v", tiebreak="id",
+                              k=2, descending=False).to_pandas()
+        assert list(zip(got["id"], got["rank"])) == [(2, 1), (3, 2)]
+
+
+class TestRRFFuse:
+    def test_two_list_fusion(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.rank import rrf_fuse
+
+        la = rd.from_pandas(pd.DataFrame({"id": [1, 2], "rank": [1, 2]}))
+        lb = rd.from_pandas(pd.DataFrame({"id": [2, 3], "rank": [1, 2]}))
+        got = rrf_fuse([la, lb], id_col="id").to_pandas() \
+            .set_index("id").sort_index()
+        assert got.loc[1, "rrf"] == 1 / 61 and got.loc[1, "n_lists"] == 1
+        assert got.loc[2, "rrf"] == 1 / 62 + 1 / 61
+        assert got.loc[2, "n_lists"] == 2
+        assert got.loc[3, "rrf"] == 1 / 62 and got.loc[3, "n_lists"] == 1
+
+    def test_custom_k(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.rank import rrf_fuse
+
+        la = rd.from_pandas(pd.DataFrame({"id": [9], "rank": [3]}))
+        got = rrf_fuse([la], id_col="id", k=10).to_pandas()
+        assert got.loc[0, "rrf"] == 1 / 13
