@@ -456,6 +456,19 @@ def _q_sessionize_events(sf_dir: str):
     )
 
 
+def _q_negative_pairs_documents(sf_dir: str):
+    """Deterministic contrastive-negative mining
+    (ops/sample.negative_pairs): 3 pseudo-random partner docs per
+    anchor from the dense doc_id space via keyed md5 — pure map-side
+    expansion, no exchange, no all-pairs; the oracle mirrors the md5
+    arithmetic bit-for-bit."""
+    from biocurator_mapper_ray.ops.sample import negative_pairs
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    return negative_pairs(docs, id_col="doc_id", m=3, seed=7) \
+        .sort(["anchor_id", "j"])
+
+
 def _q_rrf_fuse_documents(sf_dir: str):
     """Reciprocal-rank fusion of two retrieval-style rankings
     (ops/rank.global_top_rank + rrf_fuse): list A = top-200 docs by
@@ -2842,6 +2855,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": _q_sessionize_events,     # r03 green
         "coverage_intervals_events": _q_coverage_intervals_events,
         "rrf_fuse_documents": _q_rrf_fuse_documents,
+        "negative_pairs_documents": _q_negative_pairs_documents,
         "running_user_value": _q_running_user_value,   # r03 green
         "rolling_user_value": _q_rolling_user_value,   # r03 green
         "asof_purchase_click": _q_asof_purchase_click,  # r03 green
@@ -3910,6 +3924,27 @@ def oracle_sql() -> dict[str, str]:
                                        AND CURRENT ROW) AS BIGINT) AS rolling_cents
             FROM events
             ORDER BY event_id
+        """,
+        "negative_pairs_documents": """
+            WITH b AS (
+                SELECT min(doc_id) AS lo, count(*) AS n FROM documents
+            ), a AS (
+                SELECT d.doc_id AS anchor_id, j.j AS j
+                FROM documents d
+                CROSS JOIN (SELECT unnest(range(1, 4)) AS j) j
+            ), h AS (
+                SELECT anchor_id, j,
+                       CAST('0x' || substr(md5('7:' || anchor_id
+                                           || ':' || j), 1, 15)
+                            AS UBIGINT) AS hv
+                FROM a
+            )
+            SELECT anchor_id, j,
+                   CAST(CASE WHEN b.lo + hv % b.n = anchor_id
+                             THEN b.lo + (hv + 1) % b.n
+                             ELSE b.lo + hv % b.n END AS BIGINT) AS neg_id
+            FROM h, b
+            ORDER BY anchor_id, j
         """,
         "rrf_fuse_documents": """
             WITH toks AS (

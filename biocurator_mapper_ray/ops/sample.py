@@ -305,3 +305,58 @@ def hash_top_k_per_group(ds, *, group_column: str, key_column: str = "doc_id",
             .map_batches(tag, batch_format="pyarrow")
             .groupby("__gb")
             .map_groups(finish, batch_format="pandas"))
+
+
+def negative_pairs(ds, *, id_col: str, m: int = 3, seed: int = 0,
+                   id_lo: int | None = None, id_n: int | None = None):
+    """Deterministic random-negative mining for contrastive training:
+    for every anchor row, ``m`` pseudo-random partner ids drawn from a
+    DENSE integer id space ``[id_lo, id_lo + id_n)`` by keyed md5 —
+    ``neg = id_lo + md5_60("seed:anchor:j") % id_n``, bumped by one
+    (mod ``id_n``) when it collides with the anchor.  A row's negatives
+    depend only on (id, j, seed): stable across runs, engines and
+    partitionings, and exactly mirrored by a SQL oracle.
+
+    Pure map-side (no exchange, no all-pairs): each batch expands to
+    m× rows with one vectorized md5 kernel call.  The dense-id
+    assumption is the documented partitioning contract — sparse id
+    spaces need a rank join (``value_ranks``) from sampled positions to
+    real ids first.  ``id_lo``/``id_n`` default to a one-pass
+    min/count aggregate over the input.
+    """
+    if id_lo is None or id_n is None:
+        import ray.data as rd  # noqa: F401 (aggregate below)
+
+        agg = ds.map_batches(
+            lambda t: pa.table({
+                "lo": pa.array([pc.min(t.column(id_col)).as_py()],
+                               pa.int64()),
+                "n": pa.array([len(t)], pa.int64())}),
+            batch_format="pyarrow").to_pandas()  # one row per batch
+        id_lo = int(agg["lo"].min())
+        id_n = int(agg["n"].sum())
+    if id_n <= 1:
+        raise ValueError("negative_pairs needs an id space of size >= 2")
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        anchors = np.repeat(ids, m)
+        js = np.tile(np.arange(1, m + 1, dtype=np.int64), len(ids))
+        keys = pc.binary_join_element_wise(
+            pc.cast(pa.array(anchors), pa.string()),
+            pc.cast(pa.array(js), pa.string()), ":")
+        h = md5_prefix_u64(keys, 15, prefix=f"{seed}:")
+        neg = id_lo + (h % np.uint64(id_n)).astype(np.int64)
+        hit = neg == anchors
+        if hit.any():
+            neg[hit] = id_lo + ((h[hit] + np.uint64(1))
+                                % np.uint64(id_n)).astype(np.int64)
+        return pa.table({
+            "anchor_id": pa.array(anchors, pa.int64()),
+            "j": pa.array(js, pa.int64()),
+            "neg_id": pa.array(neg, pa.int64()),
+        })
+
+    lean = ds.map_batches(lambda t: t.select([id_col]),
+                          batch_format="pyarrow")
+    return lean.map_batches(expand, batch_format="pyarrow")

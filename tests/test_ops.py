@@ -2055,3 +2055,52 @@ class TestIvfPq:
         # dominates the 1-probe result
         assert full["cosine"].iloc[0] >= one["cosine"].iloc[0] - 1e-6
         assert len(full) == 5
+
+
+class TestNegativePairs:
+    def test_deterministic_partition_invariant_no_self(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.sample import negative_pairs
+
+        df = pd.DataFrame({"doc_id": list(range(20))})
+        a = negative_pairs(rd.from_pandas(df), id_col="doc_id",
+                           m=3, seed=7).to_pandas()
+        b = negative_pairs(rd.from_pandas(df).repartition(5),
+                           id_col="doc_id", m=3, seed=7).to_pandas()
+        key = ["anchor_id", "j"]
+        a = a.sort_values(key).reset_index(drop=True)
+        b = b.sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+        assert len(a) == 60
+        assert (a["anchor_id"] != a["neg_id"]).all()
+        assert a["neg_id"].between(0, 19).all()
+
+    def test_explicit_id_space_and_seed_changes_draws(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.sample import negative_pairs
+
+        df = pd.DataFrame({"doc_id": [100, 101]})
+        got = negative_pairs(rd.from_pandas(df), id_col="doc_id", m=2,
+                             seed=1, id_lo=100, id_n=50).to_pandas()
+        assert got["neg_id"].between(100, 149).all()
+        other = negative_pairs(rd.from_pandas(df), id_col="doc_id", m=2,
+                               seed=2, id_lo=100, id_n=50).to_pandas()
+        key = ["anchor_id", "j"]
+        assert not got.sort_values(key)["neg_id"].reset_index(drop=True) \
+            .equals(other.sort_values(key)["neg_id"].reset_index(drop=True))
+
+    def test_tiny_id_space_raises(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        import pytest as _pytest
+
+        from biocurator_mapper_ray.ops.sample import negative_pairs
+
+        df = pd.DataFrame({"doc_id": [0]})
+        with _pytest.raises(ValueError):
+            negative_pairs(rd.from_pandas(df), id_col="doc_id", m=1)
