@@ -779,6 +779,28 @@ def _q_ngram_jaccard(sf_dir: str):
     return df[["a", "b", "jaccard"]].sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def _q_ngram_containment(sf_dir: str):
+    """Exact word-3-gram CONTAINMENT pairs (ops/dedup.
+    ngram_containment_pairs, brute-force mode): both directions
+    ``|A∩B|/|A|`` and ``|A∩B|/|B|``, pair kept when either ≥ 0.5 — the
+    asymmetric quoted-whole-inside-a-longer-doc near-dup signal.  Each
+    double is one IEEE division of exact integer set sizes, so it
+    hashes bit-identically to the DuckDB shingle-set self-join."""
+    from biocurator_mapper_ray.ops.dedup import ngram_containment_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ngram_containment_pairs(ds, n=3, threshold=0.5,
+                                  candidates="all")
+    df = out.to_pandas()
+    if "a" not in df.columns:
+        df = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                           "b": pd.Series(dtype="int64"),
+                           "cont_a": pd.Series(dtype="float64"),
+                           "cont_b": pd.Series(dtype="float64")})
+    return df[["a", "b", "cont_a", "cont_b"]] \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def _q_decontam(sf_dir: str):
     """Benchmark decontamination over the documents table: the
     'benchmark' is the deterministic subset doc_id % 20 == 0 (standing
@@ -2876,6 +2898,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_documents": _q_dedup_minhash,  # r03 green
         "dedup_simhash_documents": _q_dedup_simhash,  # r03 green
         "ngram_jaccard_documents": _q_ngram_jaccard,  # r03 green
+        "ngram_containment_documents": _q_ngram_containment,
         "decontam_documents": _q_decontam,    # r03 green
         "knn_embeddings": _q_knn_embeddings,  # r03 green (ivf variant too)
         "ivf_knn_embeddings": _q_ivf_knn_embeddings,  # ≈ knn (r03 green)
@@ -4160,6 +4183,38 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN hits h ON h.doc_id = d.doc_id
             LEFT JOIN sizes z ON z.doc_id = d.doc_id
             ORDER BY d.doc_id
+        """,
+        "ngram_containment_documents": """
+            WITH words AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                                   '[ \\t\\n\\r\\f\\x0b]+'),
+                                   w -> w <> '') AS ws
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, ws[g.i] || ' ' || ws[g.i+1] || ' ' || ws[g.i+2] AS sh
+                FROM words, unnest(range(1, len(ws) - 1)) AS g(i)
+                WHERE len(ws) >= 3
+                UNION ALL
+                SELECT doc_id, array_to_string(ws, ' ') AS sh FROM words
+                WHERE len(ws) BETWEEN 1 AND 2
+            ),
+            sets AS (SELECT DISTINCT doc_id, sh FROM grams),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                FROM sets x JOIN sets y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT a, b,
+                   CAST(i AS DOUBLE) / sa.n AS cont_a,
+                   CAST(i AS DOUBLE) / sb.n AS cont_b
+            FROM inter JOIN sizes sa ON sa.doc_id = a
+                       JOIN sizes sb ON sb.doc_id = b
+            WHERE greatest(CAST(i AS DOUBLE) / sa.n,
+                           CAST(i AS DOUBLE) / sb.n) >= 0.5
+            ORDER BY a, b
         """,
         "ngram_jaccard_documents": """
             WITH words AS (

@@ -1077,6 +1077,36 @@ def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def _pair_set_intersections(col_a, col_b):
+    """Per-pair set-intersection sizes over packed (sorted, unique)
+    uint64 sets: one vectorized sort-merge over ALL of a bucket's
+    candidate pairs — the two packed sides are stacked into flat
+    (pair_idx, value) key arrays; after one mergesort of the
+    concatenation, adjacent equal keys are exactly the per-pair
+    intersections (each side's keys are unique within a pair), counted
+    with one bincount.  No per-pair Python loop.  Returns
+    ``(inter, n_a, n_b)`` int64 arrays."""
+    n_pairs = len(col_a)
+    key_t = np.dtype([("p", "<u8"), ("v", "<u8")])
+
+    def stack(col) -> tuple[np.ndarray, np.ndarray]:
+        lens = np.fromiter((len(x) for x in col), count=n_pairs,
+                           dtype=np.int64) // 8
+        keys = np.empty(int(lens.sum()), dtype=key_t)
+        keys["p"] = np.repeat(np.arange(n_pairs, dtype=np.uint64), lens)
+        keys["v"] = np.frombuffer(b"".join(col), dtype=np.uint64)
+        return keys, lens
+
+    ka, na = stack(col_a)
+    kb, nb = stack(col_b)
+    allk = np.concatenate([ka, kb])
+    allk.sort(kind="mergesort")
+    eq = allk[1:] == allk[:-1]
+    inter = np.bincount(allk["p"][:-1][eq].astype(np.int64),
+                        minlength=n_pairs)
+    return inter, na, nb
+
+
 class _ShingleSetStage:
     """docs batch → (doc_id, n_shingles, sig) rows; ``sig`` is the packed
     SORTED UNIQUE shingle-hash set (variable-length binary)."""
@@ -1100,30 +1130,25 @@ class _ShingleSetStage:
         })
 
 
-def ngram_jaccard_pairs(
+def _ngram_pair_scores(
     ds,
-    text_column: str = "text",
-    id_column: str = "doc_id",
+    text_column: str,
+    id_column: str,
     *,
-    n: int = 3,
-    threshold: float = 0.5,
-    candidates: str = "all",
-    **lsh_kwargs,
+    n: int,
+    candidates: str,
+    score_fn,
+    score_cols: list[str],
+    lsh_kwargs: dict,
 ):
-    """EXACT word-n-gram Jaccard pairs ≥ threshold.
-
-    ``candidates='all'`` is the exact brute-force baseline (the role
-    :func:`~biocurator_mapper_ray.ops.similarity.knn_search` plays for
-    ANN): every (a < b) pair is generated by self-joining the shingle-set
-    table through the bucketed :func:`pair_feature_join` backbone and
-    verified with a sorted-array intersection — O(n²) pairs, exact
-    answers, the small/medium-corpus and ground-truth tool.
-    ``candidates='minhash'`` is the scale path: LSH candidate pairs from
-    :func:`minhash_lsh_pairs` (recall < 1 by design, governed by
-    bands/num_perm) re-verified with EXACT Jaccard instead of the
-    signature estimate.
-    """
-    import ray.data as rd
+    """Shared backbone for exact shingle-set pair scoring
+    (:func:`ngram_jaccard_pairs` / :func:`ngram_containment_pairs`):
+    build packed shingle sets once, generate candidate pairs (all-pairs
+    baseline or MinHash-LSH scale path), and score each pair's exact
+    set overlap inside the bucketed :func:`pair_feature_join`.
+    ``score_fn(inter, na, nb) -> (keep_mask, {col: array})`` turns the
+    vectorized intersection counts into output columns."""
+    import ray.data as rd  # noqa: F401
 
     from .join import pair_feature_join
 
@@ -1163,53 +1188,105 @@ def ngram_jaccard_pairs(
         raise ValueError(f"unknown candidates mode {candidates!r}")
 
     def verify_df(df: pd.DataFrame) -> pd.DataFrame:
-        """One vectorized sort-merge over ALL of the bucket's candidate
-        pairs: the packed (sorted, unique) shingle sets are stacked into
-        two flat (pair_idx, value) key arrays; after one mergesort of
-        the concatenation, adjacent equal keys are exactly the per-pair
-        set intersections (each side's keys are unique within a pair),
-        counted with one bincount — no per-pair Python loop.  Either
-        side empty → jaccard 0.0 (see :func:`ngram_jaccard`)."""
+        """Vectorized per-pair set intersections
+        (:func:`_pair_set_intersections`) folded through ``score_fn``."""
         if df.empty:
-            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
-                                 "b": pd.Series(dtype=np.int64),
-                                 "jaccard": pd.Series(dtype=np.float64)})
-        n_pairs = len(df)
-        key_t = np.dtype([("p", "<u8"), ("v", "<u8")])
-
-        def stack(col) -> tuple[np.ndarray, np.ndarray]:
-            lens = np.fromiter((len(x) for x in col), count=n_pairs,
-                               dtype=np.int64) // 8
-            keys = np.empty(int(lens.sum()), dtype=key_t)
-            keys["p"] = np.repeat(np.arange(n_pairs, dtype=np.uint64), lens)
-            keys["v"] = np.frombuffer(b"".join(col), dtype=np.uint64)
-            return keys, lens
-
-        ka, na = stack(df["f_a"].to_numpy())
-        kb, nb = stack(df["f_b"].to_numpy())
-        allk = np.concatenate([ka, kb])
-        allk.sort(kind="mergesort")
-        eq = allk[1:] == allk[:-1]
-        inter = np.bincount(allk["p"][:-1][eq].astype(np.int64),
-                            minlength=n_pairs)
-        union = na + nb - inter
-        jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
-        jac[(na == 0) | (nb == 0)] = 0.0
-        keep = jac >= threshold
-        return pd.DataFrame({"a": df["a"].to_numpy()[keep],
-                             "b": df["b"].to_numpy()[keep],
-                             "jaccard": jac[keep]})
+            cols = {"a": pd.Series(dtype=np.int64),
+                    "b": pd.Series(dtype=np.int64)}
+            cols.update({c: pd.Series(dtype=np.float64)
+                         for c in score_cols})
+            return pd.DataFrame(cols)
+        inter, na, nb = _pair_set_intersections(df["f_a"].to_numpy(),
+                                                df["f_b"].to_numpy())
+        keep, scores = score_fn(inter, na, nb)
+        out = {"a": df["a"].to_numpy()[keep],
+               "b": df["b"].to_numpy()[keep]}
+        out.update({c: v[keep] for c, v in scores.items()})
+        return pd.DataFrame(out)
 
     pairs = pair_feature_join(cands, sigs.select_columns(["doc_id", "sig"]),
                               verify=verify_df, buckets=n_buckets)
     if candidates == "all":
         return pairs
-    deduped = pairs.groupby(["a", "b"]).max("jaccard")
+    deduped = pairs.groupby(["a", "b"]).max(score_cols)
     return deduped.map_batches(
-        lambda t: _rename_or_empty(t, ["a", "b", "jaccard"],
-                                   [pa.int64(), pa.int64(), pa.float64()]),
+        lambda t: _rename_or_empty(t, ["a", "b"] + score_cols,
+                                   [pa.int64(), pa.int64()]
+                                   + [pa.float64()] * len(score_cols)),
         batch_format="pyarrow",
     )
+
+
+def ngram_jaccard_pairs(
+    ds,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+    candidates: str = "all",
+    **lsh_kwargs,
+):
+    """EXACT word-n-gram Jaccard pairs ≥ threshold.
+
+    ``candidates='all'`` is the exact brute-force baseline (the role
+    :func:`~biocurator_mapper_ray.ops.similarity.knn_search` plays for
+    ANN): every (a < b) pair is generated by self-joining the shingle-set
+    table through the bucketed :func:`pair_feature_join` backbone and
+    verified with a sorted-array intersection — O(n²) pairs, exact
+    answers, the small/medium-corpus and ground-truth tool.
+    ``candidates='minhash'`` is the scale path: LSH candidate pairs from
+    :func:`minhash_lsh_pairs` (recall < 1 by design, governed by
+    bands/num_perm) re-verified with EXACT Jaccard instead of the
+    signature estimate.
+    """
+
+    def score(inter, na, nb):
+        union = na + nb - inter
+        jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+        # either side empty -> 0.0 (see ngram_jaccard)
+        jac[(na == 0) | (nb == 0)] = 0.0
+        return jac >= threshold, {"jaccard": jac}
+
+    return _ngram_pair_scores(ds, text_column, id_column, n=n,
+                              candidates=candidates, score_fn=score,
+                              score_cols=["jaccard"], lsh_kwargs=lsh_kwargs)
+
+
+def ngram_containment_pairs(
+    ds,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+    candidates: str = "all",
+    **lsh_kwargs,
+):
+    """EXACT word-n-gram CONTAINMENT pairs: emit (a < b) with
+    ``cont_a = |A∩B| / |A|`` and ``cont_b = |A∩B| / |B|`` whenever
+    either direction ≥ threshold — the asymmetric near-duplicate
+    signal Jaccard misses (a doc quoted whole inside a much longer one
+    scores high containment but low Jaccard; the boilerplate-wrapper
+    and quote-expansion dedup case).  Empty sides score 0.0, mirroring
+    :func:`ngram_jaccard`.  Same candidate machinery and scale shape
+    as :func:`ngram_jaccard_pairs` (all-pairs baseline vs MinHash
+    candidates; note LSH recall is tuned for Jaccard, so a short doc
+    buried in a long one may need higher ``bands``)."""
+
+    def score(inter, na, nb):
+        ca = np.where(na > 0, inter / np.maximum(na, 1), 0.0)
+        cb = np.where(nb > 0, inter / np.maximum(nb, 1), 0.0)
+        zero = (na == 0) | (nb == 0)
+        ca[zero] = 0.0
+        cb[zero] = 0.0
+        return (np.maximum(ca, cb) >= threshold,
+                {"cont_a": ca, "cont_b": cb})
+
+    return _ngram_pair_scores(ds, text_column, id_column, n=n,
+                              candidates=candidates, score_fn=score,
+                              score_cols=["cont_a", "cont_b"],
+                              lsh_kwargs=lsh_kwargs)
 
 
 # ----------------------------------------------------- duplicate spans

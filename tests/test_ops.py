@@ -2104,3 +2104,45 @@ class TestNegativePairs:
         df = pd.DataFrame({"doc_id": [0]})
         with _pytest.raises(ValueError):
             negative_pairs(rd.from_pandas(df), id_col="doc_id", m=1)
+
+
+class TestNgramContainment:
+    def test_asymmetric_quote_detected(self, ray_session):
+        """A short doc quoted whole inside a much longer one: high
+        containment (cont_a == 1.0), Jaccard well below the same
+        threshold — the case the symmetric metric misses."""
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.dedup import (
+            ngram_containment_pairs, ngram_jaccard_pairs)
+
+        short = "alpha beta gamma delta epsilon"
+        filler = " ".join(f"w{i} x{i} y{i}" for i in range(30))
+        rows = [
+            {"doc_id": 1, "text": short},
+            {"doc_id": 2, "text": short + " " + filler},
+            {"doc_id": 3, "text": "unrelated words entirely different content here"},
+        ]
+        got = ngram_containment_pairs(rd.from_items(rows), threshold=0.8,
+                                      candidates="all").to_pandas()
+        pairs = {(a, b): (ca, cb) for a, b, ca, cb in
+                 zip(got["a"], got["b"], got["cont_a"], got["cont_b"])}
+        assert set(pairs) == {(1, 2)}
+        ca, cb = pairs[(1, 2)]
+        assert ca == 1.0          # every 3-gram of doc 1 is in doc 2
+        assert cb < 0.2           # doc 2 is mostly other content
+        jac = ngram_jaccard_pairs(rd.from_items(rows), threshold=0.8,
+                                  candidates="all").to_pandas()
+        assert len(jac) == 0      # Jaccard misses the quote at 0.8
+
+    def test_empty_side_scores_zero(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.dedup import ngram_containment_pairs
+
+        rows = [{"doc_id": 1, "text": "   "},
+                {"doc_id": 2, "text": "   "},
+                {"doc_id": 3, "text": "some real text here"}]
+        got = ngram_containment_pairs(rd.from_items(rows), threshold=0.1,
+                                      candidates="all").to_pandas()
+        assert len(got) == 0
