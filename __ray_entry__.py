@@ -456,6 +456,21 @@ def _q_sessionize_events(sf_dir: str):
     )
 
 
+def _q_bm25_documents(sf_dir: str):
+    """Exact integer BM25 evidence for the fixed lexical query
+    {hash, join, stream, vector} (ops/textstats.bm25_evidence): one
+    (doc, term) row per match with tf/dl/df plus corpus constants —
+    all integers, so it hashes exactly against the SQL tokenize +
+    count oracle; ops/textstats.bm25_scores composes the float ranking
+    reader-side (pinned by unit tests, not the driver hash)."""
+    from biocurator_mapper_ray.ops.textstats import bm25_evidence
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ev = bm25_evidence(docs, query_terms=["hash", "join", "stream",
+                                          "vector"])
+    return ev.sort(["doc_id", "term"])
+
+
 def _q_negative_pairs_documents(sf_dir: str):
     """Deterministic contrastive-negative mining
     (ops/sample.negative_pairs): 3 pseudo-random partner docs per
@@ -2878,6 +2893,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coverage_intervals_events": _q_coverage_intervals_events,
         "rrf_fuse_documents": _q_rrf_fuse_documents,
         "negative_pairs_documents": _q_negative_pairs_documents,
+        "bm25_documents": _q_bm25_documents,
         "running_user_value": _q_running_user_value,   # r03 green
         "rolling_user_value": _q_rolling_user_value,   # r03 green
         "asof_purchase_click": _q_asof_purchase_click,  # r03 green
@@ -3947,6 +3963,39 @@ def oracle_sql() -> dict[str, str]:
                                        AND CURRENT ROW) AS BIGINT) AS rolling_cents
             FROM events
             ORDER BY event_id
+        """,
+        "bm25_documents": """
+            WITH words AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                                   '[ \\t\\n\\r\\f\\x0b]+'),
+                                   w -> w <> '') AS ws
+                FROM documents
+            ), toks AS (
+                SELECT doc_id, unnest(ws) AS w FROM words
+            ), dls AS (
+                SELECT doc_id, len(ws) AS dl FROM words
+            ), consts AS (
+                SELECT (SELECT count(*) FROM documents) AS n_docs,
+                       (SELECT count(*) FROM toks) AS sum_dl
+            ), tfs AS (
+                SELECT doc_id, w AS term, count(*) AS tf
+                FROM toks
+                WHERE w IN ('hash', 'join', 'stream', 'vector')
+                GROUP BY doc_id, w
+            ), dfs AS (
+                SELECT term, count(*) AS df FROM tfs GROUP BY term
+            )
+            SELECT t.doc_id, t.term,
+                   CAST(t.tf AS BIGINT) AS tf,
+                   CAST(d.dl AS BIGINT) AS dl,
+                   CAST(f.df AS BIGINT) AS df,
+                   CAST(c.n_docs AS BIGINT) AS n_docs,
+                   CAST(c.sum_dl AS BIGINT) AS sum_dl
+            FROM tfs t
+            JOIN dls d USING (doc_id)
+            JOIN dfs f USING (term), consts c
+            ORDER BY doc_id, term
         """,
         "negative_pairs_documents": """
             WITH b AS (

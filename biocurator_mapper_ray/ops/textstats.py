@@ -580,3 +580,112 @@ def inverted_index(ds, *, text_column: str = "text",
             .groupby("__s")
             .map_groups(lambda g: combine(g.drop(columns="__s")),
                         batch_format="pandas"))
+
+
+def bm25_evidence(ds, *, query_terms: list[str],
+                  text_column: str = "text", id_column: str = "doc_id"):
+    """Exact integer BM25 evidence for a fixed lexical query: one row
+    per (doc, query term) with ``tf > 0`` carrying
+    ``(doc_id, term, tf, dl, df, n_docs, sum_dl)`` — term frequency,
+    the doc's whitespace token length, the term's document frequency,
+    and the corpus size / total token count (constant columns, so the
+    whole table is integers and hash-checkable against SQL; see
+    :func:`bm25_scores` for the float composition).
+
+    Scale shape: one vectorized tokenize + searchsorted pass per batch
+    computes every doc's tf over the (tiny, sorted, broadcast-by-
+    closure) query-term list — no exchange for matching; per-batch
+    (n_docs, sum_dl) partials fold driver-side (one row per batch); df
+    is a term-scale groupby collected to a dict of ≤ |query| entries
+    and attached map-side.  Query terms are matched lowercase.
+    """
+    import ray as _ray  # noqa: F401
+
+    qt = np.array(sorted({t.lower() for t in query_terms}))
+    if len(qt) == 0:
+        raise ValueError("bm25_evidence needs at least one query term")
+
+    def match(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(
+                pc.cast(batch.column(text_column), pa.string()))),
+            r"\s+")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        n = len(lens)
+        empty = pa.table({
+            id_column: pa.array([], pa.int64()),
+            "term": pa.array([], pa.string()),
+            "tf": pa.array([], pa.int64()),
+            "dl": pa.array([], pa.int64())})
+        if n == 0 or not len(flat):
+            return empty
+        keep = flat != ""
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        dl = np.add.reduceat(keep.astype(np.int64), starts)
+        pos = np.minimum(np.searchsorted(qt, flat), len(qt) - 1)
+        hit = (qt[pos] == flat) & keep
+        if not hit.any():
+            return empty
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        cell = doc_idx[hit] * len(qt) + pos[hit]
+        tf_flat = np.bincount(cell, minlength=n * len(qt))
+        nz = np.flatnonzero(tf_flat)
+        d, t = nz // len(qt), nz % len(qt)
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_column: pa.array(ids[d], pa.int64()),
+            "term": pa.array(qt[t], pa.string()),
+            "tf": pa.array(tf_flat[nz], pa.int64()),
+            "dl": pa.array(dl[d], pa.int64())})
+
+    def dl_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(
+                pc.cast(batch.column(text_column), pa.string()))),
+            r"\s+")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_docs": pa.array([len(batch)], pa.int64()),
+            "sum_dl": pa.array([int((flat != "").sum())], pa.int64())})
+
+    # bounded driver folds: one row per batch / one row per query term
+    totals = ds.map_batches(dl_partial, batch_format="pyarrow").to_pandas()
+    n_docs = int(totals["n_docs"].sum())
+    sum_dl = int(totals["sum_dl"].sum())
+
+    # materialized: (docs × |query|)-bounded, and consumed twice (df
+    # fold + attach) — avoids re-tokenizing the corpus
+    matches = ds.map_batches(match, batch_format="pyarrow").materialize()
+    dft = matches.groupby("term").count().to_pandas()
+    df_map = dict(zip(dft["term"], dft["count()"].astype(int)))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        terms = batch.column("term").to_pylist()  # ≤ |query| distinct
+        return batch.append_column(
+            "df", pa.array([df_map[t] for t in terms], pa.int64())
+        ).append_column(
+            "n_docs", pa.array(np.full(len(batch), n_docs), pa.int64())
+        ).append_column(
+            "sum_dl", pa.array(np.full(len(batch), sum_dl), pa.int64()))
+
+    return matches.map_batches(attach, batch_format="pyarrow")
+
+
+def bm25_scores(evidence: pd.DataFrame, *, k1: float = 1.2,
+                b: float = 0.75) -> pd.DataFrame:
+    """Reader-side BM25 composition of :func:`bm25_evidence` rows →
+    one ``(doc_id, score)`` per doc: Robertson/Sparck-Jones idf
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))`` times the saturated tf
+    term, summed over the doc's matched query terms."""
+    if len(evidence) == 0:
+        return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                             "score": pd.Series(dtype=np.float64)})
+    e = evidence
+    avgdl = e["sum_dl"].iloc[0] / max(e["n_docs"].iloc[0], 1)
+    idf = np.log(1.0 + (e["n_docs"] - e["df"] + 0.5) / (e["df"] + 0.5))
+    tfs = (e["tf"] * (k1 + 1)
+           / (e["tf"] + k1 * (1 - b + b * e["dl"] / avgdl)))
+    out = (pd.DataFrame({"doc_id": e.iloc[:, 0], "score": idf * tfs})
+           .groupby("doc_id", as_index=False, sort=True)["score"].sum())
+    return out

@@ -2146,3 +2146,67 @@ class TestNgramContainment:
         got = ngram_containment_pairs(rd.from_items(rows), threshold=0.1,
                                       candidates="all").to_pandas()
         assert len(got) == 0
+
+
+class TestBM25:
+    def test_evidence_counts(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.textstats import bm25_evidence
+
+        rows = [
+            {"doc_id": 1, "text": "Hash join hash"},
+            {"doc_id": 2, "text": "no match here"},
+            {"doc_id": 3, "text": "join the stream"},
+        ]
+        got = bm25_evidence(rd.from_items(rows).repartition(2),
+                            query_terms=["hash", "join"]).to_pandas() \
+            .sort_values(["doc_id", "term"]).reset_index(drop=True)
+        recs = [tuple(r) for r in got.to_records(index=False)]
+        # (doc, term, tf, dl, df, n_docs, sum_dl)
+        assert recs == [
+            (1, "hash", 2, 3, 1, 3, 9),
+            (1, "join", 1, 3, 2, 3, 9),
+            (3, "join", 1, 3, 2, 3, 9),
+        ]
+
+    def test_scores_match_reference(self, ray_session):
+        import math
+
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.textstats import (
+            bm25_evidence, bm25_scores)
+
+        corpus = {
+            1: "hash join hash join hash",
+            2: "join stream vector data table",
+            3: "completely unrelated words only",
+            4: "hash",
+        }
+        rows = [{"doc_id": i, "text": t} for i, t in corpus.items()]
+        q = ["hash", "join"]
+        ev = bm25_evidence(rd.from_items(rows), query_terms=q).to_pandas()
+        got = bm25_scores(ev, k1=1.2, b=0.75).set_index("doc_id")["score"]
+
+        # independent scalar reference
+        n = len(corpus)
+        toks = {i: t.lower().split() for i, t in corpus.items()}
+        avgdl = sum(len(v) for v in toks.values()) / n
+        df = {t: sum(1 for v in toks.values() if t in v) for t in q}
+        want = {}
+        for i, v in toks.items():
+            s = 0.0
+            for t in q:
+                tf = v.count(t)
+                if tf == 0:
+                    continue
+                idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(v) / avgdl))
+            if s > 0:
+                want[i] = s
+        assert set(got.index) == set(want)
+        for i, s in want.items():
+            assert abs(got[i] - s) < 1e-12
+        # doc 1 (tf-heavy on both terms) outranks doc 4 (single hash)
+        assert got[1] > got[4]
