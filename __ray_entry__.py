@@ -456,6 +456,52 @@ def _q_sessionize_events(sf_dir: str):
     )
 
 
+_LEGAL_EVENT_PAIRS = {
+    ("signup", "view"), ("view", "view"), ("view", "click"),
+    ("click", "view"), ("click", "purchase"), ("purchase", "view"),
+}
+
+
+def _q_legal_transitions_events(sf_dir: str):
+    """Per-user event-grammar validation (ops/window.sequence_legality)
+    — the transcript role-alternation check applied to the event log:
+    adjacent (ts, event_id)-ordered event_type pairs must be in the
+    allowed grammar; emits integer evidence (n_rows, n_pairs,
+    n_violations, first_bad) per user, hash-exact vs the SQL lag()
+    oracle."""
+    from biocurator_mapper_ray.ops.window import sequence_legality
+
+    events = _read(sf_dir, "events",
+                   columns=["user_id", "event_id", "ts", "event_type"])
+    return sequence_legality(events, key="user_id", ts="ts",
+                             tiebreak="event_id", label="event_type",
+                             allowed=_LEGAL_EVENT_PAIRS).sort("user_id")
+
+
+def _q_suffix_fit_events(sf_dir: str):
+    """Context-window suffix fitting (ops/window.suffix_budget_fit):
+    per user keep the maximal newest suffix of events whose
+    deterministic weights ((event_id % 50) + 1) sum to ≤ 200 — the
+    chat-SFT "newest turns that fit the window" truncation; emits the
+    kept rows with their integer running suffix total."""
+    from biocurator_mapper_ray.ops.window import suffix_budget_fit
+
+    events = _read(sf_dir, "events",
+                   columns=["user_id", "event_id", "ts"])
+
+    def add_wt(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        return t.append_column("wt", pa.array(eid % 50 + 1, pa.int64()))
+
+    fitted = suffix_budget_fit(
+        events.map_batches(add_wt, batch_format="pyarrow"),
+        key="user_id", ts="ts", tiebreak="event_id",
+        weight="wt", budget=200)
+    return fitted.map_batches(
+        lambda t: t.select(["event_id", "user_id", "suffix_sum"]),
+        batch_format="pyarrow").sort("event_id")
+
+
 def _q_bm25_documents(sf_dir: str):
     """Exact integer BM25 evidence for the fixed lexical query
     {hash, join, stream, vector} (ops/textstats.bm25_evidence): one
@@ -2894,6 +2940,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_fuse_documents": _q_rrf_fuse_documents,
         "negative_pairs_documents": _q_negative_pairs_documents,
         "bm25_documents": _q_bm25_documents,
+        "legal_transitions_events": _q_legal_transitions_events,
+        "suffix_fit_events": _q_suffix_fit_events,
         "running_user_value": _q_running_user_value,   # r03 green
         "rolling_user_value": _q_rolling_user_value,   # r03 green
         "asof_purchase_click": _q_asof_purchase_click,  # r03 green
@@ -3963,6 +4011,49 @@ def oracle_sql() -> dict[str, str]:
                                        AND CURRENT ROW) AS BIGINT) AS rolling_cents
             FROM events
             ORDER BY event_id
+        """,
+        "legal_transitions_events": """
+            WITH ordered AS (
+                SELECT user_id, event_type,
+                       lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS prev,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+            ), flags AS (
+                SELECT user_id, rn,
+                       CASE WHEN prev IS NULL THEN NULL
+                            WHEN prev || '>' || event_type IN
+                                 ('signup>view', 'view>view',
+                                  'view>click', 'click>view',
+                                  'click>purchase', 'purchase>view')
+                            THEN 0 ELSE 1 END AS bad
+                FROM ordered
+            )
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(bad) AS BIGINT) AS n_pairs,
+                   CAST(coalesce(sum(bad), 0) AS BIGINT) AS n_violations,
+                   CAST(coalesce(min(CASE WHEN bad = 1 THEN rn END), -1)
+                        AS BIGINT) AS first_bad
+            FROM flags GROUP BY user_id ORDER BY user_id
+        """,
+        "suffix_fit_events": """
+            WITH w AS (
+                SELECT user_id, event_id, ts,
+                       (event_id % 50) + 1 AS wt
+                FROM events
+            ), s AS (
+                SELECT user_id, event_id,
+                       sum(wt) OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC
+                                     ROWS UNBOUNDED PRECEDING)
+                       AS suffix_sum
+                FROM w
+            )
+            SELECT event_id, user_id,
+                   CAST(suffix_sum AS BIGINT) AS suffix_sum
+            FROM s WHERE suffix_sum <= 200 ORDER BY event_id
         """,
         "bm25_documents": """
             WITH words AS (

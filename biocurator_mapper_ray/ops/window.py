@@ -722,3 +722,103 @@ def merge_intervals(ds, *, key: str, start: str, end: str,
     return (_with_key_bucket(lean, key, n_buckets)
             .groupby("__kb")
             .map_groups(_per_bucket(per_bucket), batch_format="pandas"))
+
+def sequence_legality(ds, *, key: str, ts: str, tiebreak: str,
+                      label: str, allowed: set[tuple[str, str]],
+                      buckets: int | None = None,
+                      size_hint: int | None = None):
+    """Per-key sequence validation against an allowed-transition set —
+    the transcript role-alternation / event-grammar check: rows sorted
+    by (ts, tiebreak) per key, every adjacent ``label`` pair is legal
+    iff it appears in ``allowed``.  Emits integer evidence per key:
+    ``n_rows``, ``n_pairs``, ``n_violations`` and ``first_bad``
+    (1-based position of the first illegal pair's SECOND row; -1 when
+    clean) — hash-exact against a SQL ``lag()`` oracle; the boolean
+    verdict is ``n_violations == 0`` reader-side.
+
+    One key-hash exchange of lean (key, ts, tiebreak, label) rows; per
+    bucket one sort + one vectorized membership test of packed
+    (prev, curr) label-id pairs against the (tiny, sorted) allowed set.
+    """
+    n_buckets = _window_buckets(ds, buckets, size_hint)
+    sort_cols = list(dict.fromkeys([key, ts, tiebreak]))
+    lean_cols = list(dict.fromkeys([key, ts, tiebreak, label]))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(sort_cols, kind="mergesort")
+        k = g[key].to_numpy()
+        lab, labels = pd.factorize(g[label], sort=True)
+        n_lab = max(len(labels), 1)
+        # encode the allowed set in THIS bucket's label-id space;
+        # transitions mentioning labels absent here can never occur
+        lut = {v: i for i, v in enumerate(labels)}
+        allow_codes = np.array(sorted(
+            lut[a] * n_lab + lut[b]
+            for a, b in allowed if a in lut and b in lut), dtype=np.int64)
+        same = k[:-1] == k[1:]
+        pair_code = lab[:-1].astype(np.int64) * n_lab + lab[1:]
+        if len(allow_codes):
+            pos = np.minimum(np.searchsorted(allow_codes, pair_code),
+                             len(allow_codes) - 1)
+            legal = allow_codes[pos] == pair_code
+        else:
+            legal = np.zeros(len(pair_code), dtype=bool)
+        viol = same & ~legal
+        # per-key fold (keys contiguous after the sort)
+        starts = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
+        ends = np.concatenate([starts[1:], [len(k)]])
+        n_rows = ends - starts
+        pad_viol = np.concatenate([viol, [False]])
+        n_viol = np.add.reduceat(pad_viol.astype(np.int64), starts)
+        # clamp reduceat overrun on single-row tail groups
+        n_pairs = np.add.reduceat(np.concatenate([same, [False]])
+                                  .astype(np.int64), starts)
+        first_bad = np.full(len(starts), -1, dtype=np.int64)
+        vidx = np.flatnonzero(viol)
+        if len(vidx):
+            grp = np.searchsorted(starts, vidx, side="right") - 1
+            # first violation per group: vidx ascending, keep first
+            first_mask = np.concatenate([[True], grp[1:] != grp[:-1]])
+            first_bad[grp[first_mask]] = (vidx[first_mask]
+                                          - starts[grp[first_mask]] + 2)
+        return pd.DataFrame({key: k[starts], "n_rows": n_rows,
+                             "n_pairs": n_pairs,
+                             "n_violations": n_viol,
+                             "first_bad": first_bad})
+
+    lean = ds.map_batches(
+        lambda t: t.select(lean_cols), batch_format="pyarrow")
+    return (_with_key_bucket(lean, key, n_buckets)
+            .groupby("__kb")
+            .map_groups(_per_bucket(per_bucket), batch_format="pandas"))
+
+
+def suffix_budget_fit(ds, *, key: str, ts: str, tiebreak: str,
+                      weight: str, budget: int,
+                      buckets: int | None = None,
+                      size_hint: int | None = None):
+    """Context-window fitting: per key, keep the MAXIMAL SUFFIX of the
+    (ts, tiebreak)-ordered rows whose ``weight`` sum is ≤ ``budget`` —
+    the "newest turns that fit the context window" truncation every
+    chat-SFT pipeline runs before packing.  Rows heavier than the
+    budget alone drop with the rest of the prefix.  Emits the kept
+    rows plus ``suffix_sum`` (the running suffix total at that row,
+    ≤ budget) — integer evidence when ``weight`` is integer, so a SQL
+    reverse-running-sum oracle hashes exactly.
+
+    One key-hash exchange, per bucket one sort + reversed grouped
+    cumsum + mask; nothing key-scale on the driver.
+    """
+    n_buckets = _window_buckets(ds, buckets, size_hint)
+    sort_cols = list(dict.fromkeys([key, ts, tiebreak]))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(sort_cols, kind="mergesort")
+        rev = g.iloc[::-1]
+        suffix = rev.groupby(key, sort=False)[weight].cumsum().iloc[::-1]
+        g = g.assign(suffix_sum=suffix)
+        return g[g["suffix_sum"] <= budget]
+
+    return (_with_key_bucket(ds, key, n_buckets)
+            .groupby("__kb")
+            .map_groups(_per_bucket(per_bucket), batch_format="pandas"))

@@ -655,3 +655,81 @@ class TestMergeIntervals:
             (1, "2024-01-01 00:00:00", "2024-01-01 01:00:00", 1),
             (2, "2024-01-01 00:30:00", "2024-01-01 02:00:00", 1),
         ]
+
+
+class TestSequenceLegality:
+    def test_role_alternation_transcript(self, ray_session):
+        """The transcript application: optional system prefix, then
+        strict user/assistant alternation."""
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.window import sequence_legality
+
+        allowed = {("system", "user"), ("user", "assistant"),
+                   ("assistant", "user")}
+        rows = []
+        # conv 1: legal  system,user,assistant,user
+        for i, r in enumerate(["system", "user", "assistant", "user"]):
+            rows.append((1, i, r))
+        # conv 2: illegal double-user at position 3
+        for i, r in enumerate(["user", "assistant", "user", "user"]):
+            rows.append((2, i, r))
+        # conv 3: single turn, trivially legal
+        rows.append((3, 0, "user"))
+        df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role"])
+        got = sequence_legality(
+            rd.from_pandas(df).repartition(3), key="conv_id",
+            ts="turn_idx", tiebreak="turn_idx", label="role",
+            allowed=allowed).to_pandas().set_index("conv_id").sort_index()
+        assert got.loc[1].tolist() == [4, 3, 0, -1]
+        assert got.loc[2].tolist() == [4, 3, 1, 4]
+        assert got.loc[3].tolist() == [1, 0, 0, -1]
+
+    def test_empty_allowed_set_flags_every_pair(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.window import sequence_legality
+
+        df = pd.DataFrame({"k": [1, 1, 1], "t": [1, 2, 3],
+                           "lab": ["a", "b", "a"]})
+        got = sequence_legality(rd.from_pandas(df), key="k", ts="t",
+                                tiebreak="t", label="lab",
+                                allowed=set()).to_pandas()
+        assert got.loc[0, ["n_pairs", "n_violations", "first_bad"]] \
+            .tolist() == [2, 2, 2]
+
+
+class TestSuffixBudgetFit:
+    def test_keeps_maximal_suffix(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.window import suffix_budget_fit
+
+        df = pd.DataFrame({
+            "k": [1] * 5 + [2],
+            "t": [1, 2, 3, 4, 5, 1],
+            "w": [10, 10, 4, 3, 2, 100],
+        })
+        got = suffix_budget_fit(rd.from_pandas(df).repartition(2),
+                                key="k", ts="t", tiebreak="t",
+                                weight="w", budget=10).to_pandas() \
+            .sort_values(["k", "t"])
+        # key 1: suffix sums from the end: 2, 5, 9, 19 -> keep t=3,4,5
+        assert list(zip(got["k"], got["t"], got["suffix_sum"])) == [
+            (1, 3, 9), (1, 4, 5), (1, 5, 2)]
+        # key 2's single row is heavier than the budget: dropped
+
+    def test_exact_budget_boundary_kept(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.window import suffix_budget_fit
+
+        df = pd.DataFrame({"k": [1, 1], "t": [1, 2], "w": [5, 5]})
+        got = suffix_budget_fit(rd.from_pandas(df), key="k", ts="t",
+                                tiebreak="t", weight="w",
+                                budget=10).to_pandas()
+        assert len(got) == 2 and got["suffix_sum"].max() == 10
