@@ -456,6 +456,19 @@ def _q_sessionize_events(sf_dir: str):
     )
 
 
+def _q_encode_tokens_documents(sf_dir: str):
+    """Corpus encoding (ops/textstats.build_vocab + encode_tokens):
+    top-20 frequency vocabulary (count DESC, token ASC → dense ids),
+    then every doc's token stream mapped to ids map-side with OOV = -1
+    — exploded integer (doc_id, pos, token_id) rows, the
+    tokenize→encode stage before sequence packing; hash-exact vs the
+    SQL rank+left-join oracle."""
+    from biocurator_mapper_ray.ops.textstats import encode_tokens
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return encode_tokens(docs, vocab_size=20).sort(["doc_id", "pos"])
+
+
 _LEGAL_EVENT_PAIRS = {
     ("signup", "view"), ("view", "view"), ("view", "click"),
     ("click", "view"), ("click", "purchase"), ("purchase", "view"),
@@ -2941,6 +2954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "negative_pairs_documents": _q_negative_pairs_documents,
         "bm25_documents": _q_bm25_documents,
         "legal_transitions_events": _q_legal_transitions_events,
+        "encode_tokens_documents": _q_encode_tokens_documents,
         "suffix_fit_events": _q_suffix_fit_events,
         "running_user_value": _q_running_user_value,   # r03 green
         "rolling_user_value": _q_rolling_user_value,   # r03 green
@@ -4011,6 +4025,28 @@ def oracle_sql() -> dict[str, str]:
                                        AND CURRENT ROW) AS BIGINT) AS rolling_cents
             FROM events
             ORDER BY event_id
+        """,
+        "encode_tokens_documents": """
+            WITH words AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                                   '[ \\t\\n\\r\\f\\x0b]+'),
+                                   w -> w <> '') AS ws
+                FROM documents
+            ), toks AS (
+                SELECT doc_id, g.i - 1 AS pos, ws[g.i] AS w
+                FROM words, unnest(range(1, len(ws) + 1)) AS g(i)
+            ), counts AS (
+                SELECT w, count(*) AS n FROM toks GROUP BY w
+            ), vocab AS (
+                SELECT w, row_number() OVER (ORDER BY n DESC, w) - 1
+                       AS tid
+                FROM counts QUALIFY tid < 20
+            )
+            SELECT t.doc_id, CAST(t.pos AS BIGINT) AS pos,
+                   CAST(coalesce(v.tid, -1) AS BIGINT) AS token_id
+            FROM toks t LEFT JOIN vocab v USING (w)
+            ORDER BY doc_id, pos
         """,
         "legal_transitions_events": """
             WITH ordered AS (

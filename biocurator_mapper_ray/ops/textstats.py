@@ -689,3 +689,84 @@ def bm25_scores(evidence: pd.DataFrame, *, k1: float = 1.2,
     out = (pd.DataFrame({"doc_id": e.iloc[:, 0], "score": idf * tfs})
            .groupby("doc_id", as_index=False, sort=True)["score"].sum())
     return out
+
+
+def build_vocab(ds, *, text_column: str = "text", vocab_size: int = 1000,
+                shards: int = 32) -> pd.DataFrame:
+    """Deterministic frequency vocabulary: the corpus' ``vocab_size``
+    heaviest tokens (count DESC, token ASC) with dense ids 0..V-1 in
+    that order — the tokenizer-vocab-construction step.  Driver state
+    is the vocab table itself (result-scale by definition; the
+    exchange is bounded per :func:`word_counts`)."""
+    vdf = word_counts(ds, text_column=text_column, top_k=vocab_size,
+                      shards=shards).to_pandas()
+    vdf = vdf.reset_index(drop=True)
+    vdf["token_id"] = np.arange(len(vdf), dtype=np.int64)
+    return vdf[["token", "token_id", "n"]]
+
+
+def encode_tokens(ds, *, text_column: str = "text",
+                  id_column: str = "doc_id", vocab_size: int = 1000,
+                  oov_id: int = -1, shards: int = 32,
+                  vocab: pd.DataFrame | None = None):
+    """Corpus encoding: tokenize every doc and map each token to its
+    :func:`build_vocab` id, emitting EXPLODED integer rows
+    ``(doc_id, pos, token_id)`` — ``pos`` is the token's 0-based
+    position in the doc, OOV tokens keep their slot with ``oov_id``.
+    The tokenize→encode step every LM training pipeline runs before
+    packing (compose with ops/pack.sequence_pack); exploded integers
+    keep the whole output hash-checkable against a SQL rank+join
+    oracle.
+
+    Two-phase broadcast shape (same as :func:`corpus_freq_scores`):
+    the vocab is built once (or passed in), ``ray.put`` once, and
+    every batch encodes map-side with one flat tokenize + searchsorted
+    — the corpus text is read in exactly one distributed pass, no
+    exchange on the token stream.
+    """
+    import ray as _ray
+
+    if vocab is None:
+        vocab = build_vocab(ds, text_column=text_column,
+                            vocab_size=vocab_size, shards=shards)
+    order = np.argsort(vocab["token"].to_numpy())
+    vtok = vocab["token"].to_numpy()[order]
+    vid = vocab["token_id"].to_numpy()[order].astype(np.int64)
+    ref = _ray.put((vtok, vid))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        vt, vi = ref if isinstance(ref, tuple) else _ray.get(ref)
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(
+                pc.cast(batch.column(text_column), pa.string()))),
+            r"\s+")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        n = len(lens)
+        if n == 0 or not len(flat):
+            return pa.table({id_column: pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64()),
+                             "token_id": pa.array([], pa.int64())})
+        keep = flat != ""
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        kept = np.flatnonzero(keep)
+        kept_doc = doc_idx[kept]
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        kept_per_doc = np.add.reduceat(keep.astype(np.int64), starts)
+        # token stream is doc-major: positions restart at each doc
+        pos = (np.arange(len(kept), dtype=np.int64)
+               - np.repeat(np.concatenate([[0],
+                                           np.cumsum(kept_per_doc)[:-1]]),
+                           kept_per_doc))
+        if len(vt):
+            p = np.minimum(np.searchsorted(vt, flat[kept]), len(vt) - 1)
+            hit = vt[p] == flat[kept]
+            tid = np.where(hit, vi[p], oov_id)
+        else:
+            tid = np.full(len(kept), oov_id, dtype=np.int64)
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+        return pa.table({id_column: pa.array(ids[kept_doc], pa.int64()),
+                         "pos": pa.array(pos, pa.int64()),
+                         "token_id": pa.array(tid, pa.int64())})
+
+    return ds.map_batches(encode, batch_format="pyarrow")

@@ -2210,3 +2210,42 @@ class TestBM25:
             assert abs(got[i] - s) < 1e-12
         # doc 1 (tf-heavy on both terms) outranks doc 4 (single hash)
         assert got[1] > got[4]
+
+
+class TestEncodeTokens:
+    def test_vocab_ids_positions_and_oov(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.textstats import (
+            build_vocab, encode_tokens)
+
+        rows = [
+            {"doc_id": 1, "text": "b a b  c"},
+            {"doc_id": 2, "text": "a b rare"},
+            {"doc_id": 3, "text": "   "},
+        ]
+        ds = rd.from_items(rows).repartition(2)
+        vocab = build_vocab(ds, vocab_size=2)
+        # counts: b=3, a=2, c=1, rare=1 -> vocab b:0, a:1
+        assert vocab["token"].tolist() == ["b", "a"]
+        assert vocab["token_id"].tolist() == [0, 1]
+
+        got = encode_tokens(ds, vocab_size=2).to_pandas() \
+            .sort_values(["doc_id", "pos"]).reset_index(drop=True)
+        recs = [tuple(r) for r in got.to_records(index=False)]
+        assert recs == [
+            (1, 0, 0), (1, 1, 1), (1, 2, 0), (1, 3, -1),  # c is OOV
+            (2, 0, 1), (2, 1, 0), (2, 2, -1),             # rare is OOV
+        ]  # doc 3 (whitespace-only) emits nothing
+
+    def test_prebuilt_vocab_reused(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.textstats import encode_tokens
+
+        vocab = pd.DataFrame({"token": ["x"], "token_id": [7], "n": [1]})
+        ds = rd.from_items([{"doc_id": 1, "text": "x y"}])
+        got = encode_tokens(ds, vocab=vocab).to_pandas() \
+            .sort_values("pos")
+        assert got["token_id"].tolist() == [7, -1]
