@@ -456,6 +456,18 @@ def _q_sessionize_events(sf_dir: str):
     )
 
 
+def _q_source_overlap_documents(sf_dir: str):
+    """Pairwise lexical-overlap matrix between the 20 document sources
+    (ops/textstats.group_token_overlap): exact distinct-token
+    intersection + vocabulary sizes + Jaccard per source pair — one
+    vocabulary-bounded sharded exchange, group-pair-scale result."""
+    from biocurator_mapper_ray.ops.textstats import group_token_overlap
+
+    docs = _read(sf_dir, "documents", columns=["source", "text"])
+    return group_token_overlap(docs, group_column="source") \
+        .sort(["src_a", "src_b"])
+
+
 def _q_encode_tokens_documents(sf_dir: str):
     """Corpus encoding (ops/textstats.build_vocab + encode_tokens):
     top-20 frequency vocabulary (count DESC, token ASC → dense ids),
@@ -2955,6 +2967,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_documents": _q_bm25_documents,
         "legal_transitions_events": _q_legal_transitions_events,
         "encode_tokens_documents": _q_encode_tokens_documents,
+        "source_overlap_documents": _q_source_overlap_documents,
         "suffix_fit_events": _q_suffix_fit_events,
         "running_user_value": _q_running_user_value,   # r03 green
         "rolling_user_value": _q_rolling_user_value,   # r03 green
@@ -4025,6 +4038,32 @@ def oracle_sql() -> dict[str, str]:
                                        AND CURRENT ROW) AS BIGINT) AS rolling_cents
             FROM events
             ORDER BY event_id
+        """,
+        "source_overlap_documents": """
+            WITH words AS (
+                SELECT source,
+                       list_filter(regexp_split_to_array(lower(text),
+                                   '[ \\t\\n\\r\\f\\x0b]+'),
+                                   w -> w <> '') AS ws
+                FROM documents
+            ), sets AS (
+                SELECT DISTINCT source, unnest(ws) AS w FROM words
+            ), sizes AS (
+                SELECT source, count(*) AS n FROM sets GROUP BY source
+            ), inter AS (
+                SELECT x.source AS src_a, y.source AS src_b,
+                       count(*) AS i
+                FROM sets x JOIN sets y
+                  ON x.w = y.w AND x.source < y.source
+                GROUP BY 1, 2
+            )
+            SELECT src_a, src_b, CAST(i AS BIGINT) AS inter,
+                   CAST(sa.n AS BIGINT) AS n_a,
+                   CAST(sb.n AS BIGINT) AS n_b,
+                   CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+            FROM inter JOIN sizes sa ON sa.source = src_a
+                       JOIN sizes sb ON sb.source = src_b
+            ORDER BY src_a, src_b
         """,
         "encode_tokens_documents": """
             WITH words AS (

@@ -770,3 +770,92 @@ def encode_tokens(ds, *, text_column: str = "text",
                          "token_id": pa.array(tid, pa.int64())})
 
     return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def group_token_overlap(ds, *, group_column: str = "source",
+                        text_column: str = "text", shards: int = 32):
+    """Lexical overlap matrix between document GROUPS (sources, crawl
+    snapshots, languages): for every group pair (a < b) the exact
+    distinct-token intersection ``inter``, the group vocabulary sizes
+    ``n_a`` / ``n_b`` and their Jaccard — the "how much do my corpus
+    slices overlap" curation diagnostic.  Integer evidence + one IEEE
+    division per row, so it hashes exactly against a SQL
+    DISTINCT-set self-join.
+
+    Scale shape: each batch reduces to its DISTINCT (group, token)
+    pairs map-side; ONE token-hash-sharded exchange (bounded by
+    vocabulary × groups, not the token stream) makes the pairs
+    globally distinct; each shard task then self-merges its vocabulary
+    slice on token (a token lives in exactly one shard, so per-shard
+    pair counts are disjoint partials) and a group-pair-scale fold
+    finishes.  Group count is assumed small (it names corpus slices);
+    per-group vocabulary sizes fold driver-side from shard partials.
+    """
+    from ..functions.hashing import hash64_column
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(
+                pc.cast(batch.column(text_column), pa.string()))),
+            r"\s+")
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        grp = batch.column(group_column).to_numpy(zero_copy_only=False)
+        t = pa.table({"g": pa.array(np.repeat(grp, lens)), "token": flat})
+        t = t.filter(pc.not_equal(t.column("token"), ""))
+        t = t.group_by(["g", "token"], use_threads=False).aggregate([])
+        salt = (hash64_column(t.column("token"))
+                % np.uint64(shards)).astype(np.int32)
+        return t.append_column("__s", pa.array(salt))
+
+    dist = (ds.map_batches(distinct_partial, batch_format="pyarrow")
+            .groupby("__s")
+            .map_groups(lambda g: g.drop(columns="__s")
+                        .drop_duplicates(["g", "token"]),
+                        batch_format="pandas")
+            .materialize())  # vocabulary × groups — bounded
+
+    sizes = (dist.map_batches(
+        lambda t: t.group_by(["g"], use_threads=False)
+                   .aggregate([("token", "count")]),
+        batch_format="pyarrow").to_pandas())
+    size_map = sizes.groupby("g")["token_count"].sum().to_dict()
+
+    def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="token")
+        m = m[m["g_x"] < m["g_y"]]
+        out = (m.groupby(["g_x", "g_y"], as_index=False, sort=False)
+               .size().rename(columns={"g_x": "src_a", "g_y": "src_b",
+                                       "size": "inter"}))
+        out["inter"] = out["inter"].astype(np.int64)
+        return out
+
+    # re-shard for the self-merge: token-hash again (dist rows lost
+    # their tag in the distinct fold)
+    def retag(t: pa.Table) -> pa.Table:
+        salt = (hash64_column(t.column("token"))
+                % np.uint64(shards)).astype(np.int32)
+        return t.append_column("__s", pa.array(salt))
+
+    partials = (dist.map_batches(retag, batch_format="pyarrow")
+                .groupby("__s")
+                .map_groups(lambda g: shard_pairs(g.drop(columns="__s")),
+                            batch_format="pandas"))
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["src_a", "src_b"], as_index=False, sort=True)
+               ["inter"].sum())
+        na = out["src_a"].map(size_map).astype(np.int64)
+        nb = out["src_b"].map(size_map).astype(np.int64)
+        out["n_a"], out["n_b"] = na, nb
+        out["jaccard"] = out["inter"] / (na + nb - out["inter"])
+        return out
+
+    # group-pair-scale final fold (single group: pair space is tiny)
+    return (partials
+            .map_batches(lambda t: t.append_column(
+                "__one", pa.array(np.zeros(len(t), np.int32))),
+                batch_format="pyarrow")
+            .groupby("__one")
+            .map_groups(lambda g: finish(g.drop(columns="__one")),
+                        batch_format="pandas"))

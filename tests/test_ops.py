@@ -2249,3 +2249,25 @@ class TestEncodeTokens:
         got = encode_tokens(ds, vocab=vocab).to_pandas() \
             .sort_values("pos")
         assert got["token_id"].tolist() == [7, -1]
+
+
+class TestGroupTokenOverlap:
+    def test_exact_pairwise_overlap(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.textstats import group_token_overlap
+
+        rows = [
+            {"source": "a", "text": "x y z"},
+            {"source": "a", "text": "x q"},      # vocab a = {x,y,z,q}
+            {"source": "b", "text": "x y"},      # vocab b = {x,y}
+            {"source": "c", "text": "unrelated"},
+        ]
+        got = group_token_overlap(rd.from_items(rows).repartition(3)) \
+            .to_pandas().sort_values(["src_a", "src_b"]) \
+            .reset_index(drop=True)
+        recs = {(r.src_a, r.src_b): (r.inter, r.n_a, r.n_b, r.jaccard)
+                for r in got.itertuples()}
+        # disjoint pairs emit nothing (no shared token rows)
+        assert set(recs) == {("a", "b")}
+        assert recs[("a", "b")] == (2, 4, 2, 0.5)
