@@ -456,6 +456,25 @@ def _q_sessionize_events(sf_dir: str):
     )
 
 
+def _q_hard_negatives_embeddings(sf_dir: str):
+    """Contrastive hard negatives (ops/similarity.hard_negatives): for
+    anchors vec_id < 3, the 5 highest-cosine vectors with a DIFFERENT
+    label (self excluded) — broadcast anchors, masked per-batch matmul
+    top-k, one query-grouped merge.  Rank-only output (float cosine
+    dropped) per the knn oracle convention."""
+    from biocurator_mapper_ray.ops.similarity import hard_negatives
+
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    queries = np.asarray(tbl.column("embedding").to_pylist()[:3],
+                         dtype=np.float64)
+    qlabels = np.asarray(tbl.column("label").to_pylist()[:3])
+    qids = np.asarray(tbl.column("vec_id").to_pylist()[:3])
+    ds = _read(sf_dir, "embeddings")
+    out = hard_negatives(ds, queries, qlabels, qids, k=5)
+    return out.select_columns(["query_id", "vec_id", "rank"]) \
+        .sort(["query_id", "rank"])
+
+
 def _q_source_overlap_documents(sf_dir: str):
     """Pairwise lexical-overlap matrix between the 20 document sources
     (ops/textstats.group_token_overlap): exact distinct-token
@@ -2968,6 +2987,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "legal_transitions_events": _q_legal_transitions_events,
         "encode_tokens_documents": _q_encode_tokens_documents,
         "source_overlap_documents": _q_source_overlap_documents,
+        "hard_negatives_embeddings": _q_hard_negatives_embeddings,
         "suffix_fit_events": _q_suffix_fit_events,
         "running_user_value": _q_running_user_value,   # r03 green
         "rolling_user_value": _q_rolling_user_value,   # r03 green
@@ -4038,6 +4058,26 @@ def oracle_sql() -> dict[str, str]:
                                        AND CURRENT ROW) AS BIGINT) AS rolling_cents
             FROM events
             ORDER BY event_id
+        """,
+        "hard_negatives_embeddings": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe,
+                       label AS ql
+                FROM embeddings WHERE vec_id < 3
+            ),
+            scored AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(q.qe, e.embedding) AS cosine
+                FROM q CROSS JOIN embeddings e
+                WHERE e.label <> q.ql AND e.vec_id <> q.query_id
+            )
+            SELECT query_id, vec_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, vec_id) - 1 AS INTEGER)
+                   AS rank
+            FROM scored
+            QUALIFY rank < 5
+            ORDER BY query_id, rank
         """,
         "source_overlap_documents": """
             WITH words AS (

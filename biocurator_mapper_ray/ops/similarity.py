@@ -813,3 +813,86 @@ def ivf_pq_search(index_dir: str, queries: np.ndarray, k: int = 10, *,
 
     return partials.groupby("query_id").map_groups(merge,
                                                    batch_format="pandas")
+
+
+class _MaskedTopK:
+    """Per-batch brute-force scorer with per-query EXCLUSION: candidates
+    sharing a query's label (or its id) are masked out before the local
+    top-k — the hard-negative selection kernel."""
+
+    def __init__(self, ref, k: int, id_column: str, vec_column: str,
+                 label_column: str):
+        import ray
+
+        q, labels, qids = ref if isinstance(ref, tuple) else ray.get(ref)
+        self.queries = _normalize(np.asarray(q, dtype=np.float32))
+        self.qlabels = np.asarray(labels)
+        self.qids = np.asarray(qids, dtype=np.int64)
+        self.k = k
+        self.id_column = id_column
+        self.vec_column = vec_column
+        self.label_column = label_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _normalize(_as_matrix(batch.column(self.vec_column)))
+        ids = batch.column(self.id_column).to_numpy()
+        labs = batch.column(self.label_column).to_numpy(zero_copy_only=False)
+        sims = self.queries @ mat.T  # (Q, B)
+        # mask same-label candidates and the anchor itself
+        bad = (self.qlabels[:, None] == labs[None, :]) \
+            | (self.qids[:, None] == ids[None, :])
+        sims = np.where(bad, -np.inf, sims)
+        k = min(self.k, sims.shape[1])
+        if k == 0:
+            return pa.table({
+                "query_id": pa.array([], pa.int64()),
+                self.id_column: pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float32())})
+        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        psims = np.take_along_axis(sims, part, axis=1)
+        out_q = np.repeat(np.arange(sims.shape[0], dtype=np.int64), k)
+        keep = np.isfinite(psims.reshape(-1))
+        return pa.table({
+            "query_id": pa.array(out_q[keep]),
+            self.id_column: pa.array(ids[part].reshape(-1)[keep]),
+            "cosine": pa.array(psims.reshape(-1)[keep].astype(np.float32)),
+        })
+
+
+def hard_negatives(ds, queries: np.ndarray, query_labels, query_ids,
+                   k: int = 5, id_column: str = "vec_id",
+                   vec_column: str = "embedding",
+                   label_column: str = "label"):
+    """Contrastive hard-negative mining: for each anchor (query vector
+    + its label + its id), the top-``k`` HIGHEST-cosine vectors whose
+    ``label_column`` DIFFERS from the anchor's (self excluded) —
+    "similar but wrong" examples, the standard way to sharpen
+    embedding training beyond random negatives
+    (cf. ops/sample.negative_pairs for the random baseline).
+
+    Same scale shape as :func:`knn_search`: the (anchors, labels, ids)
+    triple is ``ray.put`` once and scored against every batch map-side
+    (one matmul + masked partial top-k per batch, nothing
+    corpus-scale anywhere), then one query-grouped merge keeps the
+    global top-k with (cosine DESC, id) tie-break."""
+    import ray
+
+    ref = ray.put((np.asarray(queries, dtype=np.float32),
+                   np.asarray(query_labels), np.asarray(query_ids)))
+    partials = ds.map_batches(
+        _MaskedTopK,
+        fn_constructor_args=(ref, k, id_column, vec_column, label_column),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["cosine", id_column],
+                              ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype=np.int32)
+        return g
+
+    return partials.groupby("query_id").map_groups(merge,
+                                                   batch_format="pandas")

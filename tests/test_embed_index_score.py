@@ -261,3 +261,53 @@ class TestLLMResponseParser:
 
     def test_garbage_json_error(self):
         assert "JSON decode error" in parse_llm_response("not json {", self.CANDS)["error"]
+
+
+class TestHardNegatives:
+    def test_same_label_and_self_excluded(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.similarity import hard_negatives
+
+        # anchor [1,0]; same-label near-identical vec must be skipped,
+        # different-label vectors rank by cosine
+        vecs = {
+            0: ([1.0, 0.0], "a"),
+            1: ([0.99, 0.14], "a"),   # same label: excluded
+            2: ([0.9, 0.44], "b"),    # best legal negative
+            3: ([0.0, 1.0], "b"),
+            4: ([-1.0, 0.0], "c"),
+        }
+        df = pd.DataFrame({
+            "vec_id": list(vecs),
+            "embedding": [v[0] for v in vecs.values()],
+            "label": [v[1] for v in vecs.values()],
+        })
+        got = hard_negatives(
+            rd.from_pandas(df).repartition(2),
+            queries=np.array([vecs[0][0]]), query_labels=np.array(["a"]),
+            query_ids=np.array([0]), k=3).to_pandas() \
+            .sort_values("rank")
+        assert got["vec_id"].tolist() == [2, 3, 4]
+        assert 1 not in set(got["vec_id"])
+        assert 0 not in set(got["vec_id"])
+
+    def test_all_same_label_yields_empty(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.similarity import hard_negatives
+
+        df = pd.DataFrame({
+            "vec_id": [0, 1],
+            "embedding": [[1.0, 0.0], [0.5, 0.5]],
+            "label": ["a", "a"],
+        })
+        got = hard_negatives(
+            rd.from_pandas(df), queries=np.array([[1.0, 0.0]]),
+            query_labels=np.array(["a"]), query_ids=np.array([0]),
+            k=2).to_pandas()
+        assert len(got) == 0
