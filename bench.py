@@ -197,6 +197,22 @@ def run_bench() -> dict:
         "kg_examples",
         "ppr_parts",
         "skew_join_orders",
+        # round-4 fifth-session additions.  Not listed: wcc_parts (the
+        # quantity-filtered part chain graph is diameter-heavy — ~30 s
+        # of propagation rounds at sf0.1 even with pointer jumping,
+        # correctness-gated at sf0.01
+        # instead) and ngram_containment_documents (the queries() entry
+        # is the deliberately-quadratic all-pairs ground-truth mode;
+        # the timed entry below runs its minhash scale path)
+        "coverage_intervals_events",
+        "rrf_fuse_documents",
+        "negative_pairs_documents",
+        "bm25_documents",
+        "legal_transitions_events",
+        "suffix_fit_events",
+        "encode_tokens_documents",
+        "source_overlap_documents",
+        "hard_negatives_embeddings",
     ]
     qs = entry.queries()
     for name in bench_queries:
@@ -239,6 +255,17 @@ def run_bench() -> dict:
         minhash_dedup(ds, threshold=0.6, emit_mode="hybrid",
                       hash_mode="fast").count()
         queries["dedup_minhash_fast"] = round(time.time() - t0, 3)
+
+        # containment at scale: MinHash candidates + exact set verify
+        # (the production path; the queries() entry is the quadratic
+        # all-pairs ground-truth mode, benched only at sf0.01)
+        from biocurator_mapper_ray.ops.dedup import ngram_containment_pairs
+
+        t0 = time.time()
+        ds = entry._read(SF_DIR, "documents", columns=["doc_id", "text"])
+        ngram_containment_pairs(ds, n=3, threshold=0.5,
+                                candidates="minhash").count()
+        queries["ngram_containment_fast"] = round(time.time() - t0, 3)
 
     ray.shutdown()
     return {

@@ -809,6 +809,55 @@ def connected_components(edges, *, max_iters: int = 10, shards: int = 64):
             .groupby("__shard").map_groups(node_min, batch_format="pandas")
         )
 
+    def to_shortcut_rows(batch: pa.Table) -> pa.Table:
+        """State rows → pointer-jump exchange rows: DEF rows publish
+        each node's current label (kind 0, keyed by node; unique — a
+        node's rows share one label and one node_min output block),
+        USE rows are the state keyed by its label (kind 1)."""
+        a = batch.column("a").to_numpy().astype(np.int64)
+        b = batch.column("b").to_numpy().astype(np.int64)
+        node = batch.column("node").to_numpy().astype(np.int64)
+        label = batch.column("label").to_numpy().astype(np.int64)
+        dn, di = np.unique(node, return_index=True)
+        z = np.zeros(len(dn), dtype=np.int64)
+        return pa.table({
+            "key": pa.array(np.concatenate([dn, label])),
+            "kind": pa.array(np.concatenate(
+                [np.zeros(len(dn), np.int8), np.ones(len(a), np.int8)])),
+            "a": pa.array(np.concatenate([z, a])),
+            "b": pa.array(np.concatenate([z, b])),
+            "node": pa.array(np.concatenate([dn, node])),
+            "label": pa.array(np.concatenate([label[di], label])),
+        })
+
+    def add_key_shard(batch: pa.Table) -> pa.Table:
+        k = batch.column("key").to_numpy().astype(np.uint64)
+        s = ((k * P) ^ ((k * P) >> np.uint64(29))) % np.uint64(shards)
+        return batch.append_column("__shard", pa.array(s.astype(np.int32)))
+
+    def shortcut_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__shard")
+        m = (g[g["kind"] == 0].drop_duplicates("key")
+             .set_index("key")["label"])
+        u = g[g["kind"] == 1]
+        jumped = u["key"].map(m)
+        return u.assign(
+            label=np.minimum(u["label"].to_numpy(),
+                             jumped.fillna(u["label"]).to_numpy()
+                             .astype(np.int64))
+        )[["a", "b", "node", "label"]]
+
+    def shortcut_round(ds_state):
+        """Pointer jumping: label := label(label).  One extra exchange
+        that lets labels cross 2^k hops by round k instead of one —
+        the high-diameter (chain) escape hatch; engaged adaptively
+        below so the common shallow near-dup graphs never pay for it."""
+        return (ds_state.map_batches(to_shortcut_rows,
+                                     batch_format="pyarrow")
+                .map_batches(add_key_shard, batch_format="pyarrow")
+                .groupby("__shard").map_groups(shortcut_shard,
+                                               batch_format="pandas"))
+
     state = edges.map_batches(to_endpoint_rows, batch_format="pyarrow").materialize()
     n_rows = state.count()
     if n_rows == 0:
@@ -827,8 +876,15 @@ def connected_components(edges, *, max_iters: int = 10, shards: int = 64):
     # consecutive sums detects convergence (labels only decrease)
     prev_sum = state.sum("label")
     converged = False
-    for _ in range(max_iters):
-        state = one_round(state).materialize()
+    for it in range(max_iters):
+        state = one_round(state)
+        if it >= 2:
+            # still not settled after two plain rounds: a deep
+            # component — engage pointer jumping (labels then cross
+            # 2^k hops by round k, so chains converge in O(log D)
+            # rounds instead of O(D))
+            state = shortcut_round(state)
+        state = state.materialize()
         label_sum = state.sum("label")
         if label_sum == prev_sum:
             converged = True

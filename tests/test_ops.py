@@ -2271,3 +2271,27 @@ class TestGroupTokenOverlap:
         # disjoint pairs emit nothing (no shared token rows)
         assert set(recs) == {("a", "b")}
         assert recs[("a", "b")] == (2, 4, 2, 0.5)
+
+
+class TestComponentsPointerJumping:
+    def test_long_chain_converges_in_log_rounds(self, ray_session):
+        """A 400-hop chain needs ~400 plain propagation rounds; with
+        adaptive pointer jumping it must settle (no non-convergence
+        warning) within 16 — and label everything with the chain min."""
+        import warnings as _warnings
+
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.dedup import connected_components
+
+        e = pd.DataFrame({"a": np.arange(399), "b": np.arange(1, 400)})
+        e = e.sample(frac=1.0, random_state=1).reset_index(drop=True)
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("error", RuntimeWarning)
+            out = connected_components(
+                rd.from_pandas(e).repartition(8),
+                max_iters=16).to_pandas()
+        assert len(out) == 400
+        assert (out["component"] == 0).all()
