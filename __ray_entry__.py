@@ -456,6 +456,22 @@ def _q_sessionize_events(sf_dir: str):
     )
 
 
+def _q_bpe_pieces_documents(sf_dir: str):
+    """BPE tokenizer training + corpus piece accounting
+    (ops/lm.bpe_train / bpe_piece_counts): 30 merges learned from the
+    exact distributed word counts (the only corpus-scale pass;
+    merge loop is vocab-dict-bounded on the driver), then per-doc
+    (n_words, n_pieces) under the learned merges via a broadcast-merge
+    actor pool with a distinct-word memo.  Iterative training has no
+    SQL equivalent — rows-only; the merge algebra is pinned by exact
+    small-corpus tests (tests/test_funnel_lm.py::TestBPE)."""
+    from biocurator_mapper_ray.ops.lm import bpe_piece_counts, bpe_train
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    merges = bpe_train(docs, num_merges=30)
+    return bpe_piece_counts(docs, merges).sort("doc_id")
+
+
 def _q_hard_negatives_embeddings(sf_dir: str):
     """Contrastive hard negatives (ops/similarity.hard_negatives): for
     anchors vec_id < 3, the 5 highest-cosine vectors with a DIFFERENT
@@ -2988,6 +3004,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encode_tokens_documents": _q_encode_tokens_documents,
         "source_overlap_documents": _q_source_overlap_documents,
         "hard_negatives_embeddings": _q_hard_negatives_embeddings,
+        "bpe_pieces_documents": _q_bpe_pieces_documents,  # rows-only (iterative)
         "suffix_fit_events": _q_suffix_fit_events,
         "running_user_value": _q_running_user_value,   # r03 green
         "rolling_user_value": _q_rolling_user_value,   # r03 green

@@ -318,3 +318,134 @@ def vocab_contingency(ds, *, group_col: str = "source",
             .groupby("__kb").map_groups(
                 lambda g: fold(g.drop(columns="__kb")),
                 batch_format="pandas"))
+
+
+# ----------------------------------------------------------- BPE
+
+
+def bpe_train(ds, *, text_column: str = "text", num_merges: int = 50,
+              shards: int = 32) -> list[tuple[str, str]]:
+    """Byte-pair-encoding merge training (Sennrich et al. 2016),
+    distributed the way production tokenizer trainers are: the ONLY
+    corpus-scale pass is the exact word-count map-reduce
+    (:func:`~biocurator_mapper_ray.ops.textstats.word_counts`); the
+    merge loop then runs on the (word → count) dictionary — bounded by
+    the corpus' distinct-word vocabulary, not its token stream, so the
+    driver-side loop is vocab-scale by construction (same bound as the
+    broadcast-vocab ops).
+
+    Symbols start as single characters (no end-of-word marker — pieces
+    never span words because counting is per word).  Each round merges
+    the most frequent adjacent symbol pair, ties broken lexicographic
+    — deterministic across runs/engines.  Stops early when no pair
+    repeats.  Returns the ordered merge list for :func:`bpe_encode`.
+    """
+    from .textstats import word_counts
+
+    wc = word_counts(ds, text_column=text_column, shards=shards).to_pandas()
+    words = [tuple(w) for w in wc["token"].tolist()]
+    counts = wc["n"].to_numpy(np.int64)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for syms, c in zip(words, counts):
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + int(c)
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        a, b = best[0]
+        merged = a + b
+        merges.append((a, b))
+
+        def apply(syms: tuple[str, ...]) -> tuple[str, ...]:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            return tuple(out)
+
+        words = [apply(s) if a in s else s for s in words]
+    return merges
+
+
+def bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Encode ONE word with trained merges: repeatedly apply the
+    lowest-rank applicable merge (the standard greedy BPE inference)."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank, best_i = None, -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+class BpeEncodeStage:
+    """documents batch → (id, n_words, n_pieces) with the merge table
+    held per ACTOR (built once in ``__init__`` from the broadcast merge
+    list) and a per-batch DISTINCT-WORD memo: each distinct word is
+    encoded once per batch regardless of its frequency — the loop is
+    batch-vocabulary-bounded, not token-stream-bounded."""
+
+    def __init__(self, merges_ref, text_column: str = "text",
+                 id_column: str = "doc_id"):
+        import ray
+
+        merges = merges_ref if isinstance(merges_ref, list) \
+            else ray.get(merges_ref)
+        self.ranks = {tuple(p): i for i, p in enumerate(merges)}
+        self.text_column = text_column
+        self.id_column = id_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(
+                pc.cast(batch.column(self.text_column), pa.string()))),
+            r"\s+")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        n = len(lens)
+        keep = flat != ""
+        uniq, inv = np.unique(flat, return_inverse=True)
+        pieces_per = np.array(
+            [len(bpe_encode_word(w, self.ranks)) if w else 0
+             for w in uniq.tolist()], dtype=np.int64)
+        per_tok = np.where(keep, pieces_per[inv], 0)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        if len(flat):
+            n_words = np.add.reduceat(keep.astype(np.int64), starts)
+            n_pieces = np.add.reduceat(per_tok, starts)
+        else:
+            n_words = np.zeros(n, dtype=np.int64)
+            n_pieces = np.zeros(n, dtype=np.int64)
+        return pa.table({
+            self.id_column: batch.column(self.id_column),
+            "n_words": pa.array(n_words),
+            "n_pieces": pa.array(n_pieces)})
+
+
+def bpe_piece_counts(ds, merges, *, text_column: str = "text",
+                     id_column: str = "doc_id"):
+    """Per-doc BPE piece counts under trained ``merges`` — the token
+    accounting an LM data pipeline budgets with.  Merges are broadcast
+    once (``ray.put``) into an actor pool; see :class:`BpeEncodeStage`
+    for the distinct-word memo bound."""
+    import ray
+
+    ref = ray.put(list(merges))
+    return ds.map_batches(
+        BpeEncodeStage, fn_constructor_args=(ref, text_column, id_column),
+        batch_format="pyarrow", concurrency=(1, 8), num_cpus=1)

@@ -306,3 +306,44 @@ class TestVocabContingency:
         got = vocab_contingency(rd.from_pandas(df), min_count=1) \
             .to_pandas()
         assert len(got) == 0
+
+
+class TestBPE:
+    def test_train_merges_exact_small_case(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.lm import bpe_train
+
+        ds = rd.from_items([{"doc_id": 1, "text": "aaab aaab"},
+                            {"doc_id": 2, "text": "ab"}])
+        merges = bpe_train(ds, num_merges=10)
+        # hand-derived: (a,a) wins 4v3, then (a,b) 3, then (aa,ab) 2
+        assert merges == [("a", "a"), ("a", "b"), ("aa", "ab")]
+
+    def test_encode_greedy_rank_order(self, ray_session):
+        from biocurator_mapper_ray.ops.lm import bpe_encode_word
+
+        ranks = {("a", "a"): 0, ("a", "b"): 1, ("aa", "ab"): 2}
+        assert bpe_encode_word("aaab", ranks) == ["aaab"]
+        assert bpe_encode_word("ab", ranks) == ["ab"]
+        assert bpe_encode_word("ba", ranks) == ["b", "a"]
+        assert bpe_encode_word("x", ranks) == ["x"]
+
+    def test_piece_counts_pipeline(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.lm import bpe_piece_counts, bpe_train
+
+        rows = [{"doc_id": 1, "text": "aaab ab"},
+                {"doc_id": 2, "text": "ba   "},
+                {"doc_id": 3, "text": ""}]
+        ds = rd.from_items(rows)
+        merges = bpe_train(ds, num_merges=10)
+        got = bpe_piece_counts(ds, merges).to_pandas() \
+            .set_index("doc_id").sort_index()
+        # merges learned here: (a,a), (a,b) — the (aa,ab) pair occurs
+        # only once in THIS corpus so training stops before it; 'aaab'
+        # encodes to (aa, ab) = 2 pieces, 'ab' to 1
+        assert got.loc[1].tolist() == [2, 3]
+        assert got.loc[2].tolist() == [1, 2]   # 'ba' stays 2 pieces
+        assert got.loc[3].tolist() == [0, 0]
