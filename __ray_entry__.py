@@ -456,6 +456,44 @@ def _q_sessionize_events(sf_dir: str):
     )
 
 
+def _q_curate_pipeline_documents(sf_dir: str):
+    """END-TO-END curation chain, hash-exact against ONE composed SQL
+    oracle: exact dedup (min-id winner keeps its row) → composite
+    quality filter (integer-evidence keep) → benchmark decontamination
+    (drop any doc sharing a word-3-gram with the doc_id%20==0 eval
+    subset; broadcast shingle set) → per-source quota cap (≤10,
+    md5-order) → sequence packing (global token offsets, budget 256).
+    Every stage is a lazy Dataset transform — the corpus streams
+    through the whole chain with two bounded exchanges (dedup shards,
+    pack range shards) and zero driver materialization of survivors."""
+    from biocurator_mapper_ray.ops.decontam import (
+        benchmark_shingle_set, decontaminate)
+    from biocurator_mapper_ray.ops.dedup import exact_dedup
+    from biocurator_mapper_ray.ops.pack import sequence_pack
+    from biocurator_mapper_ray.ops.sample import quota_sample
+    from biocurator_mapper_ray.ops.textstats import quality_filter
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    survivors = exact_dedup(docs)
+
+    def keep_quality(batch: pa.Table) -> pa.Table:
+        out = quality_filter(batch)
+        out = out.filter(out.column("keep"))
+        return out.select(["doc_id", "text", "source"])
+
+    survivors = survivors.map_batches(keep_quality, batch_format="pyarrow")
+
+    bench_tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    mask = bench_tbl.column("doc_id").to_numpy() % 20 == 0
+    bench = benchmark_shingle_set(
+        bench_tbl.filter(pa.array(mask)).column("text").to_pylist(), n=3)
+    survivors = decontaminate(survivors, bench, n=3)
+
+    survivors = quota_sample(survivors, group_column="source", quota=10)
+    return sequence_pack(survivors, budget=256).sort("tok_start")
+
+
 def _q_bpe_pieces_documents(sf_dir: str):
     """BPE tokenizer training + corpus piece accounting
     (ops/lm.bpe_train / bpe_piece_counts): 30 merges learned from the
@@ -3005,6 +3043,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap_documents": _q_source_overlap_documents,
         "hard_negatives_embeddings": _q_hard_negatives_embeddings,
         "bpe_pieces_documents": _q_bpe_pieces_documents,  # rows-only (iterative)
+        "curate_pipeline_documents": _q_curate_pipeline_documents,
         "suffix_fit_events": _q_suffix_fit_events,
         "running_user_value": _q_running_user_value,   # r03 green
         "rolling_user_value": _q_rolling_user_value,   # r03 green
@@ -4075,6 +4114,101 @@ def oracle_sql() -> dict[str, str]:
                                        AND CURRENT ROW) AS BIGINT) AS rolling_cents
             FROM events
             ORDER BY event_id
+        """,
+        "curate_pipeline_documents": """
+            WITH ded AS (
+                SELECT min(doc_id) AS doc_id, text
+                FROM documents GROUP BY text
+            ), ded_src AS (
+                SELECT d.doc_id, d.text, o.source
+                FROM ded d JOIN documents o USING (doc_id)
+            ), words AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           lower(trim(text)), '\\s+'), w -> w <> '') AS ws
+                FROM ded_src
+            ), wc AS (
+                SELECT doc_id, t.tok, count(*) AS c
+                FROM words, unnest(ws) AS t(tok)
+                GROUP BY doc_id, t.tok
+            ), wstats AS (
+                SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+                       count(*) AS n_distinct,
+                       CAST(max(c) AS BIGINT) AS top_n
+                FROM wc GROUP BY doc_id
+            ), quality AS (
+                SELECT s.doc_id, s.text, s.source
+                FROM ded_src s JOIN wstats w USING (doc_id)
+                WHERE w.n_words >= 5 AND w.n_words <= 50000
+                  AND w.top_n * 2 <= w.n_words
+                  AND w.n_distinct * 4 >= w.n_words
+            ), qwords AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                           '[ \\t\\n\\r\\f\\x0b]+'), w -> w <> '') AS ws
+                FROM quality
+            ), qgrams AS (
+                SELECT doc_id,
+                       ws[g.i] || ' ' || ws[g.i+1] || ' ' || ws[g.i+2]
+                       AS sh
+                FROM qwords, unnest(range(1, len(ws) - 1)) AS g(i)
+                WHERE len(ws) >= 3
+                UNION ALL
+                SELECT doc_id, array_to_string(ws, ' ') AS sh
+                FROM qwords WHERE len(ws) BETWEEN 1 AND 2
+            ), bwords AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                           '[ \\t\\n\\r\\f\\x0b]+'), w -> w <> '') AS ws
+                FROM documents WHERE doc_id % 20 = 0
+            ), bgrams AS (
+                SELECT ws[g.i] || ' ' || ws[g.i+1] || ' ' || ws[g.i+2]
+                       AS sh
+                FROM bwords, unnest(range(1, len(ws) - 1)) AS g(i)
+                WHERE len(ws) >= 3
+                UNION ALL
+                SELECT array_to_string(ws, ' ')
+                FROM bwords WHERE len(ws) BETWEEN 1 AND 2
+            ), bench AS (SELECT DISTINCT sh FROM bgrams),
+            dirty AS (
+                SELECT DISTINCT g.doc_id
+                FROM qgrams g JOIN bench b ON g.sh = b.sh
+            ), clean AS (
+                SELECT q.* FROM quality q
+                WHERE q.doc_id NOT IN (SELECT doc_id FROM dirty)
+            ), keyed AS (
+                SELECT doc_id, text, source,
+                       CAST('0x' || substr(md5('42:' ||
+                            CAST(doc_id AS VARCHAR)), 1, 15) AS UBIGINT)
+                       AS qkey
+                FROM clean
+            ), quota AS (
+                SELECT doc_id, text, qkey,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY qkey, doc_id) AS rn
+                FROM keyed QUALIFY rn <= 10
+            ), toks AS (
+                SELECT doc_id,
+                       CASE WHEN length(regexp_replace(text,
+                                 '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
+                            ELSE array_length(regexp_split_to_array(
+                                 regexp_replace(text, '^\\s+|\\s+$',
+                                                '', 'g'), '\\s+'))
+                       END AS n_tokens,
+                       qkey
+                FROM quota
+            ), laid AS (
+                SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                       CAST(coalesce(sum(n_tokens) OVER (
+                            ORDER BY qkey, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS BIGINT)
+                       AS tok_start
+                FROM toks
+            )
+            SELECT doc_id, n_tokens, tok_start,
+                   tok_start // 256 AS seq_id
+            FROM laid ORDER BY tok_start
         """,
         "hard_negatives_embeddings": """
             WITH q AS (

@@ -2295,3 +2295,21 @@ class TestComponentsPointerJumping:
                 max_iters=16).to_pandas()
         assert len(out) == 400
         assert (out["component"] == 0).all()
+
+
+class TestCuratePipeline:
+    def test_stages_filter_monotonically(self, ray_session):
+        """The composed curation chain on sf0.001: every stage only
+        removes rows; packed output covers survivors exactly once with
+        contiguous token offsets."""
+        import __ray_entry__ as entry
+
+        out = entry._q_curate_pipeline_documents(
+            "/root/testdata/sf0.001").to_pandas()
+        assert len(out) > 0
+        assert out["doc_id"].is_unique
+        # offsets are an exclusive prefix sum in emitted order
+        assert out["tok_start"].iloc[0] == 0
+        expect = (out["tok_start"] + out["n_tokens"]).iloc[:-1].to_numpy()
+        assert (out["tok_start"].iloc[1:].to_numpy() == expect).all()
+        assert (out["seq_id"] == out["tok_start"] // 256).all()
