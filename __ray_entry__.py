@@ -680,6 +680,24 @@ def _q_coverage_intervals_events(sf_dir: str):
                            end="end_ts").sort(["user_id", "start_ts"])
 
 
+def _q_session_ids_events(sf_dir: str):
+    """Per-event session ASSIGNMENT (ops/window.session_windows): each
+    event tagged with its user's 0-based session id under the 30-min
+    gap rule — the enrichment form of sessionize_events (which emits
+    only counts); one key-hash exchange, per-bucket vectorized grouped
+    diff + cumsum."""
+    from biocurator_mapper_ray.ops.window import session_windows
+
+    events = _read(sf_dir, "events",
+                   columns=["event_id", "user_id", "ts"])
+    out = session_windows(events, key="user_id", ts="ts",
+                          tiebreak="event_id",
+                          gap=pd.Timedelta(minutes=30))
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "session_id"]),
+        batch_format="pyarrow").sort("event_id")
+
+
 def _q_revenue_by_priority(sf_dir: str):
     """Both-sides-large partitioned hash join: lineitem ⋈ orders.
 
@@ -3035,6 +3053,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_events": _q_hourly_events,             # r03 green
         "sessionize_events": _q_sessionize_events,     # r03 green
         "coverage_intervals_events": _q_coverage_intervals_events,
+        "session_ids_events": _q_session_ids_events,
         "rrf_fuse_documents": _q_rrf_fuse_documents,
         "negative_pairs_documents": _q_negative_pairs_documents,
         "bm25_documents": _q_bm25_documents,
@@ -4406,6 +4425,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, rrf, n_lists
             FROM f ORDER BY rrf DESC, doc_id LIMIT 50
+        """,
+        "session_ids_events": """
+            WITH flags AS (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN ts - lag(ts) OVER (
+                                PARTITION BY user_id
+                                ORDER BY ts, event_id)
+                            > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+            )
+            SELECT event_id, user_id,
+                   CAST(sum(new_s) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS INTEGER)
+                   AS session_id
+            FROM flags ORDER BY event_id
         """,
         "coverage_intervals_events": """
             WITH iv AS (
