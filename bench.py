@@ -213,6 +213,9 @@ def run_bench() -> dict:
         "encode_tokens_documents",
         "source_overlap_documents",
         "hard_negatives_embeddings",
+        "curate_pipeline_documents",
+        "session_ids_events",
+        "bpe_pieces_documents",
     ]
     qs = entry.queries()
     for name in bench_queries:
