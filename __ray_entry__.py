@@ -680,6 +680,76 @@ def _q_coverage_intervals_events(sf_dir: str):
                            end="end_ts").sort(["user_id", "start_ts"])
 
 
+def _q_returned_revenue_customers(sf_dir: str):
+    """TPC-H Q10-style 4-table pipeline: returned lineitems ⋈ orders
+    (partitioned hash join with a per-bucket combiner) → per-customer
+    revenue fold → ⋈ customer (both-sides-large hash join) → nation
+    broadcast enrich → top-20 by revenue (ops/rank.global_top_rank).
+    Revenue in per-item integer c10k units before any summation, so
+    the fold is order-independent and hash-exact vs SQL."""
+    from biocurator_mapper_ray.ops.join import hash_join
+    from biocurator_mapper_ray.ops.rank import global_top_rank
+
+    lineitem = _read(sf_dir, "lineitem",
+                     columns=["l_orderkey", "l_returnflag",
+                              "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    customer = _read(sf_dir, "customer",
+                     columns=["c_custkey", "c_name", "c_nationkey"])
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    n_map = dict(zip(nation.column("n_nationkey").to_pylist(),
+                     nation.column("n_name").to_pylist()))
+
+    def returned_revenue(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.equal(batch.column("l_returnflag"), "R"))
+        rev = pc.multiply(batch.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0),
+                                      batch.column("l_discount")))
+        c10k = pc.cast(pc.round(pc.multiply(rev, 10000.0), ndigits=0),
+                       pa.int64())
+        return pa.table({"l_orderkey": batch.column("l_orderkey"),
+                         "revenue_c10k": c10k})
+
+    li = lineitem.map_batches(returned_revenue, batch_format="pyarrow")
+    per_cust_partial = hash_join(
+        li, orders, left_on="l_orderkey", right_on="o_orderkey",
+        size_hint=lineitem.count() + orders.count(),
+        # an order's rows share its bucket: per-(custkey) partials leave
+        # each bucket one-row-per-customer-per-bucket
+        bucket_postprocess=lambda df: df.groupby("o_custkey", sort=False)
+        ["revenue_c10k"].sum().reset_index(name="revenue_c10k"),
+    )
+    # final per-customer fold FUSED into the customer join's bucket
+    # task (a custkey's partials all hash to its bucket) — one
+    # exchange, no separate aggregate (Ray's native groupby paid ~20 s
+    # re-blocking the join's many small outputs at sf0.1)
+    joined = hash_join(
+        per_cust_partial, customer,
+        left_on="o_custkey", right_on="c_custkey",
+        size_hint=customer.count() * 2,
+        bucket_postprocess=lambda df: df.groupby(
+            ["c_custkey", "c_name", "c_nationkey"], sort=False)
+        ["revenue_c10k"].sum().reset_index(name="revenue_c10k"),
+    )
+
+    def enrich(batch: pa.Table) -> pa.Table:
+        nk = batch.column("c_nationkey").to_pylist()
+        return pa.table({
+            "c_custkey": batch.column("c_custkey"),
+            "c_name": batch.column("c_name"),
+            "n_name": pa.array([n_map[k] for k in nk], pa.string()),
+            "revenue_c10k": pc.cast(batch.column("revenue_c10k"),
+                                    pa.int64()),
+        })
+
+    top = global_top_rank(
+        joined.map_batches(enrich, batch_format="pyarrow"),
+        by="revenue_c10k", tiebreak="c_custkey", k=20)
+    return top.sort("rank")
+
+
 def _q_session_ids_events(sf_dir: str):
     """Per-event session ASSIGNMENT (ops/window.session_windows): each
     event tagged with its user's 0-based session id under the 30-min
@@ -3054,6 +3124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": _q_sessionize_events,     # r03 green
         "coverage_intervals_events": _q_coverage_intervals_events,
         "session_ids_events": _q_session_ids_events,
+        "returned_revenue_customers": _q_returned_revenue_customers,
         "rrf_fuse_documents": _q_rrf_fuse_documents,
         "negative_pairs_documents": _q_negative_pairs_documents,
         "bm25_documents": _q_bm25_documents,
@@ -4425,6 +4496,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, rrf, n_lists
             FROM f ORDER BY rrf DESC, doc_id LIMIT 50
+        """,
+        "returned_revenue_customers": """
+            WITH rev AS (
+                SELECT o_custkey,
+                       CAST(sum(CAST(round(l_extendedprice
+                                           * (1 - l_discount) * 10000, 0)
+                                     AS BIGINT)) AS BIGINT)
+                       AS revenue_c10k
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE l_returnflag = 'R'
+                GROUP BY o_custkey
+            )
+            SELECT c.c_custkey, c.c_name, n.n_name, r.revenue_c10k,
+                   CAST(row_number() OVER (ORDER BY r.revenue_c10k DESC,
+                                           c.c_custkey) AS BIGINT)
+                   AS rank
+            FROM rev r JOIN customer c ON c_custkey = o_custkey
+                       JOIN nation n ON n_nationkey = c_nationkey
+            QUALIFY rank <= 20
+            ORDER BY rank
         """,
         "session_ids_events": """
             WITH flags AS (

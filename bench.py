@@ -216,6 +216,7 @@ def run_bench() -> dict:
         "curate_pipeline_documents",
         "session_ids_events",
         "bpe_pieces_documents",
+        "returned_revenue_customers",
     ]
     qs = entry.queries()
     for name in bench_queries:
