@@ -734,12 +734,17 @@ def _q_returned_revenue_customers(sf_dir: str):
         ["revenue_c10k"].sum().reset_index(name="revenue_c10k"),
     )
 
+    # dense nationkey lookup table: the broadcast-dim enrich is one
+    # vectorized take per batch, no per-row python
+    nk_max = max(n_map) if n_map else 0
+    n_lut = np.array([n_map.get(i, "") for i in range(nk_max + 1)])
+
     def enrich(batch: pa.Table) -> pa.Table:
-        nk = batch.column("c_nationkey").to_pylist()
+        nk = batch.column("c_nationkey").to_numpy(zero_copy_only=False)
         return pa.table({
             "c_custkey": batch.column("c_custkey"),
             "c_name": batch.column("c_name"),
-            "n_name": pa.array([n_map[k] for k in nk], pa.string()),
+            "n_name": pa.array(n_lut[nk.astype(np.int64)], pa.string()),
             "revenue_c10k": pc.cast(batch.column("revenue_c10k"),
                                     pa.int64()),
         })

@@ -661,9 +661,17 @@ def bm25_evidence(ds, *, query_terms: list[str],
     df_map = dict(zip(dft["term"], dft["count()"].astype(int)))
 
     def attach(batch: pa.Table) -> pa.Table:
-        terms = batch.column("term").to_pylist()  # ≤ |query| distinct
+        # dictionary-encode: python touches only the ≤|query| distinct
+        # terms, rows get a vectorized take
+        enc = pc.dictionary_encode(
+            batch.column("term").combine_chunks()
+            if isinstance(batch.column("term"), pa.ChunkedArray)
+            else batch.column("term"))
+        dvals = np.array([df_map[t] for t in enc.dictionary.to_pylist()],
+                         dtype=np.int64)
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         return batch.append_column(
-            "df", pa.array([df_map[t] for t in terms], pa.int64())
+            "df", pa.array(dvals[idx])
         ).append_column(
             "n_docs", pa.array(np.full(len(batch), n_docs), pa.int64())
         ).append_column(
