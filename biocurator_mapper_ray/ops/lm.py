@@ -449,3 +449,82 @@ def bpe_piece_counts(ds, merges, *, text_column: str = "text",
     return ds.map_batches(
         BpeEncodeStage, fn_constructor_args=(ref, text_column, id_column),
         batch_format="pyarrow", concurrency=(1, 8), num_cpus=1)
+
+
+def skipgram_pairs(ds, *, text_column: str = "text", window: int = 3,
+                   min_count: int = 2, buckets: int | None = None,
+                   size_hint: int | None = None):
+    """Directional skip-gram co-occurrence counts — the GloVe/word2vec
+    embedding-training prep: for every token position ``i`` and offset
+    ``d`` in 1..``window`` inside one document, count the ordered pair
+    ``(ws[i], ws[i+d])``; return ``(w1, w2, pair_count)`` for pairs
+    whose CORPUS count is ≥ ``min_count``.
+
+    Scale shape: a document's window pairs are batch-local (a row is a
+    whole document), so the explode pass pre-aggregates in-batch with
+    Arrow's C-level ``group_by`` before ONE pair-hash-bucketed exchange
+    of lean (w1, w2, partial-count) rows; the ``min_count`` filter runs
+    inside the bucket so only survivors leave.  No reference equivalent
+    (the reference embeds with a remote model, ``app/do_embeddings.py``);
+    this is the corpus-statistics path a pipeline trains its own
+    embeddings from.  Buckets follow ``derive_buckets``.
+    """
+    n_buckets = buckets if buckets is not None else derive_buckets(
+        size_hint if size_hint is not None else ds.count())
+    empty = pa.table({"w1": pa.array([], pa.string()),
+                      "w2": pa.array([], pa.string()),
+                      "pair_count": pa.array([], pa.int64())})
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column(text_column)), WS_CLASS)
+        toks = (toks.combine_chunks()
+                if isinstance(toks, pa.ChunkedArray) else toks)
+        flat = toks.flatten()
+        offs = toks.offsets.to_numpy()
+        parent = np.repeat(np.arange(len(toks), dtype=np.int64),
+                           np.diff(offs))
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(nonempty))
+        parent = parent[nonempty]
+        w1_parts, w2_parts = [], []
+        for d in range(1, window + 1):
+            if len(flat) <= d:
+                break
+            same = pa.array(parent[:-d] == parent[d:])
+            w1_parts.append(flat.slice(0, len(flat) - d).filter(same))
+            w2_parts.append(flat.slice(d).filter(same))
+        if not w1_parts or not sum(len(p) for p in w1_parts):
+            return empty.append_column("__kb", pa.array([], pa.int32()))
+        w1 = pa.concat_arrays([p.combine_chunks() if isinstance(
+            p, pa.ChunkedArray) else p for p in w1_parts])
+        w2 = pa.concat_arrays([p.combine_chunks() if isinstance(
+            p, pa.ChunkedArray) else p for p in w2_parts])
+        agg = pa.table({"w1": w1, "w2": w2}).group_by(
+            ["w1", "w2"]).aggregate([([], "count_all")])
+        joined = pc.binary_join_element_wise(
+            agg.column("w1"), agg.column("w2"), "\x1f")
+        kb = (hash64_column(joined) % np.uint64(n_buckets)).astype(np.int32)
+        return pa.table({
+            "w1": agg.column("w1"), "w2": agg.column("w2"),
+            "pair_count": pc.cast(agg.column("count_all"), pa.int64()),
+            "__kb": pa.array(kb)})
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        if g.empty:
+            return empty
+        agg = (g.groupby(["w1", "w2"], sort=False)["pair_count"]
+               .sum().reset_index())
+        agg = agg[agg["pair_count"].to_numpy() >= min_count]
+        if not len(agg):
+            return empty
+        return pa.table({
+            "w1": pa.array(agg["w1"], pa.string()),
+            "w2": pa.array(agg["w2"], pa.string()),
+            "pair_count": pa.array(
+                agg["pair_count"].to_numpy(dtype=np.int64))})
+
+    return (ds.map_batches(explode, batch_format="pyarrow")
+            .groupby("__kb")
+            .map_groups(lambda g: fold(g.drop(columns="__kb")),
+                        batch_format="pandas"))

@@ -101,7 +101,8 @@ def sequence_pack(ds, *, budget: int, id_column: str = "doc_id",
               .sort_values("__shard"))
     offs = np.zeros(shards, dtype=np.int64)
     sums = np.zeros(shards, dtype=np.int64)
-    sums[totals["__shard"].to_numpy()] = totals["sum(n_tokens)"].to_numpy()
+    if len(totals):  # empty input → empty frame with no columns
+        sums[totals["__shard"].to_numpy()] = totals["sum(n_tokens)"].to_numpy()
     offs[1:] = np.cumsum(sums)[:-1]
 
     # pass B: each shard lays out its own rows — key order within the
@@ -115,6 +116,50 @@ def sequence_pack(ds, *, budget: int, id_column: str = "doc_id",
             "n_tokens": n,
             "tok_start": start,
             "seq_id": start // budget,
+        })
+
+    return lean_ds.groupby("__shard").map_groups(layout, batch_format="pandas")
+
+
+def assign_row_ids(ds, *, id_column: str = "doc_id", seed: int = 42,
+                   shard_bits: int = 6):
+    """Contiguous global row ids 0..N-1 in deterministic (md5 key, id)
+    order — the stable-global-ordinal primitive (example index files,
+    reproducible corpus shuffles) WITHOUT a single-node sort: the same
+    two-pass range-shard layout as :func:`sequence_pack` with unit
+    counts.  Pass A folds per-shard row counts (driver state is
+    2^``shard_bits`` integers, never rows); pass B lays each shard out
+    independently against its exclusive global offset.
+
+    Returns (id, row_id); ``row_id`` equals the SQL
+    ``row_number() OVER (ORDER BY md5('{seed}:' || id), id) - 1``.
+    """
+    shards = 1 << shard_bits
+
+    def lean(batch: pa.Table) -> pa.Table:
+        qkey = _md5_key60(batch.column(id_column).to_pylist(), seed)
+        return pa.table({
+            id_column: batch.column(id_column),
+            "__qkey": pa.array(qkey),
+            "__shard": pa.array(
+                (qkey >> (60 - shard_bits)).astype(np.int32)),
+        })
+
+    lean_ds = ds.map_batches(lean, batch_format="pyarrow").materialize()
+
+    totals = lean_ds.groupby("__shard").count().to_pandas()
+    offs = np.zeros(shards, dtype=np.int64)
+    sums = np.zeros(shards, dtype=np.int64)
+    if len(totals):  # empty input → empty frame with no columns
+        sums[totals["__shard"].to_numpy()] = totals["count()"].to_numpy()
+    offs[1:] = np.cumsum(sums)[:-1]
+
+    def layout(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(["__qkey", id_column], kind="mergesort")
+        start = offs[int(group["__shard"].iloc[0])]
+        return pd.DataFrame({
+            id_column: group[id_column].to_numpy(),
+            "row_id": start + np.arange(len(group), dtype=np.int64),
         })
 
     return lean_ds.groupby("__shard").map_groups(layout, batch_format="pandas")

@@ -1,0 +1,170 @@
+"""Featurization ops: hashing trick, rare-category bucketing, skip-gram
+pairs, global row-id assignment — each pinned against a brute-force
+pandas/hashlib reference and checked partition-invariant."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from biocurator_mapper_ray.ops.feature import (bucket_rare_values,
+                                               feature_hash_counts)
+from biocurator_mapper_ray.ops.lm import skipgram_pairs
+from biocurator_mapper_ray.ops.pack import assign_row_ids
+
+DOCS = {
+    0: "the cat sat on the mat",
+    1: "the dog  sat\ton the LOG",   # mixed whitespace + case folds
+    2: "",                            # zero tokens
+    3: "   ",                         # whitespace-only
+    4: "one",
+    5: "a b a b a b c",
+    6: "the cat sat on the mat",      # exact dup of 0
+}
+
+
+def _docs_table():
+    return pa.table({"doc_id": list(DOCS), "text": list(DOCS.values())})
+
+
+def _tok(s):
+    return [w for w in s.lower().split() if w]
+
+
+class TestFeatureHash:
+    def test_matches_per_row_hashlib(self, ray_session):
+        import ray.data as rd
+
+        expect = {}
+        for i, s in DOCS.items():
+            for w in _tok(s):
+                b = int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % 64
+                expect[(i, b)] = expect.get((i, b), 0) + 1
+
+        for parts in (1, 5):
+            ds = rd.from_arrow(_docs_table()).repartition(parts)
+            got = feature_hash_counts(ds, n_features=64).to_pandas()
+            assert {(r.doc_id, r.feature): r.n
+                    for r in got.itertuples()} == expect
+
+    def test_empty_docs_emit_nothing(self, ray_session):
+        import ray.data as rd
+
+        got = feature_hash_counts(
+            rd.from_arrow(_docs_table()), n_features=8).to_pandas()
+        assert not set(got["doc_id"]) & {2, 3}
+        # total counts conserve total tokens
+        assert got["n"].sum() == sum(len(_tok(s)) for s in DOCS.values())
+
+
+class TestSkipgramPairs:
+    @staticmethod
+    def _brute(window, min_count):
+        cnt = {}
+        for s in DOCS.values():
+            ws = _tok(s)
+            for i in range(len(ws)):
+                for d in range(1, window + 1):
+                    if i + d < len(ws):
+                        k = (ws[i], ws[i + d])
+                        cnt[k] = cnt.get(k, 0) + 1
+        return {k: v for k, v in cnt.items() if v >= min_count}
+
+    @pytest.mark.parametrize("window,min_count", [(1, 1), (3, 2), (10, 1)])
+    def test_matches_brute_force(self, ray_session, window, min_count):
+        import ray.data as rd
+
+        expect = self._brute(window, min_count)
+        for parts in (1, 4):
+            ds = rd.from_arrow(_docs_table()).repartition(parts)
+            got = skipgram_pairs(ds, window=window,
+                                 min_count=min_count).to_pandas()
+            assert {(r.w1, r.w2): r.pair_count
+                    for r in got.itertuples()} == expect
+
+    def test_window_1_equals_bigrams(self, ray_session):
+        import ray.data as rd
+
+        got = skipgram_pairs(rd.from_arrow(_docs_table()), window=1,
+                             min_count=1).to_pandas()
+        # "the cat" appears in docs 0 and 6
+        m = {(r.w1, r.w2): r.pair_count for r in got.itertuples()}
+        assert m[("the", "cat")] == 2
+        assert m[("a", "b")] == 3
+        assert ("b", "a") in m and m[("b", "a")] == 2
+
+
+class TestBucketRareValues:
+    def test_matches_pandas(self, ray_session):
+        import ray.data as rd
+
+        vals = ["x"] * 5 + ["y"] * 3 + ["z"] * 1 + ["w"] * 4
+        tbl = pa.table({"id": list(range(len(vals))), "v": vals})
+        counts = pd.Series(vals).value_counts()
+        keep = set(counts[counts >= 4].index)
+        for parts in (1, 3):
+            ds = rd.from_arrow(tbl).repartition(parts)
+            got = bucket_rare_values(ds, columns="v", min_count=4) \
+                .to_pandas().sort_values("id")
+            expect = [v if v in keep else "__other__" for v in vals]
+            assert list(got["v_bucketed"]) == expect
+            # passthrough columns intact
+            assert list(got["v"]) == vals
+
+    def test_multi_column_key_and_sep(self, ray_session):
+        import ray.data as rd
+
+        tbl = pa.table({
+            "id": [0, 1, 2, 3],
+            "a": ["p", "p", "p", "q"],
+            "b": ["1", "1", "2", "1"],
+        })
+        got = bucket_rare_values(
+            rd.from_arrow(tbl), columns=["a", "b"], min_count=2,
+            out_column="cat").to_pandas().sort_values("id")
+        assert list(got["cat"]) == ["p:1", "p:1", "__other__", "__other__"]
+
+    def test_cap_warns_and_keeps_top(self, ray_session):
+        import ray.data as rd
+
+        vals = ["a"] * 5 + ["b"] * 4 + ["c"] * 3
+        tbl = pa.table({"id": list(range(len(vals))), "v": vals})
+        with pytest.warns(UserWarning, match="capped"):
+            got = bucket_rare_values(
+                rd.from_arrow(tbl), columns="v", min_count=2,
+                max_keep=2).to_pandas().sort_values("id")
+        assert list(got["v_bucketed"]) == (
+            ["a"] * 5 + ["b"] * 4 + ["__other__"] * 3)
+
+    def test_all_rare(self, ray_session):
+        import ray.data as rd
+
+        tbl = pa.table({"id": [0, 1], "v": ["a", "b"]})
+        got = bucket_rare_values(rd.from_arrow(tbl), columns="v",
+                                 min_count=3).to_pandas()
+        assert set(got["v_bucketed"]) == {"__other__"}
+
+
+class TestAssignRowIds:
+    def test_permutation_in_md5_order(self, ray_session):
+        import ray.data as rd
+
+        ids = list(range(57))
+        tbl = pa.table({"doc_id": ids})
+        order = sorted(ids, key=lambda i: (
+            int(hashlib.md5(f"7:{i}".encode()).hexdigest()[:15], 16), i))
+        expect = {doc: r for r, doc in enumerate(order)}
+        for parts in (1, 6):
+            ds = rd.from_arrow(tbl).repartition(parts)
+            got = assign_row_ids(ds, seed=7, shard_bits=3).to_pandas()
+            assert {r.doc_id: r.row_id
+                    for r in got.itertuples()} == expect
+            assert sorted(got["row_id"]) == ids
+
+    def test_empty_input(self, ray_session):
+        import ray.data as rd
+
+        ds = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64())}))
+        assert assign_row_ids(ds).count() == 0
