@@ -3018,6 +3018,76 @@ def _q_row_ids(sf_dir: str):
     return assign_row_ids(docs, seed=42).sort("doc_id")
 
 
+def _q_preference_pairs(sf_dir: str):
+    """RLHF preference-pair construction over orders-as-responses: per
+    customer (the prompt group), cross the top-2 priced orders (chosen)
+    with the bottom-2 (rejected) where chosen strictly outprices
+    rejected (ops/rank.preference_pairs) — map-side top/bottom-k
+    combiner, ONE salted group exchange, vectorized self-merge."""
+    from biocurator_mapper_ray.ops.rank import preference_pairs
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": batch.column("o_custkey"),
+            "o_orderkey": batch.column("o_orderkey"),
+            "score": pc.cast(pc.round(pc.multiply(
+                batch.column("o_totalprice"), 100.0), ndigits=0),
+                pa.int64()),
+        })
+
+    out = preference_pairs(
+        orders.map_batches(to_cents, batch_format="pyarrow"),
+        group_col="o_custkey", id_col="o_orderkey", score_col="score", k=2)
+    return out.sort(["o_custkey", "chosen_id", "rejected_id"])
+
+
+def _q_constraint_checks(sf_dir: str):
+    """Pre-ingest data-quality gate on events: null / positive / enum /
+    unique-key violation counts (ops/profile.constraint_checks) — every
+    row-local rule folds to one int per batch map-side; only the
+    unique rule bears a (distinct-values-lean) exchange.  The enum rule
+    is deliberately discriminating (purchase/error are outside the
+    allowed set)."""
+    from biocurator_mapper_ray.ops.profile import constraint_checks
+
+    events = _read(sf_dir, "events",
+                   columns=["event_id", "user_id", "event_type", "value",
+                            "props"])
+    return constraint_checks(
+        events, not_null=["props"], positive=["value"],
+        enum={"event_type": ["click", "view", "signup"]},
+        unique=["user_id"]).sort("rule")
+
+
+def _q_minmax_scale_events(sf_dir: str):
+    """Per-event min-max normalization against the event-type group
+    extrema, in integer basis points (ops/moments.minmax_scale_by_group)
+    — two-phase broadcast (group extrema fold → ray.put → map-side
+    searchsorted scale), integer floor-div so the oracle is
+    bit-exact."""
+    from biocurator_mapper_ray.ops.moments import minmax_scale_by_group
+
+    events = _read(sf_dir, "events",
+                   columns=["event_id", "event_type", "value"])
+    out = minmax_scale_by_group(events, key="event_type", value="value")
+    return out.select_columns(["event_id", "event_type", "bp"]) \
+              .sort("event_id")
+
+
+def _q_shard_manifest(sf_dir: str):
+    """Per-shard (n_docs, n_tokens) manifest of the deterministic md5
+    range-sharding (ops/pack.shard_manifest) — the resumable-output
+    index; map-side bincount partials, one shard-scale fold."""
+    from biocurator_mapper_ray.ops.pack import shard_manifest
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return shard_manifest(docs, text_column="text", seed=42,
+                          shard_bits=6).sort("shard")
+
+
 # ----------------------------------------------------------------- contract
 
 
@@ -3123,6 +3193,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "feature_hash_documents": _q_feature_hash,
         "rare_category_documents": _q_rare_category,
         "row_ids_documents": _q_row_ids,
+        "preference_pairs_orders": _q_preference_pairs,
+        "constraint_checks_events": _q_constraint_checks,
+        "minmax_scale_events": _q_minmax_scale_events,
+        "shard_manifest_documents": _q_shard_manifest,
         "kcore_parts": _q_kcore_parts,  # rows-only (iterative fixpoint)
         # --- slot 51+ (past the driver's 50-entry snapshot) ---
         # round-4 ops verified by scripts/check_oracle.py locally; demoted
@@ -3964,6 +4038,75 @@ def oracle_sql() -> dict[str, str]:
                                  AS UBIGINT), doc_id) - 1 AS BIGINT)
                        AS row_id
             FROM documents ORDER BY doc_id
+        """,
+        "preference_pairs_orders": """
+            WITH s AS (
+                SELECT o_custkey, o_orderkey AS id,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS score
+                FROM orders),
+            r AS (
+                SELECT o_custkey, id, score,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY score DESC, id) AS rt,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY score ASC, id) AS rb
+                FROM s)
+            SELECT c.o_custkey, c.id AS chosen_id, j.id AS rejected_id,
+                   c.score AS chosen_score, j.score AS rejected_score
+            FROM r c JOIN r j ON c.o_custkey = j.o_custkey
+            WHERE c.rt <= 2 AND j.rb <= 2
+              AND c.score > j.score AND c.id <> j.id
+            ORDER BY c.o_custkey, chosen_id, rejected_id
+        """,
+        "constraint_checks_events": """
+            SELECT 'enum:event_type' AS rule,
+                   CAST(sum(CASE WHEN event_type IS NULL OR event_type
+                            NOT IN ('click', 'view', 'signup')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+            FROM events
+            UNION ALL
+            SELECT 'not_null:props',
+                   CAST(sum(CASE WHEN props IS NULL
+                            THEN 1 ELSE 0 END) AS BIGINT)
+            FROM events
+            UNION ALL
+            SELECT 'positive:value',
+                   CAST(sum(CASE WHEN value IS NOT NULL AND value <= 0
+                            THEN 1 ELSE 0 END) AS BIGINT)
+            FROM events
+            UNION ALL
+            SELECT 'unique:user_id',
+                   CAST(count(*) - count(DISTINCT user_id) AS BIGINT)
+            FROM events
+            ORDER BY rule
+        """,
+        "minmax_scale_events": """
+            WITH c AS (
+                SELECT event_id, event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events),
+            m AS (SELECT event_type, min(cents) AS mn, max(cents) AS mx
+                  FROM c GROUP BY event_type)
+            SELECT event_id, c.event_type,
+                   CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+                        ELSE (cents - mn) * 10000 // (mx - mn) END AS bp
+            FROM c JOIN m USING (event_type) ORDER BY event_id
+        """,
+        "shard_manifest_documents": """
+            WITH t AS (
+                SELECT CAST(CAST('0x' || substr(md5('42:' ||
+                            CAST(doc_id AS VARCHAR)), 1, 15) AS UBIGINT)
+                            >> 54 AS BIGINT) AS shard,
+                       CASE WHEN length(regexp_replace(text,
+                                 '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
+                            ELSE array_length(regexp_split_to_array(
+                                 regexp_replace(text, '^\\s+|\\s+$', '',
+                                                'g'), '\\s+')) END
+                           AS n_tokens
+                FROM documents)
+            SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+            FROM t GROUP BY shard ORDER BY shard
         """,
         "custkey_skew": """
             WITH k AS (

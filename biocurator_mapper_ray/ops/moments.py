@@ -334,3 +334,54 @@ def robust_scale_by_group(ds, *, key: str, value: str,
 
     return ds.map_batches(standardize, fn_kwargs={"ref": ref},
                           batch_format="pyarrow")
+
+
+def minmax_scale_by_group(ds, *, key: str, value: str, cents: bool = True,
+                          scale: int = 10_000, out_column: str = "bp"):
+    """Per-row min-max normalization against the row's GROUP extrema,
+    in INTEGER basis points: ``bp = (x − min_g) · scale // (max_g −
+    min_g)`` (0 when the group is constant) — the bounded-range feature
+    scaler, kept integer end-to-end so the oracle hashes bit-exactly
+    (a float (x−mn)/(mx−mn) would be division-order-stable but its
+    VARCHAR forms diverge; integer floor-div is engine-exact, and the
+    numerator is ≥ 0 so floor == truncate on both engines).
+
+    Two-phase broadcast (the zscore_by_group shape): phase 1 folds
+    per-batch per-key Arrow group_by min/max partials through one
+    key-scale exchange and collects the groups-scale extrema frame;
+    phase 2 broadcasts it (``ray.put``) and scales map-side with a
+    sorted-key searchsorted probe — the corpus streams once per phase.
+    """
+    import ray
+    from ray.data.aggregate import Max, Min
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({key: batch.column(key),
+                      "__v": _to_cents(batch.column(value), cents)})
+        agg = t.group_by([key], use_threads=False).aggregate(
+            [("__v", "min"), ("__v", "max")])
+        return agg.rename_columns([key, "mn", "mx"])
+
+    ext = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(key).aggregate(Min("mn"), Max("mx"))
+           .to_pandas())  # groups-scale, the stated cardinality bound
+    order = np.argsort(ext[key].to_numpy(), kind="mergesort")
+    keys = ext[key].to_numpy()[order]
+    mns = ext["min(mn)"].to_numpy(dtype=np.int64)[order]
+    mxs = ext["max(mx)"].to_numpy(dtype=np.int64)[order]
+    ref = ray.put((keys, mns, mxs))
+
+    def apply(batch: pa.Table, ref=None) -> pa.Table:
+        ks, mn, mx = ray.get(ref) if not isinstance(ref, tuple) else ref
+        v = _to_cents(batch.column(value), cents).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        bk = batch.column(key).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(ks, bk)
+        span = mx[idx] - mn[idx]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            bp = np.where(span > 0, (v - mn[idx]) * scale
+                          // np.maximum(span, 1), 0).astype(np.int64)
+        return batch.append_column(out_column, pa.array(bp, pa.int64()))
+
+    return ds.map_batches(apply, fn_kwargs={"ref": ref},
+                          batch_format="pyarrow")

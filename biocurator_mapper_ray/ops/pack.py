@@ -293,3 +293,44 @@ def bin_pack(ds, *, budget: int, id_column: str = "doc_id",
 
     return (ds.map_batches(lean, batch_format="pyarrow")
             .groupby("__shard").map_groups(layout, batch_format="pandas"))
+
+
+def shard_manifest(ds, *, id_column: str = "doc_id",
+                   text_column: str | None = None, seed: int = 42,
+                   shard_bits: int = 6):
+    """Per-shard manifest (shard, n_docs[, n_tokens]) of the
+    deterministic md5 range-sharding shared with :func:`sequence_pack`
+    and :func:`assign_row_ids` — the resume index a 100-TB writer
+    consults to skip finished output partitions (SURVEY §6 resumable
+    output; the KG sink's manifest-flip analog for bulk corpora).
+
+    Map-side: each batch folds to ≤ 2^``shard_bits`` lean partial rows
+    (np.bincount over shard ids); ONE shard-scale groupby finishes.
+    ``text_column`` adds exact whitespace-token totals per shard.
+    """
+    shards = 1 << shard_bits
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qkey = _md5_key60(batch.column(id_column).to_pylist(), seed)
+        sh = (qkey >> (60 - shard_bits)).astype(np.int64)
+        n_docs = np.bincount(sh, minlength=shards).astype(np.int64)
+        cols = {"shard": pa.array(np.arange(shards, dtype=np.int64)),
+                "n_docs": pa.array(n_docs)}
+        if text_column is not None:
+            _, _, _, _, n_tok = _tokenize_counts(batch, text_column)
+            cols["n_tokens"] = pa.array(np.bincount(
+                sh, weights=n_tok, minlength=shards).astype(np.int64))
+        t = pa.table(cols)
+        return t.filter(pc.greater(t.column("n_docs"), 0))
+
+    folded = ds.map_batches(partial, batch_format="pyarrow") \
+               .groupby("shard")
+    if text_column is not None:
+        out = folded.sum(["n_docs", "n_tokens"])
+        return out.map_batches(
+            lambda t: t.rename_columns(["shard", "n_docs", "n_tokens"]),
+            batch_format="pyarrow")
+    out = folded.sum("n_docs")
+    return out.map_batches(
+        lambda t: t.rename_columns(["shard", "n_docs"]),
+        batch_format="pyarrow")

@@ -372,3 +372,86 @@ def fd_violations(ds, *, key: str, value: str, buckets: int = 64):
             .groupby("__kb").map_groups(
                 lambda g: fold(g.drop(columns="__kb")),
                 batch_format="pandas"))
+
+
+def constraint_checks(ds, *, not_null: list[str] | None = None,
+                      positive: list[str] | None = None,
+                      enum: dict[str, list[str]] | None = None,
+                      unique: list[str] | None = None):
+    """Data-quality gate: violation counts per declared constraint —
+    the pre-ingest validation a pipeline runs before committing a new
+    corpus drop.  Returns lean (rule, n_violations) rows, one per rule,
+    INCLUDING zero rows (a green gate is evidence, not absence).
+
+    Rules: ``not_null`` (null count), ``positive`` (count of values
+    ≤ 0, nulls excluded), ``enum`` (count outside the allowed set,
+    nulls excluded), ``unique`` (count of SURPLUS rows per duplicated
+    key, i.e. n_rows − n_distinct).
+
+    Scale shape: every row-local rule folds to ONE int per batch
+    map-side (the exchange is rules × batches rows); ``unique`` is the
+    only exchange-bearing rule — map-side ``value_counts`` partials
+    make it distinct-values-per-batch lean, then a key groupby sums
+    and a second fold counts survivors.  No reference equivalent (the
+    reference validates one LLM response at a time,
+    ``app/llm_matcher.py:parse``).
+    """
+    not_null = list(not_null or [])
+    positive = list(positive or [])
+    enum = dict(enum or {})
+
+    def row_rules(batch: pa.Table) -> pa.Table:
+        rules, counts = [], []
+        for c in not_null:
+            rules.append(f"not_null:{c}")
+            counts.append(batch.column(c).null_count)
+        for c in positive:
+            col = batch.column(c)
+            bad = pc.sum(pc.cast(pc.fill_null(
+                pc.less_equal(col, 0), False), pa.int64())).as_py() or 0
+            rules.append(f"positive:{c}")
+            counts.append(int(bad))
+        for c, allowed in enum.items():
+            col = batch.column(c)
+            ok = pc.is_in(col, value_set=pa.array(allowed))
+            bad = pc.sum(pc.cast(pc.fill_null(pc.invert(ok), True),
+                                 pa.int64())).as_py() or 0
+            # is_in(null) is null → fill as violation (enum implies
+            # not-null membership); declare nulls separately if allowed
+            rules.append(f"enum:{c}")
+            counts.append(int(bad))
+        return pa.table({"rule": pa.array(rules, pa.string()),
+                         "n_violations": pa.array(counts, pa.int64())})
+
+    outs = []
+    if not_null or positive or enum:
+        folded = (ds.map_batches(row_rules, batch_format="pyarrow")
+                  .groupby("rule").sum("n_violations"))
+        outs.append(folded.map_batches(
+            lambda t: t.rename_columns(["rule", "n_violations"]),
+            batch_format="pyarrow"))
+
+    for c in unique or []:
+        def vc_part(batch: pa.Table, col=c) -> pa.Table:
+            vc = pc.value_counts(batch.column(col))
+            return pa.table({"k": vc.field("values"),
+                             "c": pc.cast(vc.field("counts"), pa.int64())})
+
+        def surplus(batch: pa.Table, col=c) -> pa.Table:
+            s = pc.sum(pc.subtract(batch.column("sum(c)"), 1)).as_py() or 0
+            return pa.table({"rule": pa.array([f"unique:{col}"], pa.string()),
+                             "n_violations": pa.array([int(s)], pa.int64())})
+
+        per_key = (ds.map_batches(vc_part, batch_format="pyarrow")
+                   .groupby("k").sum("c")
+                   .map_batches(surplus, batch_format="pyarrow")
+                   .groupby("rule").sum("n_violations"))
+        outs.append(per_key.map_batches(
+            lambda t: t.rename_columns(["rule", "n_violations"]),
+            batch_format="pyarrow"))
+
+    assert outs, "no constraints declared"
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out

@@ -362,3 +362,76 @@ def rrf_fuse(lists, *, id_col: str, rank_col: str = "rank", k: int = 60):
         return out
 
     return uni.groupby(id_col).map_groups(fold, batch_format="pandas")
+
+
+def preference_pairs(ds, *, group_col: str, id_col: str, score_col: str,
+                     k: int = 1, min_margin: int = 0, shards: int = 32):
+    """RLHF preference-pair construction: within each group (the prompt),
+    cross the top-``k`` scored rows (chosen) with the bottom-``k``
+    (rejected), keeping pairs with ``chosen_score > rejected_score +
+    min_margin`` — the reward-model training-set builder.
+
+    Deterministic: top-k is (score desc, id asc), bottom-k is (score
+    asc, id asc); a row never pairs with itself.  Scale shape mirrors
+    :func:`top_k_per_group` — a batch can contribute at most its own
+    top-k ∪ bottom-k per group, so the map-side combiner ships ≤
+    batches×groups×2k lean rows into ONE salted group-hash exchange;
+    pair building is a vectorized self-merge inside the shard (≤ k² rows
+    per group, result-scale).  No reference equivalent (the reference
+    scores candidates one request at a time, ``app/llm_matcher.py``).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([group_col, id_col, score_col]).to_pandas()
+        top = (df.sort_values([group_col, score_col, id_col],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+               .groupby(group_col, sort=False).head(k))
+        bot = (df.sort_values([group_col, score_col, id_col],
+                              ascending=[True, True, True],
+                              kind="mergesort")
+               .groupby(group_col, sort=False).head(k))
+        keep = df.loc[top.index.union(bot.index)]
+        ga = (pa.Array.from_pandas(keep[group_col].astype(str))
+              if keep[group_col].dtype == object
+              else pa.Array.from_pandas(keep[group_col]))
+        salt = (hash64_column(ga) % np.uint64(shards)).astype(np.int32)
+        out = pa.Table.from_pandas(keep, preserve_index=False)
+        return out.append_column("__s", pa.array(salt))
+
+    def merge(shard: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            group_col: pd.Series(dtype=shard[group_col].dtype),
+            "chosen_id": pd.Series(dtype=shard[id_col].dtype),
+            "rejected_id": pd.Series(dtype=shard[id_col].dtype),
+            "chosen_score": pd.Series(dtype=shard[score_col].dtype),
+            "rejected_score": pd.Series(dtype=shard[score_col].dtype)})
+        if shard.empty:
+            return empty
+        shard = shard.drop(columns="__s")
+        top = (shard.sort_values([group_col, score_col, id_col],
+                                 ascending=[True, False, True],
+                                 kind="mergesort")
+               .groupby(group_col, sort=False).head(k)
+               .rename(columns={id_col: "chosen_id",
+                                score_col: "chosen_score"}))
+        bot = (shard.sort_values([group_col, score_col, id_col],
+                                 ascending=[True, True, True],
+                                 kind="mergesort")
+               .groupby(group_col, sort=False).head(k)
+               .rename(columns={id_col: "rejected_id",
+                                score_col: "rejected_score"}))
+        pairs = top.merge(bot, on=group_col)
+        pairs = pairs[
+            (pairs["chosen_score"].to_numpy()
+             > pairs["rejected_score"].to_numpy() + min_margin)
+            & (pairs["chosen_id"].to_numpy()
+               != pairs["rejected_id"].to_numpy())]
+        if pairs.empty:
+            return empty
+        return pairs[[group_col, "chosen_id", "rejected_id",
+                      "chosen_score", "rejected_score"]]
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("__s")
+            .map_groups(merge, batch_format="pandas"))
