@@ -217,6 +217,15 @@ def run_bench() -> dict:
         "session_ids_events",
         "bpe_pieces_documents",
         "returned_revenue_customers",
+        # round-4 seventh-session additions
+        "skipgram_pairs_documents",
+        "feature_hash_documents",
+        "rare_category_documents",
+        "row_ids_documents",
+        "preference_pairs_orders",
+        "constraint_checks_events",
+        "minmax_scale_events",
+        "shard_manifest_documents",
     ]
     qs = entry.queries()
     for name in bench_queries:

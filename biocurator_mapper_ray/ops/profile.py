@@ -391,10 +391,11 @@ def constraint_checks(ds, *, not_null: list[str] | None = None,
     Scale shape: every row-local rule folds to ONE int per batch
     map-side (the exchange is rules × batches rows); ``unique`` is the
     only exchange-bearing rule — map-side ``value_counts`` partials
-    make it distinct-values-per-batch lean, then a key groupby sums
-    and a second fold counts survivors.  No reference equivalent (the
-    reference validates one LLM response at a time,
-    ``app/llm_matcher.py:parse``).
+    make it distinct-values-per-batch lean, one key groupby sums, and
+    the surplus folds to a single driver-side integer
+    (``Dataset.sum``), so each unique rule costs exactly one exchange.
+    No reference equivalent (the reference validates one LLM response
+    at a time, ``app/llm_matcher.py:parse``).
     """
     not_null = list(not_null or [])
     positive = list(positive or [])
@@ -431,26 +432,31 @@ def constraint_checks(ds, *, not_null: list[str] | None = None,
             lambda t: t.rename_columns(["rule", "n_violations"]),
             batch_format="pyarrow"))
 
+    unique_rows = {"rule": [], "n_violations": []}
     for c in unique or []:
-        def vc_part(batch: pa.Table, col=c) -> pa.Table:
+        # per-key total count via one exchange, then a single
+        # driver-side scalar: Σ(c-1) == n_rows − n_distinct
+        def vc_total(batch: pa.Table, col=c) -> pa.Table:
             vc = pc.value_counts(batch.column(col))
             return pa.table({"k": vc.field("values"),
                              "c": pc.cast(vc.field("counts"), pa.int64())})
 
-        def surplus(batch: pa.Table, col=c) -> pa.Table:
-            s = pc.sum(pc.subtract(batch.column("sum(c)"), 1)).as_py() or 0
-            return pa.table({"rule": pa.array([f"unique:{col}"], pa.string()),
-                             "n_violations": pa.array([int(s)], pa.int64())})
-
-        per_key = (ds.map_batches(vc_part, batch_format="pyarrow")
+        per_key = (ds.map_batches(vc_total, batch_format="pyarrow")
                    .groupby("k").sum("c")
-                   .map_batches(surplus, batch_format="pyarrow")
-                   .groupby("rule").sum("n_violations"))
-        outs.append(per_key.map_batches(
-            lambda t: t.rename_columns(["rule", "n_violations"]),
-            batch_format="pyarrow"))
+                   .map_batches(lambda t: pa.table({"surplus": [
+                       pc.sum(pc.subtract(t.column("sum(c)"), 1)).as_py()
+                       or 0]}), batch_format="pyarrow"))
+        unique_rows["rule"].append(f"unique:{c}")
+        unique_rows["n_violations"].append(int(per_key.sum("surplus") or 0))
 
-    assert outs, "no constraints declared"
+    assert outs or unique_rows["rule"], "no constraints declared"
+    if unique_rows["rule"]:
+        import ray.data as _rd
+
+        outs.append(_rd.from_arrow(pa.table({
+            "rule": pa.array(unique_rows["rule"], pa.string()),
+            "n_violations": pa.array(unique_rows["n_violations"],
+                                     pa.int64())})))
     out = outs[0]
     for o in outs[1:]:
         out = out.union(o)
