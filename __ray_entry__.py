@@ -3088,6 +3088,21 @@ def _q_shard_manifest(sf_dir: str):
                           shard_bits=6).sort("shard")
 
 
+def _q_scd2_events(sf_dir: str):
+    """SCD type-2 history build from the event change log: per user,
+    maximal validity intervals of the event_type value (consecutive
+    repeats collapsed, open current row carries NULL valid_to) —
+    ops/window.scd2_intervals, one key-bucketed exchange + C-level
+    grouped shifts."""
+    from biocurator_mapper_ray.ops.window import scd2_intervals
+
+    events = _read(sf_dir, "events",
+                   columns=["event_id", "user_id", "ts", "event_type"])
+    out = scd2_intervals(events, key="user_id", ts="ts",
+                         tiebreak="event_id", value="event_type")
+    return out.sort(["user_id", "valid_from", "event_type"])
+
+
 # ----------------------------------------------------------------- contract
 
 
@@ -3197,6 +3212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "constraint_checks_events": _q_constraint_checks,
         "minmax_scale_events": _q_minmax_scale_events,
         "shard_manifest_documents": _q_shard_manifest,
+        "scd2_events": _q_scd2_events,
         "kcore_parts": _q_kcore_parts,  # rows-only (iterative fixpoint)
         # --- slot 51+ (past the driver's 50-entry snapshot) ---
         # round-4 ops verified by scripts/check_oracle.py locally; demoted
@@ -4091,6 +4107,19 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
                         ELSE (cents - mn) * 10000 // (mx - mn) END AS bp
             FROM c JOIN m USING (event_type) ORDER BY event_id
+        """,
+        "scd2_events": """
+            WITH s AS (
+                SELECT user_id, event_type, ts, event_id,
+                       lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS prev
+                FROM events),
+            c AS (SELECT user_id, event_type, ts, event_id FROM s
+                  WHERE prev IS NULL OR prev <> event_type)
+            SELECT user_id, event_type, ts AS valid_from,
+                   lead(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS valid_to
+            FROM c ORDER BY user_id, valid_from, event_type
         """,
         "shard_manifest_documents": """
             WITH t AS (

@@ -226,6 +226,7 @@ def run_bench() -> dict:
         "constraint_checks_events",
         "minmax_scale_events",
         "shard_manifest_documents",
+        "scd2_events",
     ]
     qs = entry.queries()
     for name in bench_queries:

@@ -822,3 +822,40 @@ def suffix_budget_fit(ds, *, key: str, ts: str, tiebreak: str,
     return (_with_key_bucket(ds, key, n_buckets)
             .groupby("__kb")
             .map_groups(_per_bucket(per_bucket), batch_format="pandas"))
+
+
+def scd2_intervals(ds, *, key: str, ts: str, tiebreak: str, value: str,
+                   collapse: bool = True, buckets: int | None = None,
+                   size_hint: int | None = None):
+    """Build a slowly-changing-dimension (type 2) history from a change
+    log: per key, each row's value becomes valid over ``[ts, next
+    change's ts)``, the open current row carrying a NULL ``valid_to`` —
+    the point-in-time dimension table every warehouse derives from CDC
+    feeds.  ``collapse=True`` first drops consecutive rows whose value
+    did not change (idempotent re-sends), so intervals are maximal.
+
+    Same bucket-then-vectorize shape as the sibling windows: one
+    key-bucketed exchange, then a per-bucket pandas sort, a C-level
+    grouped shift for the change mask and another for ``valid_to``.
+    Returns (key, value, valid_from, valid_to).
+    """
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts, tiebreak], kind="mergesort")
+        grp = g.groupby(key, sort=False)
+        if collapse:
+            changed = (g[value] != grp[value].shift(1)) \
+                | grp.cumcount().eq(0)
+            g = g[changed.to_numpy()]
+            grp = g.groupby(key, sort=False)
+        out = pd.DataFrame({
+            key: g[key].to_numpy(),
+            value: g[value].to_numpy(),
+            "valid_from": g[ts].to_numpy(),
+            "valid_to": grp[ts].shift(-1).to_numpy(),
+        })
+        return out
+
+    return _with_key_bucket(ds, key, _window_buckets(ds, buckets, size_hint)) \
+        .groupby("__kb").map_groups(_per_bucket(per_bucket),
+                                    batch_format="pandas")

@@ -165,3 +165,49 @@ class TestShardManifest:
         got = shard_manifest(rd.from_arrow(tbl), shard_bits=2).to_pandas()
         assert got["n_docs"].sum() == 20
         assert "n_tokens" not in got.columns
+
+
+class TestScd2Intervals:
+    def test_matches_brute_force(self, ray_session):
+        import ray.data as rd
+        from biocurator_mapper_ray.ops.window import scd2_intervals
+
+        ts = pd.to_datetime([
+            "2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04",
+            "2024-01-01", "2024-01-05",
+        ])
+        df = pd.DataFrame({
+            "k": [1, 1, 1, 1, 2, 2],
+            "i": [10, 11, 12, 13, 14, 15],
+            "v": ["a", "a", "b", "a", "x", "x"],
+            "ts": ts,
+        })
+        for parts in (1, 3):
+            ds = rd.from_pandas(df).repartition(parts)
+            got = (scd2_intervals(ds, key="k", ts="ts", tiebreak="i",
+                                  value="v").to_pandas()
+                   .sort_values(["k", "valid_from"]).reset_index(drop=True))
+            # key 1: a [01-01, 01-03), b [01-03, 01-04), a [01-04, NULL);
+            # key 2: x [01-01, NULL) — repeats collapsed to maximal spans
+            assert list(got["k"]) == [1, 1, 1, 2]
+            assert list(got["v"]) == ["a", "b", "a", "x"]
+            assert got["valid_from"].tolist() == pd.to_datetime(
+                ["2024-01-01", "2024-01-03", "2024-01-04",
+                 "2024-01-01"]).tolist()
+            assert got["valid_to"].tolist()[:2] == pd.to_datetime(
+                ["2024-01-03", "2024-01-04"]).tolist()
+            assert pd.isna(got["valid_to"].iloc[2])
+            assert pd.isna(got["valid_to"].iloc[3])
+
+    def test_no_collapse_keeps_every_change_row(self, ray_session):
+        import ray.data as rd
+        from biocurator_mapper_ray.ops.window import scd2_intervals
+
+        df = pd.DataFrame({
+            "k": [1, 1], "i": [0, 1], "v": ["a", "a"],
+            "ts": pd.to_datetime(["2024-01-01", "2024-01-02"]),
+        })
+        got = scd2_intervals(rd.from_pandas(df), key="k", ts="ts",
+                             tiebreak="i", value="v",
+                             collapse=False).to_pandas()
+        assert len(got) == 2
