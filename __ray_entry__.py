@@ -3103,6 +3103,18 @@ def _q_scd2_events(sf_dir: str):
     return out.sort(["user_id", "valid_from", "event_type"])
 
 
+def _q_mask_tokens(sf_dir: str):
+    """Deterministic BERT-style masked-LM corpus build: 15% of tokens
+    replaced by [MASK] under an md5(doc:pos:seed) draw
+    (ops/lm.mask_tokens) — MAP-ONLY with the mask, replacement and text
+    rebuild all in-batch; the md5 draw is DuckDB-parity so the rebuilt
+    text hashes exactly."""
+    from biocurator_mapper_ray.ops.lm import mask_tokens
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return mask_tokens(docs, pct=15, seed=7).sort("doc_id")
+
+
 # ----------------------------------------------------------------- contract
 
 
@@ -3213,6 +3225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minmax_scale_events": _q_minmax_scale_events,
         "shard_manifest_documents": _q_shard_manifest,
         "scd2_events": _q_scd2_events,
+        "mask_tokens_documents": _q_mask_tokens,
         "kcore_parts": _q_kcore_parts,  # rows-only (iterative fixpoint)
         # --- slot 51+ (past the driver's 50-entry snapshot) ---
         # round-4 ops verified by scripts/check_oracle.py locally; demoted
@@ -4107,6 +4120,37 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
                         ELSE (cents - mn) * 10000 // (mx - mn) END AS bp
             FROM c JOIN m USING (event_type) ORDER BY event_id
+        """,
+        "mask_tokens_documents": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                                   '{_WS_CLASS}'), w -> w <> '') AS ws
+                FROM documents),
+            pos AS (
+                SELECT doc_id, g.i,
+                       CASE WHEN CAST('0x' || substr(md5(
+                                 CAST(doc_id AS VARCHAR) || ':' ||
+                                 CAST(g.i AS VARCHAR) || ':7'), 1, 15)
+                                 AS UBIGINT) % 100 < 15
+                            THEN '[MASK]' ELSE ws[g.i] END AS out_w,
+                       CASE WHEN CAST('0x' || substr(md5(
+                                 CAST(doc_id AS VARCHAR) || ':' ||
+                                 CAST(g.i AS VARCHAR) || ':7'), 1, 15)
+                                 AS UBIGINT) % 100 < 15
+                            THEN 1 ELSE 0 END AS m
+                FROM toks, unnest(range(1, len(ws) + 1)) AS g(i)),
+            agg AS (
+                SELECT doc_id,
+                       string_agg(out_w, ' ' ORDER BY i) AS masked_text,
+                       CAST(count(*) AS BIGINT) AS n_tokens,
+                       CAST(sum(m) AS BIGINT) AS n_masked
+                FROM pos GROUP BY doc_id)
+            SELECT t.doc_id, coalesce(a.masked_text, '') AS masked_text,
+                   coalesce(a.n_tokens, 0) AS n_tokens,
+                   coalesce(a.n_masked, 0) AS n_masked
+            FROM toks t LEFT JOIN agg a USING (doc_id)
+            ORDER BY t.doc_id
         """,
         "scd2_events": """
             WITH s AS (

@@ -227,6 +227,7 @@ def run_bench() -> dict:
         "minmax_scale_events",
         "shard_manifest_documents",
         "scd2_events",
+        "mask_tokens_documents",
     ]
     qs = entry.queries()
     for name in bench_queries:

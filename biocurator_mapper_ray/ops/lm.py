@@ -528,3 +528,71 @@ def skipgram_pairs(ds, *, text_column: str = "text", window: int = 3,
             .groupby("__kb")
             .map_groups(lambda g: fold(g.drop(columns="__kb")),
                         batch_format="pandas"))
+
+
+def mask_tokens(ds, *, id_column: str = "doc_id", text_column: str = "text",
+                pct: int = 15, seed: int = 7, sentinel: str = "[MASK]"):
+    """Deterministic BERT-style whole-token masking: each token of the
+    oracle tokenization (lower + whitespace split, empties dropped) is
+    replaced by ``sentinel`` when ``md5('{id}:{pos}:{seed}') % 100 <
+    pct`` — the masked-LM training-data transform, reproducible across
+    engines and partitionings because the mask depends only on
+    (doc_id, token position, seed).
+
+    Returns (id, masked_text, n_tokens, n_masked).  MAP-ONLY — a row is
+    a whole document, so the mask draw, replacement and text rebuild
+    (ListArray + one ``binary_join``) never leave the batch; zero
+    exchange at any scale.  The md5 draw goes through the shared DuckDB
+    kernel, so a SQL oracle reproduces the mask bit-exactly.
+    """
+    from ..functions.hashing import md5_prefix_u64
+
+    def mask(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column(text_column)), WS_CLASS)
+        toks = (toks.combine_chunks()
+                if isinstance(toks, pa.ChunkedArray) else toks)
+        flat = toks.flatten()
+        offs = toks.offsets.to_numpy()
+        parent = np.repeat(np.arange(len(toks), dtype=np.int64),
+                           np.diff(offs))
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(nonempty))
+        parent = parent[nonempty]
+        n = np.bincount(parent, minlength=len(toks)).astype(np.int64)
+        if len(parent):
+            # 1-based position within the doc, vectorized
+            doc_off = np.concatenate([[0], np.cumsum(n)])
+            pos = np.arange(len(parent), dtype=np.int64) \
+                - doc_off[parent] + 1
+            ids = batch.column(id_column).take(pa.array(parent))
+            keys = pc.binary_join_element_wise(
+                pc.cast(ids, pa.string()), pa.array(
+                    pos.astype(str), pa.string()),
+                str(seed), ":")
+            masked = (md5_prefix_u64(keys, 15)
+                      % np.uint64(100)) < np.uint64(pct)
+            out_toks = pc.if_else(pa.array(masked), sentinel, flat)
+            n_masked = np.bincount(parent[masked],
+                                   minlength=len(toks)).astype(np.int64)
+        else:
+            out_toks = flat
+            n_masked = np.zeros(len(toks), dtype=np.int64)
+        out_vals = (out_toks if isinstance(out_toks, pa.Array)
+                    else out_toks.combine_chunks())
+        offs64 = np.concatenate([[0], np.cumsum(n)])
+        if offs64[-1] < 2**31:  # mirror pack.chunk_spans' offset guard
+            lists = pa.ListArray.from_arrays(
+                pa.array(offs64, pa.int32()), out_vals)
+        else:
+            lists = pa.LargeListArray.from_arrays(
+                pa.array(offs64, pa.int64()), pc.cast(
+                    out_vals, pa.large_string()))
+        return pa.table({
+            id_column: batch.column(id_column),
+            "masked_text": pc.binary_join(lists, " "),
+            "n_tokens": pa.array(n),
+            "n_masked": pa.array(n_masked),
+        })
+
+    return ds.map_batches(mask, batch_format="pyarrow")

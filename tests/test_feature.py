@@ -168,3 +168,43 @@ class TestAssignRowIds:
 
         ds = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64())}))
         assert assign_row_ids(ds).count() == 0
+
+
+class TestMaskTokens:
+    def test_matches_per_row_hashlib(self, ray_session):
+        import ray.data as rd
+        from biocurator_mapper_ray.ops.lm import mask_tokens
+
+        def brute(i, s, pct=30, seed=7):
+            ws = [w for w in s.lower().split() if w]
+            out, nm = [], 0
+            for p, w in enumerate(ws, start=1):
+                h = int(hashlib.md5(
+                    f"{i}:{p}:{seed}".encode()).hexdigest()[:15], 16)
+                if h % 100 < pct:
+                    out.append("[MASK]")
+                    nm += 1
+                else:
+                    out.append(w)
+            return " ".join(out), len(ws), nm
+
+        expect = {i: brute(i, s) for i, s in DOCS.items()}
+        for parts in (1, 5):
+            ds = rd.from_arrow(_docs_table()).repartition(parts)
+            got = mask_tokens(ds, pct=30, seed=7).to_pandas()
+            assert {r.doc_id: (r.masked_text, r.n_tokens, r.n_masked)
+                    for r in got.itertuples()} == expect
+        # empty docs come back with empty text, zero counts
+        assert expect[2] == ("", 0, 0)
+
+    def test_pct_zero_and_hundred(self, ray_session):
+        import ray.data as rd
+        from biocurator_mapper_ray.ops.lm import mask_tokens
+
+        ds = rd.from_arrow(_docs_table())
+        none = mask_tokens(ds, pct=0).to_pandas()
+        assert (none["n_masked"] == 0).all()
+        allm = mask_tokens(ds, pct=100).to_pandas()
+        assert (allm["n_masked"] == allm["n_tokens"]).all()
+        row = allm.set_index("doc_id").loc[5]
+        assert row["masked_text"] == " ".join(["[MASK]"] * 7)
