@@ -3115,6 +3115,19 @@ def _q_mask_tokens(sf_dir: str):
     return mask_tokens(docs, pct=15, seed=7).sort("doc_id")
 
 
+def _q_span_corrupt(sf_dir: str):
+    """T5-style span-corruption training pairs: one md5-placed 4-token
+    span per complete 16-token segment, corrupted text with
+    <extra_id_k> sentinels + sentinel-prefixed target sequence
+    (ops/lm.span_corrupt) — MAP-ONLY, both rebuilds in-batch; the md5
+    draw and both output strings are DuckDB-parity exact."""
+    from biocurator_mapper_ray.ops.lm import span_corrupt
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return span_corrupt(docs, seg_tokens=16, span_tokens=4,
+                        seed=11).sort("doc_id")
+
+
 # ----------------------------------------------------------------- contract
 
 
@@ -3226,6 +3239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_manifest_documents": _q_shard_manifest,
         "scd2_events": _q_scd2_events,
         "mask_tokens_documents": _q_mask_tokens,
+        "span_corrupt_documents": _q_span_corrupt,
         "kcore_parts": _q_kcore_parts,  # rows-only (iterative fixpoint)
         # --- slot 51+ (past the driver's 50-entry snapshot) ---
         # round-4 ops verified by scripts/check_oracle.py locally; demoted
@@ -4120,6 +4134,56 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
                         ELSE (cents - mn) * 10000 // (mx - mn) END AS bp
             FROM c JOIN m USING (event_type) ORDER BY event_id
+        """,
+        "span_corrupt_documents": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                                   '{_WS_CLASS}'), w -> w <> '') AS ws
+                FROM documents),
+            tok AS (
+                SELECT doc_id, g.i - 1 AS i, ws[g.i] AS w,
+                       len(ws) // 16 AS n_spans, (g.i - 1) // 16 AS k,
+                       (g.i - 1) % 16 AS within
+                FROM toks, unnest(range(1, len(ws) + 1)) AS g(i)),
+            t2 AS (
+                SELECT *,
+                       CAST(CAST('0x' || substr(md5(
+                            CAST(doc_id AS VARCHAR) || ':' ||
+                            CAST(k AS VARCHAR) || ':11'), 1, 15)
+                            AS UBIGINT) % 13 AS BIGINT) AS off
+                FROM tok),
+            t3 AS (
+                SELECT *,
+                       (k < n_spans AND within >= off
+                        AND within < off + 4) AS masked,
+                       (k < n_spans AND within = off) AS is_start
+                FROM t2),
+            corr AS (
+                SELECT doc_id,
+                       string_agg(CASE WHEN is_start THEN '<extra_id_'
+                                       || CAST(k AS VARCHAR) || '>'
+                                       ELSE w END, ' ' ORDER BY i)
+                           AS corrupted_text
+                FROM t3 WHERE NOT masked OR is_start GROUP BY doc_id),
+            tp AS (
+                SELECT doc_id, 2 * i AS sk,
+                       '<extra_id_' || CAST(k AS VARCHAR) || '>' AS piece
+                FROM t3 WHERE is_start
+                UNION ALL
+                SELECT doc_id, 2 * i + 1, w FROM t3 WHERE masked),
+            tgt AS (
+                SELECT doc_id, string_agg(piece, ' ' ORDER BY sk)
+                           AS target_text
+                FROM tp GROUP BY doc_id)
+            SELECT t.doc_id,
+                   coalesce(c.corrupted_text, '') AS corrupted_text,
+                   coalesce(g.target_text, '') AS target_text,
+                   CAST(len(t.ws) // 16 AS BIGINT) AS n_spans
+            FROM toks t
+            LEFT JOIN corr c USING (doc_id)
+            LEFT JOIN tgt g USING (doc_id)
+            ORDER BY t.doc_id
         """,
         "mask_tokens_documents": f"""
             WITH toks AS (

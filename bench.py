@@ -228,6 +228,7 @@ def run_bench() -> dict:
         "shard_manifest_documents",
         "scd2_events",
         "mask_tokens_documents",
+        "span_corrupt_documents",
     ]
     qs = entry.queries()
     for name in bench_queries:

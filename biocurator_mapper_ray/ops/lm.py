@@ -596,3 +596,102 @@ def mask_tokens(ds, *, id_column: str = "doc_id", text_column: str = "text",
         })
 
     return ds.map_batches(mask, batch_format="pyarrow")
+
+
+def span_corrupt(ds, *, id_column: str = "doc_id",
+                 text_column: str = "text", seg_tokens: int = 16,
+                 span_tokens: int = 4, seed: int = 11):
+    """T5-style span corruption, fully deterministic: each COMPLETE
+    ``seg_tokens`` segment of a document contributes one masked span of
+    ``span_tokens`` tokens at offset ``md5('{id}:{k}:{seed}') %
+    (seg−span+1)`` inside segment ``k``; the corrupted text replaces
+    each span with its ``<extra_id_k>`` sentinel and the target text is
+    the sentinel-prefixed span sequence — the seq2seq denoising
+    training pair (Raffel et al. 2020), reproducible across engines and
+    partitionings.
+
+    Returns (id, corrupted_text, target_text, n_spans); documents
+    shorter than one segment pass through unmasked with an empty
+    target.  MAP-ONLY: span draw, replacement and both text rebuilds
+    happen in-batch (the target's sentinel-before-span interleave is a
+    single lexsort on (doc, 2·pos+flag) keys); zero exchange.  The md5
+    draw uses the shared DuckDB kernel, so a SQL oracle mirrors both
+    output strings bit-exactly.
+    """
+    from ..functions.hashing import md5_prefix_u64
+
+    S, L = seg_tokens, span_tokens
+    if not 0 < L < S:
+        raise ValueError("need 0 < span_tokens < seg_tokens")
+
+    def _join_lists(vals: np.ndarray, counts: np.ndarray) -> pa.Array:
+        offs = np.concatenate([[0], np.cumsum(counts)])
+        arr = pa.array(vals, pa.string())
+        if offs[-1] < 2**31:
+            lists = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), arr)
+        else:
+            lists = pa.LargeListArray.from_arrays(
+                pa.array(offs, pa.int64()), pc.cast(arr, pa.large_string()))
+        return pc.binary_join(lists, " ")
+
+    def corrupt(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column(text_column)), WS_CLASS)
+        toks = (toks.combine_chunks()
+                if isinstance(toks, pa.ChunkedArray) else toks)
+        flat = toks.flatten()
+        offs = toks.offsets.to_numpy()
+        parent = np.repeat(np.arange(len(toks), dtype=np.int64),
+                           np.diff(offs))
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(nonempty))
+        parent = parent[nonempty]
+        n = np.bincount(parent, minlength=len(toks)).astype(np.int64)
+        n_spans = n // S
+        if len(parent) == 0:
+            return pa.table({
+                id_column: batch.column(id_column),
+                "corrupted_text": pa.array([""] * len(toks), pa.string()),
+                "target_text": pa.array([""] * len(toks), pa.string()),
+                "n_spans": pa.array(n_spans)})
+
+        doc_off = np.concatenate([[0], np.cumsum(n)])
+        i = np.arange(len(parent), dtype=np.int64) - doc_off[parent]
+        k = i // S
+        within = i - k * S
+        ids = batch.column(id_column).take(pa.array(parent))
+        keys = pc.binary_join_element_wise(
+            pc.cast(ids, pa.string()),
+            pa.array(k.astype(str), pa.string()), str(seed), ":")
+        off = (md5_prefix_u64(keys, 15)
+               % np.uint64(S - L + 1)).astype(np.int64)
+        in_span_seg = k < n_spans[parent]
+        masked = in_span_seg & (within >= off) & (within < off + L)
+        start = in_span_seg & (within == off)
+
+        tok_np = flat.to_numpy(zero_copy_only=False)
+        maxk = int(k[start].max()) + 1 if start.any() else 1
+        lut = np.array([f"<extra_id_{j}>" for j in range(maxk)],
+                       dtype=object)
+
+        keep = (~masked) | start
+        corr_vals = np.where(start[keep], lut[np.minimum(k[keep], maxk - 1)],
+                             tok_np[keep])
+        corrupted = _join_lists(corr_vals, np.bincount(
+            parent[keep], minlength=len(toks)))
+
+        # target: sentinel sorts immediately before its span's tokens
+        p_t = np.concatenate([parent[start], parent[masked]])
+        key_t = np.concatenate([2 * i[start], 2 * i[masked] + 1])
+        val_t = np.concatenate([lut[k[start]], tok_np[masked]])
+        order = np.lexsort((key_t, p_t))
+        target = _join_lists(val_t[order], np.bincount(
+            p_t, minlength=len(toks)))
+
+        return pa.table({
+            id_column: batch.column(id_column),
+            "corrupted_text": corrupted,
+            "target_text": target,
+            "n_spans": pa.array(n_spans)})
+
+    return ds.map_batches(corrupt, batch_format="pyarrow")

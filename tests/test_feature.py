@@ -208,3 +208,74 @@ class TestMaskTokens:
         assert (allm["n_masked"] == allm["n_tokens"]).all()
         row = allm.set_index("doc_id").loc[5]
         assert row["masked_text"] == " ".join(["[MASK]"] * 7)
+
+
+class TestSpanCorrupt:
+    @staticmethod
+    def _brute(i, s, S=6, L=2, seed=11):
+        ws = [w for w in s.lower().split() if w]
+        n_spans = len(ws) // S
+        spans = []
+        for k in range(n_spans):
+            h = int(hashlib.md5(
+                f"{i}:{k}:{seed}".encode()).hexdigest()[:15], 16)
+            off = h % (S - L + 1)
+            spans.append((k, k * S + off))
+        corr, tgt = [], []
+        masked = {k * 0 + p for k, st in spans for p in range(st, st + L)}
+        starts = {st: k for k, st in spans}
+        for p, w in enumerate(ws):
+            if p in starts:
+                corr.append(f"<extra_id_{starts[p]}>")
+                tgt.extend([f"<extra_id_{starts[p]}>", w])
+            elif p in masked:
+                tgt.append(w)
+            else:
+                corr.append(w)
+        return " ".join(corr), " ".join(tgt), n_spans
+
+    def test_matches_per_row_hashlib(self, ray_session):
+        import ray.data as rd
+        from biocurator_mapper_ray.ops.lm import span_corrupt
+
+        docs = dict(DOCS)
+        docs[7] = " ".join(f"w{j}" for j in range(40))  # 6 full segments
+        docs[8] = " ".join(f"x{j}" for j in range(13))  # 2 segments + tail
+        tbl = pa.table({"doc_id": list(docs), "text": list(docs.values())})
+        expect = {i: self._brute(i, s) for i, s in docs.items()}
+        for parts in (1, 4):
+            ds = rd.from_arrow(tbl).repartition(parts)
+            got = span_corrupt(ds, seg_tokens=6, span_tokens=2,
+                               seed=11).to_pandas()
+            assert {r.doc_id: (r.corrupted_text, r.target_text, r.n_spans)
+                    for r in got.itertuples()} == expect
+
+    def test_short_docs_pass_through(self, ray_session):
+        import ray.data as rd
+        from biocurator_mapper_ray.ops.lm import span_corrupt
+
+        got = span_corrupt(rd.from_arrow(_docs_table()), seg_tokens=100,
+                           span_tokens=3).to_pandas()
+        m = got.set_index("doc_id")
+        assert (m["n_spans"] == 0).all()
+        assert m.loc[0, "corrupted_text"] == DOCS[0]
+        assert (m["target_text"] == "").all()
+
+    def test_token_conservation(self, ray_session):
+        import ray.data as rd
+        from biocurator_mapper_ray.ops.lm import span_corrupt
+
+        docs = {1: " ".join(f"t{j}" for j in range(50))}
+        got = span_corrupt(
+            rd.from_arrow(pa.table({"doc_id": [1],
+                                    "text": [docs[1]]})),
+            seg_tokens=8, span_tokens=3, seed=2).to_pandas().iloc[0]
+        corr = got["corrupted_text"].split()
+        tgt = got["target_text"].split()
+        sents = {w for w in corr if w.startswith("<extra_id_")}
+        # every original token appears exactly once across the pair
+        originals = [w for w in corr + tgt if not w.startswith("<extra_id_")]
+        assert sorted(originals) == sorted(docs[1].split())
+        # sentinel sets agree between the two sides
+        assert sents == {w for w in tgt if w.startswith("<extra_id_")}
+        assert got["n_spans"] == 6 and len(sents) == 6
