@@ -3127,6 +3127,17 @@ def _q_span_corrupt(sf_dir: str):
     return span_corrupt(docs, seg_tokens=16, span_tokens=4,
                         seed=11).sort("doc_id")
 
+def _q_fim_documents(sf_dir: str):
+    """Fill-in-the-middle training split (Bavarian et al. 2022): two
+    md5(doc:salt:seed) cut points partition each document's tokens into
+    (prefix, middle, suffix) for PSM/SPM rearrangement
+    (ops/lm.fim_split) — MAP-ONLY, all three rebuilds in-batch; the md5
+    draw and every output string are DuckDB-parity exact."""
+    from biocurator_mapper_ray.ops.lm import fim_split
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return fim_split(docs, seed=13).sort("doc_id")
+
 
 # ----------------------------------------------------------------- contract
 
@@ -3198,6 +3209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_parts": _q_pagerank_parts,
         # oracle-backed, new this session — past the 50-entry driver
         # window now; re-window to the front in round 5
+        "fim_documents": _q_fim_documents,
         "degree_histogram_parts": _q_degree_histogram,
         "triangle_count_parts": _q_triangle_count,
         "pair_counts_lineitem": _q_pair_counts,
@@ -4215,6 +4227,37 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(a.n_masked, 0) AS n_masked
             FROM toks t LEFT JOIN agg a USING (doc_id)
             ORDER BY t.doc_id
+        """,
+        "fim_documents": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                                   '{_WS_CLASS}'), w -> w <> '') AS ws
+                FROM documents),
+            cuts AS (
+                SELECT doc_id, ws, len(ws) AS n,
+                       CAST(CAST('0x' || substr(md5(
+                            CAST(doc_id AS VARCHAR) || ':a:13'), 1, 15)
+                            AS UBIGINT) % CAST(len(ws) + 1 AS UBIGINT)
+                            AS BIGINT) AS c1,
+                       CAST(CAST('0x' || substr(md5(
+                            CAST(doc_id AS VARCHAR) || ':b:13'), 1, 15)
+                            AS UBIGINT) % CAST(len(ws) + 1 AS UBIGINT)
+                            AS BIGINT) AS c2
+                FROM toks)
+            SELECT doc_id,
+                   coalesce(array_to_string(ws[1:least(c1, c2)], ' '),
+                            '') AS prefix_text,
+                   coalesce(array_to_string(
+                            ws[least(c1, c2) + 1:greatest(c1, c2)], ' '),
+                            '') AS middle_text,
+                   coalesce(array_to_string(
+                            ws[greatest(c1, c2) + 1:n], ' '),
+                            '') AS suffix_text,
+                   CAST(n AS BIGINT) AS n_tokens,
+                   least(c1, c2) AS cut_lo,
+                   greatest(c1, c2) AS cut_hi
+            FROM cuts ORDER BY doc_id
         """,
         "scd2_events": """
             WITH s AS (

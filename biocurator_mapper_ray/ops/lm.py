@@ -695,3 +695,88 @@ def span_corrupt(ds, *, id_column: str = "doc_id",
             "n_spans": pa.array(n_spans)})
 
     return ds.map_batches(corrupt, batch_format="pyarrow")
+
+
+def _join_token_lists(vals, counts: np.ndarray) -> pa.Array:
+    """Join per-doc token slices back into one string per doc (space
+    separator), with the repo-wide int32→int64 list-offset guard."""
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    arr = vals if isinstance(vals, pa.Array) else pa.array(vals, pa.string())
+    if offs[-1] < 2**31:
+        lists = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), arr)
+    else:
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(offs, pa.int64()), pc.cast(arr, pa.large_string()))
+    return pc.binary_join(lists, " ")
+
+
+def fim_split(ds, *, id_column: str = "doc_id", text_column: str = "text",
+              seed: int = 13):
+    """Fill-in-the-middle training transform (Bavarian et al. 2022,
+    "Efficient Training of Language Models to Fill in the Middle"):
+    split each document's token sequence at two deterministic cut
+    points into (prefix, middle, suffix) so the trainer can emit the
+    PSM/SPM rearrangement.  Cut points are ``md5('{id}:a:{seed}') %
+    (n+1)`` and ``md5('{id}:b:{seed}') % (n+1)`` (lo = min, hi = max)
+    over the oracle tokenization (lower + whitespace split, empties
+    dropped) — reproducible across engines and partitionings because
+    the draw depends only on (doc_id, seed).
+
+    Returns (id, prefix_text, middle_text, suffix_text, n_tokens,
+    cut_lo, cut_hi).  MAP-ONLY: the cut draw, the three mask selections
+    and the three text rebuilds all happen in-batch; zero exchange at
+    any scale.  The md5 draw uses the shared DuckDB kernel, so a SQL
+    oracle mirrors all three output strings bit-exactly.
+    """
+    from ..functions.hashing import md5_prefix_u64
+
+    def split(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column(text_column)), WS_CLASS)
+        toks = (toks.combine_chunks()
+                if isinstance(toks, pa.ChunkedArray) else toks)
+        flat = toks.flatten()
+        offs = toks.offsets.to_numpy()
+        parent = np.repeat(np.arange(len(toks), dtype=np.int64),
+                           np.diff(offs))
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(nonempty))
+        parent = parent[nonempty]
+        n = np.bincount(parent, minlength=len(toks)).astype(np.int64)
+
+        ids_str = pc.cast(batch.column(id_column), pa.string())
+        c1 = (md5_prefix_u64(pc.binary_join_element_wise(
+            ids_str, "a", str(seed), ":"), 15)
+            % (n + 1).astype(np.uint64)).astype(np.int64)
+        c2 = (md5_prefix_u64(pc.binary_join_element_wise(
+            ids_str, "b", str(seed), ":"), 15)
+            % (n + 1).astype(np.uint64)).astype(np.int64)
+        lo = np.minimum(c1, c2)
+        hi = np.maximum(c1, c2)
+
+        if len(parent):
+            doc_off = np.concatenate([[0], np.cumsum(n)])
+            i = np.arange(len(parent), dtype=np.int64) - doc_off[parent]
+            pre = i < lo[parent]
+            mid = (~pre) & (i < hi[parent])
+            suf = i >= hi[parent]
+            tok_np = flat.to_numpy(zero_copy_only=False)
+            parts = [
+                _join_token_lists(tok_np[m], np.bincount(
+                    parent[m], minlength=len(toks)))
+                for m in (pre, mid, suf)]
+        else:
+            empty = pa.array([""] * len(toks), pa.string())
+            parts = [empty, empty, empty]
+
+        return pa.table({
+            id_column: batch.column(id_column),
+            "prefix_text": parts[0],
+            "middle_text": parts[1],
+            "suffix_text": parts[2],
+            "n_tokens": pa.array(n),
+            "cut_lo": pa.array(lo),
+            "cut_hi": pa.array(hi),
+        })
+
+    return ds.map_batches(split, batch_format="pyarrow")

@@ -279,3 +279,42 @@ class TestSpanCorrupt:
         # sentinel sets agree between the two sides
         assert sents == {w for w in tgt if w.startswith("<extra_id_")}
         assert got["n_spans"] == 6 and len(sents) == 6
+
+
+class TestFimSplit:
+    @staticmethod
+    def _brute(i, s, seed=13):
+        ws = [w for w in s.lower().split() if w]
+        n = len(ws)
+        c1 = int(hashlib.md5(f"{i}:a:{seed}".encode()).hexdigest()[:15],
+                 16) % (n + 1)
+        c2 = int(hashlib.md5(f"{i}:b:{seed}".encode()).hexdigest()[:15],
+                 16) % (n + 1)
+        lo, hi = min(c1, c2), max(c1, c2)
+        return (" ".join(ws[:lo]), " ".join(ws[lo:hi]), " ".join(ws[hi:]),
+                n, lo, hi)
+
+    def test_matches_per_row_hashlib(self, ray_session):
+        import ray.data as rd
+        from biocurator_mapper_ray.ops.lm import fim_split
+
+        expect = {i: self._brute(i, s) for i, s in DOCS.items()}
+        for parts in (1, 5):
+            ds = rd.from_arrow(_docs_table()).repartition(parts)
+            got = fim_split(ds, seed=13).to_pandas()
+            assert {r.doc_id: (r.prefix_text, r.middle_text, r.suffix_text,
+                               r.n_tokens, r.cut_lo, r.cut_hi)
+                    for r in got.itertuples()} == expect
+        # empty doc: all three segments empty, cuts at zero
+        assert expect[2] == ("", "", "", 0, 0, 0)
+
+    def test_segments_reassemble(self, ray_session):
+        import ray.data as rd
+        from biocurator_mapper_ray.ops.lm import fim_split
+
+        got = fim_split(rd.from_arrow(_docs_table()), seed=99).to_pandas()
+        for r in got.itertuples():
+            joined = " ".join(x for x in (r.prefix_text, r.middle_text,
+                                          r.suffix_text) if x)
+            assert joined.split() == _tok(DOCS[r.doc_id])
+            assert 0 <= r.cut_lo <= r.cut_hi <= r.n_tokens
