@@ -755,6 +755,104 @@ def _q_returned_revenue_customers(sf_dir: str):
     return top.sort("rank")
 
 
+def _q_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5-style 6-table pipeline: revenue by nation where the
+    ordering customer and the line's supplier share a nation, region
+    'ASIA', order year 1998.  Dimension chain (region → nation →
+    supplier) folds into ONE broadcast suppkey→nationkey LUT applied
+    map-side at the lineitem read — region/nation/supplier rows never
+    enter an exchange — so only two partitioned hash joins remain
+    (lineitem ⋈ orders on orderkey, partials ⋈ customer on custkey),
+    each with a per-bucket combiner, and the same-nation predicate
+    runs inside the customer join's bucket.  Revenue in per-item
+    integer c10k units (order-independent, hash-exact vs SQL)."""
+    import datetime
+
+    from biocurator_mapper_ray.ops.join import hash_join
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    supplier = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                             columns=["s_suppkey", "s_nationkey"])
+    asia = {rk for rk, rn in zip(region.column("r_regionkey").to_pylist(),
+                                 region.column("r_name").to_pylist())
+            if rn == "ASIA"}
+    n_names = dict(zip(nation.column("n_nationkey").to_pylist(),
+                       nation.column("n_name").to_pylist()))
+    asia_nations = {nk for nk, rk in
+                    zip(nation.column("n_nationkey").to_pylist(),
+                        nation.column("n_regionkey").to_pylist())
+                    if rk in asia}
+    # dense suppkey → nationkey LUT; -1 marks non-ASIA suppliers so the
+    # lineitem scan prunes them BEFORE any exchange
+    sk = supplier.column("s_suppkey").to_numpy(zero_copy_only=False)
+    sn = supplier.column("s_nationkey").to_numpy(zero_copy_only=False)
+    s_lut = np.full(int(sk.max()) + 1 if len(sk) else 1, -1, np.int64)
+    keep = np.isin(sn, sorted(asia_nations))
+    s_lut[sk[keep]] = sn[keep]
+
+    lineitem = _read(sf_dir, "lineitem",
+                     columns=["l_orderkey", "l_suppkey",
+                              "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    customer = _read(sf_dir, "customer",
+                     columns=["c_custkey", "c_nationkey"])
+
+    def li_rev(batch: pa.Table) -> pa.Table:
+        nat = s_lut[batch.column("l_suppkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)]
+        batch = batch.append_column("s_nat", pa.array(nat))
+        batch = batch.filter(pc.greater_equal(batch.column("s_nat"), 0))
+        rev = pc.multiply(batch.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0),
+                                      batch.column("l_discount")))
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "s_nat": batch.column("s_nat"),
+            "revenue_c10k": pc.cast(
+                pc.round(pc.multiply(rev, 10000.0), ndigits=0),
+                pa.int64()),
+        })
+
+    def o_year(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(batch.column("o_orderdate"),
+                             pa.scalar(datetime.datetime(1998, 1, 1))),
+            pc.less(batch.column("o_orderdate"),
+                    pa.scalar(datetime.datetime(1999, 1, 1))))
+        return batch.filter(m).select(["o_orderkey", "o_custkey"])
+
+    li = lineitem.map_batches(li_rev, batch_format="pyarrow")
+    ord98 = orders.map_batches(o_year, batch_format="pyarrow")
+    per_cust = hash_join(
+        li, ord98, left_on="l_orderkey", right_on="o_orderkey",
+        size_hint=lineitem.count() + orders.count(),
+        bucket_postprocess=lambda df: df.groupby(
+            ["o_custkey", "s_nat"], sort=False)
+        ["revenue_c10k"].sum().reset_index(name="revenue_c10k"),
+    )
+    joined = hash_join(
+        per_cust, customer, left_on="o_custkey", right_on="c_custkey",
+        size_hint=customer.count() * 2,
+        bucket_postprocess=lambda df: df[df["s_nat"] ==
+                                         df["c_nationkey"]]
+        .groupby("s_nat", sort=False)["revenue_c10k"].sum()
+        .reset_index(name="revenue_c10k"),
+    )
+    # ≤ |nations| × buckets partial rows — result-scale driver fold
+    part = joined.to_pandas()
+    if part.empty:
+        return pd.DataFrame({"n_name": pd.Series(dtype=str),
+                             "revenue_c10k": pd.Series(dtype=np.int64)})
+    fin = part.groupby("s_nat", sort=False)["revenue_c10k"].sum() \
+              .reset_index(name="revenue_c10k")
+    fin["n_name"] = fin["s_nat"].map(n_names)
+    return fin[["n_name", "revenue_c10k"]].sort_values(
+        ["revenue_c10k", "n_name"], ascending=[False, True]) \
+        .reset_index(drop=True)
+
+
 def _q_session_ids_events(sf_dir: str):
     """Per-event session ASSIGNMENT (ops/window.session_windows): each
     event tagged with its user's 0-based session id under the 30-min
@@ -3210,6 +3308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle-backed, new this session — past the 50-entry driver
         # window now; re-window to the front in round 5
         "fim_documents": _q_fim_documents,
+        "local_supplier_volume": _q_local_supplier_volume,
         "degree_histogram_parts": _q_degree_histogram,
         "triangle_count_parts": _q_triangle_count,
         "pair_counts_lineitem": _q_pair_counts,
@@ -4227,6 +4326,24 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(a.n_masked, 0) AS n_masked
             FROM toks t LEFT JOIN agg a USING (doc_id)
             ORDER BY t.doc_id
+        """,
+        "local_supplier_volume": """
+            SELECT n_name,
+                   CAST(sum(CAST(round(l_extendedprice *
+                            (1 - l_discount) * 10000, 0) AS BIGINT))
+                        AS BIGINT) AS revenue_c10k
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey
+              AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1998-01-01'
+              AND o_orderdate <  TIMESTAMP '1999-01-01'
+            GROUP BY n_name
+            ORDER BY revenue_c10k DESC, n_name
         """,
         "fim_documents": f"""
             WITH toks AS (
