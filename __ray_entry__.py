@@ -853,6 +853,50 @@ def _q_local_supplier_volume(sf_dir: str):
         .reset_index(drop=True)
 
 
+def _q_click_purchase_outer(sf_dir: str):
+    """FULL OUTER join through ops/join.hash_join(how='outer'): per-user
+    click counts vs purchase counts, users missing a side carry SQL
+    NULL (not 0) — the NULL-semantics complement of pivot_counts.  Each
+    side pre-aggregates map-side partials to user-cardinality rows
+    before the partitioned outer merge, so the join exchanges counts,
+    never events."""
+    from biocurator_mapper_ray.ops.join import hash_join
+
+    events = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def side(etype: str, key: str, cnt: str):
+        def partial(batch: pa.Table) -> pa.Table:
+            tb = batch.filter(pc.equal(batch.column("event_type"), etype))
+            df = (tb.select(["user_id"]).to_pandas()
+                  .value_counts(["user_id"]).reset_index(name="__c"))
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        agg = (events.map_batches(partial, batch_format="pyarrow")
+               .groupby("user_id").sum("__c"))
+        return agg.map_batches(
+            lambda t: t.rename_columns([key, cnt]), batch_format="pyarrow")
+
+    clicks = side("click", "cu", "clicks")
+    purchases = side("purchase", "pu", "purchases")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "user_id": df["cu"].fillna(df["pu"]).astype(np.int64),
+            "clicks": df["clicks"].astype("Int64"),
+            "purchases": df["purchases"].astype("Int64"),
+        })
+        return out
+
+    out = hash_join(
+        clicks, purchases, left_on="cu", right_on="pu", how="outer",
+        left_dtypes={"cu": np.int64, "clicks": np.int64},
+        right_dtypes={"pu": np.int64, "purchases": np.int64},
+        size_hint=10_000,
+        bucket_postprocess=fold,
+    )
+    return out.sort("user_id")
+
+
 def _q_session_ids_events(sf_dir: str):
     """Per-event session ASSIGNMENT (ops/window.session_windows): each
     event tagged with its user's 0-based session id under the 30-min
@@ -3309,6 +3353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # window now; re-window to the front in round 5
         "fim_documents": _q_fim_documents,
         "local_supplier_volume": _q_local_supplier_volume,
+        "click_purchase_outer": _q_click_purchase_outer,
         "degree_histogram_parts": _q_degree_histogram,
         "triangle_count_parts": _q_triangle_count,
         "pair_counts_lineitem": _q_pair_counts,
@@ -4326,6 +4371,18 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(a.n_masked, 0) AS n_masked
             FROM toks t LEFT JOIN agg a USING (doc_id)
             ORDER BY t.doc_id
+        """,
+        "click_purchase_outer": """
+            WITH c AS (
+                SELECT user_id, CAST(count(*) AS BIGINT) AS clicks
+                FROM events WHERE event_type = 'click' GROUP BY user_id),
+            p AS (
+                SELECT user_id, CAST(count(*) AS BIGINT) AS purchases
+                FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+            SELECT coalesce(c.user_id, p.user_id) AS user_id,
+                   clicks, purchases
+            FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+            ORDER BY user_id
         """,
         "local_supplier_volume": """
             SELECT n_name,

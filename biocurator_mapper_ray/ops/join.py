@@ -170,7 +170,11 @@ def hash_join(
             fields = []
             for c in out.columns:
                 if str(out[c].dtype) != "object":
-                    fields.append(pa.field(c, pa.from_numpy_dtype(out[c].dtype)))
+                    # Array.from_pandas on the typed EMPTY series covers
+                    # numpy dtypes AND pandas extension dtypes (Int64 …),
+                    # which pa.from_numpy_dtype rejects
+                    fields.append(pa.field(
+                        c, pa.Array.from_pandas(out[c]).type))
                     continue
                 s = group[c].dropna() if c in group.columns else None
                 if s is not None and len(s):

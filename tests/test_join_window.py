@@ -42,6 +42,30 @@ class TestHashJoin:
         assert len(got) == 1
         assert got.iloc[0]["a_id"] == 2 and got.iloc[0]["y"] == 5
 
+    def test_full_outer_keeps_both_unmatched_sides(self, ray_session):
+        import numpy as np
+        import ray.data as rd
+
+        left = pd.DataFrame({"a_id": [1, 2], "lv": [10, 20]})
+        right = pd.DataFrame({"b_id": [2, 3], "rv": [5, 6]})
+
+        def fold(df):
+            return pd.DataFrame({
+                "k": df["a_id"].fillna(df["b_id"]).astype(np.int64),
+                "lv": df["lv"].astype("Int64"),
+                "rv": df["rv"].astype("Int64"),
+            })
+
+        got = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                        left_on="a_id", right_on="b_id", how="outer",
+                        buckets=4, bucket_postprocess=fold
+                        ).to_pandas().sort_values("k").reset_index(drop=True)
+        assert got["k"].tolist() == [1, 2, 3]
+        # unmatched sides carry NULL, not 0 — SQL FULL OUTER semantics
+        assert got["rv"].isna().tolist() == [True, False, False]
+        assert got["lv"].isna().tolist() == [False, False, True]
+        assert got.loc[1, "lv"] == 20 and got.loc[1, "rv"] == 5
+
     def test_ambiguous_columns_rejected(self, ray_session):
         import ray.data as rd
 
