@@ -3281,6 +3281,70 @@ def _q_fim_documents(sf_dir: str):
     return fim_split(docs, seed=13).sort("doc_id")
 
 
+def _q_grouped_split(sf_dir: str):
+    """Leakage-safe grouped train/test split: the md5 split draw is
+    keyed on the SOURCE (not the doc id), so every document of a source
+    lands on the same side — test can never share a source with train.
+    Map-only (ops/sample.grouped_split); md5 parity makes it exact."""
+    from biocurator_mapper_ray.ops.sample import grouped_split
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    return grouped_split(ds, group_column="source", test_pct=30,
+                         seed=11).select_columns(
+        ["doc_id", "source", "split"]).sort("doc_id")
+
+
+def _q_hll_union(sf_dir: str):
+    """Cross-corpus HLL overlap: register tables for the en vs es token
+    vocabularies, merged register-wise (rank_union = max) — the
+    mergeability that estimates |A|, |B|, |A∪B|, |A∩B| and Jaccard
+    from two ≤ m-row sketches without ever exchanging vocabularies
+    (ops/sketch.hll_union_registers).  Register-parity exact vs the
+    same md5/trailing-zeros recipe in SQL."""
+    from biocurator_mapper_ray.ops.sketch import hll_union_registers
+
+    docs = _read(sf_dir, "documents", columns=["text", "lang"])
+    ds_en = docs.filter(expr="lang == 'en'")
+    ds_es = docs.filter(expr="lang == 'es'")
+    return hll_union_registers(ds_en, ds_es, m=64)
+
+
+def _q_canon_urls(sf_dir: str):
+    """URL canonicalization (ops/normalize.canonicalize_url) over
+    deterministically planted messy URLs (the fixture has none):
+    mixed-case scheme/host, default ports, tracking params, unsorted
+    query and fragments — canonicalized map-only with a flatten/lexsort
+    param sort; the oracle constructs the expected canonical string
+    directly from doc_id, so the two sides derive the answer by
+    independent routes."""
+    import numpy as np
+
+    from biocurator_mapper_ray.ops.normalize import canonicalize_url
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        s = ids.astype(str)
+        even = np.char.add(np.char.add(np.char.add(np.char.add(
+            np.char.add(np.char.add("HTTP://Site", (ids % 23).astype(str)),
+                        ".EXAMPLE.com:80/p"), (ids % 7).astype(str)),
+            np.char.add("?z=", (ids % 3).astype(str))),
+            np.char.add("&utm_source=news&a=", (ids % 5).astype(str))),
+            np.char.add("#s", s))
+        odd1 = np.char.add(np.char.add(
+            np.char.add("HTTPS://CDN", (ids % 11).astype(str)),
+            ".Example.org:443/x/y/?b="), (ids % 3).astype(str))
+        url = np.where(ids % 2 == 0, even,
+                       np.where(ids % 4 == 1, odd1, ""))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "url": pa.array(url.tolist(), pa.string())})
+
+    out = ds.map_batches(plant, batch_format="pyarrow").map_batches(
+        canonicalize_url, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "url_canon"]).sort("doc_id")
+
+
 # ----------------------------------------------------------------- contract
 
 
@@ -3352,6 +3416,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle-backed, new this session — past the 50-entry driver
         # window now; re-window to the front in round 5
         "fim_documents": _q_fim_documents,
+        "grouped_split_documents": _q_grouped_split,
+        "hll_union_langs": _q_hll_union,
+        "canon_urls_documents": _q_canon_urls,
         "local_supplier_volume": _q_local_supplier_volume,
         "click_purchase_outer": _q_click_purchase_outer,
         "degree_histogram_parts": _q_degree_histogram,
@@ -4432,6 +4499,74 @@ def oracle_sql() -> dict[str, str]:
                    least(c1, c2) AS cut_lo,
                    greatest(c1, c2) AS cut_hi
             FROM cuts ORDER BY doc_id
+        """,
+        "grouped_split_documents": """
+            SELECT doc_id, source,
+                   CASE WHEN CAST('0x' || substr(md5('11:' || source), 1, 16)
+                             AS UBIGINT) % 100 < 30
+                        THEN 'test' ELSE 'train' END AS split
+            FROM documents
+            ORDER BY doc_id
+        """,
+        "hll_union_langs": """
+            WITH ha AS (
+                SELECT CAST('0x' || substr(md5(tok), 1, 16) AS UBIGINT) AS h
+                FROM (SELECT DISTINCT tk.tok AS tok
+                      FROM documents,
+                           unnest(regexp_split_to_array(lower(text), '\\s+'))
+                               AS tk(tok)
+                      WHERE lang = 'en' AND tk.tok <> '')
+            ),
+            hb AS (
+                SELECT CAST('0x' || substr(md5(tok), 1, 16) AS UBIGINT) AS h
+                FROM (SELECT DISTINCT tk.tok AS tok
+                      FROM documents,
+                           unnest(regexp_split_to_array(lower(text), '\\s+'))
+                               AS tk(tok)
+                      WHERE lang = 'es' AND tk.tok <> '')
+            ),
+            -- rank: 1 + trailing-zeros(h // 64); rest=0 → 59 (= 64-6+1),
+            -- the same xor(rest, rest-1) bit_count device as
+            -- hll_tokens_documents
+            ra AS (
+                SELECT CAST(h % 64 AS BIGINT) AS register,
+                       max(CASE WHEN h // 64 = 0 THEN 59
+                            ELSE CAST(bit_count(xor(h // 64, h // 64 - 1))
+                                      AS BIGINT) END) AS rank_a
+                FROM ha GROUP BY 1
+            ),
+            rb AS (
+                SELECT CAST(h % 64 AS BIGINT) AS register,
+                       max(CASE WHEN h // 64 = 0 THEN 59
+                            ELSE CAST(bit_count(xor(h // 64, h // 64 - 1))
+                                      AS BIGINT) END) AS rank_b
+                FROM hb GROUP BY 1
+            )
+            SELECT COALESCE(a.register, b.register) AS register,
+                   COALESCE(a.rank_a, 0) AS rank_a,
+                   COALESCE(b.rank_b, 0) AS rank_b,
+                   greatest(COALESCE(a.rank_a, 0), COALESCE(b.rank_b, 0))
+                       AS rank_union
+            FROM ra a FULL OUTER JOIN rb b ON a.register = b.register
+            ORDER BY register
+        """,
+        "canon_urls_documents": """
+            -- independent derivation: the Ray side PARSES the planted
+            -- messy URL; this side CONSTRUCTS the expected canonical
+            -- form from doc_id directly
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN
+                          'http://site' || CAST(doc_id % 23 AS VARCHAR)
+                          || '.example.com/p' || CAST(doc_id % 7 AS VARCHAR)
+                          || '?a=' || CAST(doc_id % 5 AS VARCHAR)
+                          || '&z=' || CAST(doc_id % 3 AS VARCHAR)
+                        WHEN doc_id % 4 = 1 THEN
+                          'https://cdn' || CAST(doc_id % 11 AS VARCHAR)
+                          || '.example.org/x/y/?b='
+                          || CAST(doc_id % 3 AS VARCHAR)
+                        ELSE '' END AS url_canon
+            FROM documents
+            ORDER BY doc_id
         """,
         "scd2_events": """
             WITH s AS (

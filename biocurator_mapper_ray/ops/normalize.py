@@ -255,3 +255,101 @@ def strip_accents(batch: pa.Table, *, column: str,
     out = _duck().execute(
         "SELECT strip_accents(s) AS v FROM tbl").arrow()
     return batch.append_column(out_column, out.column("v").combine_chunks())
+
+
+# ---------------------------------------------------------------- URLs
+
+_URL_PARTS_RE = (r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*)://"
+                 r"(?P<hostport>[^/?#]+)"
+                 r"(?P<path>[^?#]*)[?]?(?P<query>[^#]*)(?:#.*)?$")
+_HOSTPORT_RE = r"^(?P<host>[^:]*?)(?P<colon>:?)(?P<port>[0-9]*)$"
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+_TRACKING_PREFIXES = ("utm_", "gclid", "fbclid")
+
+
+def canonicalize_url(batch: pa.Table, *, column: str = "url",
+                     out_column: str = "url_canon",
+                     tracking_prefixes=_TRACKING_PREFIXES) -> pa.Table:
+    """Canonical URL form — the normalization web-crawl curation needs
+    before URL-keyed dedup/grouping (the same page crawled as
+    ``HTTP://Site.COM:80/p?b=2&utm_source=x&a=1#top`` and
+    ``http://site.com/p?a=1&b=2`` must compare equal):
+
+    * scheme and host lowercased (path/query case is significant, kept)
+    * default port dropped (``:80`` for http, ``:443`` for https);
+      non-default ports kept
+    * fragment dropped
+    * tracking query params removed (``utm_*``, ``gclid``, ``fbclid``)
+    * remaining query params sorted bytewise; ``?`` dropped when none
+      survive
+    * empty path → ``/`` (so ``http://h.com`` ≡ ``http://h.com/``)
+
+    Strings that don't parse as absolute http(s)-style URLs pass
+    through as ``''``.  Appends ``out_column``.
+
+    Fully vectorized: Arrow RE2 part extraction + a flatten /
+    ``np.lexsort`` / offset-rebuild pass for the per-URL param sort —
+    no per-row Python, batch-local, no exchange.
+    """
+    col = batch.column(column)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    parts = pc.extract_regex(col, _URL_PARTS_RE)
+    empty = pa.scalar("", pa.string())
+    scheme = pc.utf8_lower(
+        pc.coalesce(pc.struct_field(parts, "scheme"), empty))
+    hostport = pc.coalesce(pc.struct_field(parts, "hostport"), empty)
+    path = pc.coalesce(pc.struct_field(parts, "path"), empty)
+    query = pc.coalesce(pc.struct_field(parts, "query"), empty)
+
+    hp = pc.extract_regex(hostport, _HOSTPORT_RE)
+    host = pc.utf8_lower(pc.coalesce(pc.struct_field(hp, "host"), empty))
+    port = pc.coalesce(pc.struct_field(hp, "port"), empty)
+
+    # default-port drop: port suffix kept only when non-empty and not
+    # the scheme's default
+    scheme_np = np.asarray(scheme, dtype=object).astype(str)
+    port_np = np.asarray(port, dtype=object).astype(str)
+    defaults = np.where(scheme_np == "http", "80",
+                        np.where(scheme_np == "https", "443", ""))
+    keep_port = (port_np != "") & (port_np != defaults)
+    port_sfx = np.where(keep_port, np.char.add(":", port_np), "")
+
+    # query params: split on '&', drop tracking params, sort the rest
+    # within each URL (flatten → lexsort(parent, value) → rebuild)
+    params = pc.split_pattern(query, "&")
+    flat = np.asarray(params.flatten(), dtype=object).astype(str)
+    counts = np.asarray(pc.list_value_length(params), dtype=np.int64)
+    parents = np.repeat(np.arange(n, dtype=np.int64), counts)
+    keep = flat != ""
+    for pref in tracking_prefixes:
+        keep &= ~np.char.startswith(flat, pref)
+    flat, parents = flat[keep], parents[keep]
+    order = np.lexsort((flat, parents))
+    flat, parents = flat[order], parents[order]
+    kept_counts = np.bincount(parents, minlength=n)
+    offsets = np.concatenate([[0], np.cumsum(kept_counts)])
+    # mirror pack.py's guard: spill to 64-bit offsets past 2^31 params
+    if offsets[-1] < 2**31:
+        sorted_params = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(flat, pa.string()))
+    else:
+        sorted_params = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()),
+            pa.array(flat, pa.large_string()))
+    qs = pc.binary_join(sorted_params, "&")
+    qs_np = np.asarray(qs, dtype=object).astype(str)
+    q_sfx = np.where(qs_np != "", np.char.add("?", qs_np), "")
+
+    path_np = np.asarray(path, dtype=object)
+    path_np = np.where(path_np == "", "/", path_np).astype(str)
+
+    host_np = np.asarray(host, dtype=object).astype(str)
+    canon = np.where(
+        host_np == "", "",
+        np.char.add(np.char.add(np.char.add(np.char.add(
+            np.char.add(scheme_np, "://"), host_np),
+            port_sfx.astype(str)), path_np), q_sfx.astype(str)))
+    return batch.append_column(out_column,
+                               pa.array(canon.tolist(), pa.string()))

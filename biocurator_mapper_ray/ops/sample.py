@@ -60,6 +60,27 @@ def hash_split(ds, *, key_column: str = "doc_id", test_pct: int = 10,
     return ds.map_batches(tag, batch_format="pyarrow")
 
 
+def grouped_split(ds, *, group_column: str, test_pct: int = 10,
+                  seed: int = 42, buckets: int = 100,
+                  out_column: str = "split"):
+    """Leakage-safe train/test split: EVERY row of a group (source,
+    domain, near-dup cluster id) lands on the same side, so a test
+    example can never share its group — and therefore its likely
+    near-duplicates — with training data.  Same md5 device as
+    :func:`hash_split`, keyed on the group VALUE instead of the row id:
+    still map-side only (the group key is hashed per row, no exchange
+    to co-locate groups), so it composes with any upstream partitioning
+    at 100-TB scale."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = _md5_bucket(batch.column(group_column), buckets, seed)
+        split = np.where(b < test_pct, "test", "train")
+        return batch.append_column(
+            out_column, pa.array(split.tolist(), pa.string()))
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
 def stratified_sample(ds, *, key_column: str = "doc_id",
                       group_column: str, pct_by_group: dict[str, int],
                       default_pct: int = 0, seed: int = 42,

@@ -116,6 +116,52 @@ def hll_estimate(registers: pd.DataFrame, m: int = 256) -> float:
     return float(est)
 
 
+def hll_union_registers(ds_a, ds_b, *, text_column: str = "text",
+                        m: int = 256) -> pa.Table:
+    """Merged HLL register table for two corpora: ``(register, rank_a,
+    rank_b, rank_union)`` with 0 for a side that never touched the
+    register and ``rank_union = max(rank_a, rank_b)`` — the mergeability
+    that makes HLL the right sketch for cross-corpus overlap at scale:
+    each side is one distributed register build (≤ m rows leave it),
+    and the merge is a driver-side join of two ≤ m-row tables.
+
+    Feed the result to :func:`hll_union_estimate` for |A|, |B|, |A∪B|,
+    the inclusion-exclusion |A∩B| and the Jaccard estimate."""
+    ra = ds_a if isinstance(ds_a, pd.DataFrame) else (
+        hll_registers(ds_a, text_column=text_column, m=m).to_pandas())
+    rb = ds_b if isinstance(ds_b, pd.DataFrame) else (
+        hll_registers(ds_b, text_column=text_column, m=m).to_pandas())
+    merged = ra.rename(columns={"max_rank": "rank_a"}).merge(
+        rb.rename(columns={"max_rank": "rank_b"}),
+        on="register", how="outer").fillna(0)
+    merged["register"] = merged["register"].astype(np.int64)
+    merged["rank_a"] = merged["rank_a"].astype(np.int64)
+    merged["rank_b"] = merged["rank_b"].astype(np.int64)
+    merged["rank_union"] = merged[["rank_a", "rank_b"]].max(axis=1)
+    merged = merged.sort_values("register").reset_index(drop=True)
+    return pa.Table.from_pandas(merged, preserve_index=False)
+
+
+def hll_union_estimate(merged, m: int = 256) -> dict:
+    """Cardinality estimates from a merged register table
+    (:func:`hll_union_registers` output): ``card_a``, ``card_b``,
+    ``card_union`` via the standard estimator on each rank column,
+    ``card_inter`` by inclusion-exclusion (clamped ≥ 0) and
+    ``jaccard`` = inter/union."""
+    if isinstance(merged, pa.Table):
+        merged = merged.to_pandas()
+
+    def est(col: str) -> float:
+        sub = merged[merged[col] > 0].rename(columns={col: "max_rank"})
+        return hll_estimate(sub[["register", "max_rank"]], m)
+
+    a, b, u = est("rank_a"), est("rank_b"), est("rank_union")
+    inter = max(0.0, a + b - u)
+    return {"card_a": a, "card_b": b, "card_union": u,
+            "card_inter": inter,
+            "jaccard": inter / u if u > 0 else 0.0}
+
+
 class CountMinTokenStage:
     """documents batch → partial count-min registers over the text's
     whitespace token OCCURRENCES: ≤ depth×width lean (row, bucket,

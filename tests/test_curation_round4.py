@@ -1,0 +1,152 @@
+"""Round-4 curation additions: leakage-safe grouped split, HLL
+union/overlap sketch merge, URL canonicalization."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+class TestGroupedSplit:
+    def test_group_coherent_and_exhaustive(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.sample import grouped_split
+
+        df = pd.DataFrame({
+            "doc_id": np.arange(600),
+            "source": [f"src{i % 17}" for i in range(600)],
+        })
+        out = grouped_split(
+            rd.from_pandas(df).repartition(5),
+            group_column="source", test_pct=30, seed=11,
+        ).to_pandas()
+        assert len(out) == 600
+        assert set(out["split"]) <= {"train", "test"}
+        # leakage safety: every group is entirely on one side
+        sides = out.groupby("source")["split"].nunique()
+        assert (sides == 1).all()
+        # with 17 groups at 30% both sides should be populated
+        assert out["split"].nunique() == 2
+
+    def test_md5_parity_with_duckdb(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.sample import grouped_split
+
+        df = pd.DataFrame({"doc_id": np.arange(50),
+                           "source": [f"s{i % 9}" for i in range(50)]})
+        out = grouped_split(rd.from_pandas(df), group_column="source",
+                            test_pct=40, seed=7).to_pandas()
+        want = duckdb.sql("""
+            SELECT doc_id,
+                   CASE WHEN CAST('0x' || substr(md5('7:' || source), 1, 16)
+                             AS UBIGINT) % 100 < 40
+                        THEN 'test' ELSE 'train' END AS split
+            FROM df ORDER BY doc_id
+        """).df()
+        got = out.sort_values("doc_id").reset_index(drop=True)
+        assert (got["split"].to_numpy() == want["split"].to_numpy()).all()
+
+
+class TestHLLUnion:
+    def test_union_and_overlap_estimates(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.sketch import (
+            hll_union_estimate, hll_union_registers)
+
+        # A = tok0000..tok2999, B = tok2000..tok4999 → |A∩B| = 1000,
+        # |A∪B| = 5000, Jaccard = 0.2
+        docs_a = [" ".join(f"tok{j:04d}" for j in range(i, i + 50))
+                  for i in range(0, 2951, 50)]
+        docs_b = [" ".join(f"tok{j:04d}" for j in range(i, i + 50))
+                  for i in range(2000, 4951, 50)]
+        ds_a = rd.from_items([{"text": d} for d in docs_a]).repartition(3)
+        ds_b = rd.from_items([{"text": d} for d in docs_b]).repartition(3)
+        merged = hll_union_registers(ds_a, ds_b, m=256)
+        mdf = merged.to_pandas()
+        assert (mdf["rank_union"]
+                == mdf[["rank_a", "rank_b"]].max(axis=1)).all()
+        est = hll_union_estimate(merged, m=256)
+        assert abs(est["card_a"] - 3000) / 3000 < 0.25
+        assert abs(est["card_b"] - 3000) / 3000 < 0.25
+        assert abs(est["card_union"] - 5000) / 5000 < 0.25
+        # intersection inherits both errors — generous band, but must
+        # be far from 0 and far from |A|
+        assert 300 < est["card_inter"] < 2200
+        assert 0.05 < est["jaccard"] < 0.5
+
+    def test_union_matches_concatenated_corpus(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.sketch import (
+            hll_registers, hll_union_registers)
+
+        docs_a = [f"alpha{i} beta{i % 7}" for i in range(40)]
+        docs_b = [f"alpha{i + 20} gamma{i % 5}" for i in range(40)]
+        ds_a = rd.from_items([{"text": d} for d in docs_a])
+        ds_b = rd.from_items([{"text": d} for d in docs_b])
+        merged = hll_union_registers(ds_a, ds_b, m=64).to_pandas()
+        both = rd.from_items([{"text": d} for d in docs_a + docs_b])
+        direct = hll_registers(both, m=64).to_pandas()
+        got = merged[merged["rank_union"] > 0][
+            ["register", "rank_union"]].reset_index(drop=True)
+        want = direct.rename(columns={"max_rank": "rank_union"})
+        pd.testing.assert_frame_equal(got, want.reset_index(drop=True))
+
+    def test_disjoint_sides_zero_fill(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.sketch import hll_union_registers
+
+        ds_a = rd.from_items([{"text": "only-in-a"}])
+        ds_b = rd.from_items([{"text": "only-in-b"}])
+        mdf = hll_union_registers(ds_a, ds_b, m=64).to_pandas()
+        # each side contributes one register; the other side's rank is 0
+        assert ((mdf["rank_a"] == 0) ^ (mdf["rank_b"] == 0)).all() or \
+            len(mdf) == 1  # unless both tokens hash to one register
+
+
+class TestCanonicalizeUrl:
+    def canon(self, urls):
+        from biocurator_mapper_ray.ops.normalize import canonicalize_url
+
+        t = pa.table({"url": pa.array(urls, pa.string())})
+        return canonicalize_url(t).column("url_canon").to_pylist()
+
+    def test_case_port_fragment_tracking_sort(self):
+        got = self.canon([
+            "HTTP://Site3.EXAMPLE.com:80/p1?z=2&utm_source=news&a=4#s9",
+            "HTTPS://CDN5.Example.org:443/x/y/?b=1",
+            "https://api.example.net:8443/v1?k=3",
+        ])
+        assert got == [
+            "http://site3.example.com/p1?a=4&z=2",
+            "https://cdn5.example.org/x/y/?b=1",
+            "https://api.example.net:8443/v1?k=3",
+        ]
+
+    def test_empty_path_and_only_tracking_params(self):
+        got = self.canon([
+            "http://host.com",
+            "http://h.com/?utm_campaign=x&gclid=abc&fbclid=z",
+        ])
+        assert got == ["http://host.com/", "http://h.com/"]
+
+    def test_non_urls_and_empty_pass_as_empty(self):
+        assert self.canon(["not a url", "", "ftp//x"]) == ["", "", ""]
+
+    def test_non_http_scheme_port_kept(self):
+        # unknown scheme has no default port → port kept
+        assert self.canon(["ftp://Files.Example.com:21/a"]) == [
+            "ftp://files.example.com:21/a"]
+
+    def test_param_sort_is_bytewise(self):
+        got = self.canon(["http://h.com/p?b=1&B=2&a=3"])
+        assert got == ["http://h.com/p?B=2&a=3&b=1"]
+
+    def test_query_case_preserved_path_case_preserved(self):
+        got = self.canon(["HTTP://H.com/CaseD/Path?Key=Val"])
+        assert got == ["http://h.com/CaseD/Path?Key=Val"]
