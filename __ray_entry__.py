@@ -3345,6 +3345,65 @@ def _q_canon_urls(sf_dir: str):
     return out.select_columns(["doc_id", "url_canon"]).sort("doc_id")
 
 
+def _q_kfold(sf_dir: str):
+    """5-fold cross-validation assignment (ops/sample.kfold_split):
+    fold = md5('3:'||doc_id) % 5, map-only, md5-parity exact."""
+    from biocurator_mapper_ray.ops.sample import kfold_split
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    return kfold_split(ds, k=5, seed=3).select_columns(
+        ["doc_id", "fold"]).sort("doc_id")
+
+
+def _q_dedup_url(sf_dir: str):
+    """URL-keyed exact dedup COMPOSITION: plant messy duplicate URLs
+    (coarse moduli so ~250 evens collapse to 30 canonical URLs) →
+    canonicalize_url → text-light min-id winner per canonical URL
+    (exact_dedup_ids on the url_canon column — the lean two-hash
+    exchange, URLs never shuffled raw) → semi-join read-back; docs
+    without a URL pass through undeduplicated."""
+    import numpy as np
+
+    from biocurator_mapper_ray.ops.dedup import exact_dedup_ids, semi_join_ids
+    from biocurator_mapper_ray.ops.normalize import canonicalize_url
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        even = np.char.add(np.char.add(np.char.add(np.char.add(
+            np.char.add("HTTP://Host", (ids % 5).astype(str)),
+            ".Example.COM:80/p"), (ids % 3).astype(str)),
+            np.char.add("?utm_x=1&q=", (ids % 2).astype(str))), "#f")
+        odd1 = np.char.add("https://M.example.org/?z=",
+                           (ids % 3).astype(str))
+        url = np.where(ids % 2 == 0, even,
+                       np.where(ids % 4 == 1, odd1, ""))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "url": pa.array(url.tolist(), pa.string())})
+
+    canon = ds.map_batches(plant, batch_format="pyarrow").map_batches(
+        canonicalize_url, batch_format="pyarrow").select_columns(
+        ["doc_id", "url_canon"])
+    with_url = canon.filter(expr="url_canon != ''")
+    winners = exact_dedup_ids(with_url, column="url_canon")
+    kept = semi_join_ids(with_url, winners)
+    no_url = canon.filter(expr="url_canon == ''")
+    return kept.union(no_url).sort("doc_id")
+
+
+def _q_vocab_coverage(sf_dir: str):
+    """Nucleus (top-p) vocabulary truncation (ops/lm.vocab_coverage):
+    the smallest (count DESC, token ASC) vocabulary prefix covering 80%
+    of token occurrences — count-value-scale driver state, boundary
+    group resolved by a distributed lexicographic min-k; integer-exact
+    vs the SQL window-cumsum form."""
+    from biocurator_mapper_ray.ops.lm import vocab_coverage
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return vocab_coverage(ds, p_bp=8000)
+
+
 # ----------------------------------------------------------------- contract
 
 
@@ -3419,6 +3478,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_split_documents": _q_grouped_split,
         "hll_union_langs": _q_hll_union,
         "canon_urls_documents": _q_canon_urls,
+        "kfold_documents": _q_kfold,
+        "dedup_url_documents": _q_dedup_url,
+        "vocab_coverage_documents": _q_vocab_coverage,
         "local_supplier_volume": _q_local_supplier_volume,
         "click_purchase_outer": _q_click_purchase_outer,
         "degree_histogram_parts": _q_degree_histogram,
@@ -4567,6 +4629,55 @@ def oracle_sql() -> dict[str, str]:
                         ELSE '' END AS url_canon
             FROM documents
             ORDER BY doc_id
+        """,
+        "kfold_documents": """
+            SELECT doc_id,
+                   CAST(CAST('0x' || substr(md5('3:' || CAST(doc_id AS VARCHAR)),
+                                            1, 16) AS UBIGINT) % 5
+                        AS BIGINT) AS fold
+            FROM documents
+            ORDER BY doc_id
+        """,
+        "dedup_url_documents": """
+            WITH planted AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 2 = 0 THEN
+                              'http://host' || CAST(doc_id % 5 AS VARCHAR)
+                              || '.example.com/p'
+                              || CAST(doc_id % 3 AS VARCHAR)
+                              || '?q=' || CAST(doc_id % 2 AS VARCHAR)
+                            WHEN doc_id % 4 = 1 THEN
+                              'https://m.example.org/?z='
+                              || CAST(doc_id % 3 AS VARCHAR)
+                            ELSE '' END AS url_canon
+                FROM documents
+            )
+            SELECT doc_id, url_canon FROM planted
+            QUALIFY url_canon = ''
+                 OR row_number() OVER (PARTITION BY url_canon
+                                       ORDER BY doc_id) = 1
+            ORDER BY doc_id
+        """,
+        "vocab_coverage_documents": """
+            WITH counts AS (
+                SELECT t.tok AS token, count(*) AS n
+                FROM documents,
+                     unnest(regexp_split_to_array(lower(text), '\\s+'))
+                         AS t(tok)
+                WHERE t.tok <> ''
+                GROUP BY t.tok
+            ),
+            w AS (
+                SELECT token, n,
+                       sum(n) OVER (ORDER BY n DESC, token) - n
+                           AS cum_before,
+                       sum(n) OVER () AS total
+                FROM counts
+            )
+            SELECT token, CAST(n AS BIGINT) AS n
+            FROM w
+            WHERE 10000 * cum_before < 8000 * total
+            ORDER BY n DESC, token
         """,
         "scd2_events": """
             WITH s AS (

@@ -780,3 +780,104 @@ def fim_split(ds, *, id_column: str = "doc_id", text_column: str = "text",
         })
 
     return ds.map_batches(split, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- nucleus
+
+def vocab_coverage(ds, *, text_column: str = "text", p_bp: int = 9000,
+                   max_partial: int = 1_000_000):
+    """Nucleus (top-p) vocabulary truncation: the smallest
+    (count DESC, token ASC)-ranked prefix of the vocabulary covering
+    ``p_bp``/10000 of all token occurrences — the standard vocabulary
+    cut for tokenizer training / OOV budgeting.  Returns the kept
+    (token, n) rows, sorted (n DESC, token ASC).
+
+    Membership rule (integer-exact on both engines): token ``t`` is
+    kept iff ``10000 * cum_before(t) < p_bp * total`` where
+    ``cum_before`` is the occurrence mass ranked strictly before ``t``.
+
+    Scale shape — no global ordered prefix sum is materialized:
+
+    1. :func:`~biocurator_mapper_ray.ops.textstats.word_counts` builds
+       the (token, n) table (one salted vocab-scale exchange).
+    2. A count-VALUE-scale rollup (distinct count values ≤ max doc
+       frequency — thousands, not vocabulary-scale) comes to the
+       driver; suffix sums over it decide, per count value ``n``, how
+       many of its tokens are kept (``k_n``), exactly.
+    3. Count values fully inside the nucleus pass a broadcast-set
+       filter map-side; only the BOUNDARY groups (0 < k_n < group
+       size, normally exactly one) go through a per-group
+       lexicographic min-k — map-side partial head-k, then one
+       boundary-scale ``map_groups`` final.
+
+    ``max_partial`` caps the boundary selection (a p→1 cut whose
+    boundary lands in the n=1 long tail would otherwise pull
+    vocabulary-scale rows through the min-k); past it the op raises
+    rather than silently truncating.
+    """
+    import warnings
+
+    from .textstats import word_counts
+
+    counts = word_counts(ds, text_column=text_column)
+
+    def per_n_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["n"]).group_by(["n"], use_threads=False).aggregate(
+            [("n", "count")])
+        return g.rename_columns(["n", "toks"])
+
+    pn = counts.map_batches(per_n_partial, batch_format="pyarrow").groupby(
+        "n").sum("toks").to_pandas()
+    if pn.empty or "n" not in pn.columns:  # empty corpus
+        return counts
+    pn = pn.rename(columns={"sum(toks)": "toks"}).sort_values(
+        "n", ascending=False).reset_index(drop=True)
+    ns = pn["n"].to_numpy(np.int64)
+    toks = pn["toks"].to_numpy(np.int64)
+    mass = ns * toks
+    total = int(mass.sum())
+    if total == 0:
+        return counts.sort(["n", "token"], descending=[True, False])
+    cum_before = np.concatenate([[0], np.cumsum(mass)[:-1]])
+    num = np.int64(p_bp) * total - np.int64(10000) * cum_before
+    k = np.where(num <= 0, 0, -(-num // (np.int64(10000) * ns)))
+    k = np.minimum(k, toks).astype(np.int64)
+
+    full_ns = ns[(k > 0) & (k == toks)].tolist()
+    partial_mask = (k > 0) & (k < toks)
+    partial_k = dict(zip(ns[partial_mask].tolist(), k[partial_mask].tolist()))
+    if partial_k and sum(partial_k.values()) > max_partial:
+        raise ValueError(
+            f"vocab_coverage boundary selection needs "
+            f"{sum(partial_k.values())} rows (> max_partial="
+            f"{max_partial}); p_bp={p_bp} cuts too deep into the "
+            f"long tail — lower p_bp or raise max_partial")
+
+    full_set = pa.array(full_ns, pa.int64())
+
+    def keep_full(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column("n"), value_set=full_set))
+
+    kept = counts.map_batches(keep_full, batch_format="pyarrow")
+    if partial_k:
+        pmax = partial_k
+
+        def head_k(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["n"].isin(pmax)]
+            if not len(df):
+                return df
+            df = df.sort_values(["n", "token"])
+            return df.groupby("n", sort=False, group_keys=False).apply(
+                lambda g: g.head(pmax[int(g["n"].iloc[0])]))
+
+        def head_k_arrow(df: pd.DataFrame) -> pa.Table:
+            # arrow output so the union with the arrow-block full
+            # branch stays homogeneous
+            return pa.Table.from_pandas(
+                head_k(df), preserve_index=False).replace_schema_metadata(None)
+
+        cands = counts.map_batches(head_k, batch_format="pandas")
+        boundary = cands.groupby("n").map_groups(
+            head_k_arrow, batch_format="pandas")
+        kept = kept.union(boundary)
+    return kept.sort(["n", "token"], descending=[True, False])

@@ -81,6 +81,21 @@ def grouped_split(ds, *, group_column: str, test_pct: int = 10,
     return ds.map_batches(tag, batch_format="pyarrow")
 
 
+def kfold_split(ds, *, key_column: str = "doc_id", k: int = 5,
+                seed: int = 42, out_column: str = "fold"):
+    """K-fold cross-validation assignment: ``fold = md5(seed:key) % k``
+    — disjoint, exhaustive, reproducible on any engine/partitioning,
+    and map-side only.  Key on a GROUP column instead of the row id for
+    the leakage-safe grouped variant (same contract as
+    :func:`grouped_split`)."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = _md5_bucket(batch.column(key_column), k, seed)
+        return batch.append_column(out_column, pa.array(b, pa.int64()))
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
 def stratified_sample(ds, *, key_column: str = "doc_id",
                       group_column: str, pct_by_group: dict[str, int],
                       default_pct: int = 0, seed: int = 42,

@@ -150,3 +150,88 @@ class TestCanonicalizeUrl:
     def test_query_case_preserved_path_case_preserved(self):
         got = self.canon(["HTTP://H.com/CaseD/Path?Key=Val"])
         assert got == ["http://h.com/CaseD/Path?Key=Val"]
+
+
+class TestKFold:
+    def test_disjoint_exhaustive_and_parity(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.sample import kfold_split
+
+        df = pd.DataFrame({"doc_id": np.arange(300)})
+        out = kfold_split(rd.from_pandas(df).repartition(4), k=5,
+                          seed=3).to_pandas().sort_values(
+            "doc_id").reset_index(drop=True)
+        assert set(out["fold"]) == set(range(5))
+        want = duckdb.sql("""
+            SELECT doc_id,
+                   CAST(CAST('0x' || substr(md5('3:' || CAST(doc_id AS VARCHAR)),
+                                            1, 16) AS UBIGINT) % 5
+                        AS BIGINT) AS fold
+            FROM df ORDER BY doc_id
+        """).df()
+        assert (out["fold"].to_numpy() == want["fold"].to_numpy()).all()
+
+
+class TestVocabCoverage:
+    def _exact(self, docs, p_bp):
+        from collections import Counter
+
+        c = Counter(t for d in docs for t in d.lower().split())
+        items = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        total = sum(c.values())
+        cum, want = 0, []
+        for t, n in items:
+            if 10000 * cum < p_bp * total:
+                want.append((t, n))
+            cum += n
+        return pd.DataFrame(want, columns=["token", "n"])
+
+    @pytest.mark.parametrize("p_bp", [5000, 8000, 9990])
+    def test_matches_exact_nucleus(self, ray_session, p_bp):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.lm import vocab_coverage
+
+        # Zipf-ish: token i appears ~200/(i+1) times → the boundary
+        # group is non-trivial at every p level
+        toks = []
+        for i in range(150):
+            toks.extend([f"w{i:03d}"] * (200 // (i + 1) + 1))
+        docs = [" ".join(toks[j:j + 40]) for j in range(0, len(toks), 40)]
+        ds = rd.from_items([{"text": d} for d in docs]).repartition(4)
+        got = vocab_coverage(ds, p_bp=p_bp).to_pandas().reset_index(drop=True)
+        want = self._exact(docs, p_bp)
+        want["n"] = want["n"].astype(got["n"].dtype)
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_boundary_ties_resolved_lexicographically(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.lm import vocab_coverage
+
+        # 10 tokens all with count 3 → p=0.5 keeps exactly the 5
+        # lexicographically smallest
+        docs = [" ".join(f"t{i}" for i in range(10))] * 3
+        ds = rd.from_items([{"text": d} for d in docs]).repartition(2)
+        got = vocab_coverage(ds, p_bp=5000).to_pandas()
+        assert got["token"].tolist() == [f"t{i}" for i in range(5)]
+
+    def test_max_partial_cap_raises(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.lm import vocab_coverage
+
+        docs = [" ".join(f"u{i}" for i in range(50))]
+        ds = rd.from_items([{"text": d} for d in docs])
+        with pytest.raises(ValueError, match="max_partial"):
+            vocab_coverage(ds, p_bp=5000, max_partial=3)
+
+    def test_empty_corpus(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.lm import vocab_coverage
+
+        ds = rd.from_items([{"text": "   "}])
+        assert vocab_coverage(ds, p_bp=8000).count() == 0
