@@ -3404,6 +3404,17 @@ def _q_vocab_coverage(sf_dir: str):
     return vocab_coverage(ds, p_bp=8000)
 
 
+def _q_winnow(sf_dir: str):
+    """MOSS winnowing fingerprints (ops/textstats.winnow_fingerprints):
+    distinct per-doc window-min k-gram hashes, map-only; 15-hex md5
+    gram hashes keep both engines in int64 so the window-min SQL form
+    is bit-exact."""
+    from biocurator_mapper_ray.ops.textstats import winnow_fingerprints
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return winnow_fingerprints(ds, k=3, window=4).sort(["doc_id", "fp"])
+
+
 # ----------------------------------------------------------------- contract
 
 
@@ -3481,6 +3492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kfold_documents": _q_kfold,
         "dedup_url_documents": _q_dedup_url,
         "vocab_coverage_documents": _q_vocab_coverage,
+        "winnow_documents": _q_winnow,
         "local_supplier_volume": _q_local_supplier_volume,
         "click_purchase_outer": _q_click_purchase_outer,
         "degree_histogram_parts": _q_degree_histogram,
@@ -4678,6 +4690,34 @@ def oracle_sql() -> dict[str, str]:
             FROM w
             WHERE 10000 * cum_before < 8000 * total
             ORDER BY n DESC, token
+        """,
+        "winnow_documents": """
+            WITH docs AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                   t -> t <> '') AS toks
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, CAST(u.j AS BIGINT) AS gpos,
+                       CAST('0x' || substr(md5(array_to_string(
+                                toks[u.j:u.j+2], ' ')), 1, 15)
+                            AS UBIGINT) AS h,
+                       CAST(len(toks) - 3 + 1 AS BIGINT) AS n_grams
+                FROM docs, unnest(range(1, len(toks) - 3 + 2)) u(j)
+                WHERE len(toks) >= 3
+            ),
+            wins AS (
+                SELECT doc_id, gpos, n_grams,
+                       min(h) OVER (PARTITION BY doc_id ORDER BY gpos
+                                    ROWS BETWEEN CURRENT ROW
+                                             AND 3 FOLLOWING) AS mh
+                FROM grams
+            )
+            SELECT DISTINCT doc_id, CAST(mh AS BIGINT) AS fp
+            FROM wins
+            WHERE gpos <= n_grams - 4 + 1
+            ORDER BY doc_id, fp
         """,
         "scd2_events": """
             WITH s AS (

@@ -867,3 +867,67 @@ def group_token_overlap(ds, *, group_column: str = "source",
             .groupby("__one")
             .map_groups(lambda g: finish(g.drop(columns="__one")),
                         batch_format="pandas"))
+
+
+def winnow_fingerprints(ds, *, id_column: str = "doc_id",
+                        text_column: str = "text",
+                        k: int = 5, window: int = 4):
+    """MOSS-style winnowing fingerprints (Schleimer, Wilkerson &
+    Aiken, SIGMOD 2003): hash every word ``k``-gram, slide a
+    ``window`` over consecutive gram hashes and record each window's
+    MINIMUM — the guarantee-bearing local-minima sketch for substring-
+    level plagiarism / near-dup detection (any shared run of
+    ``k + window - 1`` tokens shares at least one fingerprint).
+    Emits the DISTINCT (doc, fp) pairs; density ≈ 2/(window+1).
+
+    MAP-ONLY: tokenize → aligned-slice k-gram build → one vectorized
+    md5 kernel call → ``sliding_window_view`` min — no exchange, no
+    per-row Python.  The gram hash is the first 15 md5 hex chars
+    (< 2^60, int64-safe on both engines), so the fingerprint set has
+    an exact DuckDB oracle via the window-min SQL form.  Docs shorter
+    than ``k + window - 1`` tokens emit nothing (no full window).
+    """
+    from ..functions.hashing import md5_prefix_u64
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_column).to_numpy()
+        empty = pa.table({
+            id_column: pa.array([], batch.schema.field(id_column).type),
+            "fp": pa.array([], pa.int64())})
+        toks_list = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column(text_column)), r"\s+")
+        if isinstance(toks_list, pa.ChunkedArray):
+            toks_list = toks_list.combine_chunks()
+        flat = np.asarray(toks_list.flatten(), dtype=object)
+        counts = np.asarray(pc.list_value_length(toks_list),
+                            dtype=np.int64)
+        parents = np.repeat(np.arange(len(ids)), counts)
+        mask = flat != ""
+        flat, parents = flat[mask], parents[mask]
+        n = len(flat)
+        if n < k:
+            return empty
+        s = flat.astype(str)
+        gram = s[: n - k + 1].copy()
+        for off in range(1, k):
+            gram = np.char.add(np.char.add(gram, " "),
+                               s[off: n - k + 1 + off])
+        gp = parents[: n - k + 1]
+        same_doc = parents[k - 1:] == gp
+        gram, gp = gram[same_doc], gp[same_doc]
+        m = len(gram)
+        if m < window:
+            return empty
+        h = md5_prefix_u64(gram, 15).astype(np.int64)
+        sw = np.lib.stride_tricks.sliding_window_view(h, window)
+        minima = sw.min(axis=1)
+        wvalid = gp[window - 1:] == gp[: m - window + 1]
+        doc_pos = gp[: m - window + 1][wvalid]
+        fps = minima[wvalid]
+        if not len(fps):
+            return empty
+        pairs = np.unique(np.stack([doc_pos, fps], axis=1), axis=0)
+        return pa.table({id_column: pa.array(ids[pairs[:, 0]]),
+                         "fp": pa.array(pairs[:, 1])})
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")

@@ -235,3 +235,53 @@ class TestVocabCoverage:
 
         ds = rd.from_items([{"text": "   "}])
         assert vocab_coverage(ds, p_bp=8000).count() == 0
+
+
+class TestWinnowFingerprints:
+    def run_op(self, docs, **kw):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.textstats import winnow_fingerprints
+
+        ds = rd.from_items([{"doc_id": i, "text": d}
+                            for i, d in enumerate(docs)]).repartition(2)
+        return winnow_fingerprints(ds, **kw).to_pandas()
+
+    def test_guarantee_shared_run_shares_fingerprint(self, ray_session):
+        # winnowing guarantee: any shared token run of length
+        # k + window - 1 (= 8 here) yields ≥1 common fingerprint
+        shared = "alpha beta gamma delta epsilon zeta eta theta"
+        docs = [f"one two three {shared} four five",
+                f"nine eight {shared} seven six"]
+        out = self.run_op(docs, k=5, window=4)
+        fps = {d: set(g["fp"]) for d, g in out.groupby("doc_id")}
+        assert fps[0] & fps[1]
+
+    def test_short_docs_emit_nothing(self, ray_session):
+        out = self.run_op(["a b c", "x", ""], k=3, window=4)
+        # 3 grams need k+window-1 = 6 tokens for one full window
+        assert len(out) == 0
+
+    def test_repetitive_doc_collapses(self, ray_session):
+        out = self.run_op(["x x x x x x x x x x"], k=3, window=4)
+        # all grams identical → one distinct fingerprint
+        assert len(out) == 1
+
+    def test_matches_pure_python_reference(self, ray_session):
+        import hashlib
+
+        docs = ["the quick brown fox jumps over the lazy dog again",
+                "pack my box with five dozen liquor jugs today now"]
+        k, w = 3, 4
+        want = set()
+        for d, text in enumerate(docs):
+            toks = text.lower().split()
+            grams = [" ".join(toks[i:i + k])
+                     for i in range(len(toks) - k + 1)]
+            hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+                  for g in grams]
+            for i in range(len(hs) - w + 1):
+                want.add((d, min(hs[i:i + w])))
+        out = self.run_op(docs, k=k, window=w)
+        got = set(zip(out["doc_id"], out["fp"]))
+        assert got == want
