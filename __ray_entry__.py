@@ -3415,6 +3415,33 @@ def _q_winnow(sf_dir: str):
     return winnow_fingerprints(ds, k=3, window=4).sort(["doc_id", "fp"])
 
 
+def _q_dedup_lines(sf_dir: str):
+    """C4-style global line dedup (ops/boilerplate.dedup_lines_global)
+    over planted multi-line documents: the raw fixture text (exact dups
+    exist) plus two shared planted lines per doc — every duplicate line
+    keeps only its corpus-wide first (doc_id, idx) occurrence, docs
+    rebuilt in order.  Two lean exchanges; string output hash-compared
+    byte-for-byte vs the SQL row_number/string_agg rebuild."""
+    import numpy as np
+
+    from biocurator_mapper_ray.ops.boilerplate import dedup_lines_global
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        para = np.char.add("para-", (ids % 5).astype(str))
+        tail = np.char.add("tail-", (ids % 7).astype(str))
+        aug = pc.binary_join_element_wise(
+            batch.column("text"), pa.array(para.tolist(), pa.string()),
+            pa.array(tail.tolist(), pa.string()), "\n")
+        return pa.table({"doc_id": batch.column("doc_id"), "text": aug})
+
+    out = dedup_lines_global(ds.map_batches(plant, batch_format="pyarrow"))
+    return out.select_columns(
+        ["doc_id", "text_dedup", "n_removed"]).sort("doc_id")
+
+
 # ----------------------------------------------------------------- contract
 
 
@@ -3493,6 +3520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_url_documents": _q_dedup_url,
         "vocab_coverage_documents": _q_vocab_coverage,
         "winnow_documents": _q_winnow,
+        "dedup_lines_documents": _q_dedup_lines,
         "local_supplier_volume": _q_local_supplier_volume,
         "click_purchase_outer": _q_click_purchase_outer,
         "degree_histogram_parts": _q_degree_histogram,
@@ -4718,6 +4746,38 @@ def oracle_sql() -> dict[str, str]:
             FROM wins
             WHERE gpos <= n_grams - 4 + 1
             ORDER BY doc_id, fp
+        """,
+        "dedup_lines_documents": """
+            WITH planted AS (
+                SELECT doc_id,
+                       text || chr(10) || 'para-'
+                            || CAST(doc_id % 5 AS VARCHAR)
+                            || chr(10) || 'tail-'
+                            || CAST(doc_id % 7 AS VARCHAR) AS text
+                FROM documents
+            ),
+            docs AS (
+                SELECT doc_id, str_split(text, chr(10)) AS ls FROM planted
+            ),
+            lines AS (
+                SELECT doc_id, CAST(u.i AS BIGINT) - 1 AS idx,
+                       ls[u.i] AS line
+                FROM docs, unnest(range(1, len(ls) + 1)) u(i)
+            ),
+            keep AS (
+                SELECT doc_id, idx, line,
+                       row_number() OVER (PARTITION BY line
+                                          ORDER BY doc_id, idx) AS rn
+                FROM lines
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(line, chr(10) ORDER BY idx)
+                            FILTER (WHERE rn = 1), '') AS text_dedup,
+                   CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT)
+                       AS n_removed
+            FROM keep
+            GROUP BY doc_id
+            ORDER BY doc_id
         """,
         "scd2_events": """
             WITH s AS (

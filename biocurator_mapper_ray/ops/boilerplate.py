@@ -176,3 +176,140 @@ def boilerplate_scrub(ds, *, text_column: str = "text",
     return remove_frequent_lines(ds, _ray.put(freq),
                                  text_column=text_column,
                                  id_column=id_column)
+
+
+# ------------------------------------------------- global line dedup
+
+def dedup_lines_global(ds, *, text_column: str = "text",
+                       id_column: str = "doc_id",
+                       buckets: int | None = None,
+                       size_hint: int | None = None):
+    """C4-style GLOBAL line dedup: every exact duplicate line keeps
+    only its corpus-wide first occurrence (owner = min
+    ``(doc_id, line_idx)``); later occurrences — in other documents OR
+    later in the same document — are removed and each document is
+    rebuilt from its surviving lines in order.  Emits
+    ``(id, text_dedup, n_removed)``.
+
+    Distinct from :func:`boilerplate_scrub` (which drops EVERY copy of
+    a line frequent in ≥ min_docs documents): this keeps exactly one
+    copy of every line, the standard C4/Dolma line-dedup contract.
+
+    Scale shape — the :func:`~biocurator_mapper_ray.ops.dedup.remove_duplicate_spans`
+    design at line granularity, two lean exchanges:
+
+    1. occurrence rows ``(h64(line), doc, idx)`` (~24 B each, no line
+       text) through a hash-salted exchange; each bucket emits its
+       LOSERS — every occurrence of a line except the global minimum.
+       Loser volume is duplicate-scale, not corpus-scale.
+    2. a doc-bucketed union join where each bucket carries its docs'
+       text ONCE plus their loser positions; the rebuild is the
+       :func:`remove_frequent_lines` ListArray/binary_join kernel.
+
+    Membership/ownership is decided on 64-bit line hashes (the
+    :func:`frequent_line_hashes` contract): a 2^-64 collision merges
+    two distinct lines' ownership chains — acceptable at any corpus
+    size, documented here.
+    """
+    from ..functions.hashing import hash64_column as _h64
+    from .join import derive_buckets
+
+    n_docs = ds.count()
+    if buckets is None:
+        est = size_hint if size_hint is not None else n_docs * 8
+        buckets = derive_buckets(est)
+    doc_buckets = derive_buckets(n_docs, rows_per_bucket=1 << 15)
+
+    def occ_rows(batch: pa.Table) -> pa.Table:
+        flat, doc, lens = _explode_lines(batch, text_column, id_column)
+        if not len(doc):
+            return pa.table({"__h": pa.array([], pa.uint64()),
+                             id_column: pa.array([], pa.int64()),
+                             "idx": pa.array([], pa.int64()),
+                             "__bucket": pa.array([], pa.int32())})
+        h = hash64_column(flat if isinstance(flat, pa.ChunkedArray)
+                          else pa.chunked_array([flat]))
+        # line index within its document: position minus the doc's offset
+        offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        idx = np.arange(len(doc), dtype=np.int64) - offs[doc]
+        ids = batch.column(id_column).to_numpy()
+        return pa.table({
+            "__h": pa.array(h),
+            id_column: pa.array(ids[doc]),
+            "idx": pa.array(idx),
+            "__bucket": pa.array((h % np.uint64(buckets)).astype(np.int32)),
+        })
+
+    def losers_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["__h", id_column, "idx"], kind="mergesort")
+        lose = g.duplicated("__h", keep="first")
+        out = g.loc[lose, [id_column, "idx"]]
+        if not len(out):
+            return pa.table({id_column: pa.array([], pa.int64()),
+                             "idx": pa.array([], pa.int64())})
+        return out
+
+    losers = (ds.map_batches(occ_rows, batch_format="pyarrow")
+                .groupby("__bucket")
+                .map_groups(losers_in_bucket, batch_format="pandas"))
+
+    def tag(batch: pa.Table, side: int) -> pa.Table:
+        h = _h64(batch.column(id_column))
+        return pa.table({
+            id_column: batch.column(id_column),
+            "__text": (batch.column(text_column) if side == 0
+                       else pa.nulls(len(batch), pa.string())),
+            "idx": (batch.column("idx") if side == 1
+                    else pa.nulls(len(batch), pa.int64())),
+            "__side": pa.array(np.full(len(batch), side, dtype=np.int8)),
+            "__dbucket": pa.array(
+                (h % np.uint64(doc_buckets)).astype(np.int32)),
+        })
+
+    docs_t = ds.map_batches(tag, fn_kwargs={"side": 0},
+                            batch_format="pyarrow")
+    dels_t = losers.map_batches(tag, fn_kwargs={"side": 1},
+                                batch_format="pyarrow")
+
+    def rebuild_bucket(g: pd.DataFrame):
+        docs = g[g["__side"] == 0]
+        if not len(docs):
+            return pa.table({id_column: pa.array([], pa.int64()),
+                             "text_dedup": pa.array([], pa.string()),
+                             "n_removed": pa.array([], pa.int64())})
+        sub = pa.table({
+            id_column: pa.array(docs[id_column].to_numpy()),
+            text_column: pa.array(docs["__text"].to_numpy(), pa.string()),
+        })
+        flat, doc, lens = _explode_lines(sub, text_column, id_column)
+        offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+        keep = np.ones(int(offs[-1]), dtype=bool)
+        dels = g[g["__side"] == 1]
+        if len(dels):
+            ids = docs[id_column].to_numpy()
+            pos_of = pd.Series(np.arange(len(ids)), index=ids)
+            dd = pos_of[dels[id_column].to_numpy()].to_numpy(np.int64)
+            # idx arrives as float64 (NaN-padded by the union tag)
+            keep[offs[dd] + dels["idx"].to_numpy(np.int64)] = False
+        n_docs_b = len(lens)
+        kept_per_doc = np.bincount(doc[keep], minlength=n_docs_b).astype(
+            np.int64)
+        flat_arr = (flat.combine_chunks()
+                    if isinstance(flat, pa.ChunkedArray) else flat)
+        kept_lines = flat_arr.filter(pa.array(keep))
+        koffs = np.concatenate([[0], np.cumsum(kept_per_doc)])
+        if koffs[-1] < 2**31:
+            kept_list = pa.ListArray.from_arrays(
+                pa.array(koffs, pa.int32()), kept_lines)
+        else:
+            kept_list = pa.LargeListArray.from_arrays(
+                pa.array(koffs, pa.int64()),
+                kept_lines.cast(pa.large_string()))
+        return pa.table({
+            id_column: sub.column(id_column),
+            "text_dedup": pc.binary_join(kept_list, "\n"),
+            "n_removed": pa.array((lens - kept_per_doc).astype(np.int64)),
+        })
+
+    return docs_t.union(dels_t).groupby("__dbucket").map_groups(
+        rebuild_bucket, batch_format="pandas")

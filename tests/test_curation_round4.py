@@ -285,3 +285,54 @@ class TestWinnowFingerprints:
         out = self.run_op(docs, k=k, window=w)
         got = set(zip(out["doc_id"], out["fp"]))
         assert got == want
+
+
+class TestDedupLinesGlobal:
+    def run_op(self, docs):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.boilerplate import dedup_lines_global
+
+        ds = rd.from_items([{"doc_id": k, "text": v}
+                            for k, v in docs.items()]).repartition(3)
+        return dedup_lines_global(ds).to_pandas().sort_values(
+            "doc_id").reset_index(drop=True)
+
+    def exact(self, docs):
+        seen, want = set(), {}
+        for d in sorted(docs):
+            kept, r = [], 0
+            for line in docs[d].split("\n"):
+                if line in seen:
+                    r += 1
+                else:
+                    seen.add(line)
+                    kept.append(line)
+            want[d] = ("\n".join(kept), r)
+        return want
+
+    def test_first_occurrence_wins_cross_and_within_doc(self, ray_session):
+        docs = {0: "hello\nshared\nworld",
+                1: "shared\nunique1\nhello",
+                2: "unique2\nworld\nshared",
+                3: "shared\nshared\nonly3",
+                4: ""}
+        out = self.run_op(docs)
+        want = self.exact(docs)
+        for _, row in out.iterrows():
+            t, r = want[row["doc_id"]]
+            assert row["text_dedup"] == t and row["n_removed"] == r
+
+    def test_all_docs_identical_one_survivor(self, ray_session):
+        docs = {i: "a\nb\nc" for i in range(8)}
+        out = self.run_op(docs)
+        assert out.loc[out.doc_id == 0, "text_dedup"].iloc[0] == "a\nb\nc"
+        assert (out.loc[out.doc_id > 0, "text_dedup"] == "").all()
+        assert (out.loc[out.doc_id > 0, "n_removed"] == 3).all()
+
+    def test_no_duplicates_identity(self, ray_session):
+        docs = {i: f"u{i}a\nu{i}b" for i in range(5)}
+        out = self.run_op(docs)
+        assert (out["n_removed"] == 0).all()
+        for _, row in out.iterrows():
+            assert row["text_dedup"] == docs[row["doc_id"]]
