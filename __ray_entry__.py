@@ -3442,6 +3442,27 @@ def _q_dedup_lines(sf_dir: str):
         ["doc_id", "text_dedup", "n_removed"]).sort("doc_id")
 
 
+def _q_kmv_tokens(sf_dir: str):
+    """KMV distinct-token sample (ops/sketch.kmv_sample): the 64
+    smallest-md5 distinct tokens — a uniform sample of the vocabulary
+    AND a cardinality sketch; each batch ships ≤ k lean rows.  Exact
+    SQL oracle (ORDER BY hash LIMIT k over distinct tokens)."""
+    from biocurator_mapper_ray.ops.sketch import kmv_sample
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return kmv_sample(ds, k=64)
+
+
+def _q_ngram_diversity(sf_dir: str):
+    """Per-doc bigram diversity (ops/textstats.ngram_diversity):
+    total/distinct bigram counts + basis-point ratio, MAP-ONLY integer
+    evidence; 15-hex gram hashes keep both engines in int64."""
+    from biocurator_mapper_ray.ops.textstats import ngram_diversity
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ngram_diversity(ds, n=2).sort("doc_id")
+
+
 # ----------------------------------------------------------------- contract
 
 
@@ -3521,6 +3542,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_coverage_documents": _q_vocab_coverage,
         "winnow_documents": _q_winnow,
         "dedup_lines_documents": _q_dedup_lines,
+        "kmv_tokens_documents": _q_kmv_tokens,
+        "ngram_diversity_documents": _q_ngram_diversity,
         "local_supplier_volume": _q_local_supplier_volume,
         "click_purchase_outer": _q_click_purchase_outer,
         "degree_histogram_parts": _q_degree_histogram,
@@ -4776,6 +4799,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT)
                        AS n_removed
             FROM keep
+            GROUP BY doc_id
+            ORDER BY doc_id
+        """,
+        "kmv_tokens_documents": """
+            WITH toks AS (
+                SELECT DISTINCT t.tok AS token
+                FROM documents,
+                     unnest(regexp_split_to_array(lower(text), '\\s+'))
+                         AS t(tok)
+                WHERE t.tok <> ''
+            )
+            SELECT token,
+                   CAST(CAST('0x' || substr(md5(token), 1, 15) AS UBIGINT)
+                        AS BIGINT) AS h
+            FROM toks
+            ORDER BY h
+            LIMIT 64
+        """,
+        "ngram_diversity_documents": """
+            WITH docs AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                   t -> t <> '') AS toks
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id,
+                       CAST('0x' || substr(md5(array_to_string(
+                                toks[u.j:u.j+1], ' ')), 1, 15)
+                            AS UBIGINT) AS h
+                FROM docs, unnest(range(1, len(toks) - 2 + 2)) u(j)
+                WHERE len(toks) >= 2
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+                   CAST(count(DISTINCT h) * 10000 // count(*) AS BIGINT)
+                       AS diversity_bp
+            FROM grams
             GROUP BY doc_id
             ORDER BY doc_id
         """,

@@ -604,3 +604,58 @@ def grouped_hll_estimate(registers: pd.DataFrame, *, group: str,
     rows = [(g, hll_estimate(sub, m))
             for g, sub in registers.groupby(group, sort=True)]
     return pd.DataFrame(rows, columns=[group, "estimate"])
+
+
+# ---------------------------------------------------------------- KMV
+
+def kmv_sample(ds, *, text_column: str = "text", k: int = 64):
+    """K-minimum-values sketch (Bar-Yossef et al. 2002): the ``k``
+    DISTINCT tokens with the smallest md5 hashes — simultaneously a
+    UNIFORM sample of the distinct-value domain (hash order is
+    independent of frequency, unlike a row sample, which a heavy
+    hitter dominates) and a cardinality sketch
+    (:func:`kmv_estimate`).  Returns (token, h) sorted by h.
+
+    Scale shape: a global-k member is necessarily in its batch's
+    top-k, so each batch ships ≤ k lean rows and the final
+    sort+limit sees batches×k rows — vocabulary never leaves the
+    mappers.  15-hex md5 hashes (< 2^60) keep both engines in int64,
+    so the sample set has an exact DuckDB oracle
+    (``ORDER BY hash LIMIT k`` over distinct tokens)."""
+    from ..functions.hashing import md5_prefix_u64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(
+                pc.utf8_lower(batch.column(text_column)), r"\s+"))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        uniq = pc.unique(toks).to_numpy(zero_copy_only=False)
+        if not len(uniq):
+            return pa.table({"token": pa.array([], pa.string()),
+                             "h": pa.array([], pa.int64())})
+        h = md5_prefix_u64(uniq.astype(str), 15).astype(np.int64)
+        order = np.argsort(h)[:k]
+        return pa.table({"token": pa.array(uniq[order].tolist(), pa.string()),
+                         "h": pa.array(h[order])})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def dedup_k(df: pd.DataFrame) -> pd.DataFrame:
+        # the same token reaches the reducer from several batches
+        return df.drop_duplicates("h").nsmallest(k, "h")[["token", "h"]]
+
+    # batches×k rows: one tiny global fold
+    return partials.repartition(1).map_batches(
+        dedup_k, batch_format="pandas").sort("h").limit(k)
+
+
+def kmv_estimate(sample: pd.DataFrame, k: int, *, nhex: int = 15) -> float:
+    """Distinct-count estimate from a KMV sample: (k-1) / h_(k) scaled
+    to the hash domain, the standard unbiased KMV estimator; returns
+    the exact sample size when fewer than k distinct values exist."""
+    if isinstance(sample, pa.Table):
+        sample = sample.to_pandas()
+    if len(sample) < k:
+        return float(len(sample))
+    hk = float(sample["h"].max())
+    return (k - 1) * float(16 ** nhex) / hk

@@ -931,3 +931,66 @@ def winnow_fingerprints(ds, *, id_column: str = "doc_id",
                          "fp": pa.array(pairs[:, 1])})
 
     return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def ngram_diversity(ds, *, id_column: str = "doc_id",
+                    text_column: str = "text", n: int = 2):
+    """Per-document n-gram diversity (distinct-n): total n-grams,
+    distinct n-grams and the ratio in basis points — the integer
+    repetitiveness signal behind distinct-1/distinct-2 style corpus
+    diagnostics (templated or looping text scores low).  MAP-ONLY.
+
+    Distinctness is decided on 15-hex md5 gram hashes (int64-safe on
+    both engines) so the per-doc counts have an exact DuckDB oracle;
+    a collision undercounts distinct by 1 with probability ~2^-60 per
+    gram pair.  Docs with fewer than ``n`` tokens emit nothing (no
+    grams to measure).
+    """
+    from ..functions.hashing import md5_prefix_u64
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_column).to_numpy()
+        empty = pa.table({
+            id_column: pa.array([], batch.schema.field(id_column).type),
+            "n_grams": pa.array([], pa.int64()),
+            "n_distinct": pa.array([], pa.int64()),
+            "diversity_bp": pa.array([], pa.int64())})
+        toks_list = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column(text_column)), r"\s+")
+        if isinstance(toks_list, pa.ChunkedArray):
+            toks_list = toks_list.combine_chunks()
+        flat = np.asarray(toks_list.flatten(), dtype=object)
+        counts = np.asarray(pc.list_value_length(toks_list), dtype=np.int64)
+        parents = np.repeat(np.arange(len(ids)), counts)
+        mask = flat != ""
+        flat, parents = flat[mask], parents[mask]
+        nt = len(flat)
+        if nt < n:
+            return empty
+        s = flat.astype(str)
+        gram = s[: nt - n + 1].copy()
+        for off in range(1, n):
+            gram = np.char.add(np.char.add(gram, " "),
+                               s[off: nt - n + 1 + off])
+        gp = parents[: nt - n + 1]
+        same = parents[n - 1:] == gp
+        gram, gp = gram[same], gp[same]
+        if not len(gram):
+            return empty
+        h = md5_prefix_u64(gram, 15).astype(np.int64)
+        total = np.bincount(gp, minlength=len(ids)).astype(np.int64)
+        # distinct per doc: sort (doc, hash), count run starts
+        order = np.lexsort((h, gp))
+        hs, gs = h[order], gp[order]
+        first = np.ones(len(hs), dtype=bool)
+        first[1:] = (hs[1:] != hs[:-1]) | (gs[1:] != gs[:-1])
+        distinct = np.bincount(gs[first], minlength=len(ids)).astype(np.int64)
+        has = total > 0
+        div = np.zeros(len(ids), dtype=np.int64)
+        div[has] = distinct[has] * 10000 // total[has]
+        return pa.table({id_column: pa.array(ids[has]),
+                         "n_grams": pa.array(total[has]),
+                         "n_distinct": pa.array(distinct[has]),
+                         "diversity_bp": pa.array(div[has])})
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")

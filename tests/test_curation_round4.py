@@ -336,3 +336,59 @@ class TestDedupLinesGlobal:
         assert (out["n_removed"] == 0).all()
         for _, row in out.iterrows():
             assert row["text_dedup"] == docs[row["doc_id"]]
+
+
+class TestKMV:
+    def test_matches_exact_min_hashes(self, ray_session):
+        import hashlib
+
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.sketch import kmv_sample
+
+        vocab = [f"tok{i:04d}" for i in range(500)]
+        docs = [" ".join(vocab[i:i + 25]) for i in range(0, 500, 5)]
+        ds = rd.from_items([{"text": d} for d in docs]).repartition(4)
+        out = kmv_sample(ds, k=32).to_pandas()
+        want = sorted((int(hashlib.md5(t.encode()).hexdigest()[:15], 16), t)
+                      for t in vocab)[:32]
+        assert list(zip(out["h"], out["token"])) == want
+
+    def test_estimator_accuracy_and_small_domain(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.sketch import kmv_estimate, kmv_sample
+
+        vocab = [f"v{i:05d}" for i in range(5000)]
+        docs = [" ".join(vocab[i:i + 50]) for i in range(0, 5000, 50)]
+        ds = rd.from_items([{"text": d} for d in docs]).repartition(4)
+        k = 128
+        sample = kmv_sample(ds, k=k).to_pandas()
+        est = kmv_estimate(sample, k)
+        assert abs(est - 5000) / 5000 < 0.3
+        # domain smaller than k → exact
+        tiny = rd.from_items([{"text": "a b c"}])
+        s2 = kmv_sample(tiny, k=10).to_pandas()
+        assert kmv_estimate(s2, 10) == 3.0
+
+
+class TestNgramDiversity:
+    def test_counts_and_ratio(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.textstats import ngram_diversity
+
+        docs = {0: "a b a b a",      # bigrams: ab ba ab ba → 4 total 2 distinct
+                1: "x y z w",         # 3 total 3 distinct
+                2: "solo",            # < n tokens → absent
+                3: "r r r r r r"}     # 5 total 1 distinct
+        ds = rd.from_items([{"doc_id": k, "text": v}
+                            for k, v in docs.items()]).repartition(2)
+        out = ngram_diversity(ds, n=2).to_pandas().set_index("doc_id")
+        assert 2 not in out.index
+        assert out.loc[0, "n_grams"] == 4 and out.loc[0, "n_distinct"] == 2
+        assert out.loc[0, "diversity_bp"] == 5000
+        assert out.loc[1, "n_grams"] == 3 and out.loc[1, "n_distinct"] == 3
+        assert out.loc[1, "diversity_bp"] == 10000
+        assert out.loc[3, "n_grams"] == 5 and out.loc[3, "n_distinct"] == 1
+        assert out.loc[3, "diversity_bp"] == 2000
