@@ -3463,6 +3463,31 @@ def _q_ngram_diversity(sf_dir: str):
     return ngram_diversity(ds, n=2).sort("doc_id")
 
 
+def _q_ranking_metrics(sf_dir: str):
+    """Retrieval-eval metrics (ops/rank.ranking_metrics): candidate
+    list = each customer's top-10 orders by price, gold = the most
+    recent order — found_rank / hit@5 / reciprocal rank in basis
+    points per gold pair, ONE composite-key-bucketed exchange; integer
+    evidence hashes exactly vs the SQL LEFT JOIN form."""
+    from biocurator_mapper_ray.ops.rank import (ranking_metrics,
+                                                top_k_per_group)
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderkey", "o_totalprice",
+                            "o_orderdate"])
+    ranked = top_k_per_group(
+        orders.select_columns(["o_custkey", "o_orderkey", "o_totalprice"]),
+        "o_custkey", "o_totalprice", 10, tiebreak_col="o_orderkey",
+    ).select_columns(["o_custkey", "o_orderkey", "rn"])
+    gold = top_k_per_group(
+        orders.select_columns(["o_custkey", "o_orderkey", "o_orderdate"]),
+        "o_custkey", "o_orderdate", 1, tiebreak_col="o_orderkey",
+    ).select_columns(["o_custkey", "o_orderkey"])
+    out = ranking_metrics(ranked, gold, query_col="o_custkey",
+                          item_col="o_orderkey", rank_col="rn", k=5)
+    return out.sort(["o_custkey", "o_orderkey"])
+
+
 # ----------------------------------------------------------------- contract
 
 
@@ -3544,6 +3569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_lines_documents": _q_dedup_lines,
         "kmv_tokens_documents": _q_kmv_tokens,
         "ngram_diversity_documents": _q_ngram_diversity,
+        "ranking_metrics_orders": _q_ranking_metrics,
         "local_supplier_volume": _q_local_supplier_volume,
         "click_purchase_outer": _q_click_purchase_outer,
         "degree_histogram_parts": _q_degree_histogram,
@@ -4840,6 +4866,34 @@ def oracle_sql() -> dict[str, str]:
             FROM grams
             GROUP BY doc_id
             ORDER BY doc_id
+        """,
+        "ranking_metrics_orders": """
+            WITH ranked AS (
+                SELECT o_custkey, o_orderkey,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC,
+                                                   o_orderkey) AS rn
+                FROM orders
+                QUALIFY rn <= 10
+            ),
+            gold AS (
+                SELECT o_custkey, o_orderkey
+                FROM orders
+                QUALIFY row_number() OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate DESC,
+                                                    o_orderkey) = 1
+            )
+            SELECT g.o_custkey, g.o_orderkey,
+                   CAST(coalesce(r.rn, 0) AS BIGINT) AS found_rank,
+                   CAST(CASE WHEN coalesce(r.rn, 0) BETWEEN 1 AND 5
+                             THEN 1 ELSE 0 END AS BIGINT) AS hit_at_k,
+                   CAST(CASE WHEN r.rn IS NULL THEN 0
+                             ELSE 10000 // r.rn END AS BIGINT) AS rr_bp
+            FROM gold g
+            LEFT JOIN ranked r
+                   ON g.o_custkey = r.o_custkey
+                  AND g.o_orderkey = r.o_orderkey
+            ORDER BY g.o_custkey, g.o_orderkey
         """,
         "scd2_events": """
             WITH s AS (

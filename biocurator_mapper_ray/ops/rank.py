@@ -435,3 +435,74 @@ def preference_pairs(ds, *, group_col: str, id_col: str, score_col: str,
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("__s")
             .map_groups(merge, batch_format="pandas"))
+
+
+def ranking_metrics(ranked, gold, *, query_col: str, item_col: str,
+                    rank_col: str = "rank", k: int = 10,
+                    buckets: int | None = None):
+    """Retrieval-evaluation join: for every GOLD ``(query, item)`` pair,
+    look up its rank in the ``ranked`` candidate table and emit the
+    standard integer metrics — ``found_rank`` (0 when the gold item was
+    not retrieved at all), ``hit_at_k`` (0/1) and ``rr_bp``
+    (``10000 // rank``, the reciprocal rank in basis points — integer
+    so the result hashes exactly across engines).  Averages of
+    ``hit_at_k`` / ``rr_bp`` over queries are Recall@k and MRR×10⁴.
+
+    ONE composite-key-bucketed exchange: both sides ship lean
+    ``(query, item, rank?)`` rows salted by ``md5(query:item)``, each
+    bucket resolves its pairs with a vectorized left merge — gold
+    pairs and candidate lists are never broadcast and never meet
+    outside their bucket.
+    """
+    from ..functions.hashing import md5_prefix_u64
+    from .join import derive_buckets
+
+    if buckets is None:
+        buckets = derive_buckets(gold.count())
+
+    def tag(batch: pa.Table, side: int) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(batch.column(query_col), pa.string()),
+            pc.cast(batch.column(item_col), pa.string()), ":")
+        b = (md5_prefix_u64(key, 16) % np.uint64(buckets)).astype(np.int32)
+        return pa.table({
+            query_col: batch.column(query_col),
+            item_col: batch.column(item_col),
+            rank_col: (batch.column(rank_col) if side == 0
+                       else pa.nulls(len(batch), pa.int64())),
+            "__side": pa.array(np.full(len(batch), side, dtype=np.int8)),
+            "__bucket": pa.array(b),
+        })
+
+    r_t = ranked.map_batches(tag, fn_kwargs={"side": 0},
+                             batch_format="pyarrow")
+    g_t = gold.map_batches(tag, fn_kwargs={"side": 1},
+                           batch_format="pyarrow")
+
+    def resolve(g: pd.DataFrame):
+        want = g[g["__side"] == 1][[query_col, item_col]]
+        if not len(want):
+            return pa.table({query_col: pa.array([], pa.int64()),
+                             item_col: pa.array([], pa.int64()),
+                             "found_rank": pa.array([], pa.int64()),
+                             "hit_at_k": pa.array([], pa.int64()),
+                             "rr_bp": pa.array([], pa.int64())})
+        have = g[g["__side"] == 0][[query_col, item_col, rank_col]]
+        # a (q, item) pair can legitimately appear once per side only;
+        # keep the best (min) rank if the candidate table repeats it
+        have = have.groupby([query_col, item_col], as_index=False,
+                            sort=False)[rank_col].min()
+        m = want.merge(have, on=[query_col, item_col], how="left")
+        rank = m[rank_col].fillna(0).to_numpy(np.int64)
+        found = rank > 0
+        out = pd.DataFrame({
+            query_col: m[query_col].to_numpy(),
+            item_col: m[item_col].to_numpy(),
+            "found_rank": rank,
+            "hit_at_k": (found & (rank <= k)).astype(np.int64),
+            "rr_bp": np.where(found, 10000 // np.maximum(rank, 1), 0),
+        })
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return r_t.union(g_t).groupby("__bucket").map_groups(
+        resolve, batch_format="pandas")

@@ -392,3 +392,46 @@ class TestNgramDiversity:
         assert out.loc[1, "diversity_bp"] == 10000
         assert out.loc[3, "n_grams"] == 5 and out.loc[3, "n_distinct"] == 1
         assert out.loc[3, "diversity_bp"] == 2000
+
+
+class TestRankingMetrics:
+    def test_hits_misses_and_mrr(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.rank import ranking_metrics
+
+        ranked = rd.from_items([
+            {"q": 1, "item": 10, "rank": 1},
+            {"q": 1, "item": 11, "rank": 2},
+            {"q": 2, "item": 20, "rank": 1},
+            {"q": 2, "item": 21, "rank": 2},
+            {"q": 2, "item": 22, "rank": 3},
+        ]).repartition(2)
+        gold = rd.from_items([
+            {"q": 1, "item": 11},   # rank 2 → rr 5000, hit@2 yes
+            {"q": 2, "item": 22},   # rank 3 → rr 3333, hit@2 no
+            {"q": 3, "item": 99},   # not retrieved → all zero
+        ]).repartition(2)
+        out = ranking_metrics(ranked, gold, query_col="q",
+                              item_col="item", rank_col="rank",
+                              k=2).to_pandas().sort_values(
+            "q").reset_index(drop=True)
+        assert out["found_rank"].tolist() == [2, 3, 0]
+        assert out["hit_at_k"].tolist() == [1, 0, 0]
+        assert out["rr_bp"].tolist() == [5000, 3333, 0]
+
+    def test_duplicate_candidate_takes_best_rank(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.rank import ranking_metrics
+
+        ranked = rd.from_items([
+            {"q": 1, "item": 5, "rank": 4},
+            {"q": 1, "item": 5, "rank": 2},
+        ])
+        gold = rd.from_items([{"q": 1, "item": 5}])
+        out = ranking_metrics(ranked, gold, query_col="q",
+                              item_col="item", rank_col="rank",
+                              k=3).to_pandas()
+        assert out["found_rank"].tolist() == [2]
+        assert out["hit_at_k"].tolist() == [1]
