@@ -3488,6 +3488,39 @@ def _q_ranking_metrics(sf_dir: str):
     return out.sort(["o_custkey", "o_orderkey"])
 
 
+def _q_split_leakage(sf_dir: str):
+    """Split-leakage audit composition: plant duplicate texts (docs
+    with doc_id%10<4 collapse onto 7 templates — the fixture alone has
+    none), per-doc hash_split, then ops/dedup.split_leakage_pairs
+    lists every identical-text pair that straddles train/test — lean
+    two-hash exchange, duplicate-scale pair expansion."""
+    import numpy as np
+
+    from biocurator_mapper_ray.ops.dedup import split_leakage_pairs
+    from biocurator_mapper_ray.ops.sample import hash_split
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        dup = np.char.add("dup ", (ids % 7).astype(str))
+        text = np.where(ids % 10 < 4, dup,
+                        np.asarray(batch.column("text"), dtype=object))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "text": pa.array(text.tolist(), pa.string())})
+
+    import ray.data as rd
+
+    tagged = hash_split(ds.map_batches(plant, batch_format="pyarrow"),
+                        test_pct=30, seed=7)
+    out = split_leakage_pairs(tagged)
+    anchor = rd.from_arrow(pa.table({
+        "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+        "split_a": pa.array([], pa.string()),
+        "split_b": pa.array([], pa.string())}))
+    return out.union(anchor).sort(["a", "b"])
+
+
 # ----------------------------------------------------------------- contract
 
 
@@ -3570,6 +3603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_tokens_documents": _q_kmv_tokens,
         "ngram_diversity_documents": _q_ngram_diversity,
         "ranking_metrics_orders": _q_ranking_metrics,
+        "split_leakage_documents": _q_split_leakage,
         "local_supplier_volume": _q_local_supplier_volume,
         "click_purchase_outer": _q_click_purchase_outer,
         "degree_histogram_parts": _q_degree_histogram,
@@ -4894,6 +4928,30 @@ def oracle_sql() -> dict[str, str]:
                    ON g.o_custkey = r.o_custkey
                   AND g.o_orderkey = r.o_orderkey
             ORDER BY g.o_custkey, g.o_orderkey
+        """,
+        "split_leakage_documents": """
+            WITH planted AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 10 < 4
+                            THEN 'dup ' || CAST(doc_id % 7 AS VARCHAR)
+                            ELSE text END AS text
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, text,
+                       CASE WHEN CAST('0x' || substr(
+                                md5('7:' || CAST(doc_id AS VARCHAR)),
+                                1, 16) AS UBIGINT) % 100 < 30
+                            THEN 'test' ELSE 'train' END AS split
+                FROM planted
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   a.split AS split_a, b.split AS split_b
+            FROM s a JOIN s b
+              ON a.text = b.text
+             AND a.doc_id < b.doc_id
+             AND a.split <> b.split
+            ORDER BY a, b
         """,
         "scd2_events": """
             WITH s AS (

@@ -1689,3 +1689,74 @@ def novel_against(new, base, *, column: str = "text",
                         buckets=buckets,
                         size_hint=n_new).select_columns([id_column])
     return semi_join_ids(new, dup_ids, id_column=id_column, anti=True)
+
+
+# ------------------------------------------------- split-leakage audit
+
+def split_leakage_pairs(ds, *, text_column: str = "text",
+                        id_column: str = "doc_id",
+                        split_column: str = "split",
+                        shards: int = 64):
+    """Train/test LEAKAGE AUDIT: every pair of documents with identical
+    text that landed on OPPOSITE sides of a split — the check a
+    curation pipeline runs after splitting to prove its held-out set is
+    clean (zero rows = no exact-dup leakage).  Emits
+    ``(a, b, split_a, split_b)`` with ``a < b``.
+
+    Same lean-exchange shape as :func:`exact_dedup_ids`: rows ship as
+    (id, split, h64, md5-128) — text never shuffled — salted by the
+    text hash so equal texts co-locate; each bucket expands only its
+    OWN duplicate groups into cross-split pairs (pair volume is
+    duplicate-scale, never all-pairs).  A cross-split false pair needs
+    a simultaneous 64+128-bit double collision (the exact_dedup_ids
+    argument).
+    """
+    from ..functions.hashing import hash64_column, md5_u128
+
+    def lean(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_column)
+        h = hash64_column(texts)
+        hi, lo = md5_u128(texts)
+        return pa.table({
+            id_column: batch.column(id_column),
+            split_column: batch.column(split_column),
+            "__h": pa.array(h.view(np.int64)),
+            "__hi": pa.array(hi.view(np.int64)),
+            "__lo": pa.array(lo.view(np.int64)),
+            "__s": pa.array((h % np.uint64(shards)).astype(np.int32)),
+        })
+
+    def cross_pairs(g: pd.DataFrame):
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "split_a": pa.array([], pa.string()),
+                          "split_b": pa.array([], pa.string())})
+        key = ["__h", "__hi", "__lo"]
+        sizes = g.groupby(key)[id_column].transform("size")
+        dup = g[sizes >= 2]
+        if not len(dup):
+            return empty
+        rows = []
+        for _, grp in dup.groupby(key, sort=False):
+            # duplicate groups are small by construction; expand the
+            # cross-split pairs with a vectorized meshgrid per group
+            ids = grp[id_column].to_numpy()
+            sp = grp[split_column].to_numpy()
+            i, j = np.meshgrid(np.arange(len(ids)), np.arange(len(ids)),
+                               indexing="ij")
+            m = (i < j) & (sp[i] != sp[j])
+            if m.any():
+                rows.append(pd.DataFrame({
+                    "a": ids[i[m]], "b": ids[j[m]],
+                    "split_a": sp[i[m]], "split_b": sp[j[m]]}))
+        if not rows:
+            return empty
+        out = pd.concat(rows, ignore_index=True)
+        swap = out["a"] > out["b"]
+        out.loc[swap, ["a", "b", "split_a", "split_b"]] = out.loc[
+            swap, ["b", "a", "split_b", "split_a"]].to_numpy()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (ds.map_batches(lean, batch_format="pyarrow")
+              .groupby("__s")
+              .map_groups(cross_pairs, batch_format="pandas"))

@@ -435,3 +435,36 @@ class TestRankingMetrics:
                               k=3).to_pandas()
         assert out["found_rank"].tolist() == [2]
         assert out["hit_at_k"].tolist() == [1]
+
+
+class TestSplitLeakage:
+    def test_cross_split_pairs_only(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.dedup import split_leakage_pairs
+
+        rows = [
+            {"doc_id": 0, "text": "same", "split": "train"},
+            {"doc_id": 1, "text": "same", "split": "test"},
+            {"doc_id": 2, "text": "same", "split": "train"},
+            {"doc_id": 3, "text": "other", "split": "train"},
+            {"doc_id": 4, "text": "other", "split": "train"},
+            {"doc_id": 5, "text": "solo", "split": "test"},
+        ]
+        ds = rd.from_items(rows).repartition(3)
+        out = split_leakage_pairs(ds).to_pandas().sort_values(
+            ["a", "b"]).reset_index(drop=True)
+        # 'same' group: (0,1) and (1,2) cross; (0,2) same-side;
+        # 'other' group all train → no rows
+        assert list(zip(out["a"], out["b"])) == [(0, 1), (1, 2)]
+        assert (out["split_a"] != out["split_b"]).all()
+
+    def test_clean_split_emits_nothing(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.dedup import split_leakage_pairs
+
+        rows = [{"doc_id": i, "text": f"t{i}", "split": "train"}
+                for i in range(10)]
+        ds = rd.from_items(rows).repartition(2)
+        assert split_leakage_pairs(ds).count() == 0
