@@ -3521,6 +3521,22 @@ def _q_split_leakage(sf_dir: str):
     return out.union(anchor).sort(["a", "b"])
 
 
+def _q_mixture_schedule(sf_dir: str):
+    """Deterministic multi-source mixing order
+    (ops/sample.mixture_schedule): md5-shuffled per-source ranks mapped
+    to interleave positions ∝ source weight — the reproducible
+    pretraining curriculum; value_ranks does the per-source ranking
+    distributed, everything else map-side.  Integer-exact."""
+    from biocurator_mapper_ray.ops.sample import mixture_schedule
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    out = mixture_schedule(
+        ds, group_column="source", key_column="doc_id",
+        weights={"src0": 5000, "src1": 2500, "src2": 1250},
+        default_weight=625, seed=5)
+    return out.sort(["mix_pos", "doc_id"])
+
+
 # ----------------------------------------------------------------- contract
 
 
@@ -3604,6 +3620,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_diversity_documents": _q_ngram_diversity,
         "ranking_metrics_orders": _q_ranking_metrics,
         "split_leakage_documents": _q_split_leakage,
+        "mixture_schedule_documents": _q_mixture_schedule,
         "local_supplier_volume": _q_local_supplier_volume,
         "click_purchase_outer": _q_click_purchase_outer,
         "degree_histogram_parts": _q_degree_histogram,
@@ -4952,6 +4969,29 @@ def oracle_sql() -> dict[str, str]:
              AND a.doc_id < b.doc_id
              AND a.split <> b.split
             ORDER BY a, b
+        """,
+        "mixture_schedule_documents": """
+            WITH keyed AS (
+                SELECT doc_id, source,
+                       CAST('0x' || substr(md5('5:' ||
+                                CAST(doc_id AS VARCHAR)), 1, 15)
+                            AS UBIGINT) AS mk
+                FROM documents
+            ),
+            r AS (
+                SELECT doc_id, source,
+                       CAST(rank() OVER (PARTITION BY source
+                                         ORDER BY mk) AS BIGINT) AS rnk
+                FROM keyed
+            )
+            SELECT doc_id, source, rnk,
+                   CAST(rnk * 10000 // CASE source
+                            WHEN 'src0' THEN 5000
+                            WHEN 'src1' THEN 2500
+                            WHEN 'src2' THEN 1250
+                            ELSE 625 END AS BIGINT) AS mix_pos
+            FROM r
+            ORDER BY mix_pos, doc_id
         """,
         "scd2_events": """
             WITH s AS (

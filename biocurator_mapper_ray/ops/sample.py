@@ -396,3 +396,45 @@ def negative_pairs(ds, *, id_col: str, m: int = 3, seed: int = 0,
     lean = ds.map_batches(lambda t: t.select([id_col]),
                           batch_format="pyarrow")
     return lean.map_batches(expand, batch_format="pyarrow")
+
+
+def mixture_schedule(ds, *, group_column: str, key_column: str,
+                     weights: dict, default_weight: int = 10000,
+                     seed: int = 0):
+    """Deterministic data-MIXING order: assign every row a global
+    training position so that source ``g`` appears with frequency
+    ∝ ``weights[g]`` (basis points) — the reproducible interleave a
+    multi-source pretraining run uses instead of an RNG shuffle.
+
+    Within each source, rows are ordered by ``md5(seed:key)`` (a
+    deterministic shuffle); row ``r`` of source ``g`` is scheduled at
+    ``mix_pos = r * 10000 // weights[g]``, so a weight-5000 source
+    lands every 2 positions and a weight-1000 source every 10 —
+    sorting by ``(mix_pos, key)`` yields the interleaved curriculum.
+
+    Scale shape: the per-source ranking is
+    :func:`~biocurator_mapper_ray.ops.rank.value_ranks` (sampled range
+    boundaries + lean offset table — groups must be modest: sources,
+    not users); everything else is map-side.  Returns
+    (key, group, rnk, mix_pos).
+    """
+    from .rank import value_ranks
+
+    def key(batch: pa.Table) -> pa.Table:
+        mk = md5_prefix_u64(batch.column(key_column), 15,
+                            prefix=f"{seed}:").astype(np.int64)
+        return batch.append_column("__mk", pa.array(mk))
+
+    ranked = value_ranks(ds.map_batches(key, batch_format="pyarrow"),
+                         value_col="__mk", group_col=group_column)
+
+    def pos(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_column).to_pandas()
+        w = g.map(weights).fillna(default_weight).to_numpy(np.int64)
+        rnk = batch.column("rnk").to_numpy()
+        return pa.table({key_column: batch.column(key_column),
+                         group_column: batch.column(group_column),
+                         "rnk": batch.column("rnk"),
+                         "mix_pos": pa.array(rnk * 10000 // w)})
+
+    return ranked.map_batches(pos, batch_format="pyarrow")

@@ -468,3 +468,47 @@ class TestSplitLeakage:
                 for i in range(10)]
         ds = rd.from_items(rows).repartition(2)
         assert split_leakage_pairs(ds).count() == 0
+
+
+class TestMixtureSchedule:
+    def test_weights_drive_interleave_density(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.sample import mixture_schedule
+
+        rows = ([{"doc_id": i, "source": "big"} for i in range(100)]
+                + [{"doc_id": 100 + i, "source": "small"}
+                   for i in range(100)])
+        ds = rd.from_items(rows).repartition(4)
+        out = mixture_schedule(
+            ds, group_column="source", key_column="doc_id",
+            weights={"big": 5000, "small": 1000}, seed=1,
+        ).to_pandas()
+        # rank r of weight-w source schedules at r*10000//w
+        big = out[out["source"] == "big"].sort_values("rnk")
+        small = out[out["source"] == "small"].sort_values("rnk")
+        assert (big["mix_pos"].to_numpy()
+                == big["rnk"].to_numpy() * 10000 // 5000).all()
+        assert (small["mix_pos"].to_numpy()
+                == small["rnk"].to_numpy() * 10000 // 1000).all()
+        # in the first window (positions ≤ 100) big appears ~5× more
+        head = out[out["mix_pos"] <= 100]
+        nb = (head["source"] == "big").sum()
+        nsml = (head["source"] == "small").sum()
+        assert nb == 50 and nsml == 10
+
+    def test_deterministic_across_partitionings(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.sample import mixture_schedule
+
+        rows = [{"doc_id": i, "source": f"s{i % 3}"} for i in range(60)]
+        outs = []
+        for parts in (1, 5):
+            ds = rd.from_items(rows).repartition(parts)
+            o = mixture_schedule(ds, group_column="source",
+                                 key_column="doc_id",
+                                 weights={"s0": 3000}, seed=9)
+            outs.append(o.to_pandas().sort_values("doc_id")
+                        .reset_index(drop=True))
+        pd.testing.assert_frame_equal(outs[0], outs[1])
