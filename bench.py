@@ -229,6 +229,12 @@ def run_bench() -> dict:
         "scd2_events",
         "mask_tokens_documents",
         "span_corrupt_documents",
+        "dedup_lines_documents",
+        "winnow_documents",
+        "vocab_coverage_documents",
+        "ranking_metrics_orders",
+        "mixture_schedule_documents",
+        "split_leakage_documents",
     ]
     qs = entry.queries()
     for name in bench_queries:

@@ -40,8 +40,7 @@ class HLLTokenStage:
     """documents batch → per-batch partial HLL registers over the text's
     whitespace tokens: ≤ ``m`` lean (register, rank) rows per batch
     regardless of batch size — the exchange is register-scale, never
-    token-scale.  md5 values are cached per actor (vocabulary is
-    heavy-tailed; the cache is capped like SimHashStage's)."""
+    token-scale."""
 
     def __init__(self, text_column: str = "text", m: int = 256):
         assert m & (m - 1) == 0, "m must be a power of two"
@@ -49,20 +48,13 @@ class HLLTokenStage:
         self.m = m
         self.bits = m.bit_length() - 1
         self.max_rank = 64 - self.bits + 1
-        self._cache: dict[str, int] = {}
 
     def _hash_tokens(self, toks: np.ndarray) -> np.ndarray:
-        cache = self._cache
-        if len(cache) > 1_000_000:
-            cache.clear()
-        out = np.empty(len(toks), dtype=np.uint64)
-        for i, t in enumerate(toks):
-            v = cache.get(t)
-            if v is None:
-                v = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:16], 16)
-                cache[t] = v
-            out[i] = v
-        return out
+        # ONE vectorized C call per batch (shared DuckDB md5 kernel)
+        # instead of a per-token Python loop
+        from ..functions.hashing import md5_prefix_u64
+
+        return md5_prefix_u64(toks, 16)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         toks = pc.list_flatten(
@@ -179,23 +171,15 @@ class CountMinTokenStage:
         self.text_column = text_column
         self.depth = depth
         self.width = width
-        self._cache: dict[str, np.ndarray] = {}
 
     def _hash_tokens(self, toks: np.ndarray) -> np.ndarray:
-        """(len(toks), depth) uint64 of md5('j:tok') prefixes."""
-        cache = self._cache
-        if len(cache) > 500_000:
-            cache.clear()
+        """(len(toks), depth) uint64 of md5('j:tok') prefixes — one
+        vectorized C call per depth row instead of a per-token loop."""
+        from ..functions.hashing import md5_prefix_u64
+
         out = np.empty((len(toks), self.depth), dtype=np.uint64)
-        for i, t in enumerate(toks):
-            v = cache.get(t)
-            if v is None:
-                b = t.encode("utf-8")
-                v = np.array(
-                    [int(hashlib.md5(b"%d:%s" % (j, b)).hexdigest()[:16], 16)
-                     for j in range(self.depth)], dtype=np.uint64)
-                cache[t] = v
-            out[i] = v
+        for j in range(self.depth):
+            out[:, j] = md5_prefix_u64(toks, 16, prefix=f"{j}:")
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:

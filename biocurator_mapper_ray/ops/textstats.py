@@ -456,8 +456,10 @@ def fingerprints(batch: pa.Table, text_column: str = "text") -> pa.Table:
     """
     from ..functions.hashing import hash64_column
 
+    from ..functions.hashing import md5_hex
+
     norm = pc.utf8_trim_whitespace(pc.utf8_lower(batch.column(text_column)))
-    md5s = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in norm.to_pylist()]
+    md5s = md5_hex(norm)  # vectorized DuckDB kernel, no per-row Python
     sim = hash64_column(norm).astype(np.int64)
     return batch.append_column("fp_md5", pa.array(md5s, pa.string())).append_column(
         "fp_sim64", pa.array(sim)
