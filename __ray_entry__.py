@@ -3671,6 +3671,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # to window the newest ops — re-window whichever lack green in r5
         "lpa_communities_parts": _q_lpa_parts,
         "bfs_parts": _q_bfs_parts,
+        "closeness_parts": _q_closeness_parts,
         "jaccard_links_parts": _q_jaccard_links_parts,
         "clustering_parts": _q_clustering_parts,
         "next_token_documents": _q_next_token_documents,
@@ -4275,6 +4276,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, min(dist) AS dist FROM walk
             GROUP BY node ORDER BY node
+        """,
+        "closeness_parts": """
+            WITH RECURSIVE raw AS (
+                SELECT l_partkey % 401 AS a, l_suppkey % 401 AS b
+                FROM lineitem
+            ), e AS (
+                SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+                FROM raw WHERE a <> b
+            ), bi AS (
+                SELECT u AS node, v AS nbr FROM e
+                UNION ALL SELECT v AS node, u AS nbr FROM e
+            ), walk(seed, node, dist) AS (
+                SELECT CAST(s.seed AS BIGINT), CAST(s.seed AS BIGINT),
+                       CAST(0 AS BIGINT)
+                FROM (VALUES (0), (100), (200), (300), (400)) s(seed)
+                UNION
+                SELECT w.seed, CAST(bi.nbr AS BIGINT),
+                       CAST(w.dist + 1 AS BIGINT)
+                FROM walk w JOIN bi ON bi.node = w.node WHERE w.dist < 4
+            ), md AS (
+                SELECT seed, node, min(dist) AS dist FROM walk
+                GROUP BY seed, node
+            )
+            SELECT seed, count(*) - 1 AS n_reached,
+                   sum(dist) AS total_dist
+            FROM md GROUP BY seed ORDER BY seed
         """,
         "lpa_communities_parts": """
             WITH raw AS (
@@ -7665,6 +7692,24 @@ def _q_bfs_parts(sf_dir: str):
 
     e = distinct_edges(_fold401_edges(sf_dir))
     return bfs_distances(e, [0], src="u", dst="v", max_depth=4).sort("node")
+
+
+def _q_closeness_parts(sf_dir: str):
+    """Sampled closeness-centrality evidence from five landmark seeds
+    on the folded part/supplier graph (ops/graph.closeness_from_seeds →
+    seed_distances): ONE per-seed BFS walk (bfs_distances with seed
+    identity kept — per round one node-hash exchange + a (seed, node)
+    min-merge), then a seed-keyed Count/Sum fold to (seed, n_reached,
+    total_dist) integers; closeness = n_reached/total_dist is the
+    reader-side ratio.  Exact full closeness is O(V·E) — landmark
+    sampling is the production form at web scale."""
+    from biocurator_mapper_ray.ops.graph import (closeness_from_seeds,
+                                                 distinct_edges)
+
+    e = distinct_edges(_fold401_edges(sf_dir))
+    return closeness_from_seeds(
+        e, [0, 100, 200, 300, 400], src="u", dst="v",
+        max_depth=4).sort("seed")
 
 
 def _q_wcc_parts(sf_dir: str):

@@ -2043,3 +2043,128 @@ def consecutive_edges(ds, *, key_col: str, order_col: str,
     lean = ds.map_batches(tag, batch_format="pyarrow")
     pairs = lean.groupby("__b").map_groups(pair_bucket, batch_format="pandas")
     return distinct_edges(pairs, src="u", dst="v", buckets=buckets)
+
+
+def seed_distances(edges, sources, *, src: str = "src", dst: str = "dst",
+                   max_depth: int = 6, shards: int = 64):
+    """Per-seed BFS over an undirected distinct edge set: the exact hop
+    distance ``(seed, node, dist)`` from EVERY seed in ``sources`` to
+    every node within ``max_depth`` hops of it — :func:`bfs_distances`
+    with seed identity preserved (that op folds to the NEAREST seed;
+    this one keeps one distance row per reachable (seed, node) pair,
+    the landmark-distance primitive behind sampled closeness/harmonic
+    centrality and landmark-based shortest-path estimation).
+
+    Same plan shape as :func:`bfs_distances`: per round the current
+    frontier (rows first labeled last round, now carrying their seed)
+    unions with the adjacency into ONE node-hash bucketed exchange, the
+    bucket task emits each frontier row's ``(seed, neighbor)``
+    candidates, and a ``groupby([seed, node]).min(dist)`` folds them
+    into the distance state.  State is seeds × reachable-nodes rows —
+    a Dataset end to end; keep ``sources`` a SAMPLE (state is
+    ``|sources|`` × node-scale, which is why full closeness centrality
+    is never computed exactly at web scale).  Unit-weight BFS first
+    reaches a (seed, node) pair at its true distance, so pairs never
+    re-enter the frontier and the capped walk is exactly a depth-capped
+    recursive CTE.
+
+    Returns a Dataset of ``(seed:int64, node:int64, dist:int64)``
+    including the ``(seed, seed, 0)`` self rows.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    adj = edges.map_batches(
+        lambda b: pa.table({
+            "node": pa.concat_arrays([
+                b.column(src).combine_chunks().cast(pa.int64()),
+                b.column(dst).combine_chunks().cast(pa.int64())]),
+            "nbr": pa.concat_arrays([
+                b.column(dst).combine_chunks().cast(pa.int64()),
+                b.column(src).combine_chunks().cast(pa.int64())]),
+        }), batch_format="pyarrow").materialize()
+
+    seeds = np.asarray(sorted({int(s) for s in sources}), dtype=np.int64)
+    dist = rd.from_arrow(pa.table({
+        "seed": pa.array(seeds),
+        "node": pa.array(seeds),
+        "dist": pa.array(np.zeros(len(seeds), np.int64))})).materialize()
+
+    def _kb(b: pa.Table) -> pa.Table:
+        h = hash64_column(b.column("node"))
+        return b.append_column(
+            "__kb", pa.array((h % np.uint64(shards)).astype(np.int32)))
+
+    n_known = dist.count()
+    for r in range(max_depth):
+        frontier = dist.map_batches(
+            lambda b, rr=r: b.filter(pc.equal(b.column("dist"), rr)),
+            batch_format="pyarrow")
+        adj_k = adj.map_batches(
+            lambda b: _kb(pa.table({
+                "node": b.column("node"), "nbr": b.column("nbr"),
+                "seed": pa.nulls(len(b), pa.int64())})),
+            batch_format="pyarrow")
+        fr_k = frontier.map_batches(
+            lambda b: _kb(pa.table({
+                "node": b.column("node"),
+                "nbr": pa.nulls(len(b), pa.int64()),
+                "seed": b.column("seed")})),
+            batch_format="pyarrow")
+
+        def expand(g: pd.DataFrame, rr=r) -> pa.Table:
+            fr = g.loc[g["seed"].notna(), ["node", "seed"]]
+            ad = g.loc[g["seed"].isna(), ["node", "nbr"]]
+            if not len(fr) or not len(ad):
+                return pa.table({"seed": pa.array([], pa.int64()),
+                                 "node": pa.array([], pa.int64()),
+                                 "dist": pa.array([], pa.int64())})
+            m = fr.merge(ad, on="node")[["seed", "nbr"]].drop_duplicates()
+            return pa.table({
+                "seed": pa.array(m["seed"].to_numpy(np.int64)),
+                "node": pa.array(m["nbr"].to_numpy(np.int64)),
+                "dist": pa.array(
+                    np.full(len(m), rr + 1, np.int64))})
+
+        cand = (adj_k.union(fr_k).groupby("__kb")
+                .map_groups(expand, batch_format="pandas"))
+        dist = (dist.union(cand).groupby(["seed", "node"])
+                .aggregate(Min("dist", alias_name="dist"))).materialize()
+        n_now = dist.count()
+        if n_now == n_known:  # no new (seed, node) pair: fixpoint
+            break
+        n_known = n_now
+    return dist
+
+
+def closeness_from_seeds(edges, sources, *, src: str = "src",
+                         dst: str = "dst", max_depth: int = 6,
+                         shards: int = 64):
+    """Sampled closeness-centrality evidence: for each seed in
+    ``sources``, ``(seed, n_reached, total_dist)`` over the nodes
+    within ``max_depth`` hops — ``n_reached`` EXCLUDES the seed itself,
+    ``total_dist`` is the sum of hop distances.  The closeness score
+    ``n_reached / total_dist`` (and the normalized Wasserman–Faust
+    variant) is the reader-side ratio, kept as exact integers per the
+    float-free evidence convention; exact full closeness is O(V·E), so
+    production pipelines sample landmarks exactly like this.
+
+    One :func:`seed_distances` walk (per round ONE node-hash exchange +
+    one min-merge), then a seed-keyed Count/Sum fold — seeds-scale
+    output.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    sd = seed_distances(edges, sources, src=src, dst=dst,
+                        max_depth=max_depth, shards=shards)
+    agg = sd.groupby("seed").aggregate(
+        Count(), Sum("dist", alias_name="total_dist"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "seed": t.column("seed").cast(pa.int64()),
+            "n_reached": pc.subtract(
+                t.column("count()").cast(pa.int64()), 1),
+            "total_dist": t.column("total_dist").cast(pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -839,3 +839,72 @@ class TestConsecutiveEdges:
         # the row at o=2 (and not with each other)
         rows = [(1, 1, 2), (1, 1, 3), (1, 2, 4)]
         assert self._edges(rows) == {(2, 4), (3, 4)}
+
+
+class TestSeedDistances:
+    def _run(self, edges, sources, **kw):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.graph import seed_distances
+
+        df = pd.DataFrame(edges, columns=["src", "dst"]).astype(np.int64)
+        got = seed_distances(rd.from_pandas(df).repartition(3),
+                             sources, **kw).to_pandas()
+        return {(s, n): d for s, n, d in
+                zip(got["seed"], got["node"], got["dist"])}
+
+    def test_path_graph_two_seeds_keep_identity(self, ray_session):
+        # 0-1-2-3-4: unlike bfs_distances, BOTH seeds label every node
+        d = self._run([(i, i + 1) for i in range(4)], [0, 4])
+        assert d == {(0, 0): 0, (0, 1): 1, (0, 2): 2, (0, 3): 3,
+                     (0, 4): 4,
+                     (4, 4): 0, (4, 3): 1, (4, 2): 2, (4, 1): 3,
+                     (4, 0): 4}
+
+    def test_max_depth_and_isolated_seed(self, ray_session):
+        # seed 10 has no edges: only its self row survives
+        d = self._run([(0, 1), (1, 2), (2, 3)], [0, 10], max_depth=2)
+        assert d == {(0, 0): 0, (0, 1): 1, (0, 2): 2, (10, 10): 0}
+
+    def test_matches_reference_per_seed_bfs(self, ray_session):
+        rng = np.random.default_rng(7)
+        e = [(int(a), int(b)) for a, b in
+             rng.integers(0, 40, size=(90, 2)) if a != b]
+        seeds = [0, 7, 23]
+        d = self._run(e, seeds, max_depth=20)
+        adj = _undirected(e)
+        ref = {}
+        for s in seeds:
+            dist, frontier, lvl = {s: 0}, [s], 0
+            while frontier:
+                lvl += 1
+                nxt = []
+                for n in frontier:
+                    for m in adj.get(n, ()):
+                        if m not in dist:
+                            dist[m] = lvl
+                            nxt.append(m)
+                frontier = nxt
+            for n, dd in dist.items():
+                ref[(s, n)] = dd
+        assert d == ref
+
+
+class TestClosenessFromSeeds:
+    def test_closeness_integer_evidence(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.graph import closeness_from_seeds
+
+        # star: 0 at center of 1..5, plus a 2-hop tail 5-6
+        edges = [(0, i) for i in range(1, 6)] + [(5, 6)]
+        df = pd.DataFrame(edges, columns=["src", "dst"]).astype(np.int64)
+        got = closeness_from_seeds(rd.from_pandas(df).repartition(2),
+                                   [0, 6], max_depth=4).to_pandas()
+        rows = {int(r.seed): (int(r.n_reached), int(r.total_dist))
+                for r in got.itertuples()}
+        # seed 0: 1..5 at dist 1, 6 at dist 2 -> (6, 7)
+        # seed 6: 5@1, 0@2, 1..4@3 -> (6, 15)
+        assert rows == {0: (6, 7), 6: (6, 15)}
