@@ -3204,6 +3204,32 @@ def _q_constraint_checks(sf_dir: str):
         unique=["user_id"]).sort("rule")
 
 
+def _q_k_anonymity_customers(sf_dir: str):
+    """Privacy release gate on customer (ops/profile.k_anonymity_audit):
+    every (nation, market-segment) quasi-identifier class with its size
+    and distinct synthetic sensitive-band count, flagged against
+    k-anonymity (size < 12) and l-diversity (< 5 distinct bands).
+    Distinct-combination-lean partials → ONE quasi-hash exchange →
+    class-scale output; integer 0/1 flags."""
+    from biocurator_mapper_ray.ops.profile import k_anonymity_audit
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey", "c_mktsegment"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ck = t.column("c_custkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "c_nationkey": t.column("c_nationkey").cast(pa.int64()),
+            "c_mktsegment": t.column("c_mktsegment"),
+            "band": pa.array(ck % 5, type=pa.int64()),
+        })
+
+    prepped = cust.map_batches(prep, batch_format="pyarrow")
+    return k_anonymity_audit(
+        prepped, quasi=["c_nationkey", "c_mktsegment"], sensitive="band",
+        k=12, l_div=5).sort(["c_nationkey", "c_mktsegment"])
+
+
 def _q_minmax_scale_events(sf_dir: str):
     """Per-event min-max normalization against the event-type group
     extrema, in integer basis points (ops/moments.minmax_scale_by_group)
@@ -3660,6 +3686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "row_ids_documents": _q_row_ids,
         "preference_pairs_orders": _q_preference_pairs,
         "constraint_checks_events": _q_constraint_checks,
+        "k_anonymity_customers": _q_k_anonymity_customers,
         "minmax_scale_events": _q_minmax_scale_events,
         "shard_manifest_documents": _q_shard_manifest,
         "scd2_events": _q_scd2_events,
@@ -4574,6 +4601,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) - count(DISTINCT user_id) AS BIGINT)
             FROM events
             ORDER BY rule
+        """,
+        "k_anonymity_customers": """
+            SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                   c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS group_n,
+                   CAST(count(DISTINCT c_custkey % 5) AS BIGINT)
+                       AS n_sensitive,
+                   CAST(CASE WHEN count(*) < 12 THEN 1 ELSE 0 END
+                        AS BIGINT) AS violates_k,
+                   CAST(CASE WHEN count(DISTINCT c_custkey % 5) < 5
+                        THEN 1 ELSE 0 END AS BIGINT) AS violates_l
+            FROM customer
+            GROUP BY c_nationkey, c_mktsegment
+            ORDER BY c_nationkey, c_mktsegment
         """,
         "minmax_scale_events": """
             WITH c AS (

@@ -461,3 +461,56 @@ def constraint_checks(ds, *, not_null: list[str] | None = None,
     for o in outs[1:]:
         out = out.union(o)
     return out
+
+
+def k_anonymity_audit(ds, *, quasi: list[str], sensitive: str,
+                      k: int = 10, l_div: int = 2, shards: int = 64):
+    """Privacy re-identification audit: for every quasi-identifier
+    combination, its equivalence-class size and the number of DISTINCT
+    sensitive values it carries, flagged against the k-anonymity
+    (class size < ``k``) and l-diversity (distinct sensitive values <
+    ``l_div``) thresholds of Sweeney 2002 / Machanavajjhala et al.
+    2007 — the release gate a training corpus with user-derived
+    columns runs before the corpus (or its aggregates) leaves the
+    trust boundary.
+
+    Plan shape: each batch pre-folds to DISTINCT ``(quasi…, sensitive,
+    n)`` partial rows (Arrow ``group_by`` — the exchange is
+    distinct-combination-scale, never row-scale), one quasi-hash
+    bucketed exchange co-locates each equivalence class, and the
+    bucket task folds class size (Σn) + sensitive cardinality
+    (``nunique``) vectorized per class.  Output is class-scale:
+    ``(quasi…, group_n, n_sensitive, violates_k, violates_l)`` with
+    integer 0/1 flags (float-free evidence convention).
+
+    No reference equivalent; the natural companion of the PII scrub
+    (``ops/pii.py``) on the governance side of a data engine.
+    """
+    from ..functions.hashing import hash64_column
+
+    qcols = list(quasi)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (batch.select(qcols + [sensitive])
+             .group_by(qcols + [sensitive]).aggregate([([], "count_all")]))
+        key = g.column(qcols[0]).cast(pa.string())
+        for c in qcols[1:]:
+            key = pc.binary_join_element_wise(
+                key, g.column(c).cast(pa.string()), "\x1f")
+        h = hash64_column(pc.fill_null(key, "\x00"))
+        return g.rename_columns(qcols + [sensitive, "n"]).append_column(
+            "__kb", pa.array((h % np.uint64(shards)).astype(np.int32)))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.groupby(qcols, dropna=False)
+               .agg(group_n=("n", "sum"),
+                    n_sensitive=(sensitive, "nunique"))
+               .reset_index())
+        agg["group_n"] = agg["group_n"].astype(np.int64)
+        agg["n_sensitive"] = agg["n_sensitive"].astype(np.int64)
+        agg["violates_k"] = (agg["group_n"] < k).astype(np.int64)
+        agg["violates_l"] = (agg["n_sensitive"] < l_div).astype(np.int64)
+        return agg
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("__kb").map_groups(fold, batch_format="pandas"))

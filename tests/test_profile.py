@@ -26,3 +26,46 @@ class TestFdViolations:
         got = fd_violations(rd.from_pandas(df), key="k",
                             value="v").to_pandas()
         assert len(got) == 0
+
+
+class TestKAnonymityAudit:
+    def test_flags_small_and_undiverse_classes(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.profile import k_anonymity_audit
+
+        # class A: 4 rows, 3 distinct sensitive; class B: 2 rows, 1
+        # distinct (violates both at k=3, l_div=2); class C: 3 rows but
+        # all one sensitive value (k ok, l violated)
+        df = pd.DataFrame({
+            "zip": ["A"] * 4 + ["B"] * 2 + ["C"] * 3,
+            "age": [30] * 4 + [40] * 2 + [50] * 3,
+            "diag": ["x", "y", "z", "x", "q", "q", "w", "w", "w"],
+        })
+        got = k_anonymity_audit(
+            rd.from_pandas(df).repartition(3), quasi=["zip", "age"],
+            sensitive="diag", k=3, l_div=2).to_pandas()
+        rows = {(r.zip, r.age): (r.group_n, r.n_sensitive,
+                                 r.violates_k, r.violates_l)
+                for r in got.itertuples()}
+        assert rows == {("A", 30): (4, 3, 0, 0),
+                        ("B", 40): (2, 1, 1, 1),
+                        ("C", 50): (3, 1, 0, 1)}
+
+    def test_partial_dedup_across_batches(self, ray_session):
+        # the same (quasi, sensitive) pair split across many blocks must
+        # count once toward n_sensitive but sum toward group_n
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.profile import k_anonymity_audit
+
+        df = pd.DataFrame({"q": ["g"] * 12, "s": ["v"] * 10 + ["u"] * 2})
+        got = k_anonymity_audit(
+            rd.from_pandas(df).repartition(6), quasi=["q"],
+            sensitive="s", k=20, l_div=3).to_pandas()
+        assert len(got) == 1
+        r = got.iloc[0]
+        assert (int(r.group_n), int(r.n_sensitive),
+                int(r.violates_k), int(r.violates_l)) == (12, 2, 1, 1)
