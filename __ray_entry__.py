@@ -1801,6 +1801,19 @@ def _q_chunk_spans(sf_dir: str):
     return out.sort(["doc_id", "chunk_id"])
 
 
+def _q_cdc_chunks(sf_dir: str):
+    """Content-defined chunking (ops/pack.cdc_chunks): a cut falls
+    after token j whenever md5 of the 3-gram ending at j ≡ 0 (mod 8),
+    so edits re-key only local chunks — the chunk-level-dedup storage
+    layout for snapshot corpora.  MAP-ONLY (zero exchange): one
+    vectorized md5 gram pass + cumsum chunk ids + Arrow binary_join
+    rebuild; exact window-cumsum SQL oracle."""
+    from biocurator_mapper_ray.ops.pack import cdc_chunks
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return cdc_chunks(ds, k=3, divisor=8).sort(["doc_id", "chunk_id"])
+
+
 def _q_cooccur(sf_dir: str):
     """Within-document distinct-token co-occurrence edge list with
     document counts — the weighted edge extraction KG construction
@@ -3587,6 +3600,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "budget_sample_documents": _q_budget_sample,
         "sequence_pack_documents": _q_sequence_pack,
         "chunk_spans_documents": _q_chunk_spans,
+        "cdc_chunks_documents": _q_cdc_chunks,
         "subtree_rollup_documents": _q_subtree_rollup,
         "cooccur_documents": _q_cooccur,
         "pii_scrub_documents": _q_pii_scrub,
@@ -6383,6 +6397,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, tok_start,
                    tok_start // 256 AS seq_id
             FROM laid ORDER BY tok_start
+        """,
+        "cdc_chunks_documents": """
+            WITH docs AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\\s+'),
+                                   t -> t <> '') AS toks
+                FROM documents
+            ), fl AS (
+                SELECT doc_id, CAST(u.j AS BIGINT) AS idx, toks[u.j] AS w,
+                       CASE WHEN u.j >= 3 AND
+                            CAST('0x' || substr(md5(array_to_string(
+                                     toks[u.j-2:u.j], ' ')), 1, 15)
+                                 AS UBIGINT) % 8 = 0
+                            THEN 1 ELSE 0 END AS flag
+                FROM docs, unnest(range(1, len(toks) + 1)) u(j)
+            ), ch AS (
+                SELECT doc_id, idx, w,
+                       COALESCE(sum(flag) OVER (
+                           PARTITION BY doc_id ORDER BY idx
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS chunk_id
+                FROM fl
+            )
+            SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                   string_agg(w, ' ' ORDER BY idx) AS chunk_text,
+                   CAST(count(*) AS BIGINT) AS n_tokens
+            FROM ch GROUP BY doc_id, chunk_id
+            ORDER BY doc_id, chunk_id
         """,
         "chunk_spans_documents": """
             WITH base AS (

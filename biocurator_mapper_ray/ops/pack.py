@@ -334,3 +334,100 @@ def shard_manifest(ds, *, id_column: str = "doc_id",
     return out.map_batches(
         lambda t: t.rename_columns(["shard", "n_docs"]),
         batch_format="pyarrow")
+
+
+def cdc_chunks(ds, *, id_column: str = "doc_id",
+               text_column: str = "text", k: int = 3, divisor: int = 8):
+    """Content-defined chunking (the FastCDC/LBFS idea at word
+    granularity): split each document into variable-size chunks whose
+    boundaries are decided by the CONTENT — a cut falls after token
+    ``j`` whenever the hash of the ``k``-token gram ending at ``j`` is
+    ≡ 0 (mod ``divisor``) — so an insertion early in a document shifts
+    only the chunks it touches, never the whole tail (fixed-window
+    chunking re-keys everything downstream of an edit).  Chunk-level
+    exact dedup over these pieces is the storage/dedup backbone of
+    large snapshot corpora; expected chunk length ≈ ``divisor`` tokens.
+
+    MAP-ONLY: a row is a whole document, so there is NO exchange —
+    tokenize → winnow-style aligned-slice gram build → one vectorized
+    md5 kernel call → doc-local cumsum chunk ids → zero-loop Arrow
+    ``ListArray``/``binary_join`` chunk rebuild.  The gram hash is the
+    first 15 md5 hex chars of the space-joined gram (int64-safe), so
+    the chunking has an exact DuckDB oracle (window cumsum over the
+    same flag).  Empty documents emit nothing; a document emits
+    ``1 + n_boundaries`` chunks.
+
+    Returns ``(id, chunk_id, chunk_text, n_tokens)`` — ``chunk_text``
+    is the space-joined normalized token run (original inter-token
+    whitespace is not preserved; pair with ``chunk_spans`` when byte
+    fidelity matters).
+    """
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+        id_type = batch.schema.field(id_column).type
+        empty = pa.table({
+            id_column: pa.array([], id_type),
+            "chunk_id": pa.array([], pa.int64()),
+            "chunk_text": pa.array([], pa.string()),
+            "n_tokens": pa.array([], pa.int64())})
+        toks_list = pc.split_pattern_regex(batch.column(text_column),
+                                           r"\s+")
+        if isinstance(toks_list, pa.ChunkedArray):
+            toks_list = toks_list.combine_chunks()
+        flat = np.asarray(toks_list.flatten(), dtype=object)
+        counts = np.asarray(pc.list_value_length(toks_list),
+                            dtype=np.int64)
+        parents = np.repeat(np.arange(len(ids)), counts)
+        mask = flat != ""
+        flat, parents = flat[mask], parents[mask]
+        n = len(flat)
+        if n == 0:
+            return empty
+
+        # boundary flag on token j: hash of the k-gram ENDING at j
+        flags = np.zeros(n, dtype=bool)
+        if n >= k:
+            s = flat.astype(str)
+            gram = s[: n - k + 1].copy()
+            for off in range(1, k):
+                gram = np.char.add(np.char.add(gram, " "),
+                                   s[off: n - k + 1 + off])
+            same_doc = parents[k - 1:] == parents[: n - k + 1]
+            gpos = np.flatnonzero(same_doc)  # gram start p -> token p+k-1
+            if len(gpos):
+                h = md5_prefix_u64(gram[gpos], 15)
+                flags[gpos + k - 1] = (h % np.uint64(divisor)
+                                       ) == np.uint64(0)
+
+        # a cut after token j starts a new chunk at j+1 (never across
+        # documents: the shifted flag is zeroed on each doc's first
+        # token)
+        first = np.zeros(n, dtype=bool)
+        first[0] = True
+        first[1:] = parents[1:] != parents[:-1]
+        shifted = np.concatenate(([False], flags[:-1]))
+        shifted[first] = False
+        cs = np.cumsum(shifted.astype(np.int64))
+        doc_first_idx = np.flatnonzero(first)
+        chunk_local = cs - np.repeat(cs[doc_first_idx],
+                                     np.diff(np.append(doc_first_idx, n)))
+
+        starts = first | shifted
+        offs = np.append(np.flatnonzero(starts), n).astype(np.int64)
+        if offs[-1] < 2**31:
+            lst = pa.ListArray.from_arrays(
+                pa.array(offs, pa.int32()), pa.array(flat, pa.string()))
+        else:  # mirror chunk_spans' 64-bit offset fallback
+            lst = pa.LargeListArray.from_arrays(
+                pa.array(offs, pa.int64()),
+                pa.array(flat, pa.large_string()))
+        seg_start = offs[:-1]
+        return pa.table({
+            id_column: pa.array(ids[parents[seg_start]], id_type),
+            "chunk_id": pa.array(chunk_local[seg_start], pa.int64()),
+            "chunk_text": pc.binary_join(
+                lst, " ").cast(pa.string()),
+            "n_tokens": pa.array(np.diff(offs), pa.int64())})
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")

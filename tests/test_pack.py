@@ -128,3 +128,68 @@ class TestBinPack:
         assert bool(big["oversize"].iloc[0])
         # the oversize bin contains only that doc
         assert (got["bin_id"] == big["bin_id"].iloc[0]).sum() == 1
+
+
+class TestCdcChunks:
+    def _chunks(self, texts, **kw):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.pack import cdc_chunks
+
+        df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        got = cdc_chunks(rd.from_pandas(df).repartition(2),
+                         **kw).to_pandas()
+        out = {}
+        for r in got.sort_values(["doc_id", "chunk_id"]).itertuples():
+            out.setdefault(int(r.doc_id), []).append(
+                (int(r.chunk_id), r.chunk_text, int(r.n_tokens)))
+        return out
+
+    def test_reconstruction_and_short_doc(self, ray_session):
+        rng = np.random.default_rng(5)
+        words = [f"w{v}" for v in rng.integers(0, 50, size=400)]
+        long_doc = " ".join(words)
+        got = self._chunks([long_doc, "a b", ""], k=3, divisor=4)
+        # chunks concatenate back to the normalized token stream
+        assert " ".join(t for _, t, _ in got[0]) == long_doc
+        assert [c for c, _, _ in got[0]] == list(range(len(got[0])))
+        assert sum(n for _, _, n in got[0]) == 400
+        assert len(got[0]) > 1  # divisor 4 on 400 tokens must cut
+        # doc shorter than k: single chunk, no gram to flag
+        assert got[1] == [(0, "a b", 2)]
+        assert 2 not in got  # empty doc emits nothing
+
+    def test_edit_locality(self, ray_session):
+        rng = np.random.default_rng(9)
+        words = [f"t{v}" for v in rng.integers(0, 40, size=300)]
+        base = self._chunks([" ".join(words)], k=3, divisor=8)[0]
+        edited_words = words[:5] + ["INSERTED"] + words[5:]
+        edit = self._chunks([" ".join(edited_words)], k=3, divisor=8)[0]
+        base_texts = [t for _, t, _ in base]
+        edit_texts = [t for _, t, _ in edit]
+        # content-defined boundaries resynchronize: the chunk suffix
+        # after the edit region is byte-identical
+        tail = min(len(base_texts), len(edit_texts)) - 2
+        assert tail > 3
+        assert base_texts[-tail:] == edit_texts[-tail:]
+
+    def test_partition_invariance(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.pack import cdc_chunks
+
+        rng = np.random.default_rng(3)
+        texts = [" ".join(f"x{v}" for v in
+                          rng.integers(0, 30, size=rng.integers(0, 60)))
+                 for _ in range(40)]
+        df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        a = cdc_chunks(rd.from_pandas(df).repartition(1),
+                       divisor=4).to_pandas()
+        b = cdc_chunks(rd.from_pandas(df).repartition(13),
+                       divisor=4).to_pandas()
+        key = ["doc_id", "chunk_id"]
+        pd.testing.assert_frame_equal(
+            a.sort_values(key).reset_index(drop=True),
+            b.sort_values(key).reset_index(drop=True))
