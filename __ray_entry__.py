@@ -915,6 +915,26 @@ def _q_session_ids_events(sf_dir: str):
         batch_format="pyarrow").sort("event_id")
 
 
+def _q_dedup_sequences_events(sf_dir: str):
+    """Clickstream / conversation sequence dedup (ops/dedup.
+    sequence_dedup over ops/rank.top_k_per_group): each user's first
+    four events (by event_id, map-side top-k combiner push-down) form
+    an ordered token stream; identical streams collapse to the min-user
+    canonical — the session-level twin of document exact dedup, with
+    ~5 event types the 4-prefixes collide across the 150 users so the
+    canonical mapping is genuinely discriminating.  Three lean
+    exchanges end to end; stream text never travels past the first."""
+    from biocurator_mapper_ray.ops.dedup import sequence_dedup
+    from biocurator_mapper_ray.ops.rank import top_k_per_group
+
+    events = _read(sf_dir, "events",
+                   columns=["event_id", "user_id", "event_type"])
+    prefix = top_k_per_group(events, "user_id", "event_id", 4,
+                             ascending=True)
+    return sequence_dedup(prefix, key="user_id", order=["event_id"],
+                          token="event_type").sort("user_id")
+
+
 def _q_revenue_by_priority(sf_dir: str):
     """Both-sides-large partitioned hash join: lineitem ⋈ orders.
 
@@ -3766,6 +3786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": _q_sessionize_events,     # r03 green
         "coverage_intervals_events": _q_coverage_intervals_events,
         "session_ids_events": _q_session_ids_events,
+        "dedup_sequences_events": _q_dedup_sequences_events,
         "returned_revenue_customers": _q_returned_revenue_customers,
         "rrf_fuse_documents": _q_rrf_fuse_documents,
         "negative_pairs_documents": _q_negative_pairs_documents,
@@ -5763,6 +5784,22 @@ def oracle_sql() -> dict[str, str]:
                        JOIN nation n ON n_nationkey = c_nationkey
             QUALIFY rank <= 20
             ORDER BY rank
+        """,
+        "dedup_sequences_events": """
+            WITH pre AS (
+                SELECT user_id, event_id, event_type
+                FROM events
+                QUALIFY row_number() OVER (PARTITION BY user_id
+                                           ORDER BY event_id) <= 4
+            ), seqs AS (
+                SELECT user_id, CAST(count(*) AS BIGINT) AS seq_len,
+                       md5(string_agg(event_type, '|'
+                                      ORDER BY event_id)) AS seq_md5
+                FROM pre GROUP BY user_id
+            )
+            SELECT user_id, seq_len, seq_md5,
+                   min(user_id) OVER (PARTITION BY seq_md5) AS canonical
+            FROM seqs ORDER BY user_id
         """,
         "session_ids_events": """
             WITH flags AS (

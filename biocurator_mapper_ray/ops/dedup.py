@@ -1760,3 +1760,71 @@ def split_leakage_pairs(ds, *, text_column: str = "text",
     return (ds.map_batches(lean, batch_format="pyarrow")
               .groupby("__s")
               .map_groups(cross_pairs, batch_format="pandas"))
+
+
+def sequence_dedup(ds, *, key: str = "user_id",
+                   order: list[str] | None = None,
+                   token: str = "event_type", sep: str = "|",
+                   shards: int = 64):
+    """Exact dedup of ordered SEQUENCES: two keys whose full ordered
+    token streams are identical collapse to the min-key canonical — the
+    conversation/session-level twin of document exact-dedup (two
+    transcripts with the same turn sequence are one training example;
+    two users with the same clickstream are one behavioral trace).
+
+    Plan shape: rows ship LEAN (key, order, token) through ONE key-hash
+    exchange that co-locates each key's stream; the bucket task
+    lexsorts, joins each key's tokens (vectorized ``binary_join`` over
+    an offsets-built ListArray — no per-key Python), and md5-hashes the
+    joined stream through the shared DuckDB kernel.  A SECOND
+    hash-keyed exchange (key-scale rows, one per key) folds the min-key
+    canonical per identical hash.  Output ``(key, seq_len, seq_md5,
+    canonical)`` — sequence text itself never travels past the first
+    exchange.
+
+    The md5 is over ``token₁‖sep‖token₂‖…`` in ``order``, identical to
+    ``md5(string_agg(token, sep ORDER BY order…))``, so the result has
+    an exact SQL oracle.
+    """
+    from ..functions.hashing import hash64_column, md5_hex
+
+    order = list(order or [])
+
+    def lean(b: pa.Table) -> pa.Table:
+        h = hash64_column(b.column(key).cast(pa.string()))
+        return b.select([key] + order + [token]).append_column(
+            "__kb", pa.array((h % np.uint64(shards)).astype(np.int32)))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key] + order, kind="stable")
+        toks = g[token].astype(str).to_numpy(dtype=object)
+        keys = g[key].to_numpy()
+        first = np.zeros(len(g), dtype=bool)
+        if len(g):
+            first[0] = True
+            first[1:] = keys[1:] != keys[:-1]
+        offs = np.append(np.flatnonzero(first),
+                         len(g)).astype(np.int64)
+        lst = pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
+                                       pa.array(toks, pa.string()))
+        joined = pc.binary_join(lst, sep)
+        return pd.DataFrame({
+            key: keys[offs[:-1]],
+            "seq_len": np.diff(offs),
+            "seq_md5": md5_hex(joined)})
+
+    seqs = (ds.map_batches(lean, batch_format="pyarrow")
+            .groupby("__kb").map_groups(fold, batch_format="pandas"))
+
+    def hb(b: pa.Table) -> pa.Table:
+        h = hash64_column(b.column("seq_md5"))
+        return b.append_column(
+            "__hb", pa.array((h % np.uint64(shards)).astype(np.int32)))
+
+    def canon(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__hb")
+        g["canonical"] = g.groupby("seq_md5")[key].transform("min")
+        return g
+
+    return (seqs.map_batches(hb, batch_format="pyarrow")
+            .groupby("__hb").map_groups(canon, batch_format="pandas"))

@@ -2313,3 +2313,51 @@ class TestCuratePipeline:
         expect = (out["tok_start"] + out["n_tokens"]).iloc[:-1].to_numpy()
         assert (out["tok_start"].iloc[1:].to_numpy() == expect).all()
         assert (out["seq_id"] == out["tok_start"] // 256).all()
+
+
+class TestSequenceDedup:
+    def test_identical_streams_collapse_to_min_key(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.dedup import sequence_dedup
+
+        # users 1 and 7 share the exact ordered stream; 3 differs only
+        # in order; 9 differs in one token
+        rows = []
+        for u, seq in [(1, ["a", "b", "c"]), (7, ["a", "b", "c"]),
+                       (3, ["b", "a", "c"]), (9, ["a", "b", "x"])]:
+            for i, t in enumerate(seq):
+                rows.append((u, i, t))
+        df = pd.DataFrame(rows, columns=["user_id", "pos", "event_type"])
+        got = sequence_dedup(
+            rd.from_pandas(df.sample(frac=1, random_state=0))
+            .repartition(3),
+            key="user_id", order=["pos"]).to_pandas()
+        canon = dict(zip(got["user_id"], got["canonical"]))
+        assert canon == {1: 1, 7: 1, 3: 3, 9: 9}
+        assert set(got["seq_len"]) == {3}
+        md5s = dict(zip(got["user_id"], got["seq_md5"]))
+        assert md5s[1] == md5s[7] != md5s[3]
+
+    def test_md5_matches_duckdb_string_agg(self, ray_session):
+        import duckdb
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.dedup import sequence_dedup
+
+        df = pd.DataFrame({
+            "user_id": [5, 5, 5, 2, 2],
+            "pos": [2, 0, 1, 1, 0],
+            "event_type": ["zz", "a a", "", "k", "k"]})
+        got = sequence_dedup(
+            rd.from_pandas(df).repartition(2), key="user_id",
+            order=["pos"]).to_pandas()
+        ref = duckdb.sql("""
+            SELECT user_id,
+                   md5(string_agg(event_type, '|' ORDER BY pos)) AS h
+            FROM df GROUP BY user_id""").df()
+        want = dict(zip(ref["user_id"], ref["h"]))
+        for r in got.itertuples():
+            assert r.seq_md5 == want[r.user_id]
