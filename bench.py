@@ -235,6 +235,11 @@ def run_bench() -> dict:
         "ranking_metrics_orders",
         "mixture_schedule_documents",
         "split_leakage_documents",
+        # round-4 ninth-session additions
+        "closeness_parts",
+        "k_anonymity_customers",
+        "cdc_chunks_documents",
+        "dedup_sequences_events",
     ]
     qs = entry.queries()
     for name in bench_queries:
