@@ -915,6 +915,30 @@ def _q_session_ids_events(sf_dir: str):
         batch_format="pyarrow").sort("event_id")
 
 
+def _q_sorted_pairs_documents(sf_dir: str):
+    """Sorted-neighborhood ER blocking (ops/dedup.
+    sorted_neighborhood_pairs): documents ordered by their lowercased
+    16-char text prefix, every candidate pair within 4 positions —
+    linear candidates where hash blocking needs exact keys.  Exact
+    distributed ROW_NUMBER (8-byte-prefix range shards, driver holds
+    shard counts) + integer rank-bucket pairing; ranked-self-join SQL
+    oracle."""
+    from biocurator_mapper_ray.ops.dedup import sorted_neighborhood_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "key": pc.utf8_slice_codeunits(
+                pc.utf8_lower(t.column("text")), 0, 16)})
+
+    return sorted_neighborhood_pairs(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        id_column="doc_id", key_column="key", window=4,
+        bucket_rows=64).sort(["id_a", "id_b"])
+
+
 def _q_dedup_sequences_events(sf_dir: str):
     """Clickstream / conversation sequence dedup (ops/dedup.
     sequence_dedup over ops/rank.top_k_per_group): each user's first
@@ -3787,6 +3811,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coverage_intervals_events": _q_coverage_intervals_events,
         "session_ids_events": _q_session_ids_events,
         "dedup_sequences_events": _q_dedup_sequences_events,
+        "sorted_pairs_documents": _q_sorted_pairs_documents,
         "returned_revenue_customers": _q_returned_revenue_customers,
         "rrf_fuse_documents": _q_rrf_fuse_documents,
         "negative_pairs_documents": _q_negative_pairs_documents,
@@ -5784,6 +5809,20 @@ def oracle_sql() -> dict[str, str]:
                        JOIN nation n ON n_nationkey = c_nationkey
             QUALIFY rank <= 20
             ORDER BY rank
+        """,
+        "sorted_pairs_documents": """
+            WITH ranked AS (
+                SELECT doc_id,
+                       row_number() OVER (
+                           ORDER BY substr(lower(text), 1, 16), doc_id
+                       ) AS rn
+                FROM documents
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(b.rn - a.rn AS BIGINT) AS gap
+            FROM ranked a JOIN ranked b
+              ON b.rn > a.rn AND b.rn <= a.rn + 3
+            ORDER BY id_a, id_b
         """,
         "dedup_sequences_events": """
             WITH pre AS (

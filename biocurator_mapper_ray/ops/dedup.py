@@ -1828,3 +1828,134 @@ def sequence_dedup(ds, *, key: str = "user_id",
 
     return (seqs.map_batches(hb, batch_format="pyarrow")
             .groupby("__hb").map_groups(canon, batch_format="pandas"))
+
+
+def sorted_neighborhood_pairs(ds, *, id_column: str = "doc_id",
+                              key_column: str = "key", window: int = 4,
+                              shards: int | None = None,
+                              bucket_rows: int = 8192):
+    """Sorted-neighborhood entity-resolution blocking (Hernández &
+    Stolfo 1995): order ALL records by a blocking key and emit every
+    candidate pair within ``window`` positions of each other — the
+    linear-candidate alternative to hash blocking when near-duplicates
+    share key PREFIXES rather than exact keys (names, titles, lightly
+    edited text heads).
+
+    Distributed in two stages, both exact:
+
+    1. Global ROW_NUMBER over ``(key, id)`` — the ``sequence_pack``
+       range-shard pattern generalized to string order: shard by the
+       key's 8-byte UTF-8 prefix (an order-preserving coarsening, so
+       equal prefixes co-shard and in-shard full-string sort settles
+       the exact order; driver state is shard counts only).  Skewed
+       key prefixes skew shard SIZES, never correctness.
+    2. Positions are contiguous integers, so pairing is an integer-
+       bucketed exchange: rank-bucket ``rnk // bucket_rows`` with the
+       next bucket's first ``window−1`` rows replicated in — each pair
+       is emitted exactly once (by its LEFT row's home bucket) via
+       aligned slicing, never a quadratic block.
+
+    Returns ``(id_a, id_b, gap)`` with ``gap = rank_b − rank_a`` ∈
+    ``[1, window−1]`` — exactly SQL's ranked self-join
+    ``b.rn BETWEEN a.rn + 1 AND a.rn + window − 1`` under
+    ``row_number() OVER (ORDER BY key, id)``.  Ids must be
+    non-negative int64 (zero-padded into the order composite).
+    """
+    import ray.data as rd  # noqa: F401 (plan-shape parity with peers)
+
+    from .join import derive_buckets
+
+    n = ds.count()
+    if n == 0:
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "gap": pa.array([], pa.int64())}))
+    if shards is None:
+        shards = derive_buckets(n)
+
+    def mk_lean(b: pa.Table) -> pa.Table:
+        ids = b.column(id_column).to_numpy(zero_copy_only=False)
+        key = pc.fill_null(b.column(key_column).cast(pa.string()), "")
+        ck = pc.binary_join_element_wise(
+            key, pa.array(np.char.zfill(ids.astype("U20"), 20)), "\x1f")
+        enc = np.char.encode(
+            np.asarray(ck.to_numpy(zero_copy_only=False), dtype="U"),
+            "utf-8", "surrogatepass")
+        p64 = np.frombuffer(enc.astype("S8").tobytes(), dtype=">u8"
+                            ).astype(np.uint64)
+        return pa.table({id_column: pa.array(ids, pa.int64()),
+                         "__ck": ck,
+                         "__p64": pa.array(p64, pa.uint64())})
+
+    lean = ds.map_batches(mk_lean, batch_format="pyarrow").materialize()
+
+    samp = lean.select_columns(["__p64"]).limit(65536).to_pandas()
+    keys = samp["__p64"].to_numpy(np.uint64)
+    qs = np.linspace(0, 1, shards + 1)[1:-1]
+    bounds = np.unique(np.quantile(keys, qs).astype(np.uint64))
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        s = np.searchsorted(
+            bounds, b.column("__p64").to_numpy(), side="right")
+        return b.append_column("__s", pa.array(s.astype(np.int32)))
+
+    sharded = lean.map_batches(add_shard,
+                               batch_format="pyarrow").materialize()
+    counts = (sharded.groupby("__s").count().to_pandas()
+              .sort_values("__s"))
+    offs = np.zeros(len(bounds) + 1, dtype=np.int64)
+    if len(counts):
+        per = np.zeros(len(bounds) + 1, dtype=np.int64)
+        per[counts["__s"].to_numpy()] = counts["count()"].to_numpy()
+        offs[1:] = np.cumsum(per)[:-1]
+
+    def rank_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("__ck", kind="mergesort")
+        base = offs[int(g["__s"].iloc[0])]
+        return pd.DataFrame({
+            id_column: g[id_column].to_numpy(np.int64),
+            "rnk0": base + np.arange(len(g), dtype=np.int64)})
+
+    ranked = sharded.groupby("__s").map_groups(rank_shard,
+                                               batch_format="pandas")
+
+    w = int(window)
+
+    def fan(b: pa.Table) -> pa.Table:
+        r = b.column("rnk0").to_numpy(zero_copy_only=False)
+        ids = b.column(id_column).to_numpy(zero_copy_only=False)
+        home = r // bucket_rows
+        head = (r % bucket_rows <= w - 2) & (home > 0)
+        bk = np.concatenate([home, home[head] - 1])
+        return pa.table({
+            id_column: pa.array(np.concatenate([ids, ids[head]]),
+                                pa.int64()),
+            "rnk0": pa.array(np.concatenate([r, r[head]]), pa.int64()),
+            "__pb": pa.array(bk.astype(np.int64))})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("rnk0", kind="mergesort")
+        r = g["rnk0"].to_numpy(np.int64)
+        ids = g[id_column].to_numpy(np.int64)
+        bkt = int(g["__pb"].iloc[0])
+        out_a, out_b, out_g = [], [], []
+        for d in range(1, w):
+            if len(r) <= d:
+                break
+            la, lb = r[:-d], r[d:]
+            ok = (lb - la == d) & (la // bucket_rows == bkt)
+            out_a.append(ids[:-d][ok])
+            out_b.append(ids[d:][ok])
+            out_g.append(np.full(int(ok.sum()), d, np.int64))
+        if not out_a:
+            return pd.DataFrame({"id_a": np.array([], np.int64),
+                                 "id_b": np.array([], np.int64),
+                                 "gap": np.array([], np.int64)})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b),
+                             "gap": np.concatenate(out_g)})
+
+    return (ranked.map_batches(fan, batch_format="pyarrow")
+            .groupby("__pb").map_groups(pairs, batch_format="pandas"))

@@ -2361,3 +2361,42 @@ class TestSequenceDedup:
         want = dict(zip(ref["user_id"], ref["h"]))
         for r in got.itertuples():
             assert r.seq_md5 == want[r.user_id]
+
+
+class TestSortedNeighborhoodPairs:
+    def _pairs(self, keys, ids=None, **kw):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.dedup import sorted_neighborhood_pairs
+
+        ids = list(ids if ids is not None else range(len(keys)))
+        df = pd.DataFrame({"doc_id": ids, "key": keys})
+        got = sorted_neighborhood_pairs(
+            rd.from_pandas(df.sample(frac=1, random_state=1))
+            .repartition(3), **kw).to_pandas()
+        return {(int(a), int(b)): int(g) for a, b, g in
+                zip(got["id_a"], got["id_b"], got["gap"])}
+
+    def test_matches_ranked_self_join(self, ray_session):
+        rng = np.random.default_rng(17)
+        keys = ["".join(chr(97 + c) for c in rng.integers(0, 4, size=6))
+                for _ in range(80)]
+        w = 4
+        got = self._pairs(keys, window=w, bucket_rows=16)
+        order = sorted(range(len(keys)), key=lambda i: (keys[i], i))
+        want = {}
+        for p, i in enumerate(order):
+            for d in range(1, w):
+                if p + d < len(order):
+                    want[(i, order[p + d])] = d
+        assert got == want
+
+    def test_window_two_is_adjacent_only(self, ray_session):
+        got = self._pairs(["b", "a", "c"], ids=[10, 20, 30], window=2)
+        # order: a(20), b(10), c(30)
+        assert got == {(20, 10): 1, (10, 30): 1}
+
+    def test_tie_keys_break_by_id(self, ray_session):
+        got = self._pairs(["k", "k", "k"], ids=[5, 1, 3], window=2)
+        assert got == {(1, 3): 1, (3, 5): 1}
