@@ -3261,6 +3261,18 @@ def _q_constraint_checks(sf_dir: str):
         unique=["user_id"]).sort("rule")
 
 
+def _q_selfjoin_size_lineitem(sf_dir: str):
+    """Self-join cardinality prediction on l_partkey (ops/profile.
+    selfjoin_size): Σc² over per-key counts — exactly how many rows a
+    partkey-bucketed all-pairs expansion would emit, folded to one
+    int64 row before any join runs.  Map-side value_counts partials →
+    one key-scale exchange → four-scalar fold."""
+    from biocurator_mapper_ray.ops.profile import selfjoin_size
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey"])
+    return selfjoin_size(li, key="l_partkey")
+
+
 def _q_k_anonymity_customers(sf_dir: str):
     """Privacy release gate on customer (ops/profile.k_anonymity_audit):
     every (nation, market-segment) quasi-identifier class with its size
@@ -3745,6 +3757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "preference_pairs_orders": _q_preference_pairs,
         "constraint_checks_events": _q_constraint_checks,
         "k_anonymity_customers": _q_k_anonymity_customers,
+        "selfjoin_size_lineitem": _q_selfjoin_size_lineitem,
         "minmax_scale_events": _q_minmax_scale_events,
         "shard_manifest_documents": _q_shard_manifest,
         "scd2_events": _q_scd2_events,
@@ -4661,6 +4674,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) - count(DISTINCT user_id) AS BIGINT)
             FROM events
             ORDER BY rule
+        """,
+        "selfjoin_size_lineitem": """
+            WITH c AS (
+                SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+                FROM lineitem GROUP BY l_partkey
+            )
+            SELECT CAST(sum(c * c) AS BIGINT) AS join_rows,
+                   CAST(sum(c) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(max(c) AS BIGINT) AS max_cnt
+            FROM c
         """,
         "k_anonymity_customers": """
             SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,

@@ -514,3 +514,47 @@ def k_anonymity_audit(ds, *, quasi: list[str], sensitive: str,
 
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("__kb").map_groups(fold, batch_format="pandas"))
+
+
+def selfjoin_size(ds, *, key: str) -> pd.DataFrame:
+    """Exact self-join cardinality prediction: ``Σₖ c(k)²`` over the
+    per-key row counts — the planner diagnostic that tells you, BEFORE
+    running a key-bucketed self-join / all-pairs dedup / co-occurrence
+    expansion, exactly how many rows it will produce (and whether one
+    hot key makes it quadratic).  Companion of
+    :func:`key_skew_profile`: that op shows the count-of-counts shape,
+    this one folds the single number a planner compares against its
+    output budget.
+
+    Map-side ``value_counts`` partials → ONE key-scale count exchange →
+    per-batch ``(Σc², Σc, n_keys, max c)`` quads → a four-scalar
+    driver fold.  Returns a one-row DataFrame ``(join_rows, n_rows,
+    n_keys, max_cnt)`` — all int64 (Σc² needs the join to stay under
+    ~9·10¹⁸; at that size you were not going to run it anyway).
+    """
+    from ray.data.aggregate import Max, Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        vc = pc.value_counts(b.column(key))
+        return pa.table({"k": vc.field("values"),
+                         "c": vc.field("counts").cast(pa.int64())})
+
+    per_key = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby("k").sum("c"))
+
+    def quad(b: pa.Table) -> pa.Table:
+        c = b.column("sum(c)").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "join_rows": pa.array([int(np.dot(c, c))], pa.int64()),
+            "n_rows": pa.array([int(c.sum())], pa.int64()),
+            "n_keys": pa.array([len(c)], pa.int64()),
+            "max_cnt": pa.array([int(c.max()) if len(c) else 0],
+                                pa.int64())})
+
+    folded = per_key.map_batches(quad, batch_format="pyarrow").aggregate(
+        Sum("join_rows", alias_name="join_rows"),
+        Sum("n_rows", alias_name="n_rows"),
+        Sum("n_keys", alias_name="n_keys"),
+        Max("max_cnt", alias_name="max_cnt"))
+    return pd.DataFrame([{k: int(folded[k] or 0) for k in
+                          ("join_rows", "n_rows", "n_keys", "max_cnt")}])

@@ -69,3 +69,17 @@ class TestKAnonymityAudit:
         r = got.iloc[0]
         assert (int(r.group_n), int(r.n_sensitive),
                 int(r.violates_k), int(r.violates_l)) == (12, 2, 1, 1)
+
+
+class TestSelfjoinSize:
+    def test_exact_quadratic_sum(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.profile import selfjoin_size
+
+        # counts: a->3, b->2, c->1  => 9+4+1 = 14
+        df = pd.DataFrame({"k": list("aaabbc")})
+        got = selfjoin_size(rd.from_pandas(df).repartition(4), key="k")
+        r = got.iloc[0]
+        assert (r.join_rows, r.n_rows, r.n_keys, r.max_cnt) == (14, 6, 3, 3)
