@@ -3314,6 +3314,33 @@ def _q_minmax_scale_events(sf_dir: str):
               .sort("event_id")
 
 
+def _q_decayed_value_events(sf_dir: str):
+    """Recency-weighted activity score (ops/window.decayed_window_sum):
+    per event, the exponentially-decayed sum of the user's last 8 event
+    values (α = 1/2, power-of-two weights) in exact integer cents —
+    the EWMA engagement feature with a ranked-self-join SQL oracle.
+    One key-hash exchange, horizon shifted adds per bucket."""
+    from biocurator_mapper_ray.ops.window import decayed_window_sum
+
+    events = _read(sf_dir, "events",
+                   columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts"),
+            "cents": pc.cast(pc.round(pc.multiply(
+                t.column("value"), 100.0), ndigits=0), pa.int64())})
+
+    out = decayed_window_sum(
+        events.map_batches(prep, batch_format="pyarrow"),
+        key="user_id", order=["ts", "event_id"], value="cents",
+        horizon=8)
+    return out.select_columns(
+        ["event_id", "user_id", "rn", "decayed"]).sort("event_id")
+
+
 def _q_shard_manifest(sf_dir: str):
     """Per-shard (n_docs, n_tokens) manifest of the deterministic md5
     range-sharding (ops/pack.shard_manifest) — the resumable-output
@@ -3758,6 +3785,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "constraint_checks_events": _q_constraint_checks,
         "k_anonymity_customers": _q_k_anonymity_customers,
         "selfjoin_size_lineitem": _q_selfjoin_size_lineitem,
+        "decayed_value_events": _q_decayed_value_events,
         "minmax_scale_events": _q_minmax_scale_events,
         "shard_manifest_documents": _q_shard_manifest,
         "scd2_events": _q_scd2_events,
@@ -4674,6 +4702,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) - count(DISTINCT user_id) AS BIGINT)
             FROM events
             ORDER BY rule
+        """,
+        "decayed_value_events": """
+            WITH c AS (
+                SELECT event_id, user_id,
+                       CAST(round(value * 100) AS BIGINT) AS cents,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+            )
+            SELECT a.event_id, a.user_id, CAST(a.rn AS BIGINT) AS rn,
+                   CAST(sum(b.cents * (CAST(1 AS BIGINT)
+                                       << (7 - (a.rn - b.rn))))
+                        AS BIGINT) AS decayed
+            FROM c a JOIN c b
+              ON b.user_id = a.user_id
+             AND b.rn BETWEEN a.rn - 7 AND a.rn
+            GROUP BY a.event_id, a.user_id, a.rn
+            ORDER BY a.event_id
         """,
         "selfjoin_size_lineitem": """
             WITH c AS (

@@ -757,3 +757,47 @@ class TestSuffixBudgetFit:
                                 tiebreak="t", weight="w",
                                 budget=10).to_pandas()
         assert len(got) == 2 and got["suffix_sum"].max() == 10
+
+
+class TestDecayedWindowSum:
+    def test_matches_bruteforce(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.window import decayed_window_sum
+
+        rng = np.random.default_rng(4)
+        n = 200
+        df = pd.DataFrame({
+            "u": rng.integers(0, 7, size=n),
+            "pos": np.arange(n),
+            "v": rng.integers(-50, 200, size=n),
+        })
+        H = 5
+        got = decayed_window_sum(
+            rd.from_pandas(df.sample(frac=1, random_state=2))
+            .repartition(4),
+            key="u", order=["pos"], value="v", horizon=H,
+            buckets=3).to_pandas()
+        got = got.set_index(["u", "pos"])
+        for u, grp in df.sort_values("pos").groupby("u"):
+            vals = grp["v"].tolist()
+            for t, pos in enumerate(grp["pos"]):
+                want = sum(vals[t - j] * (1 << (H - 1 - j))
+                           for j in range(H) if t - j >= 0)
+                row = got.loc[(u, pos)]
+                assert int(row["decayed"]) == want
+                assert int(row["rn"]) == t + 1
+
+    def test_horizon_one_is_scaled_identity(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.window import decayed_window_sum
+
+        df = pd.DataFrame({"u": [1, 1, 2], "pos": [0, 1, 0],
+                           "v": [10, 20, 30]})
+        got = decayed_window_sum(
+            rd.from_pandas(df), key="u", order=["pos"], value="v",
+            horizon=1, buckets=2).to_pandas().sort_values(["u", "pos"])
+        assert got["decayed"].tolist() == [10, 20, 30]
