@@ -3273,6 +3273,18 @@ def _q_selfjoin_size_lineitem(sf_dir: str):
     return selfjoin_size(li, key="l_partkey")
 
 
+def _q_gini_custkey_orders(sf_dir: str):
+    """Single-number key-skew score (ops/profile.gini_key_counts):
+    exact integer Gini of orders-per-customer — the partitioning-risk
+    companion of custkey_skew, folded from the same tiny count-of-
+    counts profile via the closed-form tie-run rank sum (no global
+    sort)."""
+    from biocurator_mapper_ray.ops.profile import gini_key_counts
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+    return gini_key_counts(orders, key="o_custkey")
+
+
 def _q_k_anonymity_customers(sf_dir: str):
     """Privacy release gate on customer (ops/profile.k_anonymity_audit):
     every (nation, market-segment) quasi-identifier class with its size
@@ -3786,6 +3798,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymity_customers": _q_k_anonymity_customers,
         "selfjoin_size_lineitem": _q_selfjoin_size_lineitem,
         "decayed_value_events": _q_decayed_value_events,
+        "gini_custkey_orders": _q_gini_custkey_orders,
         "minmax_scale_events": _q_minmax_scale_events,
         "shard_manifest_documents": _q_shard_manifest,
         "scd2_events": _q_scd2_events,
@@ -4702,6 +4715,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) - count(DISTINCT user_id) AS BIGINT)
             FROM events
             ORDER BY rule
+        """,
+        "gini_custkey_orders": """
+            WITH c AS (
+                SELECT o_custkey, CAST(count(*) AS BIGINT) AS c
+                FROM orders GROUP BY o_custkey
+            ), r AS (
+                SELECT c, CAST(row_number() OVER (ORDER BY c)
+                               AS BIGINT) AS i
+                FROM c
+            ), t AS (
+                SELECT CAST(sum(i * c) AS BIGINT) AS s,
+                       CAST(count(*) AS BIGINT) AS m,
+                       CAST(sum(c) AS BIGINT) AS n
+                FROM r
+            )
+            SELECT 2 * s - (m + 1) * n AS gini_num,
+                   m * n AS gini_den, m AS n_keys, n AS n_rows
+            FROM t
         """,
         "decayed_value_events": """
             WITH c AS (

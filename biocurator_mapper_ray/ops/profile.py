@@ -558,3 +558,38 @@ def selfjoin_size(ds, *, key: str) -> pd.DataFrame:
         Max("max_cnt", alias_name="max_cnt"))
     return pd.DataFrame([{k: int(folded[k] or 0) for k in
                           ("join_rows", "n_rows", "n_keys", "max_cnt")}])
+
+
+def gini_key_counts(ds, *, key: str) -> pd.DataFrame:
+    """Gini coefficient of the per-key row-count distribution, as
+    EXACT integer evidence: with the m per-key counts sorted ascending
+    (c₍₁₎ … c₍ₘ₎, N = Σc), ``gini = (2·Σ i·c₍ᵢ₎ − (m+1)·N) / (m·N)``
+    — the single-number skew score next to
+    :func:`key_skew_profile`'s full shape (G → 0: uniform keys, safe
+    to hash-partition; G → 1: one hot key owns the table, salt it).
+
+    The rank-weighted sum never needs a global sort: keys tying on a
+    count value occupy a CONSECUTIVE rank run and Σi over a run is
+    closed-form, so ``Σ i·c₍ᵢ₎ = Σ_v v·(before(v)·n_v + n_v(n_v+1)/2)``
+    over the count-of-counts profile — which is exactly
+    :func:`key_skew_profile`'s (distinct-count-values-scale, tiny)
+    output, collected and folded on the driver.
+
+    Returns a one-row DataFrame ``(gini_num, gini_den, n_keys,
+    n_rows)``; the float Gini is the reader-side ratio.
+    """
+    prof = key_skew_profile(ds, key=key).to_pandas()
+    if not len(prof):
+        return pd.DataFrame([{"gini_num": 0, "gini_den": 0,
+                              "n_keys": 0, "n_rows": 0}])
+    prof = prof.sort_values("c").reset_index(drop=True)
+    c = prof["c"].to_numpy(np.int64)
+    nk = prof["n_keys"].to_numpy(np.int64)
+    m = int(nk.sum())
+    n = int(np.dot(c, nk))
+    before = np.concatenate(([0], np.cumsum(nk)[:-1]))
+    rank_sum = before * nk + nk * (nk + 1) // 2
+    s = int(np.dot(c, rank_sum))
+    return pd.DataFrame([{"gini_num": 2 * s - (m + 1) * n,
+                          "gini_den": m * n,
+                          "n_keys": m, "n_rows": n}])

@@ -83,3 +83,33 @@ class TestSelfjoinSize:
         got = selfjoin_size(rd.from_pandas(df).repartition(4), key="k")
         r = got.iloc[0]
         assert (r.join_rows, r.n_rows, r.n_keys, r.max_cnt) == (14, 6, 3, 3)
+
+
+class TestGiniKeyCounts:
+    def _gini(self, keys):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.profile import gini_key_counts
+
+        df = pd.DataFrame({"k": keys})
+        return gini_key_counts(rd.from_pandas(df).repartition(3),
+                               key="k").iloc[0]
+
+    def test_uniform_counts_give_zero(self, ray_session):
+        r = self._gini(list("aabbcc"))
+        assert (r.gini_num, r.n_keys, r.n_rows) == (0, 3, 6)
+        assert r.gini_den == 18
+
+    def test_matches_bruteforce_rank_formula(self, ray_session):
+        import numpy as np
+
+        rng = np.random.default_rng(6)
+        keys = [f"k{v}" for v in rng.integers(0, 12, size=300)]
+        r = self._gini(keys)
+        import collections
+        cs = sorted(collections.Counter(keys).values())
+        m, n = len(cs), sum(cs)
+        s = sum((i + 1) * c for i, c in enumerate(cs))
+        assert r.gini_num == 2 * s - (m + 1) * n
+        assert r.gini_den == m * n
