@@ -3273,6 +3273,19 @@ def _q_selfjoin_size_lineitem(sf_dir: str):
     return selfjoin_size(li, key="l_partkey")
 
 
+def _q_sketch_quantiles_lineitem(sf_dir: str):
+    """ONE-PASS mergeable quantile sketch over l_extendedprice
+    (ops/sketch.quantile_sketch): per-batch weighted compaction →
+    bounded fold → driver merge of ≤ 64×256 points — the single-scan
+    scale path next to the exact two-pass price_quantiles.  Rows-only
+    by design (±2n/k rank band, pinned by tests); n is exact."""
+    from biocurator_mapper_ray.ops.sketch import quantile_sketch
+
+    li = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+    return quantile_sketch(li, value="l_extendedprice", k=256,
+                           qs=(0.25, 0.5, 0.75, 0.95))
+
+
 def _q_gini_custkey_orders(sf_dir: str):
     """Single-number key-skew score (ops/profile.gini_key_counts):
     exact integer Gini of orders-per-customer — the partitioning-risk
@@ -3799,6 +3812,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "selfjoin_size_lineitem": _q_selfjoin_size_lineitem,
         "decayed_value_events": _q_decayed_value_events,
         "gini_custkey_orders": _q_gini_custkey_orders,
+        # rows-only: approximate by construction (±2n/k rank band)
+        "sketch_quantiles_lineitem": _q_sketch_quantiles_lineitem,
         "minmax_scale_events": _q_minmax_scale_events,
         "shard_manifest_documents": _q_shard_manifest,
         "scd2_events": _q_scd2_events,

@@ -643,3 +643,88 @@ def kmv_estimate(sample: pd.DataFrame, k: int, *, nhex: int = 15) -> float:
         return float(len(sample))
     hk = float(sample["h"].max())
     return (k - 1) * float(16 ** nhex) / hk
+
+
+def _compress_weighted(v: np.ndarray, w: np.ndarray, k: int):
+    """Compress sorted-by-value weighted points to ≤ ``k`` survivors at
+    evenly spaced cumulative-weight targets (first and last always
+    kept); each survivor keeps the total weight of the points it
+    absorbs, so Σw is preserved exactly and a survivor's cumulative
+    weight is within ``Σw/k`` of the true cumulative weight at its
+    value."""
+    if len(v) <= k:
+        return v, w
+    cw = np.cumsum(w)
+    total = cw[-1]
+    targets = (np.arange(1, k + 1, dtype=np.float64) / k) * total
+    idx = np.unique(np.searchsorted(cw, targets, side="left"))
+    idx[-1] = len(v) - 1
+    idx = np.unique(idx)
+    keep_cw = cw[idx]
+    nw = np.diff(np.concatenate(([0.0], keep_cw)))
+    return v[idx], nw
+
+
+def quantile_sketch(ds, *, value: str, k: int = 256,
+                    qs: tuple = (0.05, 0.25, 0.5, 0.75, 0.95, 0.99),
+                    fold_buckets: int = 64) -> pd.DataFrame:
+    """ONE-PASS mergeable quantile summary (the weighted-compaction
+    ε-sketch behind Spark's approxQuantile / Greenwald–Khanna style
+    summaries): each batch compresses its sorted values to ``k``
+    weighted points, partials fold through one bounded exchange, and
+    the driver merges ``fold_buckets × k`` points — so a 100-TB column
+    gets its quantiles in a single streaming scan, where
+    ``ops/quantile.exact_quantiles`` needs two (its histogram-refine
+    pass re-reads the column).  Rank error is ≈ Σ levels/k of the
+    compaction tree (2 levels here): ``≤ ~2·n/k`` ranks — tight enough
+    for trimming/binning decisions, never bit-exact (use the exact op
+    when the threshold itself must be reproducible).
+
+    Deterministic for a fixed partition layout (every merge sorts the
+    full point set before compacting — arrival order never matters),
+    but NOT partition-invariant: batch boundaries move the compaction
+    cut points within the ±ε band.  Rows-only correctness contract:
+    the ε rank bound, pinned by tests.
+
+    Returns a DataFrame ``(q, est)`` plus an ``n`` column (exact total
+    count, preserved through every compression).
+    """
+    from ..functions.hashing import stable_hash64
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b.column(value).to_numpy(zero_copy_only=False)
+        x = x[~pd.isna(x)]
+        x = np.sort(x.astype(np.float64))
+        v, w = _compress_weighted(x, np.ones(len(x)), k)
+        if len(v) == 0:
+            return pa.table({"v": pa.array([], pa.float64()),
+                             "w": pa.array([], pa.float64()),
+                             "__fb": pa.array([], pa.int32())})
+        fb = stable_hash64(repr(float(v[0])) + f":{len(v)}") % fold_buckets
+        return pa.table({"v": pa.array(v, pa.float64()),
+                         "w": pa.array(w, pa.float64()),
+                         "__fb": pa.array(
+                             np.full(len(v), fb, np.int32))})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("v", kind="mergesort")
+        v, w = _compress_weighted(g["v"].to_numpy(np.float64),
+                                  g["w"].to_numpy(np.float64), k)
+        return pd.DataFrame({"v": v, "w": w})
+
+    pts = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("__fb").map_groups(combine, batch_format="pandas")
+           .to_pandas())  # ≤ fold_buckets × k rows — bounded
+    if not len(pts):
+        return pd.DataFrame({"q": list(qs),
+                             "est": [float("nan")] * len(qs),
+                             "n": [0] * len(qs)})
+    pts = pts.sort_values("v", kind="mergesort")
+    v = pts["v"].to_numpy(np.float64)
+    w = pts["w"].to_numpy(np.float64)
+    cw = np.cumsum(w)
+    n = cw[-1]
+    est = [float(v[np.searchsorted(cw, q * n, side="left")
+                   .clip(0, len(v) - 1)]) for q in qs]
+    return pd.DataFrame({"q": list(qs), "est": est,
+                         "n": [int(round(n))] * len(qs)})

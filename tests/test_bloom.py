@@ -196,3 +196,46 @@ class TestHeavyHitters:
         assert len(heavy_hitters(ds, threshold=10)) == 0
         empty = ds.filter(lambda r: False)
         assert len(heavy_hitters(empty, threshold=1)) == 0
+
+
+class TestQuantileSketch:
+    def test_rank_error_within_bound(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.sketch import quantile_sketch
+
+        rng = np.random.default_rng(13)
+        n, k = 60_000, 256
+        x = rng.normal(0, 100, size=n)
+        ds = rd.from_pandas(pd.DataFrame({"x": x})).repartition(24)
+        got = quantile_sketch(ds, value="x", k=k,
+                              qs=(0.1, 0.5, 0.9, 0.99))
+        assert set(got["n"]) == {n}
+        xs = np.sort(x)
+        for r in got.itertuples():
+            true_rank = np.searchsorted(xs, r.est)
+            # 2-level compaction: ~2n/k bound, asserted with 2x slack
+            assert abs(true_rank - r.q * n) <= 4 * n / k, (r.q, true_rank)
+
+    def test_exact_when_small(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.sketch import quantile_sketch
+
+        ds = rd.from_pandas(pd.DataFrame({"x": [1.0, 2.0, 3.0, 4.0]}))
+        got = quantile_sketch(ds, value="x", k=64, qs=(0.5, 1.0))
+        assert got[got["q"] == 1.0]["est"].iloc[0] == 4.0
+        assert got["n"].iloc[0] == 4
+
+    def test_empty_input(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.sketch import quantile_sketch
+
+        ds = rd.from_pandas(pd.DataFrame({"x": pd.Series([], dtype=float)}))
+        got = quantile_sketch(ds, value="x", k=16, qs=(0.5,))
+        assert got["n"].iloc[0] == 0
