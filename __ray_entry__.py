@@ -915,6 +915,30 @@ def _q_session_ids_events(sf_dir: str):
         batch_format="pyarrow").sort("event_id")
 
 
+def _q_path_rollup_documents(sf_dir: str):
+    """Crawl-structure profile (ops/normalize.path_prefix_rollup):
+    document counts per host and per path prefix over planted
+    two-segment URLs — in-batch (depth, prefix) pre-aggregation, the
+    one exchange ships distinct-prefix-scale rows.  UNION-of-GROUP-BYs
+    SQL oracle."""
+    import numpy as np
+
+    from biocurator_mapper_ray.ops.normalize import path_prefix_rollup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        url = np.char.add(np.char.add(np.char.add(np.char.add(
+            np.char.add("http://h", (ids % 3).astype(str)), ".com/s"),
+            (ids % 4).astype(str)), "/t"), (ids % 7).astype(str))
+        return pa.table({"url": pa.array(url.tolist(), pa.string())})
+
+    return path_prefix_rollup(
+        ds.map_batches(plant, batch_format="pyarrow"),
+        max_depth=2).sort(["depth", "prefix"])
+
+
 def _q_sorted_pairs_documents(sf_dir: str):
     """Sorted-neighborhood ER blocking (ops/dedup.
     sorted_neighborhood_pairs): documents ordered by their lowercased
@@ -3881,6 +3905,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_ids_events": _q_session_ids_events,
         "dedup_sequences_events": _q_dedup_sequences_events,
         "sorted_pairs_documents": _q_sorted_pairs_documents,
+        "path_rollup_documents": _q_path_rollup_documents,
         "returned_revenue_customers": _q_returned_revenue_customers,
         "rrf_fuse_documents": _q_rrf_fuse_documents,
         "negative_pairs_documents": _q_negative_pairs_documents,
@@ -5925,6 +5950,26 @@ def oracle_sql() -> dict[str, str]:
                        JOIN nation n ON n_nationkey = c_nationkey
             QUALIFY rank <= 20
             ORDER BY rank
+        """,
+        "path_rollup_documents": """
+            WITH p AS (
+                SELECT 'h' || CAST(doc_id % 3 AS VARCHAR) || '.com' AS h,
+                       's' || CAST(doc_id % 4 AS VARCHAR) AS s1,
+                       't' || CAST(doc_id % 7 AS VARCHAR) AS s2
+                FROM documents
+            )
+            SELECT CAST(0 AS BIGINT) AS depth, h AS prefix,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM p GROUP BY h
+            UNION ALL
+            SELECT CAST(1 AS BIGINT), h || '/' || s1,
+                   CAST(count(*) AS BIGINT)
+            FROM p GROUP BY h || '/' || s1
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), h || '/' || s1 || '/' || s2,
+                   CAST(count(*) AS BIGINT)
+            FROM p GROUP BY h || '/' || s1 || '/' || s2
+            ORDER BY depth, prefix
         """,
         "sorted_pairs_documents": """
             WITH ranked AS (

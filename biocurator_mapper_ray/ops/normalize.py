@@ -353,3 +353,79 @@ def canonicalize_url(batch: pa.Table, *, column: str = "url",
             port_sfx.astype(str)), path_np), q_sfx.astype(str)))
     return batch.append_column(out_column,
                                pa.array(canon.tolist(), pa.string()))
+
+
+def path_prefix_rollup(ds, *, url_column: str = "url",
+                       max_depth: int = 3):
+    """URL path-hierarchy rollup: document counts per host and per
+    path prefix down to ``max_depth`` segments — the crawl-structure
+    profile (which hosts dominate, which sections of a host are deep)
+    read before per-domain quotas or path-level blocklists are set.
+
+    Per batch: Arrow RE2 part extraction (the
+    :func:`canonicalize_url` regexes), path-segment flatten with empty
+    segments masked out, and per-level prefix extension via direct
+    d-th-segment gather — then an IN-BATCH (depth, prefix) count
+    pre-aggregation, so the single exchange ships
+    distinct-prefix-scale rows, never document-scale.  Rows that don't
+    parse as absolute URLs contribute nothing.
+
+    Returns ``(depth:int64, prefix:string, n_docs:int64)`` — depth 0
+    is the bare lowercased host, depth d appends the first d non-empty
+    path segments joined with ``/``.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(url_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        empty = pa.scalar("", pa.string())
+        parts = pc.extract_regex(col, _URL_PARTS_RE)
+        hostport = pc.coalesce(pc.struct_field(parts, "hostport"), empty)
+        path = pc.coalesce(pc.struct_field(parts, "path"), empty)
+        hp = pc.extract_regex(hostport, _HOSTPORT_RE)
+        host = pc.utf8_lower(
+            pc.coalesce(pc.struct_field(hp, "host"), empty))
+        host_np = np.asarray(host.to_numpy(zero_copy_only=False),
+                             dtype=object)
+        ok = host_np != ""
+
+        segs_list = pc.split_pattern(path, "/")
+        flat = np.asarray(segs_list.flatten(), dtype=object)
+        counts = np.asarray(pc.list_value_length(
+            pc.fill_null(segs_list, [])), dtype=np.int64)
+        parents = np.repeat(np.arange(len(host_np)), counts)
+        keep = (flat != "")
+        flat, parents = flat[keep], parents[keep]
+        nseg = np.bincount(parents, minlength=len(host_np))
+        starts = np.concatenate(([0], np.cumsum(nseg)[:-1]))
+
+        out_depth, out_prefix = [], []
+        # object array: per-level prefix growth must never hit a
+        # fixed-width unicode truncation
+        cur = host_np.copy()
+        alive = np.flatnonzero(ok)
+        out_depth.append(np.zeros(len(alive), np.int64))
+        out_prefix.append(cur[alive].astype(object))
+        for d in range(1, max_depth + 1):
+            alive = alive[nseg[alive] >= d]
+            if not len(alive):
+                break
+            segd = flat[starts[alive] + d - 1].astype(str)
+            cur_alive = np.char.add(np.char.add(
+                cur[alive].astype(str), "/"), segd)
+            cur[alive] = cur_alive.astype(object)
+            out_depth.append(np.full(len(alive), d, np.int64))
+            out_prefix.append(cur_alive.astype(object))
+
+        t = pa.table({
+            "depth": pa.array(np.concatenate(out_depth), pa.int64()),
+            "prefix": pa.array(np.concatenate(out_prefix).tolist(),
+                               pa.string())})
+        g = t.group_by(["depth", "prefix"]).aggregate([([], "count_all")])
+        return g.rename_columns(["depth", "prefix", "n_docs"])
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["depth", "prefix"])
+            .aggregate(Sum("n_docs", alias_name="n_docs")))

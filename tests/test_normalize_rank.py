@@ -382,3 +382,32 @@ class TestRRFFuse:
         la = rd.from_pandas(pd.DataFrame({"id": [9], "rank": [3]}))
         got = rrf_fuse([la], id_col="id", k=10).to_pandas()
         assert got.loc[0, "rrf"] == 1 / 13
+
+
+class TestPathPrefixRollup:
+    def test_rollup_counts_and_ragged_depths(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.normalize import path_prefix_rollup
+
+        urls = [
+            "http://A.com/x/y/z",      # depth 0,1,2,3
+            "https://a.com/x/q",       # same host (case-folded)
+            "http://a.com/x/y",        # shares /x and /x/y
+            "http://b.org",            # host only, no segments
+            "http://b.org//",          # empty segments masked
+            "not a url",               # contributes nothing
+            "http://c.net/solo",
+        ]
+        df = pd.DataFrame({"url": urls})
+        got = path_prefix_rollup(
+            rd.from_pandas(df).repartition(3), max_depth=3).to_pandas()
+        rows = {(int(r.depth), r.prefix): int(r.n_docs)
+                for r in got.itertuples()}
+        assert rows == {
+            (0, "a.com"): 3, (0, "b.org"): 2, (0, "c.net"): 1,
+            (1, "a.com/x"): 3, (1, "c.net/solo"): 1,
+            (2, "a.com/x/y"): 2, (2, "a.com/x/q"): 1,
+            (3, "a.com/x/y/z"): 1,
+        }
