@@ -939,6 +939,50 @@ def _q_path_rollup_documents(sf_dir: str):
         max_depth=2).sort(["depth", "prefix"])
 
 
+def _q_cdc_dedup_documents(sf_dir: str):
+    """Chunk-level storage dedup COMPOSITION (the reason CDC exists):
+    cdc_chunks → md5 chunk keys → one hash-keyed fold → the corpus
+    dedup ledger (total vs distinct chunks and tokens) as a single
+    int64 row — at sf0.01 the corpus' repeated word runs collapse
+    3,583 chunks to 2,963, so the ratio is genuinely discriminating.
+    Chunk text never travels past the md5 map."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    from biocurator_mapper_ray.functions.hashing import md5_hex
+    from biocurator_mapper_ray.ops.pack import cdc_chunks
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    chunks = cdc_chunks(docs, k=3, divisor=8)
+
+    def lean(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "h": pa.array(md5_hex(t.column("chunk_text")), pa.string()),
+            "nt": t.column("n_tokens")})
+
+    per_hash = (chunks.map_batches(lean, batch_format="pyarrow")
+                .groupby("h").aggregate(
+                    Count(alias_name="c"),
+                    Max("nt", alias_name="nt")))
+
+    def quad(t: pa.Table) -> pa.Table:
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        nt = t.column("nt").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_chunks": pa.array([int(c.sum())], pa.int64()),
+            "n_distinct": pa.array([len(c)], pa.int64()),
+            "tokens_total": pa.array([int(np.dot(c, nt))], pa.int64()),
+            "tokens_distinct": pa.array([int(nt.sum())], pa.int64())})
+
+    folded = per_hash.map_batches(quad, batch_format="pyarrow").aggregate(
+        Sum("n_chunks", alias_name="n_chunks"),
+        Sum("n_distinct", alias_name="n_distinct"),
+        Sum("tokens_total", alias_name="tokens_total"),
+        Sum("tokens_distinct", alias_name="tokens_distinct"))
+    return pd.DataFrame([{k: int(folded[k] or 0) for k in
+                          ("n_chunks", "n_distinct", "tokens_total",
+                           "tokens_distinct")}])
+
+
 def _q_sorted_pairs_documents(sf_dir: str):
     """Sorted-neighborhood ER blocking (ops/dedup.
     sorted_neighborhood_pairs): documents ordered by their lowercased
@@ -3906,6 +3950,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_sequences_events": _q_dedup_sequences_events,
         "sorted_pairs_documents": _q_sorted_pairs_documents,
         "path_rollup_documents": _q_path_rollup_documents,
+        "cdc_dedup_documents": _q_cdc_dedup_documents,
         "returned_revenue_customers": _q_returned_revenue_customers,
         "rrf_fuse_documents": _q_rrf_fuse_documents,
         "negative_pairs_documents": _q_negative_pairs_documents,
@@ -5970,6 +6015,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT)
             FROM p GROUP BY h || '/' || s1 || '/' || s2
             ORDER BY depth, prefix
+        """,
+        "cdc_dedup_documents": """
+            WITH docs AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\\s+'),
+                                   t -> t <> '') AS toks
+                FROM documents
+            ), fl AS (
+                SELECT doc_id, CAST(u.j AS BIGINT) AS idx, toks[u.j] AS w,
+                       CASE WHEN u.j >= 3 AND
+                            CAST('0x' || substr(md5(array_to_string(
+                                     toks[u.j-2:u.j], ' ')), 1, 15)
+                                 AS UBIGINT) % 8 = 0
+                            THEN 1 ELSE 0 END AS flag
+                FROM docs, unnest(range(1, len(toks) + 1)) u(j)
+            ), ch AS (
+                SELECT doc_id, idx, w,
+                       COALESCE(sum(flag) OVER (
+                           PARTITION BY doc_id ORDER BY idx
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS cid
+                FROM fl
+            ), chunks AS (
+                SELECT doc_id, cid,
+                       string_agg(w, ' ' ORDER BY idx) AS t,
+                       CAST(count(*) AS BIGINT) AS nt
+                FROM ch GROUP BY doc_id, cid
+            ), per AS (
+                SELECT t, CAST(count(*) AS BIGINT) AS c,
+                       max(nt) AS nt
+                FROM chunks GROUP BY t
+            )
+            SELECT CAST(sum(c) AS BIGINT) AS n_chunks,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   CAST(sum(c * nt) AS BIGINT) AS tokens_total,
+                   CAST(sum(nt) AS BIGINT) AS tokens_distinct
+            FROM per
         """,
         "sorted_pairs_documents": """
             WITH ranked AS (
