@@ -255,6 +255,13 @@ def ensure_transcripts(
     marker = os.path.join(base, "_SUCCESS")
     if os.path.exists(marker):
         return tdir, edir
+    if os.path.exists(base):
+        # a previous generation died before its marker: write_parquet
+        # APPENDS files into an existing dir, so regenerating on top of
+        # the partial output would double-count turns — wipe it first
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
 
     n_convs = plan_conversations(n_turns, n_terms, seed)
     parallelism = max(4, min(256, n_convs // 64))

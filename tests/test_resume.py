@@ -119,3 +119,27 @@ def test_sharded_files_overlapped_equals_monolithic(ray_session, corpus, tmp_pat
     s3 = run_sharded_files(files, terms, out_root, snapshot_hash="s",
                            num_shards=2, in_flight=2, sort_output=False)
     assert s3["computed"] == 1 and s3["skipped"] == 1
+
+
+def test_ensure_transcripts_wipes_partial_generation(tmp_path, ray_session):
+    """A generation that died before its _SUCCESS marker must not leave
+    partial parquet files that a retry would append to (write_parquet
+    appends into existing dirs, silently doubling the corpus)."""
+    import os
+
+    from biocurator_mapper_ray.sources.transcripts import ensure_transcripts
+
+    root = str(tmp_path / "cache")
+    tdir, edir = ensure_transcripts(2000, n_terms=50, seed=7,
+                                    cache_root=root)
+    import ray.data as rd
+
+    n_clean = rd.read_parquet(tdir).count()
+
+    # simulate a crashed generation: marker gone, stale files remain
+    base = os.path.dirname(tdir)
+    os.remove(os.path.join(base, "_SUCCESS"))
+    tdir2, _ = ensure_transcripts(2000, n_terms=50, seed=7,
+                                  cache_root=root)
+    assert tdir2 == tdir
+    assert rd.read_parquet(tdir2).count() == n_clean  # not doubled
