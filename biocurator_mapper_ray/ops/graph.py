@@ -2082,7 +2082,7 @@ def seed_distances(edges, sources, *, src: str = "src", dst: str = "dst",
             "nbr": pa.concat_arrays([
                 b.column(dst).combine_chunks().cast(pa.int64()),
                 b.column(src).combine_chunks().cast(pa.int64())]),
-        }), batch_format="pyarrow").materialize()
+        }), batch_format="pyarrow")
 
     seeds = np.asarray(sorted({int(s) for s in sources}), dtype=np.int64)
     dist = rd.from_arrow(pa.table({
@@ -2095,15 +2095,19 @@ def seed_distances(edges, sources, *, src: str = "src", dst: str = "dst",
         return b.append_column(
             "__kb", pa.array((h % np.uint64(shards)).astype(np.int32)))
 
+    # the adjacency's bucket tag is round-invariant: tag ONCE and reuse
+    # the materialized blocks every round (bfs_distances re-tags per
+    # round; at 4+ rounds this map over every edge dominates)
+    adj_k = adj.map_batches(
+        lambda b: _kb(pa.table({
+            "node": b.column("node"), "nbr": b.column("nbr"),
+            "seed": pa.nulls(len(b), pa.int64())})),
+        batch_format="pyarrow").materialize()
+
     n_known = dist.count()
     for r in range(max_depth):
         frontier = dist.map_batches(
             lambda b, rr=r: b.filter(pc.equal(b.column("dist"), rr)),
-            batch_format="pyarrow")
-        adj_k = adj.map_batches(
-            lambda b: _kb(pa.table({
-                "node": b.column("node"), "nbr": b.column("nbr"),
-                "seed": pa.nulls(len(b), pa.int64())})),
             batch_format="pyarrow")
         fr_k = frontier.map_batches(
             lambda b: _kb(pa.table({
