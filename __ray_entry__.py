@@ -1007,6 +1007,23 @@ def _q_sorted_pairs_documents(sf_dir: str):
         bucket_rows=64).sort(["id_a", "id_b"])
 
 
+def _q_sliding_windows_events(sf_dir: str):
+    """Overlapping row-window extraction (ops/window.
+    sliding_row_windows): every complete 5-event window at stride 3 of
+    each user's ordered stream, with the joined event-type context —
+    the context-window shape that turns a log/conversation into
+    training examples.  One key-hash exchange, arithmetic window
+    starts + one fancy-index gather + ListArray/binary_join rebuild
+    per bucket; ranked range-join SQL oracle."""
+    from biocurator_mapper_ray.ops.window import sliding_row_windows
+
+    events = _read(sf_dir, "events",
+                   columns=["event_id", "user_id", "event_type"])
+    out = sliding_row_windows(events, key="user_id", order=["event_id"],
+                              token="event_type", k=5, stride=3)
+    return out.sort(["user_id", "window_id"])
+
+
 def _q_dedup_sequences_events(sf_dir: str):
     """Clickstream / conversation sequence dedup (ops/dedup.
     sequence_dedup over ops/rank.top_k_per_group): each user's first
@@ -3951,6 +3968,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_pairs_documents": _q_sorted_pairs_documents,
         "path_rollup_documents": _q_path_rollup_documents,
         "cdc_dedup_documents": _q_cdc_dedup_documents,
+        "sliding_windows_events": _q_sliding_windows_events,
         "returned_revenue_customers": _q_returned_revenue_customers,
         "rrf_fuse_documents": _q_rrf_fuse_documents,
         "negative_pairs_documents": _q_negative_pairs_documents,
@@ -6066,6 +6084,32 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked a JOIN ranked b
               ON b.rn > a.rn AND b.rn <= a.rn + 3
             ORDER BY id_a, id_b
+        """,
+        "sliding_windows_events": """
+            WITH r AS (
+                SELECT user_id, event_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY event_id) AS rn,
+                       count(*) OVER (PARTITION BY user_id) AS n
+                FROM events
+            ), keys AS (
+                SELECT DISTINCT user_id, n FROM r
+            ), w AS (
+                SELECT user_id, CAST(u.w AS BIGINT) AS window_id
+                FROM keys, unnest(range(0,
+                         CASE WHEN n >= 5 THEN (n - 5) // 3 + 1
+                              ELSE 0 END)) u(w)
+            )
+            SELECT w.user_id, w.window_id, CAST(5 AS BIGINT) AS n_rows,
+                   min(r.event_id) AS first_event_id,
+                   max(r.event_id) AS last_event_id,
+                   string_agg(r.event_type, '|' ORDER BY r.rn) AS tokens
+            FROM w JOIN r
+              ON r.user_id = w.user_id
+             AND r.rn BETWEEN w.window_id * 3 + 1
+                          AND w.window_id * 3 + 5
+            GROUP BY w.user_id, w.window_id
+            ORDER BY w.user_id, window_id
         """,
         "dedup_sequences_events": """
             WITH pre AS (

@@ -920,3 +920,90 @@ def decayed_window_sum(ds, *, key: str, order: list[str], value: str,
         return g
 
     return tagged.groupby("__kb").map_groups(fold, batch_format="pandas")
+
+
+def sliding_row_windows(ds, *, key: str, order: list[str], token: str,
+                        k: int, stride: int, sep: str = "|",
+                        buckets: int | None = None,
+                        size_hint: int | None = None):
+    """Overlapping ROW windows with stride over a keyed ordered stream:
+    every complete run of ``k`` consecutive rows starting at local
+    offsets 0, stride, 2·stride, … — the context-window extraction
+    that turns a conversation/event log into fixed-size training
+    examples with overlap (``ops/pack.chunk_spans`` does this at token
+    granularity inside one string; this op does it at row granularity
+    across a key's stream).  Keys with fewer than ``k`` rows emit
+    nothing; ragged tails are dropped (complete windows only), so the
+    result is exactly SQL's ``rn BETWEEN w·stride+1 AND w·stride+k``
+    ranked range join.
+
+    BUCKET-THEN-VECTORIZE: one key-hash exchange; per bucket, sort by
+    ``(key, order…)``, compute each key's window starts arithmetically,
+    gather the window members with one fancy-index
+    (``starts[:, None] + arange(k)``), and rebuild the joined token
+    string through a ListArray + ``binary_join`` — no per-window
+    Python.  Windows-per-key is ``⌊(n−k)/stride⌋+1``: a mega-key costs
+    its own windows, never the bucket's.
+
+    Returns ``(key, window_id, n_rows, first_<order[0]>,
+    last_<order[0]>, tokens)``.
+    """
+    import pyarrow.compute as pc
+
+    if k < 1 or stride < 1:
+        raise ValueError("k and stride must be >= 1")
+    b = _window_buckets(ds, buckets, size_hint)
+    tagged = _with_key_bucket(ds, key, b)
+    o0 = order[0]
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        g = (g.drop(columns="__kb")
+             .sort_values([key] + order, kind="mergesort")
+             .reset_index(drop=True))
+        kv = g[key].to_numpy()
+        n = len(g)
+        empty = pa.table({
+            key: pa.array([], pa.from_numpy_dtype(kv.dtype)
+                          if kv.dtype.kind in "iuf" else pa.string()),
+            "window_id": pa.array([], pa.int64()),
+            "n_rows": pa.array([], pa.int64()),
+            f"first_{o0}": pa.array([], pa.int64()),
+            f"last_{o0}": pa.array([], pa.int64()),
+            "tokens": pa.array([], pa.string())})
+        if n == 0:
+            return empty
+        first = np.zeros(n, dtype=bool)
+        first[0] = True
+        first[1:] = kv[1:] != kv[:-1]
+        starts_of_key = np.flatnonzero(first)
+        counts = np.diff(np.append(starts_of_key, n))
+        n_wins = np.where(counts >= k, (counts - k) // stride + 1, 0)
+        if n_wins.sum() == 0:
+            return empty
+        # window start indices, flat across keys
+        key_idx = np.repeat(np.arange(len(starts_of_key)), n_wins)
+        win_local = (np.arange(int(n_wins.sum()))
+                     - np.repeat(np.concatenate(
+                         ([0], np.cumsum(n_wins)[:-1])), n_wins))
+        w_start = starts_of_key[key_idx] + win_local * stride
+        gather = (w_start[:, None]
+                  + np.arange(k, dtype=np.int64)[None, :]).ravel()
+        toks = g[token].astype(str).to_numpy(dtype=object)[gather]
+        offs = np.arange(0, (len(w_start) + 1) * k, k, dtype=np.int64)
+        if offs[-1] < 2**31:
+            lst = pa.ListArray.from_arrays(
+                pa.array(offs, pa.int32()), pa.array(toks, pa.string()))
+        else:  # mirror pack.py's 64-bit offset fallback
+            lst = pa.LargeListArray.from_arrays(
+                pa.array(offs, pa.int64()),
+                pa.array(toks, pa.large_string()))
+        ov = g[o0].to_numpy()
+        return pa.table({
+            key: pa.array(kv[w_start]),
+            "window_id": pa.array(win_local, pa.int64()),
+            "n_rows": pa.array(np.full(len(w_start), k, np.int64)),
+            f"first_{o0}": pa.array(ov[w_start]),
+            f"last_{o0}": pa.array(ov[w_start + k - 1]),
+            "tokens": pc.binary_join(lst, sep).cast(pa.string())})
+
+    return tagged.groupby("__kb").map_groups(fold, batch_format="pandas")

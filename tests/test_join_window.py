@@ -801,3 +801,50 @@ class TestDecayedWindowSum:
             rd.from_pandas(df), key="u", order=["pos"], value="v",
             horizon=1, buckets=2).to_pandas().sort_values(["u", "pos"])
         assert got["decayed"].tolist() == [10, 20, 30]
+
+
+class TestSlidingRowWindows:
+    def _run(self, df, **kw):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.window import sliding_row_windows
+
+        return sliding_row_windows(
+            rd.from_pandas(df.sample(frac=1, random_state=5))
+            .repartition(3), **kw).to_pandas()
+
+    def test_stride_windows_match_bruteforce(self, ray_session):
+        import pandas as pd
+
+        rng = np.random.default_rng(8)
+        rows = []
+        for u in range(5):
+            for i in range(int(rng.integers(0, 12))):
+                rows.append((u, i, f"t{rng.integers(0, 4)}"))
+        df = pd.DataFrame(rows, columns=["u", "pos", "tok"])
+        got = self._run(df, key="u", order=["pos"], token="tok",
+                        k=4, stride=2, buckets=3)
+        want = set()
+        for u, grp in df.sort_values("pos").groupby("u"):
+            toks = grp["tok"].tolist()
+            poss = grp["pos"].tolist()
+            w = 0
+            s = 0
+            while s + 4 <= len(toks):
+                want.add((u, w, "|".join(toks[s:s + 4]),
+                          poss[s], poss[s + 3]))
+                w += 1
+                s += 2
+        have = {(r.u, r.window_id, r.tokens, r.first_pos, r.last_pos)
+                for r in got.itertuples()}
+        assert have == want
+        assert (got["n_rows"] == 4).all()
+
+    def test_short_keys_emit_nothing(self, ray_session):
+        import pandas as pd
+
+        df = pd.DataFrame({"u": [1, 1, 2], "pos": [0, 1, 0],
+                           "tok": ["a", "b", "c"]})
+        got = self._run(df, key="u", order=["pos"], token="tok",
+                        k=3, stride=1, buckets=2)
+        assert len(got) == 0
