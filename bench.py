@@ -240,6 +240,14 @@ def run_bench() -> dict:
         "k_anonymity_customers",
         "cdc_chunks_documents",
         "dedup_sequences_events",
+        "sorted_pairs_documents",
+        "selfjoin_size_lineitem",
+        "decayed_value_events",
+        "gini_custkey_orders",
+        "sketch_quantiles_lineitem",
+        "path_rollup_documents",
+        "cdc_dedup_documents",
+        "sliding_windows_events",
     ]
     qs = entry.queries()
     for name in bench_queries:
