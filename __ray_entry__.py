@@ -3925,6 +3925,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interarrival_events": _q_interarrival_events,
         "wcc_parts": _q_wcc_parts,
         "kg_tool_transitions": _q_kg_tool_transitions,  # rows-only (synth corpus)
+        "kg_turn_windows": _q_kg_turn_windows,  # rows-only (synth corpus)
         "unicode_nfc": _q_unicode_nfc,
         "rolling_rows_events": _q_rolling_rows_events,
         "cube_orders": _q_cube_orders,
@@ -8239,6 +8240,23 @@ def _q_event_transitions(sf_dir: str):
     return sequence_transitions(
         ev, key_col="user_id", order_cols=["ts", "event_id"],
         label_col="event_type").sort(["label_a", "label_b"])
+
+
+def _q_kg_turn_windows(sf_dir: str):
+    """SFT context-window extraction over the agent transcripts: every
+    complete 6-turn window at stride 4 of each conversation, with the
+    joined role sequence as the window signature (ops/window.
+    sliding_row_windows — the proven, oracle-exact op; this is its
+    transcript instantiation).  Rows-only: transcripts are synthesized,
+    not a driver table; the op's semantics are certified by
+    sliding_windows_events' exact SQL gate."""
+    from biocurator_mapper_ray.ops.window import sliding_row_windows
+
+    transcripts, _ = _kg_transcripts(sf_dir)
+    out = sliding_row_windows(transcripts, key="conv_id",
+                              order=["turn_idx"], token="role",
+                              k=6, stride=4)
+    return out.sort(["conv_id", "window_id"])
 
 
 def _q_kg_tool_transitions(sf_dir: str):

@@ -1833,7 +1833,7 @@ def sequence_dedup(ds, *, key: str = "user_id",
 def sorted_neighborhood_pairs(ds, *, id_column: str = "doc_id",
                               key_column: str = "key", window: int = 4,
                               shards: int | None = None,
-                              bucket_rows: int = 8192):
+                              bucket_rows: int | None = None):
     """Sorted-neighborhood entity-resolution blocking (Hernández &
     Stolfo 1995): order ALL records by a blocking key and emit every
     candidate pair within ``window`` positions of each other — the
@@ -1874,6 +1874,10 @@ def sorted_neighborhood_pairs(ds, *, id_column: str = "doc_id",
             "gap": pa.array([], pa.int64())}))
     if shards is None:
         shards = derive_buckets(n)
+    if bucket_rows is None:
+        # data-sized like every exchange default (derive_buckets rule):
+        # one pair bucket's frame is ~bucket_rows rows in one task
+        bucket_rows = max(window, n // derive_buckets(n) + 1)
 
     def mk_lean(b: pa.Table) -> pa.Table:
         ids = b.column(id_column).to_numpy(zero_copy_only=False)
