@@ -915,6 +915,35 @@ def _q_session_ids_events(sf_dir: str):
         batch_format="pyarrow").sort("event_id")
 
 
+def _q_json_profile_documents(sf_dir: str):
+    """Semi-structured schema discovery (ops/normalize.
+    json_schema_profile) over a planted variable-shape JSON column:
+    per top-level key, row count by JSON type (a key that appears as
+    both number and string shows both rows — the type-stability
+    signal).  One DuckDB-kernel call per batch, (key, type)-scale
+    exchange; both engines probe types through the same DuckDB
+    json_type, so the oracle is exact."""
+    from biocurator_mapper_ray.ops.normalize import json_schema_profile
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        base = np.char.add(np.char.add(np.char.add(
+            '{"a": ', (ids % 5).astype(str)), ', "b": "x'),
+            (ids % 3).astype(str))
+        c = np.where(ids % 4 == 0, ', "c": [1, 2]', "")
+        d = np.where(ids % 7 == 0, ', "d": {"e": true}', "")
+        s = np.char.add(np.char.add(np.char.add(
+            np.char.add(base, '"'), c.astype("U16")),
+            d.astype("U24")), "}")
+        return pa.table({"s": pa.array(s.tolist(), pa.string())})
+
+    return json_schema_profile(
+        ds.map_batches(plant, batch_format="pyarrow"),
+        column="s").sort(["key", "json_type"])
+
+
 def _q_path_rollup_documents(sf_dir: str):
     """Crawl-structure profile (ops/normalize.path_prefix_rollup):
     document counts per host and per path prefix over planted
@@ -3968,6 +3997,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_sequences_events": _q_dedup_sequences_events,
         "sorted_pairs_documents": _q_sorted_pairs_documents,
         "path_rollup_documents": _q_path_rollup_documents,
+        "json_profile_documents": _q_json_profile_documents,
         "cdc_dedup_documents": _q_cdc_dedup_documents,
         "sliding_windows_events": _q_sliding_windows_events,
         "returned_revenue_customers": _q_returned_revenue_customers,
@@ -6014,6 +6044,26 @@ def oracle_sql() -> dict[str, str]:
                        JOIN nation n ON n_nationkey = c_nationkey
             QUALIFY rank <= 20
             ORDER BY rank
+        """,
+        "json_profile_documents": """
+            WITH planted AS (
+                SELECT '{"a": ' || CAST(doc_id % 5 AS VARCHAR)
+                       || ', "b": "x' || CAST(doc_id % 3 AS VARCHAR)
+                       || '"'
+                       || CASE WHEN doc_id % 4 = 0
+                               THEN ', "c": [1, 2]' ELSE '' END
+                       || CASE WHEN doc_id % 7 = 0
+                               THEN ', "d": {"e": true}' ELSE '' END
+                       || '}' AS s
+                FROM documents
+            )
+            SELECT k AS key,
+                   json_type(json_extract(s, '$.' || k)) AS json_type,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM (SELECT s, unnest(json_keys(s)) AS k
+                  FROM planted WHERE json_valid(s))
+            GROUP BY 1, 2
+            ORDER BY key, json_type
         """,
         "path_rollup_documents": """
             WITH p AS (

@@ -429,3 +429,42 @@ def path_prefix_rollup(ds, *, url_column: str = "url",
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby(["depth", "prefix"])
             .aggregate(Sum("n_docs", alias_name="n_docs")))
+
+
+def json_schema_profile(ds, *, column: str):
+    """Semi-structured schema discovery: for every TOP-LEVEL key in a
+    JSON string column, how many rows carry it and as what JSON type —
+    the first-contact profile of an events/props payload before any
+    extraction paths are written (``json_field`` is the extractor;
+    this op tells you which paths exist and whether a key is
+    type-stable).  Returns ``(key, json_type, n_rows)``.
+
+    Per batch ONE DuckDB kernel call (``json_keys`` unnest +
+    ``json_type`` + in-batch GROUP BY — the md5-kernel convention of
+    functions/hashing), so the exchange ships distinct
+    (key, type)-scale partials, never rows.  Dotted/quoted key names
+    would need escaped paths (``json_type`` is probed via
+    ``'$.' || key``); invalid JSON rows contribute nothing.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import _duck
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tbl = pa.table({"s": pc.fill_null(  # noqa: F841 (duckdb scan)
+            batch.column(column).cast(pa.string()), "")})
+        out = _duck().execute("""
+            SELECT k AS key,
+                   json_type(json_extract(s, '$.' || k)) AS json_type,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM (SELECT s, unnest(json_keys(s)) AS k
+                  FROM tbl WHERE json_valid(s))
+            GROUP BY 1, 2
+        """).arrow()
+        return out.cast(pa.schema([("key", pa.string()),
+                                   ("json_type", pa.string()),
+                                   ("n_rows", pa.int64())]))
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["key", "json_type"])
+            .aggregate(Sum("n_rows", alias_name="n_rows")))

@@ -411,3 +411,31 @@ class TestPathPrefixRollup:
             (2, "a.com/x/y"): 2, (2, "a.com/x/q"): 1,
             (3, "a.com/x/y/z"): 1,
         }
+
+
+class TestJsonSchemaProfile:
+    def test_key_and_type_counts(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.normalize import json_schema_profile
+
+        rows = ['{"a": 1, "b": "x"}',
+                '{"a": "now-a-string"}',
+                '{"a": 2, "c": [1, 2]}',
+                'not json',
+                None,
+                '{"d": {"e": 1}}']
+        df = pd.DataFrame({"s": rows})
+        got = json_schema_profile(
+            rd.from_pandas(df).repartition(3), column="s").to_pandas()
+        rows_by = {(r.key, r.json_type): int(r.n_rows)
+                   for r in got.itertuples()}
+        assert rows_by[("b", "VARCHAR")] == 1
+        assert rows_by[("c", "ARRAY")] == 1
+        assert rows_by[("d", "OBJECT")] == 1
+        # key 'a' appears with TWO types: numeric twice, string once
+        a_types = {t: n for (k, t), n in rows_by.items() if k == "a"}
+        assert a_types.pop("VARCHAR") == 1
+        assert sum(a_types.values()) == 2  # the numeric rows
+        assert len(got) == 5
