@@ -3400,6 +3400,21 @@ def _q_sketch_quantiles_lineitem(sf_dir: str):
                            qs=(0.25, 0.5, 0.75, 0.95))
 
 
+def _q_uniqueness_orders(sf_dir: str):
+    """Candidate-key discovery on orders (ops/profile.
+    uniqueness_profile): exact distinct counts for four column combos
+    in ONE streaming pass (per-batch distinct md5-128 digests → two
+    shrinking exchanges); o_orderkey is the only true key."""
+    from biocurator_mapper_ray.ops.profile import uniqueness_profile
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderpriority"])
+    return uniqueness_profile(
+        orders, combos=[["o_orderkey"], ["o_custkey"],
+                        ["o_orderpriority"],
+                        ["o_custkey", "o_orderpriority"]]).sort("combo")
+
+
 def _q_gini_custkey_orders(sf_dir: str):
     """Single-number key-skew score (ops/profile.gini_key_counts):
     exact integer Gini of orders-per-customer — the partitioning-risk
@@ -3926,6 +3941,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "selfjoin_size_lineitem": _q_selfjoin_size_lineitem,
         "decayed_value_events": _q_decayed_value_events,
         "gini_custkey_orders": _q_gini_custkey_orders,
+        "uniqueness_orders": _q_uniqueness_orders,
         # rows-only: approximate by construction (±2n/k rank band)
         "sketch_quantiles_lineitem": _q_sketch_quantiles_lineitem,
         "minmax_scale_events": _q_minmax_scale_events,
@@ -4849,6 +4865,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) - count(DISTINCT user_id) AS BIGINT)
             FROM events
             ORDER BY rule
+        """,
+        "uniqueness_orders": """
+            WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders)
+            SELECT combo, n_distinct, n AS n_rows,
+                   CAST(CASE WHEN n_distinct = n THEN 1 ELSE 0 END
+                        AS BIGINT) AS is_key
+            FROM (
+                SELECT 'o_orderkey' AS combo,
+                       CAST(count(DISTINCT o_orderkey) AS BIGINT)
+                           AS n_distinct FROM orders
+                UNION ALL
+                SELECT 'o_custkey',
+                       CAST(count(DISTINCT o_custkey) AS BIGINT)
+                FROM orders
+                UNION ALL
+                SELECT 'o_orderpriority',
+                       CAST(count(DISTINCT o_orderpriority) AS BIGINT)
+                FROM orders
+                UNION ALL
+                SELECT 'o_custkey+o_orderpriority',
+                       CAST(count(DISTINCT (CAST(o_custkey AS VARCHAR)
+                            || chr(31) || o_orderpriority)) AS BIGINT)
+                FROM orders
+            ) u, t
+            ORDER BY combo
         """,
         "gini_custkey_orders": """
             WITH c AS (

@@ -593,3 +593,63 @@ def gini_key_counts(ds, *, key: str) -> pd.DataFrame:
     return pd.DataFrame([{"gini_num": 2 * s - (m + 1) * n,
                           "gini_den": m * n,
                           "n_keys": m, "n_rows": n}])
+
+
+def uniqueness_profile(ds, *, combos: list[list[str]]):
+    """Candidate-key discovery: for every declared column combination,
+    the EXACT distinct-combination count next to the table's row count,
+    with an ``is_key`` flag when they match — the uniqueness side of
+    schema discovery (``fd_violations`` tests a dependency you name;
+    this op tells you which column sets could be keys at all, the
+    first question before choosing a partitioning or upsert key).
+
+    One streaming pass for ALL combos: each batch emits its DISTINCT
+    md5-128 composite digests per combo (``\\x1f``-joined values, the
+    k-anonymity composite convention; null → ``\\x00`` sentinel), then
+    two stacked shrinking exchanges — (combo, digest) dedup, then a
+    combo-keyed count — exactly the ``key_skew_profile`` shape.  The
+    128-bit digest makes the distinct count collision-safe where a
+    64-bit hash would not be (the oracle's COUNT(DISTINCT …) is exact,
+    so a single collision would hash-mismatch).
+
+    Returns ``(combo:string, n_distinct:int64, n_rows:int64,
+    is_key:int64)`` with ``combo`` = ``+``-joined column names.
+    """
+    from ray.data.aggregate import Count
+
+    from ..functions.hashing import md5_hex
+
+    n_rows = ds.count()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out_c, out_h = [], []
+        for cols in combos:
+            key = pc.fill_null(
+                batch.column(cols[0]).cast(pa.string()), "\x00")
+            for c in cols[1:]:
+                key = pc.binary_join_element_wise(
+                    key, pc.fill_null(batch.column(c).cast(pa.string()),
+                                      "\x00"), "\x1f")
+            digests = np.unique(np.asarray(md5_hex(key), dtype=object))
+            out_c.append(np.full(len(digests), "+".join(cols),
+                                 dtype=object))
+            out_h.append(digests)
+        return pa.table({
+            "combo": pa.array(np.concatenate(out_c), pa.string()),
+            "h": pa.array(np.concatenate(out_h), pa.string())})
+
+    per_digest = (ds.map_batches(partial, batch_format="pyarrow")
+                  .groupby(["combo", "h"])
+                  .aggregate(Count(alias_name="c")))
+    counts = (per_digest.groupby("combo")
+              .aggregate(Count(alias_name="n_distinct")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        nd = t.column("n_distinct").cast(pa.int64())
+        return pa.table({
+            "combo": t.column("combo"),
+            "n_distinct": nd,
+            "n_rows": pa.array(np.full(len(t), n_rows, np.int64)),
+            "is_key": pc.cast(pc.equal(nd, n_rows), pa.int64())})
+
+    return counts.map_batches(finish, batch_format="pyarrow")

@@ -113,3 +113,25 @@ class TestGiniKeyCounts:
         s = sum((i + 1) * c for i, c in enumerate(cs))
         assert r.gini_num == 2 * s - (m + 1) * n
         assert r.gini_den == m * n
+
+
+class TestUniquenessProfile:
+    def test_key_flags_and_null_handling(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.profile import uniqueness_profile
+
+        df = pd.DataFrame({
+            "a": [1, 2, 3, 4, 4],
+            "b": ["x", "x", "y", None, None],
+            "c": [1, 1, 1, 2, 3],
+        })
+        got = uniqueness_profile(
+            rd.from_pandas(df).repartition(3),
+            combos=[["a"], ["b"], ["a", "b"], ["a", "c"]]).to_pandas()
+        rows = {r.combo: (int(r.n_distinct), int(r.is_key))
+                for r in got.itertuples()}
+        assert rows == {"a": (4, 0), "b": (3, 0),
+                        "a+b": (4, 0), "a+c": (5, 1)}
+        assert set(got["n_rows"]) == {5}
