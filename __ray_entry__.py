@@ -8011,6 +8011,8 @@ def _q_kg_incremental(sf_dir: str):
         extract_triples, incremental_update,
     )
 
+    import ray as _ray
+
     transcripts, _ = _kg_transcripts(sf_dir)
     terms = _kg_terms_table()
 
@@ -8022,12 +8024,18 @@ def _q_kg_incremental(sf_dir: str):
         h = hash64_column(b.column("conv_id"))
         return b.filter(pa.array(h % np.uint64(2) == 1))
 
+    # both extraction branches execute in ONE streaming plan, so size
+    # the two fused-link pools to HALF the box together (the other half
+    # serves read/exchange/merge tasks); floor 2, never the old fixed 4
+    # that left a 32-CPU session 75% idle on the hot stage
+    ncpu = int(_ray.cluster_resources().get("CPU", 8))
+    conc = max(2, min(10, ncpu // 4))
     prev = extract_triples(
         transcripts.map_batches(old_half, batch_format="pyarrow"),
-        terms, snapshot_hash="v1", sort_output=False, concurrency=4)
+        terms, snapshot_hash="v1", sort_output=False, concurrency=conc)
     merged = incremental_update(
         prev, transcripts.map_batches(new_half, batch_format="pyarrow"),
-        terms, snapshot_hash="v2", concurrency=4)
+        terms, snapshot_hash="v2", concurrency=conc)
     return (merged.groupby("ontology_snapshot_hash")
             .aggregate(Count(alias_name="n_triples"))
             .sort("ontology_snapshot_hash"))

@@ -624,7 +624,8 @@ def delta_by_key(left, right, *, key: str, compare: list[str],
 def merge_upsert(base, updates, *, key: str | list[str], order_col: str,
                  tiebreak: str | None = None,
                  buckets: int | None = None,
-                 size_hint: int | None = None):
+                 size_hint: int | None = None,
+                 columns: list[str] | None = None):
     """Lakehouse MERGE/upsert: one row per ``key`` (a column name or a
     composite list — e.g. a (subj, pred, obj) triple), where any row in
     ``updates`` overrides ``base`` and, within a side, the greatest
@@ -644,9 +645,20 @@ def merge_upsert(base, updates, *, key: str | list[str], order_col: str,
     """
     keys = [key] if isinstance(key, str) else list(key)
     tiebreak = tiebreak or keys[0]
-    cols = base.schema().names
-    if updates.schema().names != cols:
+    # column alignment: prefer caller-declared columns — on a LAZY base
+    # (e.g. a whole extraction pipeline) Dataset.schema() executes the
+    # plan up to its first block, which behind an all-to-all exchange
+    # means executing the entire branch ONCE just to read column names,
+    # then again in the real run (measured ~10 s of the kg_incremental
+    # wall).  Pass `columns` when both sides' layout is known.
+    if columns is not None:
+        cols = list(columns)
+        base = base.select_columns(cols)
         updates = updates.select_columns(cols)
+    else:
+        cols = base.schema().names
+        if updates.schema().names != cols:
+            updates = updates.select_columns(cols)
 
     def tag(src: int):
         def add(batch: pa.Table) -> pa.Table:

@@ -403,10 +403,17 @@ def incremental_update(prev_triples, transcripts, terms: pa.Table, *,
     sink is content-addressed, not order-addressed).
     """
     from ..ops.join import merge_upsert
+    from ..stages.canonicalize import TRIPLE_COLUMNS
 
     new_triples = extract_triples(transcripts, terms,
                                   snapshot_hash=snapshot_hash,
                                   sort_output=False, **extract_kw)
+    # both sides are extract_triples output: declare the layout so the
+    # merge never calls .schema() on the lazy snapshot branch (which
+    # would execute that whole pipeline once just for column names)
+    triple_cols = list(TRIPLE_COLUMNS) + [
+        "input_shard", "extractor_version", "ontology_snapshot_hash"]
     return merge_upsert(prev_triples, new_triples,
                         key=["subj", "pred", "obj"],
-                        order_col="confidence", tiebreak="conv_id")
+                        order_col="confidence", tiebreak="conv_id",
+                        columns=triple_cols)
