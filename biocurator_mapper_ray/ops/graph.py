@@ -802,8 +802,12 @@ def triangle_count(edges, *, src: str = "src", dst: str = "dst",
     """
     from .join import hash_join
 
-    canon = distinct_edges(edges, src=src, dst=dst, buckets=buckets)
-    deg = node_degrees(canon, buckets=buckets)
+    # canon feeds the degree fold, the degree joins AND the closing
+    # edge probe; deg feeds two joins — materialize both or each lazy
+    # consumer re-executes the distinct_edges exchange from scratch
+    canon = distinct_edges(edges, src=src, dst=dst,
+                           buckets=buckets).materialize()
+    deg = node_degrees(canon, buckets=buckets).materialize()
 
     i64 = {"u": "int64", "v": "int64", "node": "int64", "deg": "int64"}
     ju = hash_join(canon, deg, "u", "node",
@@ -1288,11 +1292,15 @@ def jaccard_links(edges, *, src: str = "src", dst: str = "dst",
     """
     from .join import hash_join
 
-    canon = distinct_edges(edges, src=src, dst=dst, buckets=buckets)
+    # canon feeds common_neighbors AND the degree fold; deg feeds two
+    # joins — materialize both (lazy re-execution rule, see
+    # triangle_count)
+    canon = distinct_edges(edges, src=src, dst=dst,
+                           buckets=buckets).materialize()
     cn = common_neighbors(canon, src="u", dst="v", min_count=min_common,
                           max_degree=max_degree, buckets=buckets,
                           shards=shards)
-    deg = node_degrees(canon, buckets=buckets)
+    deg = node_degrees(canon, buckets=buckets).materialize()
 
     i64 = {"node_a": "int64", "node_b": "int64", "n_common": "int64",
            "node": "int64", "deg": "int64"}
@@ -1347,8 +1355,12 @@ def local_clustering(edges, *, src: str = "src", dst: str = "dst",
     """
     from .join import hash_join
 
-    canon = distinct_edges(edges, src=src, dst=dst, buckets=buckets)
-    deg = node_degrees(canon, buckets=buckets)
+    # canon feeds the degree fold, the degree joins AND the closing
+    # edge probe; deg feeds two joins — materialize both or each lazy
+    # consumer re-executes the distinct_edges exchange from scratch
+    canon = distinct_edges(edges, src=src, dst=dst,
+                           buckets=buckets).materialize()
+    deg = node_degrees(canon, buckets=buckets).materialize()
 
     i64 = {"u": "int64", "v": "int64", "node": "int64", "deg": "int64"}
     ju = hash_join(canon, deg, "u", "node",
@@ -1929,8 +1941,12 @@ def degree_assortativity_evidence(edges, *, src: str = "src",
 
     from .join import hash_join
 
-    canon = distinct_edges(edges, src=src, dst=dst, buckets=buckets)
-    deg = node_degrees(canon, buckets=buckets)
+    # canon feeds the degree fold, the degree joins AND the closing
+    # edge probe; deg feeds two joins — materialize both or each lazy
+    # consumer re-executes the distinct_edges exchange from scratch
+    canon = distinct_edges(edges, src=src, dst=dst,
+                           buckets=buckets).materialize()
+    deg = node_degrees(canon, buckets=buckets).materialize()
 
     i64 = {"u": "int64", "v": "int64", "node": "int64", "deg": "int64"}
     ju = hash_join(canon, deg, "u", "node",
