@@ -3851,7 +3851,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_ranks_orders": _q_value_ranks,
         "cms_tokens_documents": _q_cms_tokens,
         "anti_join_orders": _q_anti_join_orders,
-        "semi_join_orders": _q_semi_join_orders,
+        "sorted_pairs_documents": _q_sorted_pairs_documents,
         "pivot_order_status": _q_pivot_order_status,
         "hash_top_k_documents": _q_hash_top_k,
         "bloom_bits_customers": _q_bloom_bits_customers,
@@ -3864,24 +3864,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "count_distinct_custkeys": _q_count_distinct_custkeys,
         "profile_orders": _q_profile_orders,
         "lag_lead_events": _q_lag_lead_events,
-        "first_last_events": _q_first_last_events,
+        "sliding_windows_events": _q_sliding_windows_events,
         "fuzzy_pairs_documents": _q_fuzzy_pairs_documents,
         "mode_event_type": _q_mode_event_type,
         "rollup_orders": _q_rollup_orders,
-        "winsorize_events": _q_winsorize_events,
+        "decayed_value_events": _q_decayed_value_events,
         "regex_extract_documents": _q_regex_extract_documents,
         "cumulative_users_events": _q_cumulative_users_events,
         "moments_events": _q_moments_events,
-        "covariance_lineitem": _q_covariance_lineitem,
+        "k_anonymity_customers": _q_k_anonymity_customers,
         "price_quantiles_cont": _q_price_quantiles_cont,
         "zscore_events": _q_zscore_events,
-        "debounce_events": _q_debounce_events,
+        "dedup_sequences_events": _q_dedup_sequences_events,
         "funnel_events": _q_funnel_events,
         "cohort_retention_events": _q_cohort_retention_events,
         "intersect_custkeys": _q_intersect_custkeys,
-        "except_custkeys": _q_except_custkeys,
+        "closeness_parts": _q_closeness_parts,
         "linfit_lineitem": _q_linfit_lineitem,
         "pagerank_parts": _q_pagerank_parts,
+        # displaced from the top-50 window by ninth-session new-family
+        # entries (each is the near-duplicate of a windowed sibling:
+        # semi~anti join, first_last~lag_lead, covariance~moments/corr,
+        # winsorize~zscore/quantile_trim, debounce~sessionize,
+        # except~intersect) — all still run and stay locally gated
+        "semi_join_orders": _q_semi_join_orders,
+        "first_last_events": _q_first_last_events,
+        "covariance_lineitem": _q_covariance_lineitem,
+        "winsorize_events": _q_winsorize_events,
+        "debounce_events": _q_debounce_events,
+        "except_custkeys": _q_except_custkeys,
         # oracle-backed, new this session — past the 50-entry driver
         # window now; re-window to the front in round 5
         "fim_documents": _q_fim_documents,
@@ -3937,9 +3948,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "row_ids_documents": _q_row_ids,
         "preference_pairs_orders": _q_preference_pairs,
         "constraint_checks_events": _q_constraint_checks,
-        "k_anonymity_customers": _q_k_anonymity_customers,
         "selfjoin_size_lineitem": _q_selfjoin_size_lineitem,
-        "decayed_value_events": _q_decayed_value_events,
         "gini_custkey_orders": _q_gini_custkey_orders,
         "uniqueness_orders": _q_uniqueness_orders,
         # rows-only: approximate by construction (±2n/k rank band)
@@ -3955,7 +3964,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # to window the newest ops — re-window whichever lack green in r5
         "lpa_communities_parts": _q_lpa_parts,
         "bfs_parts": _q_bfs_parts,
-        "closeness_parts": _q_closeness_parts,
         "jaccard_links_parts": _q_jaccard_links_parts,
         "clustering_parts": _q_clustering_parts,
         "next_token_documents": _q_next_token_documents,
@@ -4010,12 +4018,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": _q_sessionize_events,     # r03 green
         "coverage_intervals_events": _q_coverage_intervals_events,
         "session_ids_events": _q_session_ids_events,
-        "dedup_sequences_events": _q_dedup_sequences_events,
-        "sorted_pairs_documents": _q_sorted_pairs_documents,
         "path_rollup_documents": _q_path_rollup_documents,
         "json_profile_documents": _q_json_profile_documents,
         "cdc_dedup_documents": _q_cdc_dedup_documents,
-        "sliding_windows_events": _q_sliding_windows_events,
         "returned_revenue_customers": _q_returned_revenue_customers,
         "rrf_fuse_documents": _q_rrf_fuse_documents,
         "negative_pairs_documents": _q_negative_pairs_documents,
