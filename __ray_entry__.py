@@ -3468,6 +3468,20 @@ def _q_minmax_scale_events(sf_dir: str):
               .sort("event_id")
 
 
+def _q_calendar_events(sf_dir: str):
+    """Calendar featurization (ops/feature.calendar_features): ISO
+    weekday / hour / month / weekend flag per event — MAP-ONLY pure
+    Arrow temporal kernels, zero exchange; isodow/hour/month SQL
+    parity."""
+    from biocurator_mapper_ray.ops.feature import calendar_features
+
+    events = _read(sf_dir, "events", columns=["event_id", "ts"])
+    out = events.map_batches(
+        lambda t: calendar_features(t).drop_columns(["ts"]),
+        batch_format="pyarrow")
+    return out.sort("event_id")
+
+
 def _q_decayed_value_events(sf_dir: str):
     """Recency-weighted activity score (ops/window.decayed_window_sum):
     per event, the exponentially-decayed sum of the user's last 8 event
@@ -3951,6 +3965,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "selfjoin_size_lineitem": _q_selfjoin_size_lineitem,
         "gini_custkey_orders": _q_gini_custkey_orders,
         "uniqueness_orders": _q_uniqueness_orders,
+        "calendar_events": _q_calendar_events,
         # rows-only: approximate by construction (±2n/k rank band)
         "sketch_quantiles_lineitem": _q_sketch_quantiles_lineitem,
         "minmax_scale_events": _q_minmax_scale_events,
@@ -4870,6 +4885,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) - count(DISTINCT user_id) AS BIGINT)
             FROM events
             ORDER BY rule
+        """,
+        "calendar_events": """
+            SELECT event_id,
+                   CAST(isodow(ts) - 1 AS BIGINT) AS dow,
+                   CAST(hour(ts) AS BIGINT) AS hour,
+                   CAST(month(ts) AS BIGINT) AS month,
+                   CAST(CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END
+                        AS BIGINT) AS is_weekend
+            FROM events ORDER BY event_id
         """,
         "uniqueness_orders": """
             WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders)

@@ -147,3 +147,28 @@ def bucket_rare_values(ds, *, columns, min_count: int,
 
     return ds.map_batches(replace, fn_kwargs={"ref": ref},
                           batch_format="pyarrow")
+
+
+def calendar_features(batch: pa.Table, *, ts_column: str = "ts",
+                      prefix: str = "") -> pa.Table:
+    """Calendar feature extraction from a timestamp column — the
+    standard temporal featurization before any seasonality-aware
+    model or time-stratified split: appends ``dow`` (0=Monday, ISO
+    weekday − 1), ``hour`` (0–23), ``month`` (1–12), ``is_weekend``
+    (0/1 int64).  MAP-ONLY pure Arrow temporal kernels (zero copy,
+    zero exchange); DuckDB mirror: ``isodow(ts)-1``, ``hour(ts)``,
+    ``month(ts)``, ``CASE WHEN isodow(ts) >= 6``.
+    """
+    ts = batch.column(ts_column)
+    dow = pc.subtract(
+        pc.day_of_week(ts, count_from_zero=False,
+                       week_start=1).cast(pa.int64()), 1)
+    hour = pc.hour(ts).cast(pa.int64())
+    month = pc.month(ts).cast(pa.int64())
+    weekend = pc.cast(pc.greater_equal(dow, 5), pa.int64())
+    out = batch
+    for name, col in ((f"{prefix}dow", dow), (f"{prefix}hour", hour),
+                      (f"{prefix}month", month),
+                      (f"{prefix}is_weekend", weekend)):
+        out = out.append_column(name, col)
+    return out

@@ -318,3 +318,22 @@ class TestFimSplit:
                                           r.suffix_text) if x)
             assert joined.split() == _tok(DOCS[r.doc_id])
             assert 0 <= r.cut_lo <= r.cut_hi <= r.n_tokens
+
+
+class TestCalendarFeatures:
+    def test_known_timestamps(self, ray_session):
+        import pandas as pd
+        import pyarrow as pa
+
+        from biocurator_mapper_ray.ops.feature import calendar_features
+
+        # 2026-08-17 is a Monday; 2026-08-22 a Saturday
+        ts = pd.to_datetime(["2026-08-17 00:05:00",
+                             "2026-08-22 23:59:59",
+                             "2026-12-20 12:00:00"])  # Sunday
+        t = pa.table({"ts": pa.array(ts)})
+        out = calendar_features(t)
+        assert out.column("dow").to_pylist() == [0, 5, 6]
+        assert out.column("hour").to_pylist() == [0, 23, 12]
+        assert out.column("month").to_pylist() == [8, 8, 12]
+        assert out.column("is_weekend").to_pylist() == [0, 1, 1]
