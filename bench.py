@@ -248,6 +248,10 @@ def run_bench() -> dict:
         "path_rollup_documents",
         "cdc_dedup_documents",
         "sliding_windows_events",
+        "json_profile_documents",
+        "uniqueness_orders",
+        "calendar_events",
+        "kg_turn_windows",
     ]
     qs = entry.queries()
     for name in bench_queries:
