@@ -1887,6 +1887,34 @@ def _q_corpus_freq(sf_dir: str):
     return corpus_freq_scores(ds, top_v=20).sort("doc_id")
 
 
+def _q_freq_trim_documents(sf_dir: str):
+    """CCNet-style frequency ("perplexity") filtering COMPOSITION:
+    corpus-statistics scoring (ops/textstats.corpus_freq_scores — the
+    unigram-LM integer evidence) → per-doc score = avg in-vocab corpus
+    frequency per token (×1000 floor-div, integer) → exact-quantile
+    gate keeping the top three quartiles (ops/quantile.
+    filter_by_quantile) — documents whose tokens are corpus-rare
+    (≈ high perplexity) drop.  Both stages stream; the quantile gate's
+    driver state is two scalars; quantile_disc-parity oracle."""
+    from biocurator_mapper_ray.ops.quantile import filter_by_quantile
+    from biocurator_mapper_ray.ops.textstats import corpus_freq_scores
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    scored = corpus_freq_scores(ds, top_v=20)
+
+    def add_score(t: pa.Table) -> pa.Table:
+        n = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        sf = t.column("sum_freq").to_numpy(zero_copy_only=False)
+        s = np.where(n > 0, sf * 1000 // np.maximum(n, 1), 0)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "score": pa.array(s, pa.int64())})
+
+    out = filter_by_quantile(
+        scored.map_batches(add_score, batch_format="pyarrow"),
+        "score", lo_q=0.25, hi_q=1.0)
+    return out.sort("doc_id")
+
+
 def _q_customer_urgent_orders(sf_dir: str):
     """LEFT outer hash join: every customer with their count of URGENT
     orders — 203 customers (sf0.01) have none and must survive the join
@@ -3966,6 +3994,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gini_custkey_orders": _q_gini_custkey_orders,
         "uniqueness_orders": _q_uniqueness_orders,
         "calendar_events": _q_calendar_events,
+        "freq_trim_documents": _q_freq_trim_documents,
         # rows-only: approximate by construction (±2n/k rank band)
         "sketch_quantiles_lineitem": _q_sketch_quantiles_lineitem,
         "minmax_scale_events": _q_minmax_scale_events,
@@ -4885,6 +4914,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) - count(DISTINCT user_id) AS BIGINT)
             FROM events
             ORDER BY rule
+        """,
+        "freq_trim_documents": """
+            WITH toks AS (
+                SELECT doc_id, tok FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(lower(text),
+                                  '\\s+')) AS tok
+                    FROM documents) t
+                WHERE tok <> ''
+            ),
+            cnt AS (
+                SELECT tok, CAST(count(*) AS BIGINT) AS c
+                FROM toks GROUP BY 1
+            ),
+            vocab AS (
+                SELECT tok, c FROM cnt
+                QUALIFY row_number() OVER (ORDER BY c DESC, tok) <= 20
+            ),
+            scored AS (
+                SELECT t.doc_id,
+                       CAST(count(*) AS BIGINT) AS n_tokens,
+                       CAST(sum(coalesce(v.c, 0)) AS BIGINT) AS sum_freq
+                FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+                GROUP BY 1
+            ),
+            sc AS (
+                SELECT d.doc_id,
+                       CASE WHEN coalesce(s.n_tokens, 0) > 0
+                            THEN coalesce(s.sum_freq, 0) * 1000
+                                 // s.n_tokens
+                            ELSE CAST(0 AS BIGINT) END AS score
+                FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+            ),
+            b AS (
+                SELECT quantile_disc(score, 0.25) AS lo,
+                       quantile_disc(score, 1.0) AS hi
+                FROM sc
+            )
+            SELECT doc_id, score FROM sc, b
+            WHERE score BETWEEN lo AND hi
+            ORDER BY doc_id
         """,
         "calendar_events": """
             SELECT event_id,
