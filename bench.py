@@ -252,6 +252,7 @@ def run_bench() -> dict:
         "uniqueness_orders",
         "calendar_events",
         "kg_turn_windows",
+        "freq_trim_documents",
     ]
     qs = entry.queries()
     for name in bench_queries:
