@@ -3496,6 +3496,23 @@ def _q_minmax_scale_events(sf_dir: str):
               .sort("event_id")
 
 
+def _q_trigrams_events(sf_dir: str):
+    """Order-3 sequential pattern counts over user event streams
+    (ops/dialog.sequence_ngrams): every run of three consecutive
+    event types per user, counted corpus-wide — the clickstream-flow
+    miner one order past event_transitions.  One key-hash exchange +
+    aligned-slice gram build + salted fold; two-stacked-LEAD SQL
+    oracle."""
+    from biocurator_mapper_ray.ops.dialog import sequence_ngrams
+
+    events = _read(sf_dir, "events",
+                   columns=["event_id", "user_id", "event_type"])
+    out = sequence_ngrams(events, key_col="user_id",
+                          order_cols=["event_id"],
+                          label_col="event_type", n=3)
+    return out.sort(["label_1", "label_2", "label_3"])
+
+
 def _q_calendar_events(sf_dir: str):
     """Calendar featurization (ops/feature.calendar_features): ISO
     weekday / hour / month / weekend flag per event — MAP-ONLY pure
@@ -3995,6 +4012,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "uniqueness_orders": _q_uniqueness_orders,
         "calendar_events": _q_calendar_events,
         "freq_trim_documents": _q_freq_trim_documents,
+        "trigrams_events": _q_trigrams_events,
         # rows-only: approximate by construction (±2n/k rank band)
         "sketch_quantiles_lineitem": _q_sketch_quantiles_lineitem,
         "minmax_scale_events": _q_minmax_scale_events,
@@ -4914,6 +4932,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) - count(DISTINCT user_id) AS BIGINT)
             FROM events
             ORDER BY rule
+        """,
+        "trigrams_events": """
+            WITH r AS (
+                SELECT event_type AS a,
+                       lead(event_type, 1) OVER w AS b,
+                       lead(event_type, 2) OVER w AS c
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+            )
+            SELECT a AS label_1, b AS label_2, c AS label_3,
+                   CAST(count(*) AS BIGINT) AS n_grams
+            FROM r WHERE c IS NOT NULL
+            GROUP BY 1, 2, 3
+            ORDER BY label_1, label_2, label_3
         """,
         "freq_trim_documents": """
             WITH toks AS (

@@ -273,3 +273,76 @@ def build_examples(ds, *, conv_col: str = "conv_id",
             .groupby("__kb").map_groups(
                 lambda g: emit(g.drop(columns="__kb")),
                 batch_format="pandas"))
+
+
+def sequence_ngrams(ds, *, key_col: str = "conv_id",
+                    order_cols: list[str] | None = None,
+                    label_col: str = "tool", n: int = 3,
+                    min_count: int = 1, buckets: int = 64):
+    """Order-``n`` sequential pattern counts over per-key ordered label
+    sequences — :func:`sequence_transitions` generalized past adjacent
+    pairs: every run of ``n`` consecutive labels inside a key's
+    sequence, counted corpus-wide (``n = 3`` is the dialog-flow /
+    clickstream "what sequence of three acts repeats" miner; ``n = 2``
+    reduces exactly to the transition matrix).
+
+    Same plan shape as the pair form: lean projection map-side, ONE
+    hash(key) exchange, per-bucket sort + ``n`` aligned slices with an
+    endpoint same-key mask (the sort makes key equality of the run's
+    endpoints imply the whole run), in-bucket pre-aggregation, then a
+    salted result-scale fold.  Returns ``(label_1 … label_n,
+    n_grams)``; SQL mirror is ``n−1`` stacked LEADs.
+    """
+    order_cols = order_cols or ["turn_idx"]
+    lcols = [f"label_{i + 1}" for i in range(n)]
+
+    def tag(batch: pa.Table) -> pa.Table:
+        cols = {key_col: batch.column(key_col),
+                label_col: pc.cast(batch.column(label_col), pa.string())}
+        for c in order_cols:
+            cols[c] = batch.column(c)
+        h = hash64_column(batch.column(key_col))
+        cols["__kb"] = pa.array((h % np.uint64(buckets)).astype(np.int32))
+        return pa.table(cols)
+
+    def grams(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table({**{c: pa.array([], pa.string()) for c in lcols},
+                          "n_grams": pa.array([], pa.int64())})
+        if len(g) < n:
+            return empty
+        g = g.sort_values([key_col, *order_cols], kind="mergesort")
+        k = g[key_col].to_numpy()
+        same = k[: len(k) - n + 1] == k[n - 1:]
+        if not same.any():
+            return empty
+        lab = g[label_col].to_numpy()
+        m = len(lab) - n + 1
+        df = pd.DataFrame({c: lab[i: m + i][same]
+                           for i, c in enumerate(lcols)})
+        out = df.groupby(lcols, sort=False, as_index=False).size()
+        return pa.table({**{c: pa.array(out[c], pa.string())
+                            for c in lcols},
+                         "n_grams": pa.array(
+                             out["size"].to_numpy(np.int64))})
+
+    parts = (ds.map_batches(tag, batch_format="pyarrow")
+             .groupby("__kb").map_groups(
+                 lambda g: grams(g.drop(columns="__kb")),
+                 batch_format="pandas"))
+
+    def salt(batch: pa.Table) -> pa.Table:
+        key = batch.column(lcols[0])
+        for c in lcols[1:]:
+            key = pc.binary_join_element_wise(key, batch.column(c),
+                                              "\x1f")
+        s = hash64_column(key) % np.uint64(16)
+        return batch.append_column("__s",
+                                   pa.array(s.astype(np.int32)))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns="__s").groupby(
+            lcols, sort=True, as_index=False)["n_grams"].sum()
+        return out[out["n_grams"] >= min_count]
+
+    return (parts.map_batches(salt, batch_format="pyarrow")
+            .groupby("__s").map_groups(fold, batch_format="pandas"))

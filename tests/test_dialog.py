@@ -120,3 +120,52 @@ class TestBuildExamples:
         got = self._run(df)
         by = {r.conv_id: r.context for r in got.itertuples()}
         assert by == {"a": "user: qa", "b": "user: qb"}
+
+
+class TestSequenceNgrams:
+    def test_trigrams_match_bruteforce(self, ray_session):
+        import collections
+
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.dialog import sequence_ngrams
+
+        rng = np.random.default_rng(2)
+        rows = []
+        for c in range(8):
+            for i in range(int(rng.integers(1, 15))):
+                rows.append((c, i, f"t{rng.integers(0, 3)}"))
+        df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "tool"])
+        got = sequence_ngrams(
+            rd.from_pandas(df.sample(frac=1, random_state=3))
+            .repartition(3), n=3, buckets=4).to_pandas()
+        have = {(r.label_1, r.label_2, r.label_3): int(r.n_grams)
+                for r in got.itertuples()}
+        want = collections.Counter()
+        for _, grp in df.sort_values("turn_idx").groupby("conv_id"):
+            seq = grp["tool"].tolist()
+            for i in range(len(seq) - 2):
+                want[tuple(seq[i:i + 3])] += 1
+        assert have == dict(want)
+
+    def test_n2_matches_transitions(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.dialog import (sequence_ngrams,
+                                                      sequence_transitions)
+
+        df = pd.DataFrame({
+            "conv_id": [1, 1, 1, 2, 2],
+            "turn_idx": [0, 1, 2, 0, 1],
+            "tool": ["a", "b", "a", "a", "b"]})
+        ds = rd.from_pandas(df).repartition(2)
+        g2 = sequence_ngrams(ds, n=2, buckets=2).to_pandas()
+        tr = sequence_transitions(ds, buckets=2).to_pandas()
+        a = {(r.label_1, r.label_2): int(r.n_grams)
+             for r in g2.itertuples()}
+        b = {(r.label_a, r.label_b): int(r.n_pairs)
+             for r in tr.itertuples()}
+        assert a == b
