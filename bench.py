@@ -253,6 +253,7 @@ def run_bench() -> dict:
         "calendar_events",
         "kg_turn_windows",
         "freq_trim_documents",
+        "trigrams_events",
     ]
     qs = entry.queries()
     for name in bench_queries:
