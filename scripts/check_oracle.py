@@ -2,6 +2,14 @@
 entry at a given sf next to its oracle_sql() (DuckDB over the same
 parquet), compare row count + schema + order-insensitive values.
 
+The driver hashes the pandas VALUES of both sides after a column sort —
+so a nullable ``Int64`` engine column against a ``float64`` oracle column
+hash-mismatches even when every value is equal (CORRECTNESS_r04
+lag_lead_events / closeness_parts).  This gate therefore compares dtype
+KIND (int / uint / float / bool / object / datetime) per column before
+comparing values — ``check_dtype=False`` alone has a blind spot exactly
+where the driver's hash does not (VERDICT r4 item 3).
+
 Usage: python scripts/check_oracle.py [sf_dir] [query ...]
 """
 
@@ -24,6 +32,55 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
     return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _kind(dtype) -> str:
+    """Collapse a dtype to the representation class the driver's hash is
+    sensitive to: nullable Int64 and int64 are both 'i'; float64 is 'f';
+    pandas StringDtype and object both normalize to 'O'."""
+    k = getattr(dtype, "kind", "O")
+    if k == "u":  # unsigned ints hash like ints once values match
+        return "i"
+    if str(dtype) in ("string", "string[python]", "string[pyarrow]"):
+        return "O"
+    return k
+
+
+def compare_frames(got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
+    """Return the list of mismatch descriptions (empty = gate-green).
+
+    Mirrors the driver's compare: sort columns by name, check row count,
+    column names, per-column dtype KIND and null representation, then
+    order-insensitive exact values.
+    """
+    status: list[str] = []
+    if len(got) != len(want):
+        status.append(f"rowcount {len(got)} != {len(want)}")
+    gcols, wcols = sorted(got.columns), sorted(want.columns)
+    if gcols != wcols:
+        status.append(f"columns {gcols} != {wcols}")
+        return status
+    # dtype-kind + null-representation check BEFORE value normalization:
+    # this is the class the old check_dtype=False compare silently passed
+    for c in gcols:
+        gk, wk = _kind(got[c].dtype), _kind(want[c].dtype)
+        if gk != wk:
+            status.append(
+                f"dtype kind mismatch on '{c}': engine {got[c].dtype} ({gk})"
+                f" vs oracle {want[c].dtype} ({wk})")
+        elif got[c].isna().sum() != want[c].isna().sum():
+            status.append(
+                f"null count mismatch on '{c}': engine {int(got[c].isna().sum())}"
+                f" vs oracle {int(want[c].isna().sum())}")
+    if status:
+        return status
+    g, w = normalize(got), normalize(want)
+    try:
+        pd.testing.assert_frame_equal(g, w, check_dtype=False,
+                                      check_exact=True)
+    except AssertionError as e:
+        status.append(f"values differ: {str(e).splitlines()[-1][:200]}")
+    return status
 
 
 def main():
@@ -67,22 +124,12 @@ def main():
             print(f"ROWS  {name}: {len(got)} rows ({dt:.1f}s, rows-only check)")
             continue
         want = con.execute(oracles[name]).df()
-        g, w = normalize(got), normalize(want)
-        status = []
-        if len(g) != len(w):
-            status.append(f"rowcount {len(g)} != {len(w)}")
-        if list(g.columns) != list(w.columns):
-            status.append(f"columns {list(g.columns)} != {list(w.columns)}")
-        if not status:
-            try:
-                pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
-            except AssertionError as e:
-                status.append(f"values differ: {str(e).splitlines()[-1][:200]}")
+        status = compare_frames(got, want)
         if status:
             print(f"FAIL  {name}: {'; '.join(status)} ({dt:.1f}s)")
             failures += 1
         else:
-            print(f"OK    {name}: {len(g)} rows match ({dt:.1f}s)")
+            print(f"OK    {name}: {len(got)} rows match ({dt:.1f}s)")
     ray.shutdown()
     sys.exit(1 if failures else 0)
 
