@@ -3461,6 +3461,26 @@ def _q_uniqueness_orders(sf_dir: str):
                         ["o_custkey", "o_orderpriority"]]).sort("combo")
 
 
+def _q_uniqueness_sketch_orders(sf_dir: str):
+    """Sketch-mode candidate-key discovery (ops/profile.
+    uniqueness_profile mode="sketch"): HLL registers estimate every
+    combo in a register-scale exchange; only is_key CANDIDATES
+    (estimate ≥ 0.9·n_rows) re-run the exact row-scale digest pass —
+    the 100-TB path where non-key combos never ship a digest per row.
+    Restricted to the deterministic columns (combo, is_key, n_rows);
+    is_key is exact because true keys always estimate ≈ n_rows."""
+    from biocurator_mapper_ray.ops.profile import uniqueness_profile
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderpriority"])
+    res = uniqueness_profile(
+        orders, combos=[["o_orderkey"], ["o_custkey"],
+                        ["o_orderpriority"],
+                        ["o_custkey", "o_orderpriority"]],
+        mode="sketch")
+    return res.select_columns(["combo", "is_key", "n_rows"]).sort("combo")
+
+
 def _q_gini_custkey_orders(sf_dir: str):
     """Single-number key-skew score (ops/profile.gini_key_counts):
     exact integer Gini of orders-per-customer — the partitioning-risk
@@ -4033,6 +4053,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "selfjoin_size_lineitem": _q_selfjoin_size_lineitem,
         "gini_custkey_orders": _q_gini_custkey_orders,
         "uniqueness_orders": _q_uniqueness_orders,
+        "uniqueness_sketch_orders": _q_uniqueness_sketch_orders,
         "calendar_events": _q_calendar_events,
         "freq_trim_documents": _q_freq_trim_documents,
         "trigrams_events": _q_trigrams_events,
@@ -4213,6 +4234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # remaining never-driver-green oracle-backed queries, queued next so a
     # deeper driver snapshot certifies them in priority order
     next_up = [
+        "uniqueness_sketch_orders",
         "linfit_lineitem", "semi_join_orders", "first_last_events",
         "covariance_lineitem", "winsorize_events", "debounce_events",
         "except_custkeys", "ranking_metrics_orders",
@@ -5098,6 +5120,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT combo, n_distinct, n AS n_rows,
                    CAST(CASE WHEN n_distinct = n THEN 1 ELSE 0 END
                         AS BIGINT) AS is_key
+            FROM (
+                SELECT 'o_orderkey' AS combo,
+                       CAST(count(DISTINCT o_orderkey) AS BIGINT)
+                           AS n_distinct FROM orders
+                UNION ALL
+                SELECT 'o_custkey',
+                       CAST(count(DISTINCT o_custkey) AS BIGINT)
+                FROM orders
+                UNION ALL
+                SELECT 'o_orderpriority',
+                       CAST(count(DISTINCT o_orderpriority) AS BIGINT)
+                FROM orders
+                UNION ALL
+                SELECT 'o_custkey+o_orderpriority',
+                       CAST(count(DISTINCT (CAST(o_custkey AS VARCHAR)
+                            || chr(31) || o_orderpriority)) AS BIGINT)
+                FROM orders
+            ) u, t
+            ORDER BY combo
+        """,
+        "uniqueness_sketch_orders": """
+            WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders)
+            SELECT combo,
+                   CAST(CASE WHEN n_distinct = n THEN 1 ELSE 0 END
+                        AS BIGINT) AS is_key,
+                   n AS n_rows
             FROM (
                 SELECT 'o_orderkey' AS combo,
                        CAST(count(DISTINCT o_orderkey) AS BIGINT)

@@ -1852,9 +1852,12 @@ def sorted_neighborhood_pairs(ds, *, id_column: str = "doc_id",
     1. Global ROW_NUMBER over ``(key, id)`` — the ``sequence_pack``
        range-shard pattern generalized to string order: shard by the
        key's 8-byte UTF-8 prefix (an order-preserving coarsening, so
-       equal prefixes co-shard and in-shard full-string sort settles
-       the exact order; driver state is shard counts only).  Skewed
-       key prefixes skew shard SIZES, never correctness.
+       equal prefixes co-shard) and settle the exact order in-shard by
+       sorting the TUPLE ``(key, id)`` — never a separator-joined
+       composite, so keys containing control characters (tab/newline
+       in raw-text-prefix keys) order exactly like the SQL
+       ``ORDER BY key, id``.  Driver state is shard counts only;
+       skewed key prefixes skew shard SIZES, never correctness.
     2. Positions are contiguous integers, so pairing is an integer-
        bucketed exchange: rank-bucket ``rnk // bucket_rows`` with the
        next bucket's first ``window−1`` rows replicated in — each pair
@@ -1864,8 +1867,7 @@ def sorted_neighborhood_pairs(ds, *, id_column: str = "doc_id",
     Returns ``(id_a, id_b, gap)`` with ``gap = rank_b − rank_a`` ∈
     ``[1, window−1]`` — exactly SQL's ranked self-join
     ``b.rn BETWEEN a.rn + 1 AND a.rn + window − 1`` under
-    ``row_number() OVER (ORDER BY key, id)``.  Ids must be
-    non-negative int64 (zero-padded into the order composite).
+    ``row_number() OVER (ORDER BY key, id)``.
     """
     import ray.data as rd  # noqa: F401 (plan-shape parity with peers)
 
@@ -1888,15 +1890,13 @@ def sorted_neighborhood_pairs(ds, *, id_column: str = "doc_id",
     def mk_lean(b: pa.Table) -> pa.Table:
         ids = b.column(id_column).to_numpy(zero_copy_only=False)
         key = pc.fill_null(b.column(key_column).cast(pa.string()), "")
-        ck = pc.binary_join_element_wise(
-            key, pa.array(np.char.zfill(ids.astype("U20"), 20)), "\x1f")
         enc = np.char.encode(
-            np.asarray(ck.to_numpy(zero_copy_only=False), dtype="U"),
+            np.asarray(key.to_numpy(zero_copy_only=False), dtype="U"),
             "utf-8", "surrogatepass")
         p64 = np.frombuffer(enc.astype("S8").tobytes(), dtype=">u8"
                             ).astype(np.uint64)
         return pa.table({id_column: pa.array(ids, pa.int64()),
-                         "__ck": ck,
+                         "__k": key,
                          "__p64": pa.array(p64, pa.uint64())})
 
     lean = ds.map_batches(mk_lean, batch_format="pyarrow").materialize()
@@ -1922,7 +1922,7 @@ def sorted_neighborhood_pairs(ds, *, id_column: str = "doc_id",
         offs[1:] = np.cumsum(per)[:-1]
 
     def rank_shard(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("__ck", kind="mergesort")
+        g = g.sort_values(["__k", id_column], kind="mergesort")
         base = offs[int(g["__s"].iloc[0])]
         return pd.DataFrame({
             id_column: g[id_column].to_numpy(np.int64),

@@ -595,7 +595,21 @@ def gini_key_counts(ds, *, key: str) -> pd.DataFrame:
                           "n_keys": m, "n_rows": n}])
 
 
-def uniqueness_profile(ds, *, combos: list[list[str]]):
+def _combo_key(batch: pa.Table, cols: list[str]):
+    """\\x1f-joined composite value string per row (null → \\x00
+    sentinel) — the k-anonymity composite convention shared by both
+    uniqueness modes."""
+    key = pc.fill_null(batch.column(cols[0]).cast(pa.string()), "\x00")
+    for c in cols[1:]:
+        key = pc.binary_join_element_wise(
+            key, pc.fill_null(batch.column(c).cast(pa.string()), "\x00"),
+            "\x1f")
+    return key
+
+
+def uniqueness_profile(ds, *, combos: list[list[str]],
+                       mode: str = "exact", hll_m: int = 16384,
+                       recheck_ratio: float = 0.9):
     """Candidate-key discovery: for every declared column combination,
     the EXACT distinct-combination count next to the table's row count,
     with an ``is_key`` flag when they match — the uniqueness side of
@@ -614,22 +628,38 @@ def uniqueness_profile(ds, *, combos: list[list[str]]):
 
     Returns ``(combo:string, n_distinct:int64, n_rows:int64,
     is_key:int64)`` with ``combo`` = ``+``-joined column names.
+
+    ``mode="sketch"`` (VERDICT r4 item 7): the exact mode's
+    (combo, digest) exchange is row-scale × combos when a combo is
+    near-unique — exactness requires it, but a billion-row table
+    shouldn't ship a digest per row just to learn that a non-key combo
+    has ~40 distinct values.  The sketch mode runs ONE pass emitting
+    ≤ ``hll_m`` (combo, register, rank) partial rows per batch per
+    combo (HLL, the :mod:`sketch` estimator), folds registers with a
+    register-scale groupby-max, and runs the EXACT path only for
+    combos whose estimate ≥ ``recheck_ratio``·n_rows — true keys
+    always estimate ≈ n_rows (HLL σ = 1.04/√m ≈ 0.8 % at m=16384, far
+    inside the 10 % band), so ``is_key`` is exact while the exchange
+    for non-key combos is register-scale.  Non-candidate combos
+    report the rounded estimate with ``exact = 0``; candidates carry
+    exact counts with ``exact = 1``.
     """
     from ray.data.aggregate import Count
 
     from ..functions.hashing import md5_hex
 
     n_rows = ds.count()
+    if mode == "sketch":
+        return _uniqueness_sketch(ds, combos=combos, m=hll_m,
+                                  recheck_ratio=recheck_ratio,
+                                  n_rows=n_rows)
+    if mode != "exact":
+        raise ValueError(f"unknown mode {mode!r}")
 
     def partial(batch: pa.Table) -> pa.Table:
         out_c, out_h = [], []
         for cols in combos:
-            key = pc.fill_null(
-                batch.column(cols[0]).cast(pa.string()), "\x00")
-            for c in cols[1:]:
-                key = pc.binary_join_element_wise(
-                    key, pc.fill_null(batch.column(c).cast(pa.string()),
-                                      "\x00"), "\x1f")
+            key = _combo_key(batch, cols)
             digests = np.unique(np.asarray(md5_hex(key), dtype=object))
             out_c.append(np.full(len(digests), "+".join(cols),
                                  dtype=object))
@@ -653,3 +683,72 @@ def uniqueness_profile(ds, *, combos: list[list[str]]):
             "is_key": pc.cast(pc.equal(nd, n_rows), pa.int64())})
 
     return counts.map_batches(finish, batch_format="pyarrow")
+
+
+def _uniqueness_sketch(ds, *, combos: list[list[str]], m: int,
+                       recheck_ratio: float, n_rows: int):
+    """HLL-estimate + exact-recheck body of
+    ``uniqueness_profile(mode="sketch")`` — see its docstring.
+
+    Exchange shape: batches × combos × ≤ m lean (combo, register,
+    rank) rows through ONE register-keyed groupby-max; the register
+    table (combos × m rows) folds on the driver; only is_key
+    CANDIDATE combos re-run the row-scale exact path.
+    """
+    import ray.data as rd
+
+    from ..functions.hashing import hash64_column
+    from .sketch import _rank_of, hll_estimate
+
+    assert m & (m - 1) == 0, "hll_m must be a power of two"
+    bits = m.bit_length() - 1
+    max_rank = 64 - bits + 1
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out_c, out_r, out_k = [], [], []
+        for cols in combos:
+            h = hash64_column(_combo_key(batch, cols))
+            reg = (h % np.uint64(m)).astype(np.int64)
+            rank = _rank_of(h >> np.uint64(bits), max_rank)
+            # batch-local register max: ≤ m rows leave the task
+            order = np.lexsort((-rank, reg))
+            reg_s, rank_s = reg[order], rank[order]
+            first = np.concatenate([[True], reg_s[1:] != reg_s[:-1]])
+            out_c.append(np.full(int(first.sum()), "+".join(cols),
+                                 dtype=object))
+            out_r.append(reg_s[first])
+            out_k.append(rank_s[first])
+        return pa.table({
+            "combo": pa.array(np.concatenate(out_c), pa.string()),
+            "register": pa.array(np.concatenate(out_r), pa.int64()),
+            "rank": pa.array(np.concatenate(out_k), pa.int64())})
+
+    regs = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["combo", "register"]).max("rank")
+            .to_pandas())  # ≤ combos × m rows — driver-bounded
+    regs = regs.rename(columns={"max(rank)": "max_rank"})
+
+    names = ["+".join(c) for c in combos]
+    est = {}
+    for name in names:
+        sub = regs[regs["combo"] == name]
+        est[name] = hll_estimate(sub[["register", "max_rank"]], m)
+
+    cand = [c for c, name in zip(combos, names)
+            if est[name] >= recheck_ratio * n_rows]
+    exact = {}
+    if cand:
+        ex = uniqueness_profile(ds, combos=cand,
+                                mode="exact").to_pandas()
+        exact = dict(zip(ex["combo"], ex["n_distinct"]))
+
+    out = pd.DataFrame({
+        "combo": names,
+        "n_distinct": [int(exact.get(nm, round(est[nm])))
+                       for nm in names],
+        "n_rows": np.full(len(names), n_rows, np.int64),
+        "is_key": [int(exact.get(nm, -1) == n_rows) for nm in names],
+        "exact": [int(nm in exact) for nm in names]})
+    out = out.astype({"n_distinct": np.int64, "is_key": np.int64,
+                      "exact": np.int64})
+    return rd.from_pandas(out)

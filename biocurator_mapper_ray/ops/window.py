@@ -962,13 +962,19 @@ def sliding_row_windows(ds, *, key: str, order: list[str], token: str,
              .reset_index(drop=True))
         kv = g[key].to_numpy()
         n = len(g)
+        # type the empty first_/last_ columns from the ACTUAL order
+        # column so a timestamp/float order key doesn't make empty
+        # buckets emit a conflicting int64 schema vs non-empty ones
+        ov_dt = g[o0].to_numpy().dtype
+        o_type = (pa.from_numpy_dtype(ov_dt)
+                  if ov_dt.kind in "iufM" else pa.string())
         empty = pa.table({
             key: pa.array([], pa.from_numpy_dtype(kv.dtype)
                           if kv.dtype.kind in "iuf" else pa.string()),
             "window_id": pa.array([], pa.int64()),
             "n_rows": pa.array([], pa.int64()),
-            f"first_{o0}": pa.array([], pa.int64()),
-            f"last_{o0}": pa.array([], pa.int64()),
+            f"first_{o0}": pa.array([], o_type),
+            f"last_{o0}": pa.array([], o_type),
             "tokens": pa.array([], pa.string())})
         if n == 0:
             return empty

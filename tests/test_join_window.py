@@ -848,3 +848,22 @@ class TestSlidingRowWindows:
         got = self._run(df, key="u", order=["pos"], token="tok",
                         k=3, stride=1, buckets=2)
         assert len(got) == 0
+
+    def test_timestamp_order_with_empty_buckets(self, ray_session):
+        # a non-int64 order column (timestamp) must not conflict with
+        # the empty-bucket schema when some buckets emit no windows
+        # (ADVICE r4: empty first_/last_ were hardcoded int64)
+        import pandas as pd
+
+        ts = pd.date_range("2026-01-01", periods=6, freq="h")
+        df = pd.DataFrame({
+            "u": [1, 1, 1, 2, 3, 4],   # keys 2,3,4 are below k
+            "ts": ts,
+            "tok": list("abcxyz")})
+        got = self._run(df, key="u", order=["ts"], token="tok",
+                        k=2, stride=1, buckets=4)
+        got = got.sort_values("window_id")
+        assert got["tokens"].tolist() == ["a|b", "b|c"]
+        assert str(got["first_ts"].dtype).startswith("datetime64")
+        assert got["first_ts"].tolist() == [ts[0], ts[1]]
+        assert got["last_ts"].tolist() == [ts[1], ts[2]]

@@ -2400,3 +2400,18 @@ class TestSortedNeighborhoodPairs:
     def test_tie_keys_break_by_id(self, ray_session):
         got = self._pairs(["k", "k", "k"], ids=[5, 1, 3], window=2)
         assert got == {(1, 3): 1, (3, 5): 1}
+
+    def test_control_chars_in_key_order_like_sql_tuple(self, ray_session):
+        # raw-text-prefix keys can contain tab/newline (< 0x20); the
+        # order must match ORDER BY (key, id) tuple semantics, which a
+        # separator-joined composite would invert (ADVICE r4)
+        keys = ["a", "a\tb", "a\nx", "a b", "a!", "", "\x01z", "a"]
+        w = 3
+        got = self._pairs(keys, window=w, bucket_rows=3)
+        order = sorted(range(len(keys)), key=lambda i: (keys[i], i))
+        want = {}
+        for p, i in enumerate(order):
+            for d in range(1, w):
+                if p + d < len(order):
+                    want[(i, order[p + d])] = d
+        assert got == want
