@@ -250,6 +250,10 @@ def run_bench() -> dict:
         "sliding_windows_events",
         "json_profile_documents",
         "uniqueness_orders",
+        # round-5: HLL sketch mode — register-scale exchange, exact
+        # recheck only for is_key candidates (vs the exact mode's
+        # row-scale digest exchange per combo, directly above)
+        "uniqueness_sketch_orders",
         "calendar_events",
         "kg_turn_windows",
         "freq_trim_documents",
