@@ -128,7 +128,10 @@ def run_bench() -> dict:
         )
     else:
         triples = extract_triples(
-            rd.read_parquet(tdir, override_num_blocks=n_blocks), terms,
+            # prune at the read: the link stage consumes exactly these
+            rd.read_parquet(tdir, override_num_blocks=n_blocks,
+                            columns=["conv_id", "turn_idx", "text"]),
+            terms,
             snapshot_hash="bench",
             concurrency=(concurrency, concurrency),  # fixed pool: no rampup lag
             batch_size=65536,
@@ -282,7 +285,9 @@ def run_bench() -> dict:
         shutil.rmtree(sink_dir, ignore_errors=True)
         t0 = time.time()
         extract_triples_to_parquet(
-            rd.read_parquet(tdir, override_num_blocks=n_blocks), terms,
+            rd.read_parquet(tdir, override_num_blocks=n_blocks,
+                            columns=["conv_id", "turn_idx", "text"]),
+            terms,
             sink_dir, snapshot_hash="bench",
             concurrency=(concurrency, concurrency),  # same fixed pool as above
         )

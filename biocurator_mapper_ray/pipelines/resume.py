@@ -148,6 +148,7 @@ def run_sharded_files(
     in_flight: int = 2,
     force: bool = False,
     blocks_per_shard: int | None = None,
+    columns: list[str] | None = ("conv_id", "turn_idx", "text"),
     **extract_kwargs,
 ) -> dict:
     """File-partitioned resumable run with OVERLAPPED shard pipelines.
@@ -204,6 +205,11 @@ def run_sharded_files(
         reader_kwargs = {}
         if blocks_per_shard:
             reader_kwargs["override_num_blocks"] = blocks_per_shard
+        if columns is not None:
+            # prune at the read: the fused link stage consumes exactly
+            # (conv_id, turn_idx, text) — role/tool/ts never need to
+            # leave storage or transit the object store
+            reader_kwargs["columns"] = list(columns)
         ds = rd.read_parquet(shard_files[shard], **reader_kwargs)
         triples = extract_triples(ds, terms, snapshot_hash=snapshot_hash,
                                   **extract_kwargs)
