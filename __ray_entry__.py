@@ -3894,6 +3894,22 @@ def _q_split_leakage(sf_dir: str):
     return out.union(anchor).sort(["a", "b"])
 
 
+def _q_dsir_documents(sf_dir: str):
+    """DSIR importance resampling (ops/sample.dsir_select, after Xie et
+    al. 2023): select the 100 raw documents whose hashed-bigram feature
+    distribution is closest to the English subset.  Two map-side
+    passes: bucket counts fold through ONE m-bounded groupby, the
+    integer fixed-point weight table broadcasts via ray.put, scoring is
+    flat hash+gather+reduceat, selection is per-block top-k partials.
+    Integer-exact end to end (fixed-point smoothed importance ratios;
+    see the op docstring), so the oracle hashes bit-for-bit."""
+    from biocurator_mapper_ray.ops.sample import dsir_select
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    return dsir_select(docs, target_column="lang", target_value="en",
+                       m=2048, k=100, seed=7, scale=1_000_000)
+
+
 def _q_mixture_schedule(sf_dir: str):
     """Deterministic multi-source mixing order
     (ops/sample.mixture_schedule): md5-shuffled per-source ranks mapped
@@ -4011,6 +4027,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ranking_metrics_orders": _q_ranking_metrics,
         "split_leakage_documents": _q_split_leakage,
         "mixture_schedule_documents": _q_mixture_schedule,
+        "dsir_documents": _q_dsir_documents,
         "local_supplier_volume": _q_local_supplier_volume,
         "click_purchase_outer": _q_click_purchase_outer,
         "degree_histogram_parts": _q_degree_histogram,
@@ -4234,7 +4251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # remaining never-driver-green oracle-backed queries, queued next so a
     # deeper driver snapshot certifies them in priority order
     next_up = [
-        "uniqueness_sketch_orders",
+        "uniqueness_sketch_orders", "dsir_documents",
         "linfit_lineitem", "semi_join_orders", "first_last_events",
         "covariance_lineitem", "winsorize_events", "debounce_events",
         "except_custkeys", "ranking_metrics_orders",
@@ -5648,6 +5665,40 @@ def oracle_sql() -> dict[str, str]:
              AND a.doc_id < b.doc_id
              AND a.split <> b.split
             ORDER BY a, b
+        """,
+        "dsir_documents": f"""
+            WITH words AS (
+                SELECT doc_id, (lang = 'en') AS is_t,
+                       list_filter(regexp_split_to_array(lower(text),
+                                   '{_WS_CLASS}'), w -> w <> '') AS ws
+                FROM documents),
+            bg AS (
+                SELECT doc_id,
+                       CAST(CAST('0x' || substr(md5('7:' || ws[g.i]
+                                || ' ' || ws[g.i + 1]), 1, 15) AS UBIGINT)
+                            % 2048 AS BIGINT) AS b,
+                       is_t
+                FROM words, unnest(range(1, len(ws))) AS g(i)),
+            c AS (
+                SELECT b, count(*) AS cr,
+                       count(*) FILTER (WHERE is_t) AS ct
+                FROM bg GROUP BY b),
+            tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM c),
+            w AS (
+                SELECT b, (CAST(1000000 AS HUGEINT) * (ct + 1)
+                           * (tr + 2048))
+                          // ((cr + 1) * (tt + 2048)) AS wt
+                FROM c, tot),
+            s AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                       CAST(sum(w.wt) AS BIGINT) AS score
+                FROM bg JOIN w USING (b) GROUP BY doc_id)
+            SELECT doc_id, n_bigrams, score,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                        AS BIGINT) AS sel_rank
+            FROM s
+            ORDER BY score DESC, doc_id
+            LIMIT 100
         """,
         "mixture_schedule_documents": """
             WITH keyed AS (

@@ -438,3 +438,147 @@ def mixture_schedule(ds, *, group_column: str, key_column: str,
                          "mix_pos": pa.array(rnk * 10000 // w)})
 
     return ranked.map_batches(pos, batch_format="pyarrow")
+
+
+def _doc_bigram_buckets(batch: pa.Table, *, text_column: str,
+                        m: int, seed: int):
+    """Per-document hashed-bigram buckets under the engine's lowercase
+    whitespace contract.  Returns ``(buckets, doc_ptr)`` where
+    ``buckets`` is the flat int64 bucket id of every bigram occurrence
+    (md5-prefix parity with the DuckDB oracle expression) and
+    ``doc_ptr`` are the reduceat boundaries, one slot per document
+    (documents with <2 tokens own an empty slice)."""
+    toks = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(pc.utf8_lower(
+            pc.cast(batch.column(text_column), pa.string()))),
+        r"\s+")
+    flat = pc.list_flatten(toks)
+    lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+    if len(flat) < 2:
+        return (np.zeros(0, dtype=np.int64),
+                np.zeros(len(lens), dtype=np.int64),
+                np.zeros(len(lens), dtype=np.int64))
+    # adjacent-pair join over the flat token array; positions that
+    # straddle a document boundary (or touch the empty token an empty
+    # text splits to) are masked out
+    left = flat.slice(0, len(flat) - 1)
+    right = flat.slice(1)
+    pairs = pc.binary_join_element_wise(left, right, " ")
+    ends = np.cumsum(lens)
+    valid = np.ones(len(flat) - 1, dtype=bool)
+    valid[ends[:-1] - 1] = False  # last token of each doc starts no bigram
+    empty = pc.equal(flat, "").to_numpy(zero_copy_only=False)
+    valid &= ~empty[:-1] & ~empty[1:]
+    idx = np.flatnonzero(valid)
+    bg = pc.take(pairs, pa.array(idx, type=pa.int64()))
+    buckets = (md5_prefix_u64(bg, 15, prefix=f"{seed}:")
+               % np.uint64(m)).astype(np.int64)
+    # bigrams per doc = nonzero-token-count - 1 (clamped at 0)
+    n_tok = lens - np.add.reduceat(
+        empty.astype(np.int64),
+        np.concatenate([[0], ends[:-1]]).astype(np.int64)) \
+        if len(lens) else np.zeros(0, dtype=np.int64)
+    n_bg = np.maximum(n_tok - 1, 0)
+    starts = np.concatenate([[0], np.cumsum(n_bg)[:-1]]).astype(np.int64)
+    return buckets, starts, n_bg
+
+
+def dsir_select(ds, *, target_column: str = "lang",
+                target_value: str = "en", text_column: str = "text",
+                id_column: str = "doc_id", m: int = 2048, k: int = 100,
+                seed: int = 7, scale: int = 1_000_000):
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
+    arXiv:2302.03169) over hashed bigram features — pick the ``k`` raw
+    documents whose feature distribution looks most like the target
+    subset (rows where ``target_column == target_value``).
+
+    Two streaming passes, both map-side:
+
+    1. hashed-bigram bucket counts (``m`` buckets, md5-prefix parity
+       with DuckDB) for the raw corpus and the target subset — per-batch
+       ``bincount`` partials, ONE tiny ``groupby(bucket)`` exchange
+       bounded by ``m``, never by rows;
+    2. the ``m``-entry integer weight table is broadcast (``ray.put``)
+       and every batch scores its documents with one flat
+       hash + gather + ``reduceat`` pass; per-block top-k partials fold
+       to ``blocks × k`` rows on the driver.
+
+    Integer-exact contract (same convention as the engine's monetary
+    cents): the paper's per-feature log-ratio is replaced by the
+    fixed-point smoothed importance RATIO
+
+        ``w[b] = (scale * (ct[b]+1) * (Tr+m)) // ((cr[b]+1) * (Tt+m))``
+
+    computed in unbounded Python ints (HUGEINT in the oracle), and a
+    document's score is the SUM of its bigram-occurrence weights — an
+    order-free integer, so the whole operator hash-matches SQL.  The
+    log-sum variant changes only the driver-side weight table; the
+    distributed machinery (global counts, broadcast, map-side scoring,
+    distributed top-k) — the part worth verifying — is identical.
+
+    Returns the top ``k`` as (doc_id, n_bigrams, score, sel_rank)
+    ordered by (score DESC, doc_id).
+    """
+    import ray as _ray
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        buckets, starts, n_bg = _doc_bigram_buckets(
+            batch, text_column=text_column, m=m, seed=seed)
+        cr = np.bincount(buckets, minlength=m).astype(np.int64)
+        tmask = pc.fill_null(
+            pc.equal(pc.cast(batch.column(target_column), pa.string()),
+                     target_value), False).to_numpy(zero_copy_only=False)
+        t_occ = np.repeat(tmask.astype(bool), n_bg)
+        ct = np.bincount(buckets[t_occ], minlength=m).astype(np.int64)
+        nz = np.flatnonzero(cr)
+        return pa.table({"bucket": pa.array(nz, type=pa.int64()),
+                         "cr": pa.array(cr[nz]), "ct": pa.array(ct[nz])})
+
+    cdf = (ds.map_batches(partial_counts, batch_format="pyarrow")
+             .groupby("bucket").sum(["cr", "ct"])
+             .to_pandas())
+    cr = np.zeros(m, dtype=np.int64)
+    ct = np.zeros(m, dtype=np.int64)
+    cr[cdf["bucket"].to_numpy()] = cdf["sum(cr)"].to_numpy()
+    ct[cdf["bucket"].to_numpy()] = cdf["sum(ct)"].to_numpy()
+    tr, tt = int(cr.sum()), int(ct.sum())
+    # unbounded-int weight fold (m entries, driver-side): int64 would
+    # overflow scale * ct * Tr at corpus scale
+    w = np.fromiter(
+        ((scale * (int(ct[b]) + 1) * (tr + m))
+         // ((int(cr[b]) + 1) * (tt + m)) for b in range(m)),
+        dtype=np.int64, count=m)
+    wref = _ray.put(w)
+
+    def score(batch: pa.Table) -> pa.Table:
+        wt = _ray.get(wref) if not isinstance(wref, np.ndarray) else wref
+        buckets, starts, n_bg = _doc_bigram_buckets(
+            batch, text_column=text_column, m=m, seed=seed)
+        occ = wt[buckets]
+        # reduceat needs strictly-valid boundaries; empty slices (docs
+        # with <2 tokens) are zeroed explicitly
+        if len(occ):
+            s = np.add.reduceat(occ, np.minimum(starts, len(occ) - 1))
+            s = np.where(n_bg > 0, s, 0)
+        else:
+            s = np.zeros(len(n_bg), dtype=np.int64)
+        keep = n_bg > 0
+        return pa.table({
+            id_column: pc.take(batch.column(id_column),
+                               pa.array(np.flatnonzero(keep))),
+            "n_bigrams": pa.array(n_bg[keep]),
+            "score": pa.array(s[keep])})
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["score", id_column], ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = (ds.map_batches(score, batch_format="pyarrow")
+               .map_batches(local_topk, batch_format="pyarrow")
+               .to_pandas())
+    out = (parts.sort_values(["score", id_column],
+                             ascending=[False, True])
+                .head(k).reset_index(drop=True))
+    out["sel_rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out

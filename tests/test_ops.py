@@ -2415,3 +2415,65 @@ class TestSortedNeighborhoodPairs:
                 if p + d < len(order):
                     want[(i, order[p + d])] = d
         assert got == want
+
+
+class TestDsirSelect:
+    def test_matches_duckdb_oracle(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        import __ray_entry__ as entry
+
+        got = entry._q_dsir_documents(SF)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')")
+        want = con.execute(entry.oracle_sql()["dsir_documents"]).df()
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True),
+            check_dtype=False)
+
+    def test_target_docs_rank_high(self, ray_session):
+        """A corpus where target docs share a distinctive bigram: DSIR
+        must rank the raw docs containing it above the rest."""
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.sample import dsir_select
+
+        rows = []
+        for i in range(20):
+            rows.append({"doc_id": i, "lang": "en",
+                         "text": "alpha beta alpha beta gamma"})
+        for i in range(20, 40):
+            rows.append({"doc_id": i, "lang": "zz",
+                         "text": "delta epsilon zeta eta theta"})
+        # two zz docs that LOOK like the en subset
+        rows.append({"doc_id": 100, "lang": "zz",
+                     "text": "alpha beta alpha beta gamma"})
+        rows.append({"doc_id": 101, "lang": "zz",
+                     "text": "delta epsilon alpha beta gamma"})
+        out = dsir_select(rd.from_items(rows), target_column="lang",
+                          target_value="en", m=256, k=42, seed=3)
+        assert out["sel_rank"].tolist() == list(range(1, len(out) + 1))
+        scores = dict(zip(out["doc_id"], out["score"]))
+        # the zz look-alike ties the en docs exactly; the half-overlap
+        # doc sits between them and the disjoint-bigram zz corpus
+        assert scores[100] == scores[0]
+        assert scores[0] > scores[101] > scores[20]
+
+    def test_short_and_empty_docs_dropped(self, ray_session):
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.sample import dsir_select
+
+        rows = [
+            {"doc_id": 1, "lang": "en", "text": "one two three"},
+            {"doc_id": 2, "lang": "en", "text": "single"},
+            {"doc_id": 3, "lang": "en", "text": ""},
+            {"doc_id": 4, "lang": "en", "text": "   "},
+            {"doc_id": 5, "lang": "zz", "text": "one two"},
+        ]
+        out = dsir_select(rd.from_items(rows), target_column="lang",
+                          target_value="en", m=64, k=10, seed=1)
+        assert set(out["doc_id"]) == {1, 5}
+        assert out.loc[out["doc_id"] == 1, "n_bigrams"].item() == 2
