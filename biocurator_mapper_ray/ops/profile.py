@@ -646,38 +646,48 @@ def uniqueness_profile(ds, *, combos: list[list[str]],
     """
     from ray.data.aggregate import Count
 
-    from ..functions.hashing import md5_hex
-
-    n_rows = ds.count() if _n_rows is None else _n_rows
     if mode == "sketch":
+        # n_rows folds into the register exchange — no separate pass
         return _uniqueness_sketch(ds, combos=combos, m=hll_m,
                                   recheck_ratio=recheck_ratio,
-                                  n_rows=n_rows)
+                                  n_rows=_n_rows)
     if mode != "exact":
         raise ValueError(f"unknown mode {mode!r}")
+    n_rows = ds.count() if _n_rows is None else _n_rows
+
+    from ..functions.hashing import md5_u128
+
+    names = ["+".join(c) for c in combos]
 
     def partial(batch: pa.Table) -> pa.Table:
-        out_c, out_h = [], []
-        for cols in combos:
-            key = _combo_key(batch, cols)
-            digests = np.unique(np.asarray(md5_hex(key), dtype=object))
-            out_c.append(np.full(len(digests), "+".join(cols),
-                                 dtype=object))
-            out_h.append(digests)
+        # int-keyed lean rows: (combo id, md5 hi, md5 lo) — never ship
+        # hex strings or string-keyed blocks into the exchange (the
+        # engine's recorded groupby lesson); the 128-bit pair keeps the
+        # distinct count collision-safe where a 64-bit hash would not
+        out_c, out_hi, out_lo = [], [], []
+        for cid, cols in enumerate(combos):
+            hi, lo = md5_u128(_combo_key(batch, cols))
+            pair = np.unique(np.stack(
+                [hi.view(np.int64), lo.view(np.int64)], axis=1), axis=0)
+            out_c.append(np.full(len(pair), cid, dtype=np.int32))
+            out_hi.append(pair[:, 0])
+            out_lo.append(pair[:, 1])
         return pa.table({
-            "combo": pa.array(np.concatenate(out_c), pa.string()),
-            "h": pa.array(np.concatenate(out_h), pa.string())})
+            "cid": pa.array(np.concatenate(out_c), pa.int32()),
+            "hi": pa.array(np.concatenate(out_hi), pa.int64()),
+            "lo": pa.array(np.concatenate(out_lo), pa.int64())})
 
     per_digest = (ds.map_batches(partial, batch_format="pyarrow")
-                  .groupby(["combo", "h"])
+                  .groupby(["cid", "hi", "lo"])
                   .aggregate(Count(alias_name="c")))
-    counts = (per_digest.groupby("combo")
+    counts = (per_digest.groupby("cid")
               .aggregate(Count(alias_name="n_distinct")))
 
     def finish(t: pa.Table) -> pa.Table:
         nd = t.column("n_distinct").cast(pa.int64())
+        cids = t.column("cid").to_numpy(zero_copy_only=False)
         return pa.table({
-            "combo": t.column("combo"),
+            "combo": pa.array([names[i] for i in cids], pa.string()),
             "n_distinct": nd,
             "n_rows": pa.array(np.full(len(t), n_rows, np.int64)),
             "is_key": pc.cast(pc.equal(nd, n_rows), pa.int64())})
@@ -686,14 +696,16 @@ def uniqueness_profile(ds, *, combos: list[list[str]],
 
 
 def _uniqueness_sketch(ds, *, combos: list[list[str]], m: int,
-                       recheck_ratio: float, n_rows: int):
+                       recheck_ratio: float, n_rows: int | None):
     """HLL-estimate + exact-recheck body of
     ``uniqueness_profile(mode="sketch")`` — see its docstring.
 
     Exchange shape: batches × combos × ≤ m lean (combo, register,
-    rank) rows through ONE register-keyed groupby-max; the register
-    table (combos × m rows) folds on the driver; only is_key
-    CANDIDATE combos re-run the row-scale exact path.
+    rank) rows through ONE register-keyed groupby aggregate; the
+    register table (combos × m rows) folds on the driver; only is_key
+    CANDIDATE combos re-run the row-scale exact path.  When ``n_rows``
+    is None the row count rides the SAME exchange (one sentinel row
+    per batch summed by the aggregate) instead of a separate pass.
     """
     import ray.data as rd
 
@@ -704,37 +716,76 @@ def _uniqueness_sketch(ds, *, combos: list[list[str]], m: int,
     bits = m.bit_length() - 1
     max_rank = 64 - bits + 1
 
+    names = ["+".join(c) for c in combos]
+
     def partial(batch: pa.Table) -> pa.Table:
         out_c, out_r, out_k = [], [], []
-        for cols in combos:
+        for cid, cols in enumerate(combos):
             h = hash64_column(_combo_key(batch, cols))
             reg = (h % np.uint64(m)).astype(np.int64)
             rank = _rank_of(h >> np.uint64(bits), max_rank)
-            # batch-local register max: ≤ m rows leave the task
+            # batch-local register max: ≤ m rows leave the task;
+            # int combo ids, not strings, key the exchange
             order = np.lexsort((-rank, reg))
             reg_s, rank_s = reg[order], rank[order]
             first = np.concatenate([[True], reg_s[1:] != reg_s[:-1]])
-            out_c.append(np.full(int(first.sum()), "+".join(cols),
-                                 dtype=object))
+            out_c.append(np.full(int(first.sum()), cid, dtype=np.int32))
             out_r.append(reg_s[first])
             out_k.append(rank_s[first])
+        k = sum(len(r) for r in out_r)
+        # sentinel row cid=-1 carries this batch's row count
         return pa.table({
-            "combo": pa.array(np.concatenate(out_c), pa.string()),
-            "register": pa.array(np.concatenate(out_r), pa.int64()),
-            "rank": pa.array(np.concatenate(out_k), pa.int64())})
+            "cid": pa.array(np.concatenate(
+                [np.concatenate(out_c), [-1]]).astype(np.int32)),
+            "register": pa.array(np.concatenate(
+                [np.concatenate(out_r), [0]]).astype(np.int64)),
+            "rank": pa.array(np.concatenate(
+                [np.concatenate(out_k), [0]]).astype(np.int64)),
+            "n": pa.array(np.concatenate(
+                [np.zeros(k, np.int64), [len(batch)]]).astype(np.int64))})
+
+    def fold(batch: pa.Table) -> pa.Table:
+        # segment max(rank) / sum(n) per (cid, register) — a map-side
+        # tree-reduce level; every output block is ≤ combos × (m+1)
+        # rows no matter how many partial blocks coalesced into it
+        if len(batch) == 0:
+            return batch
+        cid = batch.column("cid").to_numpy(zero_copy_only=False)
+        reg = batch.column("register").to_numpy(zero_copy_only=False)
+        rank = batch.column("rank").to_numpy(zero_copy_only=False)
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((-rank, reg, cid))
+        c, r, k, nn = cid[order], reg[order], rank[order], n[order]
+        first = np.concatenate([[True],
+                                (c[1:] != c[:-1]) | (r[1:] != r[:-1])])
+        seg = np.cumsum(first) - 1
+        nsum = np.bincount(seg, weights=nn).astype(np.int64)
+        return pa.table({
+            "cid": pa.array(c[first], pa.int32()),
+            "register": pa.array(r[first], pa.int64()),
+            "rank": pa.array(k[first], pa.int64()),
+            "n": pa.array(nsum, pa.int64())})
 
     # big partial batches: each emits ≤ combos × m lean rows however
-    # many input rows it covers, so fewer batches = a smaller exchange
-    regs = (ds.map_batches(partial, batch_format="pyarrow",
-                           batch_size=65536)
-            .groupby(["combo", "register"]).max("rank")
-            .to_pandas())  # ≤ combos × m rows — driver-bounded
-    regs = regs.rename(columns={"max(rank)": "max_rank"})
+    # many input rows it covers.  The register fold is NOT a groupby —
+    # an all-to-all Aggregate costs seconds of fixed shuffle latency for
+    # a register-scale table; three chained coalescing map-side folds
+    # (each merges ~64 blocks, ~256k× total reduction) keep it a pure
+    # streaming tree-reduce, and the driver folds the last few blocks.
+    lean = ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=65536)
+    for _ in range(3):
+        lean = lean.map_batches(fold, batch_format="pyarrow",
+                                batch_size=1_048_576)
+    regs = fold(pa.Table.from_pandas(lean.to_pandas())).to_pandas()
+    regs = regs.rename(columns={"rank": "max_rank"})
+    if n_rows is None:
+        n_rows = int(regs.loc[regs["cid"] == -1, "n"].sum())
+    regs = regs[regs["cid"] >= 0]
 
-    names = ["+".join(c) for c in combos]
     est = {}
-    for name in names:
-        sub = regs[regs["combo"] == name]
+    for cid, name in enumerate(names):
+        sub = regs[regs["cid"] == cid]
         est[name] = hll_estimate(sub[["register", "max_rank"]], m)
 
     cand = [c for c, name in zip(combos, names)
