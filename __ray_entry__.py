@@ -3998,6 +3998,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention_events": _q_cohort_retention_events,
         "intersect_custkeys": _q_intersect_custkeys,
         "closeness_parts": _q_closeness_parts,
+        "sigma_parts": _q_sigma_parts,
         "linfit_lineitem": _q_linfit_lineitem,
         "pagerank_parts": _q_pagerank_parts,
         # displaced from the top-50 window by ninth-session new-family
@@ -4251,7 +4252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # remaining never-driver-green oracle-backed queries, queued next so a
     # deeper driver snapshot certifies them in priority order
     next_up = [
-        "uniqueness_sketch_orders", "dsir_documents",
+        "uniqueness_sketch_orders", "dsir_documents", "sigma_parts",
         "linfit_lineitem", "semi_join_orders", "first_last_events",
         "covariance_lineitem", "winsorize_events", "debounce_events",
         "except_custkeys", "ranking_metrics_orders",
@@ -4767,6 +4768,63 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, min(dist) AS dist FROM walk
             GROUP BY node ORDER BY node
+        """,
+        "sigma_parts": """
+            WITH raw AS (
+                SELECT l_partkey % 401 AS a, l_suppkey % 401 AS b
+                FROM lineitem
+            ), e AS (
+                SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+                FROM raw WHERE a <> b
+            ), bi AS (
+                SELECT u AS node, v AS nbr FROM e
+                UNION ALL SELECT v AS node, u AS nbr FROM e
+            ), l0 AS (
+                SELECT CAST(s.seed AS BIGINT) AS seed,
+                       CAST(s.seed AS BIGINT) AS node,
+                       CAST(1 AS BIGINT) AS sigma
+                FROM (VALUES (0), (100), (200), (300), (400)) s(seed)
+            ), l1 AS (
+                SELECT p.seed, CAST(bi.nbr AS BIGINT) AS node,
+                       CAST(sum(p.sigma) AS BIGINT) AS sigma
+                FROM l0 p JOIN bi ON bi.node = p.node
+                WHERE NOT EXISTS (SELECT 1 FROM l0 q
+                                  WHERE q.seed = p.seed
+                                    AND q.node = bi.nbr)
+                GROUP BY p.seed, bi.nbr
+            ), seen1 AS (
+                SELECT seed, node FROM l0
+                UNION ALL SELECT seed, node FROM l1
+            ), l2 AS (
+                SELECT p.seed, CAST(bi.nbr AS BIGINT) AS node,
+                       CAST(sum(p.sigma) AS BIGINT) AS sigma
+                FROM l1 p JOIN bi ON bi.node = p.node
+                WHERE NOT EXISTS (SELECT 1 FROM seen1 q
+                                  WHERE q.seed = p.seed
+                                    AND q.node = bi.nbr)
+                GROUP BY p.seed, bi.nbr
+            ), seen2 AS (
+                SELECT seed, node FROM seen1
+                UNION ALL SELECT seed, node FROM l2
+            ), l3 AS (
+                SELECT p.seed, CAST(bi.nbr AS BIGINT) AS node,
+                       CAST(sum(p.sigma) AS BIGINT) AS sigma
+                FROM l2 p JOIN bi ON bi.node = p.node
+                WHERE NOT EXISTS (SELECT 1 FROM seen2 q
+                                  WHERE q.seed = p.seed
+                                    AND q.node = bi.nbr)
+                GROUP BY p.seed, bi.nbr
+            )
+            SELECT seed, node, dist, sigma FROM (
+                SELECT seed, node, CAST(0 AS BIGINT) AS dist, sigma
+                FROM l0
+                UNION ALL
+                SELECT seed, node, CAST(1 AS BIGINT), sigma FROM l1
+                UNION ALL
+                SELECT seed, node, CAST(2 AS BIGINT), sigma FROM l2
+                UNION ALL
+                SELECT seed, node, CAST(3 AS BIGINT), sigma FROM l3)
+            ORDER BY seed, node
         """,
         "closeness_parts": """
             WITH RECURSIVE raw AS (
@@ -8564,6 +8622,24 @@ def _q_bfs_parts(sf_dir: str):
 
     e = distinct_edges(_fold401_edges(sf_dir))
     return bfs_distances(e, [0], src="u", dst="v", max_depth=4).sort("node")
+
+
+def _q_sigma_parts(sf_dir: str):
+    """Sampled-Brandes shortest-path counting from five landmark seeds
+    on the folded part/supplier graph (ops/graph.shortest_path_counts):
+    per level ONE node-hash exchange joins the final-sigma frontier to
+    the once-tagged adjacency emitting partial (seed, nbr, sigma)
+    sums, then ONE (seed, node)-hash exchange folds partials and drops
+    visited pairs.  Integer sigma end to end, so the capped walk hash-
+    matches the unrolled-level SQL oracle; the float betweenness
+    dependency fold is reader-side arithmetic over this evidence."""
+    from biocurator_mapper_ray.ops.graph import (distinct_edges,
+                                                 shortest_path_counts)
+
+    e = distinct_edges(_fold401_edges(sf_dir))
+    return shortest_path_counts(
+        e, [0, 100, 200, 300, 400], src="u", dst="v",
+        max_depth=3).sort(["seed", "node"])
 
 
 def _q_closeness_parts(sf_dir: str):

@@ -2200,3 +2200,136 @@ def closeness_from_seeds(edges, sources, *, src: str = "src",
             "total_dist": t.column("total_dist").cast(pa.int64())})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def shortest_path_counts(edges, sources, *, src: str = "src",
+                         dst: str = "dst", max_depth: int = 3,
+                         shards: int = 64):
+    """Per-seed shortest-path COUNTING over an undirected distinct edge
+    set: ``(seed, node, dist, sigma)`` where ``sigma`` is the number of
+    distinct shortest paths from the seed — the σ table of Brandes'
+    betweenness algorithm, computed for a landmark SAMPLE of seeds (the
+    production form: exact betweenness is O(V·E), so web-scale
+    estimators run Brandes from sampled sources, cf. Riondato &
+    Kornaropoulos 2014).  The float dependency accumulation δ is a
+    reader-side fold over this integer evidence; keeping the engine
+    output integral makes the whole walk hash-checkable against an
+    unrolled-level SQL oracle.
+
+    Plan shape per level (same as :func:`seed_distances`): the
+    adjacency is bucket-tagged ONCE and reused; the level-``r``
+    frontier (whose sigmas are final — every shortest path to a
+    level-``r+1`` node runs through a level-``r`` predecessor) joins
+    the adjacency in ONE node-hash bucketed exchange emitting partial
+    ``(seed, nbr, sigma)`` sums, then ONE (seed, node)-hash exchange
+    sums partials across buckets and drops already-visited pairs.
+    State is ``|sources|`` × reachable-nodes rows, a Dataset end to
+    end.  ``sigma`` is int64 — counts grow with degree^depth, so keep
+    ``max_depth`` small (the betweenness-sampling regime anyway).
+
+    Returns ``(seed:int64, node:int64, dist:int64, sigma:int64)``
+    including the ``(seed, seed, 0, 1)`` self rows.
+    """
+    import ray.data as rd
+
+    adj = edges.map_batches(
+        lambda b: pa.table({
+            "node": pa.concat_arrays([
+                b.column(src).combine_chunks().cast(pa.int64()),
+                b.column(dst).combine_chunks().cast(pa.int64())]),
+            "nbr": pa.concat_arrays([
+                b.column(dst).combine_chunks().cast(pa.int64()),
+                b.column(src).combine_chunks().cast(pa.int64())]),
+        }), batch_format="pyarrow")
+
+    seeds = np.asarray(sorted({int(s) for s in sources}), dtype=np.int64)
+    state = rd.from_arrow(pa.table({
+        "seed": pa.array(seeds),
+        "node": pa.array(seeds),
+        "dist": pa.array(np.zeros(len(seeds), np.int64)),
+        "sigma": pa.array(np.ones(len(seeds), np.int64))})).materialize()
+
+    def _nb(b: pa.Table) -> pa.Table:
+        h = hash64_column(b.column("node"))
+        return b.append_column(
+            "__nb", pa.array((h % np.uint64(shards)).astype(np.int32)))
+
+    # adjacency rows carry sigma=null as the marker telling the bucket
+    # task which side of the frontier⋈adjacency join they are
+    adj_k = adj.map_batches(
+        lambda b: _nb(pa.table({
+            "node": b.column("node"), "nbr": b.column("nbr"),
+            "seed": pa.nulls(len(b), pa.int64()),
+            "sigma": pa.nulls(len(b), pa.int64())})),
+        batch_format="pyarrow").materialize()
+
+    def _pb(b: pa.Table) -> pa.Table:
+        h = hash64_column(pc.binary_join_element_wise(
+            pc.cast(b.column("seed"), pa.string()),
+            pc.cast(b.column("node"), pa.string()), ":"))
+        return b.append_column(
+            "__pb", pa.array((h % np.uint64(shards)).astype(np.int32)))
+
+    n_known = state.count()
+    for r in range(max_depth):
+        def fr_rows(b: pa.Table, rr=r) -> pa.Table:
+            f = b.filter(pc.equal(b.column("dist"), rr))
+            return _nb(pa.table({
+                "node": f.column("node"),
+                "nbr": pa.nulls(len(f), pa.int64()),
+                "seed": f.column("seed"),
+                "sigma": f.column("sigma")}))
+
+        fr_k = state.map_batches(fr_rows, batch_format="pyarrow")
+
+        def expand(g: pa.Table) -> pa.Table:
+            is_fr = pc.is_valid(g.column("sigma"))
+            fr = g.filter(is_fr).select(["node", "seed", "sigma"])
+            ad = g.filter(pc.invert(is_fr)).select(["node", "nbr"])
+            if not len(fr) or not len(ad):
+                return pa.table({"seed": pa.array([], pa.int64()),
+                                 "node": pa.array([], pa.int64()),
+                                 "sigma": pa.array([], pa.int64())})
+            m = fr.join(ad, keys="node", join_type="inner")
+            agg = (m.group_by(["seed", "nbr"])
+                    .aggregate([("sigma", "sum")]))
+            return pa.table({
+                "seed": agg.column("seed").cast(pa.int64()),
+                "node": agg.column("nbr").cast(pa.int64()),
+                "sigma": agg.column("sigma_sum").cast(pa.int64())})
+
+        cand = (adj_k.union(fr_k).groupby("__nb")
+                .map_groups(expand, batch_format="pyarrow"))
+
+        # second exchange: sum sigma partials across node-buckets and
+        # drop (seed, node) pairs already labeled at an earlier level
+        cand_m = cand.map_batches(
+            lambda b: _pb(b.append_column(
+                "__st", pa.array(np.zeros(len(b), np.int8)))),
+            batch_format="pyarrow")
+        seen_m = state.map_batches(
+            lambda b: _pb(pa.table({
+                "seed": b.column("seed"), "node": b.column("node"),
+                "sigma": pa.array(np.zeros(len(b), np.int64)),
+                "__st": pa.array(np.ones(len(b), np.int8))})),
+            batch_format="pyarrow")
+
+        def merge(g: pa.Table, rr=r) -> pa.Table:
+            agg = (g.group_by(["seed", "node"])
+                    .aggregate([("__st", "max"), ("sigma", "sum")]))
+            fresh = agg.filter(pc.equal(agg.column("__st_max"), 0))
+            return pa.table({
+                "seed": fresh.column("seed").cast(pa.int64()),
+                "node": fresh.column("node").cast(pa.int64()),
+                "dist": pa.array(
+                    np.full(len(fresh), rr + 1, np.int64)),
+                "sigma": fresh.column("sigma_sum").cast(pa.int64())})
+
+        new = (cand_m.union(seen_m).groupby("__pb")
+               .map_groups(merge, batch_format="pyarrow"))
+        state = state.union(new).materialize()
+        n_now = state.count()
+        if n_now == n_known:  # no new (seed, node) pair: fixpoint
+            break
+        n_known = n_now
+    return state

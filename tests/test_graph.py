@@ -908,3 +908,61 @@ class TestClosenessFromSeeds:
         # seed 0: 1..5 at dist 1, 6 at dist 2 -> (6, 7)
         # seed 6: 5@1, 0@2, 1..4@3 -> (6, 15)
         assert rows == {0: (6, 7), 6: (6, 15)}
+
+
+class TestShortestPathCounts:
+    def _run(self, edges, sources, **kw):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.graph import shortest_path_counts
+
+        df = pd.DataFrame(edges, columns=["src", "dst"]).astype(np.int64)
+        got = shortest_path_counts(rd.from_pandas(df).repartition(3),
+                                   sources, **kw).to_pandas()
+        return {(s, n): (d, g) for s, n, d, g in
+                zip(got["seed"], got["node"], got["dist"], got["sigma"])}
+
+    def test_diamond_counts_two_paths(self, ray_session):
+        # 0-1-3, 0-2-3: node 3 has two shortest paths from 0
+        d = self._run([(0, 1), (0, 2), (1, 3), (2, 3)], [0])
+        assert d == {(0, 0): (0, 1), (0, 1): (1, 1), (0, 2): (1, 1),
+                     (0, 3): (2, 2)}
+
+    def test_longer_path_does_not_count(self, ray_session):
+        # direct edge 0-3 plus the diamond: dist 1, sigma 1
+        d = self._run([(0, 1), (0, 2), (1, 3), (2, 3), (0, 3)], [0])
+        assert d[(0, 3)] == (1, 1)
+
+    def test_matches_reference_brandes_sigma(self, ray_session):
+        rng = np.random.default_rng(11)
+        # the op takes a DISTINCT undirected edge set (distinct_edges
+        # upstream in production) — sigma counts edge multiplicity
+        e = sorted({(min(int(a), int(b)), max(int(a), int(b)))
+                    for a, b in rng.integers(0, 30, size=(70, 2))
+                    if a != b})
+        seeds = [0, 9]
+        got = self._run(e, seeds, max_depth=10)
+        adj = _undirected(e)
+        ref = {}
+        for s in seeds:
+            dist, sigma = {s: 0}, {s: 1}
+            frontier = [s]
+            while frontier:
+                nxt = {}
+                for n in frontier:
+                    for m in adj.get(n, ()):
+                        if m in dist and dist[m] <= dist[n]:
+                            continue
+                        nxt[m] = nxt.get(m, 0) + sigma[n]
+                for m, c in nxt.items():
+                    dist[m] = dist[frontier[0]] + 1
+                    sigma[m] = c
+                frontier = list(nxt)
+            for n in dist:
+                ref[(s, n)] = (dist[n], sigma[n])
+        assert got == ref
+
+    def test_max_depth_caps_walk(self, ray_session):
+        d = self._run([(i, i + 1) for i in range(5)], [0], max_depth=2)
+        assert set(d) == {(0, 0), (0, 1), (0, 2)}
