@@ -3999,6 +3999,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intersect_custkeys": _q_intersect_custkeys,
         "closeness_parts": _q_closeness_parts,
         "sigma_parts": _q_sigma_parts,
+        # rows-only float dependency fold over the sigma_parts evidence
+        "betweenness_parts": _q_betweenness_parts,
         "linfit_lineitem": _q_linfit_lineitem,
         "pagerank_parts": _q_pagerank_parts,
         # displaced from the top-50 window by ninth-session new-family
@@ -8640,6 +8642,23 @@ def _q_sigma_parts(sf_dir: str):
     return shortest_path_counts(
         e, [0, 100, 200, 300, 400], src="u", dst="v",
         max_depth=3).sort(["seed", "node"])
+
+
+def _q_betweenness_parts(sf_dir: str):
+    """Landmark-sampled betweenness centrality on the folded
+    part/supplier graph (ops/graph.betweenness_from_seeds): forward σ
+    walk (sigma_parts, hash-exact above) then the backward Brandes
+    dependency fold, two bucketed exchanges per level in each
+    direction.  Float δ ratios → rows-only semantics; the integer σ
+    evidence it folds is driver-certified via sigma_parts, and the δ
+    arithmetic is pinned against a pure-Python Brandes reference in
+    TestBetweennessFromSeeds."""
+    from biocurator_mapper_ray.ops.graph import (betweenness_from_seeds,
+                                                 distinct_edges)
+
+    e = distinct_edges(_fold401_edges(sf_dir))
+    return betweenness_from_seeds(e, [0, 100, 200, 300, 400],
+                                  src="u", dst="v", max_depth=3)
 
 
 def _q_closeness_parts(sf_dir: str):

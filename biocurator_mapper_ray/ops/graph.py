@@ -1271,8 +1271,12 @@ def bfs_distances(edges, sources, *, src: str = "src", dst: str = "dst",
 
         cand = (adj_k.union(fr_k).groupby("__kb")
                 .map_groups(expand, batch_format="pyarrow"))
+        # block-count cap: every shuffle schedules one reduce task per
+        # input block and union stacks blocks, so an uncapped dist's
+        # per-round task count compounds (see betweenness_from_seeds)
         dist = (dist.union(cand).groupby("node")
-                .aggregate(Min("dist", alias_name="dist"))).materialize()
+                .aggregate(Min("dist", alias_name="dist"))
+                .repartition(min(shards, 16))).materialize()
         n_now = dist.count()
         if n_now == n_known:  # empty effective frontier: fixpoint
             break
@@ -2160,8 +2164,10 @@ def seed_distances(edges, sources, *, src: str = "src", dst: str = "dst",
 
         cand = (adj_k.union(fr_k).groupby("__kb")
                 .map_groups(expand, batch_format="pyarrow"))
+        # same block-count cap as bfs_distances/betweenness_from_seeds
         dist = (dist.union(cand).groupby(["seed", "node"])
-                .aggregate(Min("dist", alias_name="dist"))).materialize()
+                .aggregate(Min("dist", alias_name="dist"))
+                .repartition(min(shards, 16))).materialize()
         n_now = dist.count()
         if n_now == n_known:  # no new (seed, node) pair: fixpoint
             break
@@ -2327,9 +2333,212 @@ def shortest_path_counts(edges, sources, *, src: str = "src",
 
         new = (cand_m.union(seen_m).groupby("__pb")
                .map_groups(merge, batch_format="pyarrow"))
-        state = state.union(new).materialize()
+        # block-count cap: union stacks blocks and every shuffle here
+        # schedules one reduce task per input block, so an uncapped
+        # state's task count compounds round over round
+        state = (state.union(new)
+                 .repartition(min(shards, 16)).materialize())
         n_now = state.count()
         if n_now == n_known:  # no new (seed, node) pair: fixpoint
             break
         n_known = n_now
     return state
+
+
+def betweenness_from_seeds(edges, sources, *, src: str = "src",
+                           dst: str = "dst", max_depth: int = 3,
+                           shards: int = 64):
+    """Landmark-sampled betweenness centrality (Brandes 2001, sampled
+    per Riondato & Kornaropoulos 2014): run the forward σ walk
+    (:func:`shortest_path_counts`) from the seed sample, then
+    accumulate the dependency δ backward level by level —
+
+        δ(s,v) = Σ_{w : dist(s,w)=dist(s,v)+1, v~w}
+                 σ(s,v)/σ(s,w) · (1 + δ(s,w))
+
+    and emit ``bc = Σ_seeds δ(s,v)`` per node (self rows excluded).
+    Exact betweenness is O(V·E); the seed-sampled estimator is the
+    production form, and ``bc`` here is the raw sampled numerator — the
+    caller rescales by n/|sources| (and /2 for undirected symmetry)
+    however its estimator prescribes.
+
+    Plan shape: the forward walk's two bucketed exchanges per level,
+    then per BACKWARD level one node-hash exchange joining the deeper
+    level's (σ_w, δ_w) rows to the once-tagged adjacency (emitting
+    per-edge contributions keyed by the shallower endpoint) and one
+    (seed, node)-hash exchange folding contributions into δ — state
+    stays a Dataset of |sources| × reachable-nodes rows throughout.
+    Float output (δ is a ratio sum): rows-only semantics, pinned by a
+    pure-Python Brandes reference in tests.
+
+    Returns ``(node:int64, bc:float64)`` sorted by node, one row per
+    non-seed-self node reachable from any seed.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    _SENT = np.iinfo(np.int64).max  # dist sentinel on contrib rows
+
+    sig = shortest_path_counts(edges, sources, src=src, dst=dst,
+                               max_depth=max_depth,
+                               shards=shards).materialize()
+    max_d = sig.max("dist")
+
+    adj = edges.map_batches(
+        lambda b: pa.table({
+            "node": pa.concat_arrays([
+                b.column(src).combine_chunks().cast(pa.int64()),
+                b.column(dst).combine_chunks().cast(pa.int64())]),
+            "nbr": pa.concat_arrays([
+                b.column(dst).combine_chunks().cast(pa.int64()),
+                b.column(src).combine_chunks().cast(pa.int64())]),
+        }), batch_format="pyarrow")
+
+    def _nb(b: pa.Table) -> pa.Table:
+        h = hash64_column(b.column("node"))
+        return b.append_column(
+            "__nb", pa.array((h % np.uint64(shards)).astype(np.int32)))
+
+    adj_k = adj.map_batches(
+        lambda b: _nb(pa.table({
+            "node": b.column("node"), "nbr": b.column("nbr"),
+            "seed": pa.nulls(len(b), pa.int64()),
+            "val": pa.nulls(len(b), pa.float64())})),
+        batch_format="pyarrow").materialize()
+
+    # δ state rides on the σ table: (seed, node, dist, sigma, delta)
+    state = sig.map_batches(
+        lambda b: b.append_column(
+            "delta", pa.array(np.zeros(len(b), np.float64))),
+        batch_format="pyarrow").materialize()
+
+    for r in range(int(max_d), 0, -1):
+        # deeper level's (1+δ)/σ ships keyed by the DEEPER node; the
+        # bucket task fans it out to every neighbor edge
+        def deep_rows(b: pa.Table, rr=r) -> pa.Table:
+            f = b.filter(pc.equal(b.column("dist"), rr))
+            val = pc.divide(
+                pc.add(f.column("delta"), 1.0),
+                pc.cast(f.column("sigma"), pa.float64()))
+            return _nb(pa.table({
+                "node": f.column("node"),
+                "nbr": pa.nulls(len(f), pa.int64()),
+                "seed": f.column("seed"),
+                "val": val}))
+
+        deep_k = state.map_batches(deep_rows, batch_format="pyarrow")
+
+        def fanout(g: pa.Table) -> pa.Table:
+            # numpy join (sort + searchsorted): Acero joins inside
+            # map_groups workers proved crash-prone on this path —
+            # seed/node are non-null int64 so the numpy route is exact
+            is_deep = pc.is_valid(g.column("val")).to_numpy(
+                zero_copy_only=False)
+            empty = pa.table({"seed": pa.array([], pa.int64()),
+                              "node": pa.array([], pa.int64()),
+                              "contrib": pa.array([], pa.float64())})
+            if not is_deep.any() or is_deep.all():
+                return empty
+            node = g.column("node").to_numpy(zero_copy_only=False)
+            dp_node = node[is_deep].astype(np.int64)
+            dp_seed = g.column("seed").to_numpy(
+                zero_copy_only=False)[is_deep].astype(np.int64)
+            dp_val = g.column("val").to_numpy(
+                zero_copy_only=False)[is_deep].astype(np.float64)
+            ad_node = node[~is_deep].astype(np.int64)
+            ad_nbr = g.column("nbr").to_numpy(
+                zero_copy_only=False)[~is_deep].astype(np.int64)
+            order = np.argsort(ad_node, kind="stable")
+            ad_node, ad_nbr = ad_node[order], ad_nbr[order]
+            lo = np.searchsorted(ad_node, dp_node, side="left")
+            hi = np.searchsorted(ad_node, dp_node, side="right")
+            cnt = hi - lo
+            if not cnt.sum():
+                return empty
+            rep = np.repeat(np.arange(len(dp_node)), cnt)
+            # flat adjacency positions for each (deep row, its edges)
+            pos = (np.repeat(lo, cnt)
+                   + (np.arange(len(rep))
+                      - np.repeat(np.cumsum(cnt) - cnt, cnt)))
+            out = pd.DataFrame({"seed": dp_seed[rep],
+                                "node": ad_nbr[pos],
+                                "contrib": dp_val[rep]})
+            agg = (out.groupby(["seed", "node"], as_index=False)["contrib"]
+                      .sum())
+            return pa.table({
+                "seed": pa.array(agg["seed"].to_numpy(np.int64)),
+                "node": pa.array(agg["node"].to_numpy(np.int64)),
+                "contrib": pa.array(agg["contrib"].to_numpy(np.float64))})
+
+        # materialize per stage: chaining both bucketed exchanges into
+        # one lazy plan re-executes catastrophically (round time tripled
+        # per level until the executor wedged; measured on a 5-node
+        # path graph) — the eager cut keeps every round constant-cost
+        contrib = (adj_k.union(deep_k).groupby("__nb")
+                   .map_groups(fanout,
+                               batch_format="pyarrow")).materialize()
+
+        # fold into δ of the SHALLOWER endpoint only: a contribution
+        # lands on (seed, v) iff dist(s,v) == r-1 (neighbors at equal
+        # or deeper level are not shortest-path predecessors).  The
+        # fold is a plain (seed, node) aggregate — the proven
+        # seed_distances state-update shape — followed by a map:
+        # contribution rows carry dist/sigma sentinels that Min() lets
+        # the real state row overwrite, and contrib sums beside them.
+        contrib_m = contrib.map_batches(
+            lambda b: pa.table({
+                "seed": b.column("seed"), "node": b.column("node"),
+                "dist": pa.array(np.full(len(b), _SENT, np.int64)),
+                "sigma": pa.array(np.zeros(len(b), np.int64)),
+                "delta": pa.array(np.zeros(len(b), np.float64)),
+                "contrib": b.column("contrib")}),
+            batch_format="pyarrow")
+        state_m = state.map_batches(
+            lambda b: b.append_column(
+                "contrib", pa.array(np.zeros(len(b), np.float64))),
+            batch_format="pyarrow")
+
+        folded = (contrib_m.union(state_m).groupby(["seed", "node"])
+                  .aggregate(Min("dist", alias_name="dist"),
+                             Max("sigma", alias_name="sigma"),
+                             Sum("delta", alias_name="delta"),
+                             Sum("contrib", alias_name="contrib")))
+
+        def apply_contrib(b: pa.Table, rr=r) -> pa.Table:
+            dist = b.column("dist").to_numpy(zero_copy_only=False)
+            keep = dist < _SENT  # contrib-only groups: unreached nodes
+            sigma = b.column("sigma").to_numpy(
+                zero_copy_only=False)[keep]
+            delta = b.column("delta").to_numpy(
+                zero_copy_only=False)[keep]
+            ctb = b.column("contrib").to_numpy(
+                zero_copy_only=False)[keep]
+            d = dist[keep]
+            extra = np.where(d == rr - 1, sigma.astype(np.float64) * ctb,
+                             0.0)
+            return pa.table({
+                "seed": pa.array(b.column("seed").to_numpy(
+                    zero_copy_only=False)[keep].astype(np.int64)),
+                "node": pa.array(b.column("node").to_numpy(
+                    zero_copy_only=False)[keep].astype(np.int64)),
+                "dist": pa.array(d.astype(np.int64)),
+                "sigma": pa.array(sigma.astype(np.int64)),
+                "delta": pa.array((delta + extra).astype(np.float64))})
+
+        # cap the block count: the aggregate's pull-based shuffle
+        # submits one reduce task per INPUT block, and union stacks
+        # blocks — without the cap, state blocks (and thus next round's
+        # task count) grow geometrically round over round (measured:
+        # 3.2x per level until the scheduler wedged)
+        state = (folded.map_batches(apply_contrib,
+                                    batch_format="pyarrow")
+                 .repartition(min(shards, 16)).materialize())
+
+    def emit(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.greater(b.column("dist"), 0))
+        return pa.table({"node": f.column("node"),
+                         "delta": f.column("delta")})
+
+    out = (state.map_batches(emit, batch_format="pyarrow")
+           .groupby("node").aggregate(Sum("delta", alias_name="bc")))
+    return out.sort("node")

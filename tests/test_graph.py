@@ -966,3 +966,72 @@ class TestShortestPathCounts:
     def test_max_depth_caps_walk(self, ray_session):
         d = self._run([(i, i + 1) for i in range(5)], [0], max_depth=2)
         assert set(d) == {(0, 0), (0, 1), (0, 2)}
+
+
+class TestBetweennessFromSeeds:
+    @staticmethod
+    def _brandes_ref(adj, seeds):
+        """Unnormalized sampled Brandes: bc[v] = Σ_seeds δ_s(v), v≠s."""
+        bc: dict[int, float] = {}
+        for s in seeds:
+            dist, sigma = {s: 0}, {s: 1}
+            preds: dict[int, list] = {}
+            order, frontier = [s], [s]
+            while frontier:
+                nxt = []
+                for v in frontier:
+                    for w in adj.get(v, ()):
+                        if w not in dist:
+                            dist[w] = dist[v] + 1
+                            sigma[w] = 0
+                            nxt.append(w)
+                        if dist[w] == dist[v] + 1:
+                            sigma[w] += sigma[v]
+                            preds.setdefault(w, []).append(v)
+                seen, f2 = set(), []
+                for w in nxt:
+                    if w not in seen:
+                        seen.add(w)
+                        f2.append(w)
+                order.extend(f2)
+                frontier = f2
+            delta = {v: 0.0 for v in order}
+            for w in reversed(order):
+                for v in preds.get(w, ()):
+                    delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+                if w != s:
+                    bc[w] = bc.get(w, 0.0) + delta[w]
+        return bc
+
+    def _run(self, edges, seeds, **kw):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.graph import betweenness_from_seeds
+
+        df = pd.DataFrame(edges, columns=["src", "dst"]).astype(np.int64)
+        got = betweenness_from_seeds(rd.from_pandas(df).repartition(3),
+                                     seeds, **kw).to_pandas()
+        return dict(zip(got["node"], got["bc"]))
+
+    def test_path_graph_middle_node_dominates(self, ray_session):
+        # 0-1-2-3-4 from both ends: interior nodes carry the paths
+        got = self._run([(i, i + 1) for i in range(4)], [0, 4],
+                        max_depth=4)
+        adj = _undirected([(i, i + 1) for i in range(4)])
+        ref = self._brandes_ref(adj, [0, 4])
+        assert set(got) == set(ref)
+        for n in ref:
+            assert got[n] == pytest.approx(ref[n])
+
+    def test_matches_reference_on_random_graph(self, ray_session):
+        rng = np.random.default_rng(5)
+        e = sorted({(min(int(a), int(b)), max(int(a), int(b)))
+                    for a, b in rng.integers(0, 25, size=(60, 2))
+                    if a != b})
+        seeds = [0, 7, 13]
+        got = self._run(e, seeds, max_depth=12)
+        ref = self._brandes_ref(_undirected(e), seeds)
+        assert set(got) == set(ref)
+        for n in ref:
+            assert got[n] == pytest.approx(ref[n], rel=1e-9)
