@@ -261,6 +261,10 @@ def run_bench() -> dict:
         "kg_turn_windows",
         "freq_trim_documents",
         "trigrams_events",
+        # round-5 second-session additions
+        "dsir_documents",
+        "sigma_parts",
+        "betweenness_parts",
     ]
     qs = entry.queries()
     for name in bench_queries:
