@@ -3999,6 +3999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intersect_custkeys": _q_intersect_custkeys,
         "closeness_parts": _q_closeness_parts,
         "sigma_parts": _q_sigma_parts,
+        "harmonic_parts": _q_harmonic_parts,
         # rows-only float dependency fold over the sigma_parts evidence
         "betweenness_parts": _q_betweenness_parts,
         "linfit_lineitem": _q_linfit_lineitem,
@@ -4255,6 +4256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # deeper driver snapshot certifies them in priority order
     next_up = [
         "uniqueness_sketch_orders", "dsir_documents", "sigma_parts",
+        "harmonic_parts",
         "linfit_lineitem", "semi_join_orders", "first_last_events",
         "covariance_lineitem", "winsorize_events", "debounce_events",
         "except_custkeys", "ranking_metrics_orders",
@@ -4769,6 +4771,33 @@ def oracle_sql() -> dict[str, str]:
                 FROM walk w JOIN bi ON bi.node = w.node WHERE w.dist < 4
             )
             SELECT node, min(dist) AS dist FROM walk
+            GROUP BY node ORDER BY node
+        """,
+        "harmonic_parts": """
+            WITH RECURSIVE raw AS (
+                SELECT l_partkey % 401 AS a, l_suppkey % 401 AS b
+                FROM lineitem
+            ), e AS (
+                SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+                FROM raw WHERE a <> b
+            ), bi AS (
+                SELECT u AS node, v AS nbr FROM e
+                UNION ALL SELECT v AS node, u AS nbr FROM e
+            ), walk(seed, node, dist) AS (
+                SELECT CAST(s.seed AS BIGINT), CAST(s.seed AS BIGINT),
+                       CAST(0 AS BIGINT)
+                FROM (VALUES (0), (100), (200), (300), (400)) s(seed)
+                UNION
+                SELECT w.seed, CAST(bi.nbr AS BIGINT),
+                       CAST(w.dist + 1 AS BIGINT)
+                FROM walk w JOIN bi ON bi.node = w.node WHERE w.dist < 4
+            ), md AS (
+                SELECT seed, node, min(dist) AS dist FROM walk
+                GROUP BY seed, node
+            )
+            SELECT node, CAST(sum(12 // dist) AS BIGINT) AS h_scaled,
+                   CAST(count(*) AS BIGINT) AS n_seeds
+            FROM md WHERE dist > 0
             GROUP BY node ORDER BY node
         """,
         "sigma_parts": """
@@ -8624,6 +8653,22 @@ def _q_bfs_parts(sf_dir: str):
 
     e = distinct_edges(_fold401_edges(sf_dir))
     return bfs_distances(e, [0], src="u", dst="v", max_depth=4).sort("node")
+
+
+def _q_harmonic_parts(sf_dir: str):
+    """Sampled harmonic centrality from five landmark seeds on the
+    folded part/supplier graph (ops/graph.harmonic_from_seeds): ONE
+    per-seed BFS walk, then a node-keyed Sum/Count fold.  Reciprocal
+    distances emitted as exact integers (scale=12=lcm(1..4) over a
+    depth-4 walk), so the whole op hash-matches the recursive-CTE
+    oracle bit-for-bit."""
+    from biocurator_mapper_ray.ops.graph import (distinct_edges,
+                                                 harmonic_from_seeds)
+
+    e = distinct_edges(_fold401_edges(sf_dir))
+    return harmonic_from_seeds(
+        e, [0, 100, 200, 300, 400], src="u", dst="v",
+        max_depth=4).sort("node")
 
 
 def _q_sigma_parts(sf_dir: str):

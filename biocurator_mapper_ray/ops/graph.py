@@ -2542,3 +2542,55 @@ def betweenness_from_seeds(edges, sources, *, src: str = "src",
     out = (state.map_batches(emit, batch_format="pyarrow")
            .groupby("node").aggregate(Sum("delta", alias_name="bc")))
     return out.sort("node")
+
+
+def harmonic_from_seeds(edges, sources, *, src: str = "src",
+                        dst: str = "dst", max_depth: int = 4,
+                        shards: int = 64, scale: int | None = None):
+    """Sampled harmonic centrality: per NODE, the sum of reciprocal hop
+    distances from the seed sample — the centrality that stays
+    well-defined on disconnected graphs (Boldi & Vigna 2014, "Axioms
+    for centrality"), estimated from landmarks exactly like
+    :func:`closeness_from_seeds`.
+
+    Float-free evidence convention: reciprocals are emitted as
+    ``scale // dist`` with ``scale`` = lcm(1..max_depth) by default, so
+    every reciprocal is an EXACT integer and the op hash-matches SQL;
+    the caller divides by ``scale`` (and rescales by n/|sources|) at
+    read time.  One :func:`seed_distances` walk, then a node-keyed
+    Sum/Count fold — node-scale output.
+
+    Returns ``(node:int64, h_scaled:int64, n_seeds:int64)``, self rows
+    excluded, sorted by the caller.
+    """
+    from math import lcm
+
+    from ray.data.aggregate import Count, Sum
+
+    if scale is None:
+        scale = lcm(*range(1, max_depth + 1))
+    for d in range(1, max_depth + 1):
+        if scale % d:
+            raise ValueError(f"scale {scale} not divisible by {d}")
+
+    sd = seed_distances(edges, sources, src=src, dst=dst,
+                        max_depth=max_depth, shards=shards)
+
+    def recip(b: pa.Table) -> pa.Table:
+        dist = b.column("dist").to_numpy(zero_copy_only=False)
+        keep = dist > 0
+        return pa.table({
+            "node": pa.array(b.column("node").to_numpy(
+                zero_copy_only=False)[keep].astype(np.int64)),
+            "r": pa.array((scale // dist[keep]).astype(np.int64))})
+
+    agg = (sd.map_batches(recip, batch_format="pyarrow")
+           .groupby("node").aggregate(
+               Sum("r", alias_name="h_scaled"),
+               Count(alias_name="n_seeds")))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "node": t.column("node").cast(pa.int64()),
+            "h_scaled": t.column("h_scaled").cast(pa.int64()),
+            "n_seeds": t.column("n_seeds").cast(pa.int64())}),
+        batch_format="pyarrow")

@@ -1035,3 +1035,52 @@ class TestBetweennessFromSeeds:
         assert set(got) == set(ref)
         for n in ref:
             assert got[n] == pytest.approx(ref[n], rel=1e-9)
+
+
+class TestHarmonicFromSeeds:
+    def test_matches_reference_reciprocal_sums(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.graph import harmonic_from_seeds
+
+        rng = np.random.default_rng(3)
+        e = sorted({(min(int(a), int(b)), max(int(a), int(b)))
+                    for a, b in rng.integers(0, 20, size=(40, 2))
+                    if a != b})
+        seeds = [0, 5]
+        df = pd.DataFrame(e, columns=["src", "dst"]).astype(np.int64)
+        got = harmonic_from_seeds(rd.from_pandas(df).repartition(3),
+                                  seeds, max_depth=4).to_pandas()
+        adj = _undirected(e)
+        scale = 12
+        ref: dict[int, int] = {}
+        cnt: dict[int, int] = {}
+        for s in seeds:
+            dist, frontier = {s: 0}, [s]
+            while frontier:
+                nxt = []
+                for n in frontier:
+                    for m in adj.get(n, ()):
+                        if m not in dist and dist[n] < 4:
+                            dist[m] = dist[n] + 1
+                            nxt.append(m)
+                frontier = nxt
+            for n, d in dist.items():
+                if d > 0:
+                    ref[n] = ref.get(n, 0) + scale // d
+                    cnt[n] = cnt.get(n, 0) + 1
+        gm = dict(zip(got["node"], got["h_scaled"]))
+        gc = dict(zip(got["node"], got["n_seeds"]))
+        assert gm == ref and gc == cnt
+
+    def test_scale_must_divide_depths(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.graph import harmonic_from_seeds
+
+        df = pd.DataFrame([(0, 1)], columns=["src", "dst"])
+        with pytest.raises(ValueError):
+            harmonic_from_seeds(rd.from_pandas(df), [0], max_depth=3,
+                                scale=4)
