@@ -680,19 +680,43 @@ def uniqueness_profile(ds, *, combos: list[list[str]],
     per_digest = (ds.map_batches(partial, batch_format="pyarrow")
                   .groupby(["cid", "hi", "lo"])
                   .aggregate(Count(alias_name="c")))
-    counts = (per_digest.groupby("cid")
-              .aggregate(Count(alias_name="n_distinct")))
 
-    def finish(t: pa.Table) -> pa.Table:
-        nd = t.column("n_distinct").cast(pa.int64())
+    # the distinct rows are already co-located per (cid, hi, lo) after
+    # the ONE row-scale exchange above; counting them per cid must NOT
+    # be a second row-scale groupby — per-block partial counts fold
+    # through chained coalescing map-side sums (the tree-fold shape)
+    def block_counts(t: pa.Table) -> pa.Table:
         cids = t.column("cid").to_numpy(zero_copy_only=False)
+        cnt = np.bincount(cids, minlength=len(combos)).astype(np.int64)
         return pa.table({
-            "combo": pa.array([names[i] for i in cids], pa.string()),
-            "n_distinct": nd,
-            "n_rows": pa.array(np.full(len(t), n_rows, np.int64)),
-            "is_key": pc.cast(pc.equal(nd, n_rows), pa.int64())})
+            "cid": pa.array(np.arange(len(combos), dtype=np.int32)),
+            "n": pa.array(cnt)})
 
-    return counts.map_batches(finish, batch_format="pyarrow")
+    def fold_counts(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        cids = t.column("cid").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        cnt = np.zeros(len(combos), dtype=np.int64)
+        np.add.at(cnt, cids, n)
+        return pa.table({
+            "cid": pa.array(np.arange(len(combos), dtype=np.int32)),
+            "n": pa.array(cnt)})
+
+    lean = per_digest.map_batches(block_counts, batch_format="pyarrow")
+    for _ in range(3):
+        lean = lean.map_batches(fold_counts, batch_format="pyarrow",
+                                batch_size=1_048_576)
+    totals = fold_counts(pa.Table.from_pandas(lean.to_pandas()))
+    nd = totals.column("n").to_numpy(zero_copy_only=False)
+
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "combo": pa.array(names, pa.string()),
+        "n_distinct": pa.array(nd.astype(np.int64)),
+        "n_rows": pa.array(np.full(len(names), n_rows, np.int64)),
+        "is_key": pa.array((nd == n_rows).astype(np.int64))}))
 
 
 def _uniqueness_sketch(ds, *, combos: list[list[str]], m: int,
