@@ -1187,10 +1187,12 @@ def label_propagation(edges, *, src: str = "src", dst: str = "dst",
             return b.append_column(
                 "__kb", pa.array((h % np.uint64(shards)).astype(np.int32)))
 
+        # block-count cap (see betweenness_from_seeds)
         labels = (votes.map_batches(tag_node, batch_format="pyarrow")
                   .groupby("__kb").map_groups(
                       lambda g: elect(g.drop(columns="__kb")),
-                      batch_format="pandas")).materialize()
+                      batch_format="pandas")
+                  .repartition(min(shards, 16))).materialize()
     return labels
 
 
@@ -1925,9 +1927,13 @@ def personalized_pagerank(edges, seeds, *, src: str = "src",
                 "node": t.column("node"),
                 "rank": pc.multiply(damping, t.column("c"))}),
             batch_format="pyarrow")
+        # block-count cap (see betweenness_from_seeds): shuffles
+        # schedule one reduce task per input block, and the union-fed
+        # rank state otherwise gains blocks every iteration
         ranks = (scaled.union(seed_rows(restart_mass))
                  .groupby("node").aggregate(
-                     Sum("rank", alias_name="rank"))).materialize()
+                     Sum("rank", alias_name="rank"))
+                 .repartition(min(shards, 16))).materialize()
     return ranks
 
 
