@@ -2477,3 +2477,28 @@ class TestDsirSelect:
                           target_value="en", m=64, k=10, seed=1)
         assert set(out["doc_id"]) == {1, 5}
         assert out.loc[out["doc_id"] == 1, "n_bigrams"].item() == 2
+
+
+class TestDsirPartitionInvariance:
+    def test_same_result_across_partitionings(self, ray_session):
+        """DSIR's counts, weights and top-k must not depend on how the
+        input is blocked: the bucket counts fold through a groupby and
+        the scores are per-row — both partitioning-free by design."""
+        import ray.data as rd
+
+        from biocurator_mapper_ray.ops.sample import dsir_select
+
+        rng = np.random.default_rng(17)
+        vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+        rows = [{"doc_id": i,
+                 "lang": "en" if i % 3 == 0 else "xx",
+                 "text": " ".join(rng.choice(vocab,
+                                             size=rng.integers(2, 9)))}
+                for i in range(60)]
+        outs = []
+        for parts in (1, 7):
+            ds = rd.from_items(rows).repartition(parts)
+            out = dsir_select(ds, target_column="lang",
+                              target_value="en", m=128, k=25, seed=9)
+            outs.append(out.reset_index(drop=True))
+        pd.testing.assert_frame_equal(outs[0], outs[1])
